@@ -1,0 +1,441 @@
+"""Git-like branching catalog over a warehouse directory.
+
+Re-creates, from scratch and Spark-first, the semantics of the
+reference's Nessie catalog (``src/serverless/pyiceberg_patch_nessie.py``):
+
+- **refs** map branch names to commit ids (``create_branch`` :269-278,
+  ``drop_branch`` :280-284, ``merge`` :286-290);
+- a **commit** is an immutable mapping ``table -> metadata file`` plus a
+  parent pointer — branching is zero-copy (a new ref to the same
+  commit), exactly like Nessie (``README.md:16``);
+- table commits are **optimistic**: the new metadata is written first,
+  then the ref is advanced only if the base commit is unchanged
+  (reference ``_commit_table`` requirement validation :168-169); on
+  conflict the writer retries on top of the new head.
+
+The whole catalog state is tiny JSON (like Nessie/Iceberg metadata);
+Spark executors only ever touch the immutable Parquet data files. On a
+real deployment the ref store would be a REST service or a
+conditional-put object store — the commit protocol is the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate, prune_files
+from no_jvm_wap_with_iceberg_spark.catalog.table import (
+    FileEntry,
+    TableMetadata,
+    collect_written_files,
+    new_data_dir,
+)
+
+MAIN = "main"
+_ROOT = "root"  # the empty initial commit
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the ref between our read and our commit."""
+
+
+def _atomic_write_json(path: str, payload: dict[str, Any]) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=1, default=str)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class Catalog:
+    """Branching lakehouse catalog rooted at ``warehouse``."""
+
+    def __init__(self, warehouse: str, create: bool = True):
+        self.warehouse = os.path.abspath(warehouse)
+        self._refs_path = os.path.join(self.warehouse, "refs.json")
+        self._commits_dir = os.path.join(self.warehouse, "commits")
+        if create and not os.path.exists(self._refs_path):
+            os.makedirs(self._commits_dir, exist_ok=True)
+            self._write_commit(
+                {"id": _ROOT, "parent": None, "tables": {}, "message": "root"}
+            )
+            _atomic_write_json(self._refs_path, {"refs": {MAIN: _ROOT}})
+
+    # ------------------------------------------------------------------
+    # refs & commits (the Nessie-equivalent surface, SURVEY §2.9 C1-C8)
+    # ------------------------------------------------------------------
+    def _read_refs(self) -> dict[str, str]:
+        with open(self._refs_path) as fh:
+            return json.load(fh)["refs"]
+
+    def _write_refs(self, refs: dict[str, str]) -> None:
+        _atomic_write_json(self._refs_path, {"refs": refs})
+
+    def _write_commit(self, payload: dict[str, Any]) -> None:
+        payload.setdefault("timestamp_ms", int(time.time() * 1000))
+        _atomic_write_json(
+            os.path.join(self._commits_dir, f"{payload['id']}.json"), payload
+        )
+
+    def _read_commit(self, commit_id: str) -> dict[str, Any]:
+        with open(os.path.join(self._commits_dir, f"{commit_id}.json")) as fh:
+            return json.load(fh)
+
+    def list_branches(self) -> list[str]:
+        return sorted(self._read_refs())
+
+    def branch_exists(self, name: str) -> bool:
+        return name in self._read_refs()
+
+    def create_branch(self, name: str, from_branch: str = MAIN) -> None:
+        """Zero-copy: the new ref points at the source branch's commit."""
+        refs = self._read_refs()
+        if name in refs:
+            raise ValueError(f"branch {name!r} already exists")
+        if from_branch not in refs:
+            raise KeyError(f"source branch {from_branch!r} not found")
+        refs[name] = refs[from_branch]
+        self._write_refs(refs)
+
+    def drop_branch(self, name: str) -> None:
+        if name == MAIN:
+            raise ValueError("refusing to drop 'main'")
+        refs = self._read_refs()
+        if name not in refs:
+            raise KeyError(f"branch {name!r} not found")
+        del refs[name]
+        self._write_refs(refs)
+
+    def _is_ancestor(self, maybe_ancestor: str, commit_id: str) -> bool:
+        cur: str | None = commit_id
+        while cur is not None:
+            if cur == maybe_ancestor:
+                return True
+            cur = self._read_commit(cur).get("parent")
+        return False
+
+    def merge(self, from_branch: str, to_branch: str = MAIN) -> None:
+        """Publish: fast-forward ``to_branch`` onto ``from_branch``'s head.
+
+        Reference: ``NessieCatalog.merge`` → ``nessie merge``
+        (``pyiceberg_patch_nessie.py:286-290``). Fast-forward-only — if
+        ``to_branch`` advanced since the branch point the merge raises
+        and the caller re-runs WAP on a fresh branch (same behavior an
+        Iceberg ``fast_forward`` procedure gives).
+        """
+        refs = self._read_refs()
+        head_from, head_to = refs[from_branch], refs[to_branch]
+        if head_from == head_to:
+            return  # nothing to publish
+        if not self._is_ancestor(head_to, head_from):
+            raise CommitConflict(
+                f"cannot fast-forward {to_branch!r}: it advanced since "
+                f"{from_branch!r} was created"
+            )
+        refs[to_branch] = head_from
+        self._write_refs(refs)
+
+    def log(self, branch: str = MAIN) -> list[dict[str, Any]]:
+        """Commit log (newest first) for a branch."""
+        out = []
+        cur: str | None = self._read_refs()[branch]
+        while cur is not None:
+            c = self._read_commit(cur)
+            out.append(c)
+            cur = c.get("parent")
+        return out
+
+    # ------------------------------------------------------------------
+    # table metadata resolution
+    # ------------------------------------------------------------------
+    def list_tables(self, branch: str = MAIN) -> list[str]:
+        head = self._read_refs()[branch]
+        return sorted(self._read_commit(head)["tables"])
+
+    def table_exists(self, table: str, branch: str = MAIN) -> bool:
+        return table in self.list_tables(branch)
+
+    def load_table(self, table: str, branch: str = MAIN) -> TableMetadata:
+        """Resolve branch → commit → metadata JSON → TableMetadata.
+
+        Reference: ``NessieCatalog.load_table``
+        (``pyiceberg_patch_nessie.py:207-228``).
+        """
+        head = self._read_refs()[branch]
+        tables = self._read_commit(head)["tables"]
+        if table not in tables:
+            raise KeyError(f"table {table!r} not found on branch {branch!r}")
+        with open(os.path.join(self.warehouse, tables[table])) as fh:
+            return TableMetadata.from_json(json.load(fh))
+
+    def _commit_table(
+        self,
+        table: str,
+        branch: str,
+        meta: TableMetadata,
+        expected_head: str,
+        message: str,
+    ) -> None:
+        """Write metadata vN+1 and advance the branch ref (optimistic).
+
+        Reference ``_commit_table`` (``pyiceberg_patch_nessie.py:153-205``):
+        validate requirements against the current state, write new
+        metadata, then commit the pointer. Raises CommitConflict if the
+        branch moved under us.
+        """
+        meta_dir = os.path.join(self.warehouse, "tables", table, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        rel = os.path.join(
+            "tables",
+            table,
+            "metadata",
+            f"v{meta.version:05d}-{uuid.uuid4().hex[:8]}.json",
+        )
+        _atomic_write_json(os.path.join(self.warehouse, rel), meta.to_json())
+
+        refs = self._read_refs()
+        if refs[branch] != expected_head:
+            raise CommitConflict(
+                f"branch {branch!r} moved from {expected_head} to {refs[branch]}"
+            )
+        parent = self._read_commit(expected_head)
+        new_tables = dict(parent["tables"])
+        new_tables[table] = rel
+        new_id = uuid.uuid4().hex[:16]
+        self._write_commit(
+            {
+                "id": new_id,
+                "parent": expected_head,
+                "tables": new_tables,
+                "message": message,
+            }
+        )
+        refs[branch] = new_id
+        self._write_refs(refs)
+
+    # ------------------------------------------------------------------
+    # DDL
+    # ------------------------------------------------------------------
+    def create_table(
+        self,
+        table: str,
+        schema,
+        branch: str = MAIN,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        if_not_exists: bool = False,
+    ) -> bool:
+        """Create an empty table on a branch from a Spark schema.
+
+        Reference: lazy idempotent creation from the first batch's
+        schema (``app.py:117-143``, ``pyiceberg_patch_nessie.py:102-148``).
+        Returns True if created, False if it already existed.
+        """
+        head = self._read_refs()[branch]
+        if self.table_exists(table, branch):
+            if if_not_exists:
+                return False
+            raise ValueError(f"table {table!r} already exists on {branch!r}")
+        schema_json = schema.jsonValue() if hasattr(schema, "jsonValue") else schema
+        meta = TableMetadata(
+            table=table,
+            schema_json=schema_json,
+            version=1,
+            partition_by=partition_by,
+            sort_by=sort_by,
+        )
+        self._commit_table(table, branch, meta, head, f"CREATE TABLE {table}")
+        return True
+
+    def drop_table(self, table: str, branch: str = MAIN) -> None:
+        """Remove the table from the branch's commit tree (data retained).
+
+        The reference leaves this ``NotImplementedError``
+        (``pyiceberg_patch_nessie.py:230-264``); we support it.
+        """
+        head = self._read_refs()[branch]
+        parent = self._read_commit(head)
+        if table not in parent["tables"]:
+            raise KeyError(f"table {table!r} not found on branch {branch!r}")
+        new_tables = {k: v for k, v in parent["tables"].items() if k != table}
+        new_id = uuid.uuid4().hex[:16]
+        self._write_commit(
+            {
+                "id": new_id,
+                "parent": head,
+                "tables": new_tables,
+                "message": f"DROP TABLE {table}",
+            }
+        )
+        refs = self._read_refs()
+        if refs[branch] != head:
+            raise CommitConflict(f"branch {branch!r} moved during drop")
+        refs[branch] = new_id
+        self._write_refs(refs)
+
+    # ------------------------------------------------------------------
+    # write path (Spark-distributed)
+    # ------------------------------------------------------------------
+    def _write_files(self, df: DataFrame, meta: TableMetadata, table: str) -> list[FileEntry]:
+        data_dir = new_data_dir(self.warehouse, table)
+        writer = df
+        if meta.sort_by:
+            # cluster within partitions for tighter min/max stats →
+            # better file pruning on the sort columns at read time
+            writer = writer.sortWithinPartitions(*meta.sort_by)
+        w = writer.write.mode("append")
+        if meta.partition_by:
+            w = w.partitionBy(*meta.partition_by)
+        w.parquet(data_dir)
+        return collect_written_files(data_dir, self.warehouse)
+
+    def _align_schema(self, df: DataFrame, meta: TableMetadata) -> DataFrame:
+        """Project/cast the batch to the table schema (strict names)."""
+        from pyspark.sql import functions as F
+
+        target = meta.spark_schema
+        have = {f.name for f in df.schema.fields}
+        need = [f.name for f in target.fields]
+        missing = [n for n in need if n not in have]
+        if missing:
+            raise ValueError(f"batch missing columns {missing} for table {meta.table!r}")
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+        )
+
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        branch: str = MAIN,
+        max_retries: int = 3,
+    ) -> TableMetadata:
+        """Append a DataFrame to a table on a branch (new snapshot).
+
+        Data files are written ONCE by Spark executors; only the
+        metadata commit retries on conflict (the Iceberg pattern —
+        reference append: ``app.py:160-179`` + commit
+        ``pyiceberg_patch_nessie.py:153-205``).
+        """
+        meta = self.load_table(table, branch)
+        files = self._write_files(self._align_schema(df, meta), meta, table)
+        for attempt in range(max_retries + 1):
+            head = self._read_refs()[branch]
+            meta = self.load_table(table, branch)
+            new_meta = meta.with_new_snapshot(files, "append")
+            try:
+                self._commit_table(
+                    table, branch, new_meta, head, f"APPEND {table} ({len(files)} files)"
+                )
+                return new_meta
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def overwrite(self, df: DataFrame, table: str, branch: str = MAIN) -> TableMetadata:
+        """Replace table contents (snapshot with operation='overwrite')."""
+        meta = self.load_table(table, branch)
+        files = self._write_files(self._align_schema(df, meta), meta, table)
+        head = self._read_refs()[branch]
+        new_meta = meta.with_new_snapshot(files, "overwrite")
+        self._commit_table(table, branch, new_meta, head, f"OVERWRITE {table}")
+        return new_meta
+
+    def create_table_from_df(
+        self,
+        df: DataFrame,
+        table: str,
+        branch: str = MAIN,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> TableMetadata:
+        """CTAS convenience: create from the DataFrame's schema + append."""
+        self.create_table(
+            table, df.schema, branch, partition_by=partition_by, sort_by=sort_by
+        )
+        return self.append(df, table, branch)
+
+    # ------------------------------------------------------------------
+    # read path (Spark-distributed, with metadata pruning)
+    # ------------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        branch: str = MAIN,
+        snapshot_id: int | None = None,
+        predicates: list[Predicate] | None = None,
+    ) -> DataFrame:
+        """Scan a table at a branch (optionally at a past snapshot).
+
+        ``predicates`` prune files via footer stats before Spark ever
+        sees them; they are hints only — pass the same filter to the
+        returned DataFrame for row-level semantics (Catalyst will push
+        it into the surviving parquet files too).
+
+        Reference: branch-addressed scans with pushdown
+        (``app.py:217-223``, ``quality_app.py:43-51``).
+        """
+        meta = self.load_table(table, branch)
+        files = meta.files(snapshot_id)
+        if predicates:
+            files = prune_files(files, predicates)
+        return self._df_for_files(spark, meta, files)
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        table: str,
+        branch: str = MAIN,
+        from_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows added after ``from_snapshot_id`` — incremental audits
+        read only the new files instead of the whole table (the scale
+        fix for the reference's full-rescan audit, SURVEY §7.1 step 9).
+        """
+        meta = self.load_table(table, branch)
+        files = meta.added_files_since(from_snapshot_id)
+        return self._df_for_files(spark, meta, files)
+
+    def _df_for_files(
+        self, spark: SparkSession, meta: TableMetadata, files: list[FileEntry]
+    ) -> DataFrame:
+        schema = meta.spark_schema
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.warehouse, f.path) for f in files]
+        reader = spark.read.schema(schema)
+        if meta.partition_by:
+            # hive-partitioned layout: partition values come from paths
+            reader = reader.option("basePath", os.path.join(self.warehouse, "tables", meta.table, "data"))
+        return reader.parquet(*paths)
+
+    # ------------------------------------------------------------------
+    # metadata-only aggregates (no Spark job at all)
+    # ------------------------------------------------------------------
+    def row_count(self, table: str, branch: str = MAIN, snapshot_id: int | None = None) -> int:
+        return self.load_table(table, branch).row_count(snapshot_id)
+
+    def null_count(
+        self, table: str, column: str, branch: str = MAIN, snapshot_id: int | None = None
+    ) -> int | None:
+        return self.load_table(table, branch).null_count(column, snapshot_id)
+
+    # ------------------------------------------------------------------
+    # convenience: run a function against a temporary WAP branch
+    # ------------------------------------------------------------------
+    def with_branch(
+        self, fn: Callable[[str], Any], prefix: str = "wap", from_branch: str = MAIN
+    ) -> Any:
+        """Create a uniquely-named branch, run ``fn(branch)``, leave
+        branch management to the caller's fn (mirror of the reference's
+        human-friendly random branch names, ``app.py:146-157``)."""
+        name = f"{prefix}-{uuid.uuid4().hex[:8]}"
+        self.create_branch(name, from_branch)
+        return fn(name)

@@ -1,0 +1,115 @@
+"""Stats-based file pruning (manifest pruning, Iceberg-style).
+
+The reference leans on PyIceberg's scan planning to prune data files
+via manifest column stats for its ``IsNull`` audit filter
+(``src/serverless/app.py:217-223``; SURVEY §4). Here the same idea:
+before handing Spark a file list, drop files whose footer stats prove
+the predicate selects nothing. Spark then applies row-group pruning
+and row-level filtering *within* the surviving files via its own
+pushdown — the two layers compose.
+
+At 100 TB this is the difference between "scan the table" and "scan
+the three files whose min/max straddle the predicate".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+from typing import Any, Iterable
+
+from no_jvm_wap_with_iceberg_spark.catalog.table import FileEntry
+
+_OPS = ("is_null", "not_null", "eq", "lt", "le", "gt", "ge", "in")
+
+
+@dataclasses.dataclass(frozen=True)
+class Predicate:
+    """A simple column predicate usable for file-level pruning.
+
+    Only conjunctions of these are supported at the pruning layer —
+    anything richer simply isn't pruned (correctness never depends on
+    pruning; it is purely an IO reducer).
+    """
+
+    op: str
+    column: str
+    value: Any = None
+
+    def __post_init__(self):
+        if self.op not in _OPS:
+            raise ValueError(f"unsupported predicate op {self.op!r}; use one of {_OPS}")
+
+    # -- convenience constructors --------------------------------------
+    @classmethod
+    def is_null(cls, col: str) -> "Predicate":
+        return cls("is_null", col)
+
+    @classmethod
+    def not_null(cls, col: str) -> "Predicate":
+        return cls("not_null", col)
+
+    @classmethod
+    def eq(cls, col: str, v: Any) -> "Predicate":
+        return cls("eq", col, v)
+
+    @classmethod
+    def between(cls, col: str, lo: Any, hi: Any) -> list["Predicate"]:
+        return [cls("ge", col, lo), cls("le", col, hi)]
+
+
+def _norm(v: Any) -> Any:
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _file_may_match(f: FileEntry, p: Predicate) -> bool:
+    """Conservative: True unless stats PROVE no row can match."""
+    st = f.columns.get(p.column)
+    if st is None:
+        return True  # no stats -> cannot prune
+    nulls, mn, mx = st.get("nulls"), st.get("min"), st.get("max")
+    v = _norm(p.value)
+    if p.op == "is_null":
+        return nulls is None or nulls > 0
+    if p.op == "not_null":
+        return nulls is None or nulls < f.rows
+    # value comparisons can't match null rows; need min/max to prune
+    if mn is None or mx is None:
+        return True
+    try:
+        if p.op == "eq":
+            return mn <= v <= mx
+        if p.op == "lt":
+            return mn < v
+        if p.op == "le":
+            return mn <= v
+        if p.op == "gt":
+            return mx > v
+        if p.op == "ge":
+            return mx >= v
+        if p.op == "in":
+            return any(mn <= _norm(x) <= mx for x in p.value)
+    except TypeError:
+        return True  # incomparable types (e.g. truncated stats) -> keep
+    return True
+
+
+def prune_files(
+    files: Iterable[FileEntry], predicates: Iterable[Predicate]
+) -> list[FileEntry]:
+    """Keep only files that may contain rows matching ALL predicates."""
+    preds = list(predicates)
+    out = []
+    for f in files:
+        # partition-value pruning first (exact, not just stats)
+        keep = True
+        for p in preds:
+            if p.op == "eq" and p.column in f.partition:
+                if f.partition[p.column] != str(p.value):
+                    keep = False
+                    break
+        if keep and all(_file_may_match(f, p) for p in preds):
+            out.append(f)
+    return out

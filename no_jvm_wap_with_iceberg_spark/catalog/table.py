@@ -1,0 +1,304 @@
+"""Table format: versioned JSON metadata over immutable Parquet data files.
+
+Iceberg-inspired, built from scratch in Python (the reference does the
+same with PyIceberg + a custom Nessie catalog — see
+``src/serverless/pyiceberg_patch_nessie.py:102-205`` for its
+create/commit path). Key properties preserved:
+
+- **Immutable data files + snapshot log.** Every append produces new
+  Parquet files and a new snapshot; old snapshots stay readable (time
+  travel).
+- **File-level column statistics** (row count, null count, min/max)
+  captured from Parquet footers at commit time. These power
+  metadata-only COUNT(*), metadata-only not-null audits (the
+  reference's audit is exactly a null-count check —
+  ``src/serverless/app.py:213-226``) and scan-time file pruning.
+  At 100 TB, stats let an audit touch zero data files in the happy
+  path and only the *added* files otherwise.
+- **Optimistic concurrency** at the catalog layer (see catalog.py).
+
+Metadata is small (KBs per snapshot) and driver-side; data files are
+written and read by Spark executors — the same split Iceberg uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import glob
+import os
+import time
+import uuid
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import types as T
+
+_STATS_TRUNCATE = 64  # cap stored string min/max length (Iceberg truncates too)
+
+
+def _json_safe(value: Any) -> Any:
+    """Convert a Parquet-footer stat value to a JSON- and order-safe form.
+
+    Timestamps become ISO-8601 strings (lexicographic order == time
+    order); bytes decode best-effort; everything else passes through.
+    """
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return value.isoformat()
+    if isinstance(value, bytes):
+        try:
+            value = value.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(value, str):
+        return value[:_STATS_TRUNCATE]
+    return value
+
+
+@dataclasses.dataclass
+class FileEntry:
+    """One immutable Parquet data file plus its footer statistics."""
+
+    path: str  # relative to the warehouse root
+    rows: int
+    bytes: int
+    # col -> {"nulls": int|None, "min": Any, "max": Any}
+    columns: dict[str, dict[str, Any]]
+    partition: dict[str, str] = dataclasses.field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "FileEntry":
+        return cls(
+            path=d["path"],
+            rows=d["rows"],
+            bytes=d["bytes"],
+            columns=d["columns"],
+            partition=d.get("partition", {}),
+        )
+
+    @classmethod
+    def from_parquet(cls, abs_path: str, warehouse: str) -> "FileEntry":
+        """Build an entry by reading ONLY the Parquet footer (no data IO).
+
+        On a real cluster these stats would be collected by the write
+        tasks and shipped to the driver in the commit message — the
+        footer read here is the local-mode equivalent and costs a few
+        KB per file.
+        """
+        meta = pq.ParquetFile(abs_path).metadata
+        cols: dict[str, dict[str, Any]] = {}
+        for rg_i in range(meta.num_row_groups):
+            rg = meta.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                name = col.path_in_schema
+                entry = cols.setdefault(name, {"nulls": 0, "min": None, "max": None})
+                st = col.statistics
+                if st is None or not st.has_null_count:
+                    entry["nulls"] = None  # unknown
+                elif entry["nulls"] is not None:
+                    entry["nulls"] += st.null_count
+                if st is not None and st.has_min_max:
+                    mn, mx = _json_safe(st.min), _json_safe(st.max)
+                    if entry["min"] is None or (mn is not None and mn < entry["min"]):
+                        entry["min"] = mn
+                    if entry["max"] is None or (mx is not None and mx > entry["max"]):
+                        entry["max"] = mx
+        partition = _partition_from_path(abs_path, warehouse)
+        return cls(
+            path=os.path.relpath(abs_path, warehouse),
+            rows=meta.num_rows,
+            bytes=os.path.getsize(abs_path),
+            columns=cols,
+            partition=partition,
+        )
+
+
+def _partition_from_path(abs_path: str, warehouse: str) -> dict[str, str]:
+    """Extract hive-style ``col=value`` partition values from the path."""
+    out: dict[str, str] = {}
+    for seg in os.path.relpath(abs_path, warehouse).split(os.sep):
+        if "=" in seg and not seg.endswith(".parquet"):
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+@dataclasses.dataclass
+class Snapshot:
+    """A committed table state: parent chain + files added at this commit."""
+
+    snapshot_id: int
+    parent_snapshot_id: int | None
+    timestamp_ms: int
+    operation: str  # "append" | "overwrite"
+    added_files: list[FileEntry]
+    summary: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["added_files"] = [f.to_json() for f in self.added_files]
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "Snapshot":
+        return cls(
+            snapshot_id=d["snapshot_id"],
+            parent_snapshot_id=d.get("parent_snapshot_id"),
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            added_files=[FileEntry.from_json(f) for f in d["added_files"]],
+            summary=d.get("summary", {}),
+        )
+
+
+class TableMetadata:
+    """Full metadata for one table version (schema + snapshot log)."""
+
+    def __init__(
+        self,
+        table: str,
+        schema_json: dict[str, Any],
+        snapshots: list[Snapshot] | None = None,
+        current_snapshot_id: int | None = None,
+        version: int = 0,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ):
+        self.table = table
+        self.schema_json = schema_json
+        self.snapshots = snapshots or []
+        self.current_snapshot_id = current_snapshot_id
+        self.version = version
+        self.partition_by = partition_by or []
+        self.sort_by = sort_by or []
+        self.properties = properties or {}
+
+    # -- schema ---------------------------------------------------------
+    @property
+    def spark_schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+    # -- snapshot resolution -------------------------------------------
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            return None
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not found in table {self.table!r}")
+
+    def files(self, snapshot_id: int | None = None) -> list[FileEntry]:
+        """All live data files at a snapshot (walk the parent chain)."""
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        out: list[FileEntry] = []
+        cur = self.snapshot(snapshot_id)
+        chain: list[Snapshot] = []
+        while cur is not None:
+            chain.append(cur)
+            if cur.operation == "overwrite":
+                break  # overwrite replaces everything beneath it
+            cur = by_id.get(cur.parent_snapshot_id) if cur.parent_snapshot_id else None
+        for s in reversed(chain):
+            out.extend(s.added_files)
+        return out
+
+    def added_files_since(self, from_snapshot_id: int | None) -> list[FileEntry]:
+        """Files added strictly after ``from_snapshot_id`` (incremental read)."""
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        out: list[FileEntry] = []
+        cur = self.snapshot()
+        while cur is not None and cur.snapshot_id != from_snapshot_id:
+            out.extend(cur.added_files)
+            if cur.operation == "overwrite":
+                break
+            cur = by_id.get(cur.parent_snapshot_id) if cur.parent_snapshot_id else None
+        return list(reversed(out))
+
+    # -- metadata-only aggregates --------------------------------------
+    def row_count(self, snapshot_id: int | None = None) -> int:
+        return sum(f.rows for f in self.files(snapshot_id))
+
+    def null_count(self, column: str, snapshot_id: int | None = None) -> int | None:
+        """Exact null count from file stats, or None if any file lacks them."""
+        total = 0
+        for f in self.files(snapshot_id):
+            st = f.columns.get(column)
+            if st is None or st.get("nulls") is None:
+                return None
+            total += st["nulls"]
+        return total
+
+    # -- mutation (returns new snapshot; caller commits via Catalog) ----
+    def with_new_snapshot(
+        self, added: list[FileEntry], operation: str = "append"
+    ) -> "TableMetadata":
+        sid = (self.current_snapshot_id or 0) + 1
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_snapshot_id=self.current_snapshot_id,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            added_files=added,
+            summary={
+                "added-files": len(added),
+                "added-rows": sum(f.rows for f in added),
+            },
+        )
+        return TableMetadata(
+            table=self.table,
+            schema_json=self.schema_json,
+            snapshots=self.snapshots + [snap],
+            current_snapshot_id=sid,
+            version=self.version + 1,
+            partition_by=self.partition_by,
+            sort_by=self.sort_by,
+            properties=self.properties,
+        )
+
+    # -- (de)serialization ---------------------------------------------
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "format_version": 1,
+            "table": self.table,
+            "schema": self.schema_json,
+            "current_snapshot_id": self.current_snapshot_id,
+            "snapshots": [s.to_json() for s in self.snapshots],
+            "version": self.version,
+            "partition_by": self.partition_by,
+            "sort_by": self.sort_by,
+            "properties": self.properties,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "TableMetadata":
+        return cls(
+            table=d["table"],
+            schema_json=d["schema"],
+            snapshots=[Snapshot.from_json(s) for s in d["snapshots"]],
+            current_snapshot_id=d.get("current_snapshot_id"),
+            version=d.get("version", 0),
+            partition_by=d.get("partition_by", []),
+            sort_by=d.get("sort_by", []),
+            properties=d.get("properties", {}),
+        )
+
+
+def collect_written_files(data_dir: str, warehouse: str) -> list[FileEntry]:
+    """Footer-scan every parquet file Spark wrote under ``data_dir``."""
+    paths = sorted(
+        glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    return [FileEntry.from_parquet(p, warehouse) for p in paths]
+
+
+def new_data_dir(warehouse: str, table: str) -> str:
+    """A unique directory for one write's data files."""
+    d = os.path.join(warehouse, "tables", table, "data", uuid.uuid4().hex[:12])
+    os.makedirs(d, exist_ok=True)
+    return d

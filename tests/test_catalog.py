@@ -1,0 +1,166 @@
+"""Catalog + table format: branches, snapshots, stats, pruning, time travel.
+
+Covers the WAP algebra of SURVEY §2.9 (C1-C7) re-expressed on our
+from-scratch catalog.
+"""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from no_jvm_wap_with_iceberg_spark.catalog import (
+    Catalog,
+    CommitConflict,
+    Predicate,
+    prune_files,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _batch(spark, n=10, start=0, with_null=False):
+    df = spark.range(start, start + n).select(
+        F.col("id"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    if with_null:
+        null_row = spark.createDataFrame([(start + n, None, 0.0)], SCHEMA)
+        df = df.unionByName(null_row)
+    return df
+
+
+def test_create_table_idempotent(spark, warehouse):
+    cat = Catalog(warehouse)
+    assert cat.create_table("t", SCHEMA, if_not_exists=True) is True
+    assert cat.create_table("t", SCHEMA, if_not_exists=True) is False
+    with pytest.raises(ValueError):
+        cat.create_table("t", SCHEMA)
+    assert cat.list_tables() == ["t"]
+    assert cat.row_count("t") == 0
+    assert cat.read(spark, "t").count() == 0
+
+
+def test_append_and_metadata_counts(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 10), "t")
+    cat.append(_batch(spark, 5, start=10, with_null=True), "t")
+    # metadata-only aggregates (no Spark job)
+    assert cat.row_count("t") == 16
+    assert cat.null_count("t", "name") == 1
+    assert cat.null_count("t", "id") == 0
+    # and they agree with a real scan
+    df = cat.read(spark, "t")
+    assert df.count() == 16
+    assert df.filter(F.col("name").isNull()).count() == 1
+
+
+def test_branch_isolation_and_publish(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 10), "t")
+    cat.create_branch("audit-1")
+    cat.append(_batch(spark, 7, start=100), "t", branch="audit-1")
+    # main unchanged until publish (the whole point of WAP)
+    assert cat.row_count("t", "main") == 10
+    assert cat.row_count("t", "audit-1") == 17
+    cat.merge("audit-1", "main")
+    cat.drop_branch("audit-1")
+    assert cat.row_count("t", "main") == 17
+    assert not cat.branch_exists("audit-1")
+
+
+def test_merge_is_fast_forward_only(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.create_branch("b")
+    cat.append(_batch(spark, 3), "t", branch="b")
+    cat.append(_batch(spark, 2, start=50), "t", branch="main")  # main advances
+    with pytest.raises(CommitConflict):
+        cat.merge("b", "main")
+
+
+def test_time_travel_and_incremental_read(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    m1 = cat.append(_batch(spark, 10), "t")
+    m2 = cat.append(_batch(spark, 5, start=10), "t")
+    assert m2.current_snapshot_id == m1.current_snapshot_id + 1
+    assert cat.read(spark, "t", snapshot_id=m1.current_snapshot_id).count() == 10
+    assert cat.read(spark, "t").count() == 15
+    inc = cat.read_incremental(spark, "t", from_snapshot_id=m1.current_snapshot_id)
+    assert inc.count() == 5
+    assert inc.agg(F.min("id")).collect()[0][0] == 10
+
+
+def test_overwrite(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 10), "t")
+    cat.overwrite(_batch(spark, 3, start=200), "t")
+    assert cat.row_count("t") == 3
+    assert cat.read(spark, "t").agg(F.min("id")).collect()[0][0] == 200
+
+
+def test_stats_pruning(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    for k in range(4):  # four appends -> at least four files, disjoint id ranges
+        cat.append(_batch(spark, 10, start=k * 1000).coalesce(1), "t")
+    meta = cat.load_table("t")
+    files = meta.files()
+    assert len(files) >= 4
+    pruned = prune_files(files, [Predicate.eq("id", 2005)])
+    assert len(pruned) == 1  # only the k=2 file can contain id 2005
+    pruned_null = prune_files(files, [Predicate.is_null("name")])
+    assert pruned_null == []  # stats prove no nulls anywhere
+    # pruning + scan agree with full scan + filter
+    assert (
+        cat.read(spark, "t", predicates=[Predicate.eq("id", 2005)])
+        .filter(F.col("id") == 2005)
+        .count()
+        == 1
+    )
+
+
+def test_partitioned_writes(spark, warehouse):
+    cat = Catalog(warehouse)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("bucket", T.StringType())]
+    )
+    cat.create_table("p", schema, partition_by=["bucket"])
+    df = spark.range(20).select(
+        "id", F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("bucket")
+    )
+    cat.append(df, "p")
+    meta = cat.load_table("p")
+    parts = {f.partition.get("bucket") for f in meta.files()}
+    assert parts == {"even", "odd"}
+    pruned = prune_files(meta.files(), [Predicate.eq("bucket", "even")])
+    assert all(f.partition["bucket"] == "even" for f in pruned)
+    # partition column round-trips through the read path
+    got = cat.read(spark, "p").groupBy("bucket").count().collect()
+    assert {r["bucket"]: r["count"] for r in got} == {"even": 10, "odd": 10}
+
+
+def test_commit_log(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 1), "t")
+    log = cat.log()
+    assert [c["message"] for c in log][-1] == "root"
+    assert any(c["message"].startswith("APPEND") for c in log)
+    assert any(c["message"].startswith("CREATE") for c in log)
+
+
+def test_drop_table(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.drop_table("t")
+    assert cat.list_tables() == []
