@@ -324,6 +324,10 @@ class Catalog:
         """
         meta = self.load_table(table, branch)
         files = self._write_files(self._align_schema(df, meta), meta, table)
+        if sum(f.rows for f in files) == 0:
+            # no-op commit elision (reference: _commit_table early return,
+            # pyiceberg_patch_nessie.py:172-176)
+            return meta
         for attempt in range(max_retries + 1):
             head = self._read_refs()[branch]
             meta = self.load_table(table, branch)

@@ -1,0 +1,222 @@
+"""The Write-Audit-Publish pipeline — the engine's control plane.
+
+Re-expresses the reference's Lambda handler
+(``lambda_handler``, ``src/serverless/app.py:235-317``) as a reusable
+driver-side orchestration over the branching catalog:
+
+    ingest batch → ensure table → create branch → append on branch
+    → audit the branch as committed → publish (fast-forward + drop)
+    or leave the branch open for forensics and alert.
+
+Differences from the reference, all deliberate upgrades:
+
+- **Engine**: the append and every audit query run distributed on
+  Spark executors instead of single-process Arrow (the reference's
+  scalability cliff, SURVEY §4).
+- **Incremental audit**: optionally audit only the files the new
+  snapshot added (reference re-scans the whole table per batch).
+- **Idempotence**: an optional ``ingest_key`` skips batches already
+  committed to the branch's history (the reference double-appends on
+  event redelivery, SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+import uuid
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from no_jvm_wap_with_iceberg_spark.catalog.catalog import MAIN, Catalog
+from no_jvm_wap_with_iceberg_spark.wap.checks import AuditContext, Check, CheckResult
+
+AlertFn = Callable[[str, list[CheckResult]], None]
+
+
+def _noop_alert(branch: str, results: list[CheckResult]) -> None:
+    """Default alert channel: print (mirrors the reference's Slack
+    sender degrading to a no-op when unconfigured,
+    ``src/serverless/app.py:76-78``)."""
+    failed = [r.check for r in results if not r.passed]
+    print(f"[wap-alert] audit failed on branch {branch!r}: {failed}")
+
+
+@dataclasses.dataclass
+class WapResult:
+    published: bool
+    branch: str
+    table: str
+    snapshot_id: int | None
+    results: list[CheckResult]
+    timings: dict[str, float]
+    skipped: bool = False
+
+    @property
+    def failed_checks(self) -> list[str]:
+        return [r.check for r in self.results if not r.passed]
+
+
+class WapPipeline:
+    """One WAP unit: (table, checks, alerter) over a catalog."""
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        table: str,
+        checks: Sequence[Check],
+        alert: AlertFn = _noop_alert,
+        branch_prefix: str = "wap",
+        incremental_audit: bool = True,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ):
+        self.catalog = catalog
+        self.table = table
+        self.checks = list(checks)
+        self.alert = alert
+        self.branch_prefix = branch_prefix
+        self.incremental_audit = incremental_audit
+        self.partition_by = partition_by
+        self.sort_by = sort_by
+
+    # ------------------------------------------------------------------
+    def _ensure_table(self, df: DataFrame) -> None:
+        """Lazy idempotent creation from the first batch's schema
+        (reference ``create_table_if_not_exists``, ``app.py:117-143``)."""
+        if not self.catalog.table_exists(self.table, MAIN):
+            self.catalog.create_table(
+                self.table,
+                df.schema,
+                MAIN,
+                partition_by=self.partition_by,
+                sort_by=self.sort_by,
+                if_not_exists=True,
+            )
+
+    def _already_ingested(self, ingest_key: str) -> bool:
+        for commit in self.catalog.log(MAIN):
+            if commit.get("message", "").endswith(f"ingest_key={ingest_key}"):
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    def run_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        ingest_key: str | None = None,
+    ) -> WapResult:
+        """Execute one full WAP cycle for a batch DataFrame."""
+        timings: dict[str, float] = {}
+        t0 = time.time()
+
+        if ingest_key is not None and self._already_ingested(ingest_key):
+            return WapResult(
+                published=False,
+                branch="",
+                table=self.table,
+                snapshot_id=None,
+                results=[],
+                timings={"total": 0.0},
+                skipped=True,
+            )
+
+        self._ensure_table(batch)
+        timings["ensure_table"] = time.time() - t0
+
+        # Write: unique branch, append on it (reference app.py:287-295)
+        branch = f"{self.branch_prefix}-{uuid.uuid4().hex[:8]}"
+        self.catalog.create_branch(branch, MAIN)
+        t1 = time.time()
+        prev_snapshot = self.catalog.load_table(self.table, branch).current_snapshot_id
+        meta = self.catalog.append(batch, self.table, branch)
+        timings["append"] = time.time() - t1
+
+        # Audit: against the branch AS COMMITTED (app.py:197-203), either
+        # the incremental slice or the whole table
+        t2 = time.time()
+        if self.incremental_audit:
+            audit_files = meta.added_files_since(prev_snapshot)
+            audit_df = self.catalog.read_incremental(
+                spark, self.table, branch, from_snapshot_id=prev_snapshot
+            )
+        else:
+            audit_files = meta.files()
+            audit_df = self.catalog.read(spark, self.table, branch)
+        ctx = AuditContext(
+            catalog=self.catalog,
+            table=self.table,
+            branch=branch,
+            df=audit_df,
+            files=audit_files,
+        )
+        results = [c.run(ctx) for c in self.checks]
+        timings["audit"] = time.time() - t2
+
+        # Publish or alert (app.py:302-315)
+        t3 = time.time()
+        published = all(r.passed for r in results)
+        if published:
+            self.catalog.merge(branch, MAIN)
+            self.catalog.drop_branch(branch)
+            if ingest_key is not None:
+                # stamp idempotence marker as an empty commit message on main
+                self._stamp_ingest(ingest_key)
+        else:
+            self.alert(branch, results)  # branch left open for forensics
+        timings["publish"] = time.time() - t3
+        timings["total"] = time.time() - t0
+
+        return WapResult(
+            published=published,
+            branch=branch,
+            table=self.table,
+            snapshot_id=meta.current_snapshot_id,
+            results=results,
+            timings=timings,
+        )
+
+    def _stamp_ingest(self, ingest_key: str) -> None:
+        refs = self.catalog._read_refs()
+        head = refs[MAIN]
+        parent = self.catalog._read_commit(head)
+        new_id = uuid.uuid4().hex[:16]
+        self.catalog._write_commit(
+            {
+                "id": new_id,
+                "parent": head,
+                "tables": dict(parent["tables"]),
+                "message": f"ingest_key={ingest_key}",
+            }
+        )
+        refs[MAIN] = new_id
+        self.catalog._write_refs(refs)
+
+    # ------------------------------------------------------------------
+    def run_file(self, spark: SparkSession, path: str) -> WapResult:
+        """WAP one landed Parquet file (reference's per-S3-object unit,
+        ``read_rows_into_arrow``, ``app.py:100-114``)."""
+        if not path.endswith(".parquet"):
+            raise ValueError(f"only parquet input is supported, got {path!r}")
+        return self.run_batch(spark, spark.read.parquet(path), ingest_key=path)
+
+
+# ----------------------------------------------------------------------
+# Forensics read-path helpers (reference quality_app.py:43-76)
+# ----------------------------------------------------------------------
+def branch_report(
+    spark: SparkSession, cat: Catalog, table: str, columns: Sequence[str]
+) -> list[dict[str, Any]]:
+    """Row/null counts per branch — the dashboard surface of the
+    reference (``src/quality_app.py:59-76``), metadata-only here."""
+    out = []
+    for b in cat.list_branches():
+        if not cat.table_exists(table, b):
+            continue
+        row: dict[str, Any] = {"branch": b, "rows": cat.row_count(table, b)}
+        for c in columns:
+            row[f"nulls_{c}"] = cat.null_count(table, c, b)
+        out.append(row)
+    return out

@@ -1,0 +1,127 @@
+"""End-to-end WAP scenarios — the reference README's two manual
+scenarios (``README.md:122-157``) plus idempotence and forensics."""
+
+from pyspark.sql import functions as F
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+from no_jvm_wap_with_iceberg_spark.wap import (
+    ExpressionCheck,
+    FreshnessCheck,
+    NotNullCheck,
+    RangeCheck,
+    RowCountCheck,
+    UniqueCheck,
+    WapPipeline,
+)
+from no_jvm_wap_with_iceberg_spark.wap.pipeline import branch_report
+
+TABLE = "customer_data_log"  # reference table name (app.py:40)
+CHECKS = [NotNullCheck("my_col_1")]  # the reference audit (app.py:213)
+
+
+def _pipeline(warehouse, **kw):
+    return WapPipeline(Catalog(warehouse), TABLE, CHECKS, **kw)
+
+
+def test_clean_batch_publishes(spark, warehouse):
+    p = _pipeline(warehouse)
+    res = p.run_batch(spark, generate_batch(spark, 1000, no_null=True))
+    assert res.published and not res.failed_checks
+    cat = p.catalog
+    assert cat.row_count(TABLE, "main") == 1000
+    assert cat.list_branches() == ["main"]  # wap branch dropped after publish
+
+
+def test_dirty_batch_leaves_branch_open(spark, warehouse):
+    alerts = []
+    p = _pipeline(warehouse, alert=lambda b, r: alerts.append(b))
+    res = p.run_batch(spark, generate_batch(spark, 100, no_null=False))
+    assert not res.published
+    assert res.failed_checks == ["not_null(my_col_1)"]
+    assert alerts == [res.branch]
+    cat = p.catalog
+    # main untouched; failed branch remains queryable with the bad rows
+    assert cat.row_count(TABLE, "main") == 0
+    assert cat.branch_exists(res.branch)
+    forensic = cat.read(spark, TABLE, res.branch)
+    assert forensic.filter(F.col("my_col_1").isNull()).count() == 1
+    # dashboard parity: metadata-only branch report
+    rep = {r["branch"]: r for r in branch_report(spark, cat, TABLE, ["my_col_1"])}
+    assert rep["main"]["rows"] == 0
+    assert rep[res.branch]["nulls_my_col_1"] == 1
+
+
+def test_multi_batch_accumulates(spark, warehouse):
+    p = _pipeline(warehouse)
+    for k in range(3):
+        assert p.run_batch(spark, generate_batch(spark, 100, no_null=True, seed=k)).published
+    assert p.catalog.row_count(TABLE, "main") == 300
+
+
+def test_ingest_key_idempotence(spark, warehouse):
+    p = _pipeline(warehouse)
+    b = generate_batch(spark, 50, no_null=True)
+    r1 = p.run_batch(spark, b, ingest_key="batch-1")
+    r2 = p.run_batch(spark, b, ingest_key="batch-1")
+    assert r1.published and r2.skipped
+    assert p.catalog.row_count(TABLE, "main") == 50
+
+
+def test_incremental_audit_only_new_files(spark, warehouse):
+    """A dirty row already published must NOT fail later audits when
+    incremental audit is on (only the new snapshot's files are read)."""
+    cat = Catalog(warehouse)
+    # seed main with a null directly (bypassing audit)
+    dirty = generate_batch(spark, 10, no_null=False)
+    cat.create_table(TABLE, dirty.schema)
+    cat.append(dirty, TABLE)
+    p = WapPipeline(cat, TABLE, CHECKS, incremental_audit=True)
+    res = p.run_batch(spark, generate_batch(spark, 10, no_null=True))
+    assert res.published  # old dirt ignored, new batch clean
+    p_full = WapPipeline(cat, TABLE, CHECKS, incremental_audit=False)
+    res2 = p_full.run_batch(spark, generate_batch(spark, 10, no_null=True))
+    assert not res2.published  # full audit still sees the old null
+
+
+def test_check_library(spark, warehouse):
+    cat = Catalog(warehouse)
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    checks = [
+        NotNullCheck("id"),
+        RangeCheck("bucket", 0, 9),
+        UniqueCheck("id"),
+        RowCountCheck(min_rows=100, max_rows=100),
+        FreshnessCheck("ts", 3600, now="2026-01-01 00:30:00"),
+        ExpressionCheck("id >= 0 AND bucket < 10"),
+    ]
+    p = WapPipeline(cat, "t", checks)
+    res = p.run_batch(spark, df)
+    assert res.published, res.results
+    # now violate range + unique
+    bad = df.union(df.limit(1)).withColumn(
+        "bucket", F.when(F.col("id") == 5, 99).otherwise(F.col("bucket"))
+    )
+    res2 = p.run_batch(spark, bad)
+    assert not res2.published
+    failed = set(res2.failed_checks)
+    assert "range(bucket,[0,9])" in failed
+    assert "unique(id)" in failed
+    assert "row_count(>=100,<=100)" in failed
+
+
+def test_run_file(spark, warehouse, tmp_path):
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import land_batch
+
+    landing = str(tmp_path / "landing")
+    path = land_batch(spark, landing, n=20, no_null=True)
+    p = _pipeline(warehouse)
+    res = p.run_file(spark, path)
+    assert res.published
+    assert p.catalog.row_count(TABLE, "main") == 20
+    # same file again -> idempotent skip (ingest_key = path)
+    assert p.run_file(spark, path).skipped
