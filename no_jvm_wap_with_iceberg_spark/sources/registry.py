@@ -27,9 +27,32 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which vanilla Spark
+    rejects (PARQUET_TYPE_ILLEGAL). We read it as int64 nanos (legacy
+    conf) and rebuild a TIMESTAMP_NTZ at microsecond precision with
+    pure integer arithmetic — ``ts div 1000`` — because a double
+    division would lose precision at 1e18-nanosecond magnitudes, and
+    timestampadd over an NTZ epoch is timezone-independent (no session
+    timezone involved). DuckDB oracles mirror this exactly with
+    ``make_timestamp(epoch_ns(ts) // 1000)``.
+    """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
+    if name == "events":
+        # defensive: the calling session may not have our factory confs
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
