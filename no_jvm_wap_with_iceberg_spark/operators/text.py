@@ -1,1 +1,154 @@
-"""Filled in by operators build-out."""
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path computation is built-in SQL functions (JVM, codegen'd):
+tokenization via split/regexp, ratios as exact integer divisions,
+fingerprints via md5. The language-ID heuristic is a pure-expression
+n-gram/stopword scorer — a CASE ladder over marker-token hit counts —
+so it runs at scan speed with no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from no_jvm_wap_with_iceberg_spark.functions.textfn import words
+from no_jvm_wap_with_iceberg_spark.plans.registry import register
+from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+# Marker stopwords per language for the heuristic language identifier.
+# (Tiny on purpose: the technique — per-language marker-hit scoring —
+# is the operator; swap in real frequency tables for production.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "un", "est", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens of ``text`` are in the marker set (JVM-only)."""
+    w = words(F.lower(text))
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(w, lambda t: F.array_contains(marker_arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language guess: argmax of marker-hit counts, 'und'
+    (undetermined) when nothing matches."""
+    scores = [(lang, marker_hits(text, ms)) for lang, ms in LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    out: Column = F.lit("und")
+    for lang, s in reversed(scores):  # earlier entries win ties
+        out = F.when(s == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def quality_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features: length, token stats, type-token
+    ratio, all as exact integer-derived values."""
+    w = words(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
+            "type_token_ratio"
+        ),
+        (
+            (F.length(text_col) - F.size(w) + 1).cast("double") / F.size(w)
+        ).alias("avg_word_len"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic 128-bit content fingerprint of normalized text."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
+    )
+
+
+# ----------------------------------------------------------------------
+# registered correctness queries
+# ----------------------------------------------------------------------
+@register(
+    "text_quality_profile",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS type_token_ratio,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len
+    FROM documents
+    """,
+    doc="per-document quality features (length / token / type-token stats)",
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return quality_profile(d, "doc_id", "text")
+
+
+@register(
+    "text_corpus_token_stats",
+    """
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS t FROM documents)
+    SELECT lang,
+           COUNT(*) AS total_tokens,
+           COUNT(DISTINCT t) AS distinct_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS tokens_per_doc
+    FROM tok GROUP BY lang
+    """,
+    doc="corpus-level token counting per language (explode + two-level agg)",
+)
+def text_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(words(F.col("text"))).alias("t"))
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("t").alias("distinct_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+@register(
+    "text_fingerprints",
+    """
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+    FROM documents
+    """,
+    doc="deterministic md5 content fingerprints (dedup key / provenance)",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint(d, "doc_id", "text")
+
+
+@register(
+    "text_source_lang_matrix",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source, lang
+    """,
+    doc="source x language inventory of the corpus",
+)
+def text_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

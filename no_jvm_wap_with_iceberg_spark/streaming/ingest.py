@@ -1,0 +1,118 @@
+"""Streaming ingest: the S3-event → Lambda trigger, Spark-first.
+
+The reference wires S3 ``ObjectCreated`` events to a Lambda that runs
+one WAP cycle per landed Parquet file
+(``src/serverless/serverless.yml:40-44``, ``app.py:255-273``). The
+Structured Streaming equivalent is a file-source stream over the
+landing directory with the WAP pipeline as the ``foreachBatch`` body:
+
+- ``Trigger.AvailableNow`` reproduces the Lambda's "process what has
+  landed, then stop" semantics for batch-style runs; leave it off for
+  a continuously-running ingester.
+- Checkpointing upgrades the reference's at-least-once event handling
+  to exactly-once file tracking (its acknowledged gap — SURVEY §2.7):
+  a restarted stream never re-appends a processed file.
+- ``maxFilesPerTrigger`` bounds micro-batch size so commit/audit
+  latency stays flat under a backlog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from no_jvm_wap_with_iceberg_spark.plans.registry import register
+from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+from no_jvm_wap_with_iceberg_spark.wap.pipeline import WapPipeline
+
+
+def stream_wap(
+    spark: SparkSession,
+    landing_dir: str,
+    pipeline: WapPipeline,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Run the WAP pipeline over files landing in ``landing_dir``.
+
+    Returns the StreamingQuery; with ``available_now`` the caller
+    should ``awaitTermination()`` and the query drains the backlog
+    then stops (one WAP cycle per micro-batch).
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_dir)
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        pipeline.run_batch(spark, df, ingest_key=f"stream-batch-{batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a (possibly
+    streaming) events DataFrame — late rows beyond the watermark are
+    dropped, state is bounded. Works identically on a batch DataFrame
+    (watermark becomes a no-op), which is how the oracle checks it.
+    Aggregates are restricted to streaming-supported exact ops (no
+    distinct aggregation in streaming; use approx_count_distinct if a
+    user-count is needed on a live stream).
+    """
+    ts = F.col(ts_col)
+    # streaming state requires TIMESTAMP (not NTZ) event time
+    df = events.withColumn("_evt", ts.cast("timestamp")).withWatermark(
+        "_evt", watermark
+    )
+    return (
+        df.groupBy(F.window("_evt", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="batch view of the watermarked tumbling-window streaming aggregate "
+    "(same plan runs under readStream; see tests/test_streaming.py)",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str):
+    # window() operates on TIMESTAMP; pin the session to UTC so the
+    # NTZ->LTZ->NTZ round trip is the identity in any driver session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))

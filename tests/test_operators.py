@@ -1,0 +1,114 @@
+"""Operator-level tests: dedup, similarity, text analysis, multimodal
+plumbing — semantics the oracle harness can't express (recall of
+approximate paths, stub behavior, library transforms)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from no_jvm_wap_with_iceberg_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash64,
+)
+from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+    as_media_table,
+    extract_features,
+)
+from no_jvm_wap_with_iceberg_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+)
+from no_jvm_wap_with_iceberg_spark.operators.text import lang_id
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_keeps_one_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa")], "id long, text string"
+    )
+    out = exact_dedup(df, ["text"], "id")
+    rows = {(r["id"], r["text"]) for r in out.collect()}
+    assert rows == {(1, "aaa"), (3, "bbb")}
+
+
+def test_minhash_equals_exact_on_corpus(spark, documents):
+    exact = {
+        (r["id_a"], r["id_b"]) for r in exact_jaccard_pairs(documents, "doc_id", "text").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(documents, "doc_id", "text").collect()
+    }
+    assert exact, "corpus should contain planted near-dup pairs"
+    assert lsh == exact  # full recall at threshold 0.7 with k=32, r=1
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, documents):
+    fp = simhash64(documents, "doc_id", "text")
+    pairs = exact_jaccard_pairs(documents, "doc_id", "text")
+    a = fp.select(F.col("_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("_id").alias("id_b"), F.col("simhash").alias("hb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    dist = joined.select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    )
+    avg_near = dist.agg(F.avg("hamming")).collect()[0][0]
+    assert avg_near is not None and avg_near <= 16  # near-dups land close in simhash space
+    # determinism: same input -> same fingerprints
+    fp2 = simhash64(documents, "doc_id", "text")
+    assert fp.exceptAll(fp2).count() == 0
+
+
+def test_ann_lsh_recall_against_brute_force(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = ann_lsh_topk(embeddings, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} too low"
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and looked at the dog",),
+            ("el gato y el perro en la casa de los abuelos",),
+            ("der hund und die katze sind nicht ein problem",),
+            ("le chat et le chien sont dans les jardins",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == ["en", "es", "de", "fr", "und"]
+
+
+def test_multimodal_feature_extraction_stub(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"")), (3, None)],
+        "id long, payload binary",
+    )
+    media = as_media_table(df, "id", "payload", "image")
+    feats = {r["media_id"]: r.asDict() for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["checksum"] == ord("a") + ord("b") + ord("c")
+    assert feats[1]["width"] == 3 and feats[1]["height"] == 1
+    assert feats[2]["n_bytes"] == 0
+    assert feats[3]["n_bytes"] == 0
+
+    with pytest.raises(Exception) as ei:
+        extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

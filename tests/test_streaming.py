@@ -1,0 +1,70 @@
+"""Streaming ingest: file-source WAP with exactly-once semantics, and
+the windowed aggregate running under a real readStream."""
+
+from pyspark.sql import functions as F
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+from no_jvm_wap_with_iceberg_spark.sources.datagen import BATCH_SCHEMA, land_batch
+from no_jvm_wap_with_iceberg_spark.streaming import stream_wap, windowed_event_counts
+from no_jvm_wap_with_iceberg_spark.wap import NotNullCheck, WapPipeline
+from tests.conftest import SF_DIR
+
+
+def test_stream_wap_available_now(spark, warehouse, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    for seed in range(3):
+        land_batch(spark, landing, n=50, no_null=True, seed=seed)
+    land_batch(spark, landing, n=50, no_null=False, seed=99)  # dirty
+
+    cat = Catalog(warehouse)
+    pipe = WapPipeline(cat, "customer_data_log", [NotNullCheck("my_col_1")])
+    q = stream_wap(spark, landing, pipe, BATCH_SCHEMA, ckpt)
+    q.awaitTermination(120)
+
+    # published rows from clean batches only; dirty batch branch open.
+    # (AvailableNow may group landed files into one or more micro-batches;
+    # totals are what matters.)
+    main_rows = cat.row_count("customer_data_log", "main")
+    open_branches = [b for b in cat.list_branches() if b != "main"]
+    branch_rows = sum(
+        cat.row_count("customer_data_log", b) - main_rows for b in open_branches
+    )
+    assert main_rows + branch_rows >= 150  # every clean row landed somewhere
+    assert open_branches, "dirty batch should leave a forensic branch"
+
+    # restart with same checkpoint: nothing new -> no double append
+    q2 = stream_wap(spark, landing, pipe, BATCH_SCHEMA, ckpt)
+    q2.awaitTermination(60)
+    assert cat.row_count("customer_data_log", "main") == main_rows
+
+
+def test_windowed_counts_under_readstream(spark, tmp_path):
+    """The SAME windowed aggregation must run as a genuine streaming
+    query (memory sink, complete mode) and agree with the batch run."""
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(500)
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    expected = {
+        tuple(r)
+        for r in windowed_event_counts(batch_df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_df.schema).parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert got == expected
