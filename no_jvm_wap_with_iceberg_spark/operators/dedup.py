@@ -98,34 +98,40 @@ def exact_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = MINHASH_K,
+    n: int = 3,
+    r: int = MINHASH_R,
 ) -> DataFrame:
-    """Per-doc shingle set + MinHash signature (array<long>, length k).
+    """Per-doc shingle set + banded MinHash bucket hashes.
 
-    Hash family: ``xxhash64(seed_i, shingle)`` — JVM-side, seeded,
-    vectorized; no Python in the loop. The shingle array is
-    materialized ONCE as a column and the k min-hashes fold over that
-    column reference — inlining the shingle expression into each hash
-    would recompute split+ngram k times per row (measured 100x+
-    slowdown at sf0.1).
+    Output: ``(_id, _sh array<long>, _bh array<long>)`` where ``_bh``
+    has k/r entries — one 64-bit bucket id per LSH band, with the band
+    index mixed in so a single-column equi-join on the bucket value
+    implements the banded collision test (cross-band collisions are
+    ~2^-64 and are removed by exact verification anyway).
+
+    Split: the JVM does the cheap vectorizable part (whitespace split +
+    per-word ``xxhash64``); shingle construction, min-hashing, and band
+    folding run in one Arrow-batched numpy kernel — building n-gram
+    STRINGS with interpreted ``concat_ws`` and hashing k times per
+    shingle JVM-side were both measured bottlenecks at sf0.1.
     """
     # CPU-bound stage: spread rows across all cores even when the
     # input is a single small file (one split = one task otherwise)
     par = df.sparkSession.sparkContext.defaultParallelism
-    # JVM side does only the cheap parts: split + per-WORD xxhash64
-    # (one interpreted lambda eval per word). Shingle construction and
-    # min-hashing run vectorized in numpy — building n-gram STRINGS
-    # with interpreted concat_ws was the measured bottleneck (~3s of
-    # the sf0.1 pipeline on 1.5M shingles).
     word_hashes = F.transform(
         F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
     )
     base = df.repartition(par).select(
         F.col(id_col).alias("_id"), word_hashes.alias("_wh")
     )
+    n_bands = k // r
 
-    @F.pandas_udf("struct<sh: array<long>, sig: array<long>>")
-    def _sh_sig(wh: pd.Series) -> pd.DataFrame:
+    @F.pandas_udf("struct<sh: array<long>, bh: array<long>>")
+    def _sh_bands(wh: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         rng = np.random.default_rng(0xC0FFEE)
@@ -137,12 +143,12 @@ def minhash_signatures(
             np.uint64(0xBF58476D1CE4E5B9),
             np.uint64(0x94D049BB133111EB),
         )
-        empty_sig = np.full(k, 2**62, dtype=np.uint64).view(np.int64)
-        shs, sigs = [], []
+        band_ix = np.arange(n_bands, dtype=np.uint64)
+        shs, bhs = [], []
         for hs in wh:
             if hs is None or len(hs) < n:
                 shs.append(np.array([], dtype=np.int64))
-                sigs.append(empty_sig)
+                bhs.append(np.array([], dtype=np.int64))
                 continue
             x = np.asarray(hs, dtype=np.int64).view(np.uint64)
             # shingle hash = mix of the n consecutive word hashes
@@ -151,12 +157,19 @@ def minhash_signatures(
                 g = g ^ (x[j : len(x) - n + 1 + j] * (c2 if j == 1 else c3))
             g = np.unique(g * c1)  # distinct shingles (set semantics)
             shs.append(g.view(np.int64))
-            sigs.append((g[:, None] * a[None, :] + b[None, :]).min(axis=0).view(np.int64))
-        return pd.DataFrame({"sh": shs, "sig": sigs})
+            sig = (g[:, None] * a[None, :] + b[None, :]).min(axis=0)
+            # fold each band's r signature values + band index into one
+            # 64-bit bucket id (splitmix-style avalanche per step)
+            acc = band_ix * c1
+            for v in sig.reshape(n_bands, r).T:
+                acc = (acc ^ v) * c2
+                acc ^= acc >> np.uint64(33)
+            bhs.append(acc.view(np.int64))
+        return pd.DataFrame({"sh": shs, "bh": bhs})
 
-    packed = base.select("_id", _sh_sig("_wh").alias("_p"))
+    packed = base.select("_id", _sh_bands("_wh").alias("_p"))
     return packed.select(
-        "_id", F.col("_p.sh").alias("_sh"), F.col("_p.sig").alias("_sig")
+        "_id", F.col("_p.sh").alias("_sh"), F.col("_p.bh").alias("_bh")
     )
 
 
@@ -171,43 +184,29 @@ def minhash_candidate_pairs(
     """Banded-LSH candidate pairs with their shingle sets attached.
 
     Docs collide when one of the k/r bands (r consecutive signature
-    values hashed together) matches. The band join is an equi-join on
-    (band, band_hash) — one shuffle keyed by band hash; bucket sizes
-    stay tiny because a band only collides at similarity ~(s^r)."""
+    values hashed together) matches. The band join is a single-column
+    equi-join on the band-salted bucket hash — one shuffle keyed by a
+    bare long; bucket sizes stay tiny because a band only collides at
+    similarity ~(s^r)."""
     # persist signatures+shingles once; the band self-join and the
     # verification joins all reuse this (at cluster scale: a written
     # signature table plays this role)
-    # docs with no shingles (< n words) share a constant signature and
-    # would all collide — they can never pass a Jaccard threshold, so
-    # drop them before banding
+    # docs with no shingles (< n words) have no bands and cannot pass
+    # a Jaccard threshold — drop them before banding
     sigs = (
-        minhash_signatures(df, id_col, text_col, k, n)
+        minhash_signatures(df, id_col, text_col, k, n, r)
         .filter(F.size("_sh") > 0)
         .cache()
     )
-    n_bands = k // r
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("_band"),
-                F.xxhash64(
-                    F.lit(j), *[F.element_at("_sig", j * r + i + 1) for i in range(r)]
-                ).alias("_h"),
-            )
-            for j in range(n_bands)
-        ]
-    )
     shingles = sigs.select("_id", "_sh")
-    bands = sigs.select("_id", F.explode(bands_arr).alias("_tb")).select(
-        "_id", F.col("_tb._band").alias("_band"), F.col("_tb._h").alias("_h")
-    )
-    a = bands.select(F.col("_id").alias("id_a"), "_band", "_h")
-    b = bands.select(F.col("_id").alias("id_b"), "_band", "_h")
+    bands = sigs.select("_id", F.explode("_bh").alias("_h"))
+    a = bands.select(F.col("_id").alias("id_a"), "_h")
+    b = bands.select(F.col("_id").alias("id_b"), "_h")
     # candidate pairs travel the shuffle as bare (id, id) longs; the
     # heavy shingle arrays are attached afterwards by two hash joins
     # against the persisted shingle table
     cands = (
-        a.join(b, ["_band", "_h"])
+        a.join(b, "_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

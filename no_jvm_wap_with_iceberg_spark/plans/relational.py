@@ -350,12 +350,22 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    # Aggregate lineitem by its own key BEFORE the joins (valid because
+    # o_orderkey is the orders PK, so per-order sums are join-invariant):
+    # the shuffle carries bare (key, qty) pairs instead of wide
+    # customer-name rows, and the >150 filter shrinks the order-key set
+    # ahead of both joins — AQE sees its runtime size and converts the
+    # join to broadcast when it fits. At 100 TB this is the difference
+    # between shuffling lineitem once on a long key and shuffling the
+    # 3-way join output on a 5-column composite.
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("_sum_qty_dec"))
         .filter(F.col("_sum_qty_dec") > 150)
+    )
+    return (
+        o.join(qty, o.o_orderkey == qty.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
