@@ -360,6 +360,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(d, "doc_id", "text")
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with embedding cosine >= threshold (id_a < id_b).
+
+    This is the exact verification path: a self cross-join with the
+    smaller side broadcast, scored JVM-side (``zip_with``/``aggregate``
+    — no Python in the loop). At 100 TB the candidate-generation step
+    in front of this is the LSH bucketing in
+    ``operators/similarity.py`` (``lsh_bucket_ids``); this exact
+    scorer then runs only over bucket-collision pairs. The threshold
+    test happens on the rounded DECIMAL(10,6) score so both engines
+    make the same boundary decision.
+    """
+    from no_jvm_wap_with_iceberg_spark.functions.vector import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb"))
+            .cast("decimal(10,6)")
+            .cast("double")
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(val*val)) AS nrm FROM flat GROUP BY 1),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.val*b.val) AS dot
+      FROM flat a JOIN flat b ON a.ord = b.ord AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             CAST(CAST(dot / (na.nrm * nb.nrm) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+    ) WHERE cosine >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs at threshold 0.4 (exact "
+    "all-pairs verification; LSH bucketing is the candidate filter at scale)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e)
+
+
 @register(
     "dedup_simhash_profile",
     None,  # hash family not reproducible in SQL -> rows-only check

@@ -86,6 +86,170 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("dst_width", T.IntegerType(), True),
+        T.StructField("dst_height", T.IntegerType(), True),
+        T.StructField("scale_pct", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_offset_bytes", T.LongType(), False),
+    ]
+)
+
+
+def resize_plan(media: DataFrame, max_side: int = 256, decode_stub: bool = True) -> DataFrame:
+    """Plan a bounded resize per image: source dims from the (stubbed)
+    decode, target dims = proportional fit into ``max_side``.
+
+    All arithmetic is integer so the stub is exactly reproducible in
+    SQL; a real implementation swaps the dimension source and adds a
+    resized-payload output column, keeping the same batch shape.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image decoding requires codec libraries not "
+                    "present in this environment; pass decode_stub=True"
+                )
+            n = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+            src_w = (n % 1024 + 1).astype("int64")
+            src_h = (n // 1024 + 1).astype("int64")
+            long_side = src_w.combine(src_h, max)
+            # integer proportional fit: dst = src * max_side // long_side
+            # (never upscale)
+            import numpy as np
+
+            scale_num = np.minimum(long_side, max_side)
+            dst_w = (src_w * scale_num // long_side).astype("int32")
+            dst_h = (src_h * scale_num // long_side).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": src_w.astype("int32"),
+                    "src_height": src_h.astype("int32"),
+                    "dst_width": dst_w,
+                    "dst_height": dst_h,
+                    "scale_pct": (scale_num * 100 // long_side).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_n_bytes: int = 4096, decode_stub: bool = True
+) -> DataFrame:
+    """One-to-many frame sampling: emit one row per sampled frame.
+
+    The stub treats every ``every_n_bytes`` of payload as one frame
+    (a real demuxer would read the container index); the Spark shape —
+    ``mapInPandas`` fanning one media row out to N frame rows in the
+    same Arrow batch — is exactly what a real frame sampler uses.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real video demuxing requires codec libraries not "
+                    "present in this environment; pass decode_stub=True"
+                )
+            ids, idxs, offs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                nb = len(payload) if payload is not None else 0
+                n_frames = nb // every_n_bytes + 1
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(i * every_n_bytes)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_offset_bytes": pd.Series(offs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return as_media_table(
+        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "image",
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) // 1024 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="mapInPandas decode+featurize plumbing, oracle-checked on the "
+    "deterministic stub (dims are pure functions of payload length)",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(_docs_as_media(spark, sf_dir)).select(
+        "media_id", "n_bytes", "width", "height"
+    )
+
+
+@register(
+    "multimodal_resize_plan",
+    """
+    WITH src AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) % 1024 + 1 AS sw,
+             octet_length(encode(text)) // 1024 + 1 AS sh
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(sw AS INTEGER) AS src_width, CAST(sh AS INTEGER) AS src_height,
+           CAST(sw * LEAST(GREATEST(sw, sh), 256) // GREATEST(sw, sh) AS INTEGER) AS dst_width,
+           CAST(sh * LEAST(GREATEST(sw, sh), 256) // GREATEST(sw, sh) AS INTEGER) AS dst_height,
+           CAST(LEAST(GREATEST(sw, sh), 256) * 100 // GREATEST(sw, sh) AS INTEGER) AS scale_pct
+    FROM src
+    """,
+    doc="integer proportional-fit resize plan over the stub decoder",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(_docs_as_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(i AS INTEGER) AS frame_index,
+           CAST(i * 4096 AS BIGINT) AS frame_offset_bytes
+    FROM documents,
+         UNNEST(range(0, octet_length(encode(text)) // 4096 + 1)) AS t(i)
+    """,
+    doc="one-to-many frame sampling via mapInPandas (stub demuxer: one "
+    "frame per 4 KiB of payload)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample_plan(_docs_as_media(spark, sf_dir))
+
+
 @register(
     "multimodal_payload_stats",
     """

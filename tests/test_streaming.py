@@ -68,3 +68,75 @@ def test_windowed_counts_under_readstream(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM win_counts").collect()}
     assert got == expected
+
+
+def test_sessionize_stream_parity(spark, tmp_path):
+    """Closed sessions emitted by the applyInPandasWithState path must
+    equal the batch window-plan sessions, except each user's final
+    (still-open) session, which correctly stays in state."""
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+    from no_jvm_wap_with_iceberg_spark.streaming.sessionize import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(2000)
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    batch_df = spark.read.parquet(src)
+
+    batch = sessionize(batch_df).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
+    expected = {
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if r.session_seq != last_seq[r.user_id]
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got == expected
+
+
+def test_multimodal_stub_paths(spark):
+    """Resize/frame-sample stubs: shapes, determinism, and the
+    NotImplementedError gate on the real-codec path."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+        as_media_table,
+        frame_sample_plan,
+        resize_plan,
+    )
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    media = as_media_table(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("p")), "doc_id", "p", "image"
+    )
+    rp = resize_plan(media).collect()
+    assert len(rp) == 50
+    assert all(max(r.dst_width, r.dst_height) <= 256 for r in rp)
+    fs = frame_sample_plan(media)
+    joined = (
+        fs.groupBy("media_id").count().join(media, "media_id").collect()
+    )
+    for r in joined:
+        assert r["count"] == len(r.payload) // 4096 + 1
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_plan(media, decode_stub=False).collect()
