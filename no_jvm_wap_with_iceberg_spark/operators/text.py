@@ -152,3 +152,115 @@ def text_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_bpe_token_counts",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+           SUM(n_ws) AS whitespace_tokens,
+           SUM(n_bpe) AS bpe_ish_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS expansion_ratio
+    FROM tok GROUP BY lang
+    """,
+    doc="token counting both ways: whitespace vs BPE-ish regex "
+    "(letters / digit runs / single punctuation), per language",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.size(words(F.col("text"))).alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("n_bpe"),
+    )
+    return tok.groupBy("lang").agg(
+        F.sum("n_ws").alias("whitespace_tokens"),
+        F.sum("n_bpe").alias("bpe_ish_tokens"),
+        (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("expansion_ratio"),
+    )
+
+
+def _lang_case_sql() -> str:
+    """DuckDB CASE ladder mirroring ``lang_id`` exactly (same marker
+    sets, same first-entry-wins tie-break, same und guard)."""
+    hits = {
+        lang: (
+            "len(list_filter(string_split(lower(text), ' '), "
+            f"x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(hits.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {h} = best THEN '{lang}'" for lang, h in hits.items()
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, lang AS actual_lang, {best} AS best,
+                           {', '.join(f'{h} AS h_{lang}' for lang, h in hits.items())}
+                    FROM documents)
+    SELECT CASE WHEN best = 0 THEN 'und'
+                {"".join(f" WHEN h_{lang} = best THEN '{lang}'" for lang in hits)}
+           END AS predicted_lang,
+           actual_lang, COUNT(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@register(
+    "text_lang_id_confusion",
+    _lang_case_sql(),
+    doc="heuristic language-ID (marker-token argmax) evaluated against "
+    "the corpus labels as a confusion matrix",
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            lang_id(F.col("text")).alias("predicted_lang"),
+            F.col("lang").alias("actual_lang"),
+        )
+        .groupBy("predicted_lang", "actual_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_punct_stopword_profile",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           len(list_filter(string_split(lower(text), ' '),
+               x -> x IN ('the','and','of','to','a','in','is','that'))) AS n_stopwords,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+               x -> x IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    doc="per-doc punctuation and (en) stopword ratios — quality-score "
+    "inputs alongside text_quality_profile",
+)
+def text_punct_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9 ]"), F.lit(0)))
+    stop = marker_hits(F.col("text"), LANG_MARKERS["en"])
+    n_words = F.size(words(F.col("text")))
+    return d.select(
+        "doc_id",
+        punct.alias("n_punct"),
+        (punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        stop.alias("n_stopwords"),
+        (stop.cast("double") / n_words).alias("stopword_ratio"),
+    )
