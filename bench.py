@@ -58,6 +58,25 @@ def main() -> None:
         queries[name].spark(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
 
+    # end-to-end WAP throughput: one full write->audit->publish cycle
+    # on a 100k-row clean batch (the reference's entire engine is this
+    # loop under a 900 s Lambda bound; ours runs it in seconds)
+    import tempfile
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+    from no_jvm_wap_with_iceberg_spark.wap import NotNullCheck, WapPipeline
+
+    with tempfile.TemporaryDirectory() as d:
+        cat = Catalog(d)
+        pipe = WapPipeline(cat, "bench_table", [NotNullCheck("my_col_1")])
+        batch = generate_batch(spark, n=100_000, no_null=True)
+        pipe.run_batch(spark, generate_batch(spark, n=1_000, no_null=True))  # warm
+        t0 = time.time()
+        res = pipe.run_batch(spark, batch)
+        assert res.published
+        timings["wap_cycle_100k"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {

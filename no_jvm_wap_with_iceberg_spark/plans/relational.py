@@ -662,3 +662,71 @@ def rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "r_name", "n_customers", "total_balance")
         .orderBy("n_name", "r_name")
     )
+
+
+@register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           CAST(CAST(quantile_cont(value, 0.50) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+           CAST(CAST(quantile_cont(value, 0.90) AS DECIMAL(18,6)) AS DOUBLE) AS p90,
+           CAST(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="exact linear-interpolated percentiles per event type (the "
+    "approx_percentile sketch is the 100 TB drop-in at fixed memory); "
+    "outputs rounded to DECIMAL(18,6) to absorb interpolation-order ulps",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    def p(q: float, name: str):
+        return (
+            F.percentile(F.col("value"), F.lit(q))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias(name)
+        )
+    return ev.groupBy("event_type").agg(
+        p(0.50, "p50"), p(0.90, "p90"), p(0.99, "p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PRICE_BANDS = [
+    ("budget", 0, 900),
+    ("mid", 900, 1400),
+    ("premium", 1400, 1900),
+    ("luxury", 1900, 10**9),
+]
+
+
+@register(
+    "range_join_price_bands",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      {', '.join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)})
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part JOIN bands
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    doc="range (theta) join: parts binned into price bands via a "
+    "broadcast non-equi join (BroadcastNestedLoopJoin with a "
+    "4-row build side — the right plan for interval dims)",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    bands = p.sparkSession.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(dec("p_retailprice")).cast("double").alias("total_price"),
+        )
+    )
