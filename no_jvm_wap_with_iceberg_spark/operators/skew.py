@@ -1,0 +1,84 @@
+"""Skew mitigation: salted joins and two-stage aggregation.
+
+AQE's skew-join splitting (on in `session.py`) handles most runtime
+skew by splitting oversized partitions. These explicit forms cover the
+cases AQE cannot: a *single* join key so hot that one task would still
+process it alone (the classic power-law head at 100 TB), and
+high-cardinality-but-skewed aggregations where the partial-agg hash
+map overflows on the hot key.
+
+- ``salted_join(left, right, on, salt)``: the skewed (large) side
+  gets a deterministic salt in [0, salt); the small side is exploded
+  ``salt``× so every (key, salt) bucket still finds its match. One
+  hot key's rows now land in ``salt`` tasks instead of one. Identical
+  output to the plain join (verified by test).
+- ``two_stage_agg``: groupBy (key, salt) partial → groupBy key final,
+  for algebraic aggregates. Spark's own partial aggregation already
+  does this per-partition; the explicit salt matters only when the
+  DISTINCT path or huge per-key state defeats map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left (large/skewed) side salted and the
+    right side replicated ``salt`` times.
+
+    Correctness: salting refines the partitioning, never the match —
+    every left row keeps exactly the right matches it had. Cost: the
+    small side's shuffle volume × salt (pick salt ~ hot-key rows /
+    target-task rows; 16-64 is typical).
+    """
+    l_salted = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
+    )
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_salted.join(r_salted, on + ["_salt"], how).drop("_salt")
+
+
+def two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for re-aggregatable (algebraic) measures.
+
+    ``aggs`` maps output name -> partial aggregate expression; the
+    final stage re-applies the matching combiner (sum for sums/counts,
+    min/max for min/max). Only sum/count/min/max shapes are supported —
+    exactly the set that is safely re-aggregatable.
+    """
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
+    )
+
+    def _combiner(name: str, expr: Column) -> Column:
+        s = str(expr._jc)  # textual form of the partial expression
+        col = F.col(f"_p_{name}")
+        if s.startswith("min"):
+            return F.min(col).alias(name)
+        if s.startswith("max"):
+            return F.max(col).alias(name)
+        # sum and count both recombine by summation
+        return F.sum(col).alias(name)
+
+    return partial.groupBy(*keys).agg(
+        *[_combiner(name, expr) for name, expr in aggs.items()]
+    )

@@ -22,3 +22,10 @@ def warehouse(tmp_path):
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark_h(spark):
+    """Alias fixture for hypothesis tests (function-scoped @given needs
+    a session-scoped Spark to stay fast)."""
+    return spark

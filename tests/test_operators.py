@@ -112,3 +112,21 @@ def test_multimodal_feature_extraction_stub(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_ann_ivf_recall_against_brute_force(spark, embeddings):
+    from no_jvm_wap_with_iceberg_spark.operators.similarity import ann_ivf_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = ann_ivf_topk(embeddings, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # determinism: seeded training -> identical output
+    a2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(embeddings, queries, k=5).collect()
+    }
+    assert a == a2

@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) — SURVEY §5 step 4.
+
+Spark jobs are slow per example, so examples are few and small; the
+properties themselves are the point: injected-null accounting,
+salted-join equivalence, and as-of join versus an independent
+pandas reference on random inputs.
+"""
+
+import datetime
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SLOW = dict(max_examples=5, deadline=None)
+
+
+@settings(**SLOW)
+@given(n=st.integers(min_value=2, max_value=50), no_null=st.booleans())
+def test_datagen_null_accounting(spark_h, n, no_null):
+    """generate_batch injects exactly one null per column iff requested
+    (reference fixture semantics, data_loader.py:64-70)."""
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+
+    df = generate_batch(spark_h, n=n, no_null=no_null)
+    assert df.count() == n
+    nulls = df.select(
+        *[
+            F.sum(F.col(c).isNull().cast("int")).alias(c)
+            for c in df.columns
+        ]
+    ).collect()[0]
+    expected = 0 if no_null else 1
+    assert all(v == expected for v in nulls.asDict().values())
+
+
+@settings(**SLOW)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=1, max_size=60
+    ),
+    salt=st.sampled_from([2, 7, 16]),
+)
+def test_salted_join_equals_plain_join(spark_h, rows, salt):
+    from no_jvm_wap_with_iceberg_spark.operators.skew import salted_join
+
+    left = spark_h.createDataFrame(
+        [(k, v) for k, v in rows], "k long, lv long"
+    )
+    right = spark_h.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, rv long"
+    )
+    plain = sorted(map(tuple, left.join(right, ["k"]).collect()))
+    salted = sorted(map(tuple, salted_join(left, right, ["k"], salt).collect()))
+    assert plain == salted
+
+
+@settings(**SLOW)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=30),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=30),
+)
+def test_asof_join_matches_pandas_reference(spark_h, lefts, rights):
+    from no_jvm_wap_with_iceberg_spark.operators.asof import asof_join
+
+    # unique (key, ts) per side keeps the reference unambiguous
+    lefts = list({(k, t): None for k, t in lefts}.keys())
+    rights = list({(k, t): None for k, t in rights}.keys())
+    left = spark_h.createDataFrame(
+        [(k, datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=t), i) for i, (k, t) in enumerate(lefts)],
+        "k long, ts timestamp_ntz, lid long",
+    )
+    right = spark_h.createDataFrame(
+        [(k, datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=t), 100 + i) for i, (k, t) in enumerate(rights)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    got = {
+        (r.k, r.lid): r.r_rid
+        for r in asof_join(left, right, "k", "ts", "rid").collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        prior = [(rt, 100 + j) for j, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
+        expect = max(prior)[1] if prior else None
+        assert got[(k, i)] == expect, (k, t, prior)
