@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate, prune_files
 from no_jvm_wap_with_iceberg_spark.catalog.table import (
     FileEntry,
+    Snapshot as TableSnapshot,
     TableMetadata,
     collect_written_files,
     new_data_dir,
@@ -430,6 +431,123 @@ class Catalog:
         self, table: str, column: str, branch: str = MAIN, snapshot_id: int | None = None
     ) -> int | None:
         return self.load_table(table, branch).null_count(column, snapshot_id)
+
+    # ------------------------------------------------------------------
+    # table maintenance (the at-scale housekeeping Iceberg ships as
+    # procedures: rewrite_data_files / expire_snapshots / orphan cleanup)
+    # ------------------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        branch: str = MAIN,
+        target_file_mb: int = 128,
+    ) -> TableMetadata:
+        """Rewrite the table's live files into ~``target_file_mb`` files
+        (small-file compaction). Contents are unchanged — the commit is
+        an 'overwrite' snapshot holding the rewritten files, so readers
+        of older snapshots still see the original layout.
+
+        Streaming WAP ingest produces one small file set per
+        micro-batch; at 100 TB uncompacted tables die by a thousand
+        file-open costs. Run this off the write path (it's a normal
+        optimistic commit — concurrent appends win or retry).
+        """
+        meta = self.load_table(table, branch)
+        files = meta.files()
+        total_bytes = sum(f.bytes for f in files)
+        n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        df = self._df_for_files(spark, meta, files)
+        if meta.sort_by:
+            df = df.repartition(n_out).sortWithinPartitions(*meta.sort_by)
+        else:
+            df = df.repartition(n_out)
+        head = self._read_refs()[branch]
+        new_files = self._write_files(df, meta, table)
+        new_meta = meta.with_new_snapshot(new_files, "overwrite")
+        self._commit_table(
+            table, branch, new_meta, head,
+            f"COMPACT {table} ({len(files)} -> {len(new_files)} files)",
+        )
+        return new_meta
+
+    def expire_snapshots(
+        self, table: str, branch: str = MAIN, keep_last: int = 1
+    ) -> TableMetadata:
+        """Squash history older than the last ``keep_last`` snapshots
+        into a synthetic base snapshot (metadata-only; data files are
+        reclaimed separately by ``remove_orphan_files``).
+
+        Keeps snapshot ids stable for the retained tail so incremental
+        readers holding a recent snapshot id keep working.
+        """
+        meta = self.load_table(table, branch)
+        snaps = sorted(meta.snapshots, key=lambda s: s.snapshot_id)
+        if len(snaps) <= keep_last:
+            return meta
+        kept = snaps[-keep_last:]
+        cutoff = kept[0]
+        new_snaps = []
+        # An 'overwrite' cutoff already carries the full live file set —
+        # everything beneath it is pure history and vanishes. A plain
+        # 'append' cutoff still depends on its ancestry, so the expired
+        # prefix is squashed into a synthetic base overwrite snapshot.
+        if cutoff.operation != "overwrite" and cutoff.parent_snapshot_id:
+            new_snaps.append(
+                TableSnapshot(
+                    snapshot_id=cutoff.parent_snapshot_id,
+                    parent_snapshot_id=None,
+                    timestamp_ms=cutoff.timestamp_ms,
+                    operation="overwrite",
+                    added_files=meta.files(cutoff.parent_snapshot_id),
+                    summary={"expired-history": len(snaps) - keep_last},
+                )
+            )
+        new_snaps.extend(kept)
+        head = self._read_refs()[branch]
+        new_meta = TableMetadata(
+            table=meta.table,
+            schema_json=meta.schema_json,
+            snapshots=new_snaps,
+            current_snapshot_id=meta.current_snapshot_id,
+            version=meta.version + 1,
+            partition_by=meta.partition_by,
+            sort_by=meta.sort_by,
+            properties=meta.properties,
+        )
+        self._commit_table(
+            table, branch, new_meta, head, f"EXPIRE SNAPSHOTS {table}"
+        )
+        return new_meta
+
+    def remove_orphan_files(self, table: str, dry_run: bool = True) -> list[str]:
+        """Data files on disk that no branch's current metadata
+        references. With ``dry_run`` just report; otherwise delete.
+
+        Referenced = union over every branch head (a file used by any
+        branch or any retained snapshot stays). The safety contract
+        matches Iceberg's procedure: run only after expire_snapshots,
+        never against in-flight commits.
+        """
+        referenced: set[str] = set()
+        for branch in self.list_branches():
+            if self.table_exists(table, branch):
+                meta = self.load_table(table, branch)
+                for s in meta.snapshots:
+                    referenced.update(f.path for f in s.added_files)
+        data_root = os.path.join(self.warehouse, "tables", table, "data")
+        orphans = []
+        for dirpath, _dirs, names in os.walk(data_root):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, n), self.warehouse)
+                if rel not in referenced:
+                    orphans.append(rel)
+        if not dry_run:
+            for rel in orphans:
+                os.remove(os.path.join(self.warehouse, rel))
+        return sorted(orphans)
 
     # ------------------------------------------------------------------
     # convenience: run a function against a temporary WAP branch

@@ -5,6 +5,7 @@ from no_jvm_wap_with_iceberg_spark.wap.checks import (
     FreshnessCheck,
     NotNullCheck,
     RangeCheck,
+    ReferentialIntegrityCheck,
     RowCountCheck,
     UniqueCheck,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "FreshnessCheck",
     "NotNullCheck",
     "RangeCheck",
+    "ReferentialIntegrityCheck",
     "RowCountCheck",
     "UniqueCheck",
     "WapPipeline",

@@ -205,3 +205,31 @@ class ExpressionCheck(Check):
     def run(self, ctx: AuditContext) -> CheckResult:
         bad = ctx.df.filter(~F.expr(self.sql)).limit(1).count()
         return CheckResult(self.name, bad == 0, {"violation_found": bad > 0})
+
+
+class ReferentialIntegrityCheck(Check):
+    """Every FK value in the audited slice must exist in a reference
+    table **on the same branch** (so a WAP branch that appends both
+    fact and dim rows audits consistently against its own state).
+
+    Plan shape: left-anti join, short-circuited by ``limit(1)`` — at
+    100 TB the dim side is broadcast when small and the probe stops at
+    the first orphan.
+    """
+
+    def __init__(self, fk_col: str, ref_table: str, ref_col: str):
+        self.fk_col, self.ref_table, self.ref_col = fk_col, ref_table, ref_col
+        self.name = f"fk({fk_col} -> {ref_table}.{ref_col})"
+
+    def run(self, ctx: AuditContext) -> CheckResult:
+        ref = ctx.catalog.read(
+            ctx.df.sparkSession, self.ref_table, ctx.branch
+        ).select(F.col(self.ref_col).alias(self.fk_col)).distinct()
+        orphans = (
+            ctx.df.select(self.fk_col)
+            .filter(F.col(self.fk_col).isNotNull())
+            .join(ref, self.fk_col, "left_anti")
+            .limit(1)
+            .count()
+        )
+        return CheckResult(self.name, orphans == 0, {"orphan_found": orphans > 0})

@@ -164,3 +164,69 @@ def test_drop_table(spark, warehouse):
     cat.create_table("t", SCHEMA)
     cat.drop_table("t")
     assert cat.list_tables() == []
+
+
+def test_compaction_preserves_contents_and_history(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    cat.create_table("t", df.schema)
+    for i in range(4):  # 4 small appends -> many small files
+        cat.append(spark.range(i * 250, (i + 1) * 250).withColumnRenamed("id", "v"), "t")
+    before_meta = cat.load_table("t")
+    before_files = len(before_meta.files())
+    before_snap = before_meta.current_snapshot_id
+    rows_before = sorted(r.v for r in cat.read(spark, "t").collect())
+
+    cat.compact(spark, "t", target_file_mb=128)
+    after = cat.load_table("t")
+    assert len(after.files()) < before_files
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == rows_before
+    # time travel to the pre-compaction snapshot still sees old layout
+    assert cat.row_count("t", snapshot_id=before_snap) == 1000
+
+
+def test_expire_snapshots_and_orphan_cleanup(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    cat.create_table("t", df.schema)
+    for i in range(5):
+        cat.append(spark.range(i * 20, (i + 1) * 20).withColumnRenamed("id", "v"), "t")
+    cat.compact(spark, "t", target_file_mb=128)  # old files now historical
+    rows = cat.row_count("t")
+
+    cat.expire_snapshots("t", keep_last=1)
+    meta = cat.load_table("t")
+    assert cat.row_count("t") == rows  # live state unchanged
+    assert len(meta.snapshots) <= 2  # synthetic base + kept tail
+
+    orphans = cat.remove_orphan_files("t", dry_run=True)
+    assert orphans, "pre-compaction files should now be orphaned"
+    cat.remove_orphan_files("t", dry_run=False)
+    assert cat.remove_orphan_files("t", dry_run=True) == []
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == list(range(100))
+
+
+def test_referential_integrity_check(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.wap import ReferentialIntegrityCheck, WapPipeline
+
+    cat = Catalog(warehouse)
+    dims = spark.createDataFrame([(1,), (2,)], "dim_id long")
+    cat.create_table_from_df(dims, "dims")
+
+    pipe = WapPipeline(
+        cat, "facts", [ReferentialIntegrityCheck("dim_id", "dims", "dim_id")]
+    )
+    ok = pipe.run_batch(
+        spark, spark.createDataFrame([(10, 1), (11, 2)], "fact_id long, dim_id long")
+    )
+    assert ok.published
+    bad = pipe.run_batch(
+        spark, spark.createDataFrame([(12, 99)], "fact_id long, dim_id long")
+    )
+    assert not bad.published
+    assert "fk(" in bad.failed_checks[0]
