@@ -130,6 +130,8 @@ class Catalog:
         Iceberg ``fast_forward`` procedure gives).
         """
         refs = self._read_refs()
+        if to_branch in self._read_tags():
+            raise ValueError(f"ref {to_branch!r} is an immutable tag")
         head_from, head_to = refs[from_branch], refs[to_branch]
         if head_from == head_to:
             return  # nothing to publish
@@ -200,6 +202,8 @@ class Catalog:
         _atomic_write_json(os.path.join(self.warehouse, rel), meta.to_json())
 
         refs = self._read_refs()
+        if branch in self._read_tags():
+            raise ValueError(f"ref {branch!r} is an immutable tag")
         if refs[branch] != expected_head:
             raise CommitConflict(
                 f"branch {branch!r} moved from {expected_head} to {refs[branch]}"
@@ -431,6 +435,72 @@ class Catalog:
         self, table: str, column: str, branch: str = MAIN, snapshot_id: int | None = None
     ) -> int | None:
         return self.load_table(table, branch).null_count(column, snapshot_id)
+
+    # ------------------------------------------------------------------
+    # schema evolution (the reference leaves this NotImplementedError —
+    # pyiceberg_patch_nessie.py:230-264; Iceberg-on-Spark has it native)
+    # ------------------------------------------------------------------
+    def add_column(
+        self, table: str, name: str, data_type: str, branch: str = MAIN
+    ) -> TableMetadata:
+        """Add a nullable column (metadata-only — no data rewrite).
+
+        Old files simply lack the column; the read path supplies the
+        table schema to the Parquet reader, which fills missing columns
+        with NULLs — the same lazy widening Iceberg does. Appends after
+        the change must include the column (alignment is strict).
+        """
+        from pyspark.sql import types as T
+
+        meta = self.load_table(table, branch)
+        schema = meta.spark_schema
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists on {table!r}")
+        new_schema = T.StructType(
+            schema.fields + [T.StructField(name, T._parse_datatype_string(data_type), True)]
+        )
+        head = self._read_refs()[branch]
+        new_meta = TableMetadata(
+            table=meta.table,
+            schema_json=new_schema.jsonValue(),
+            snapshots=meta.snapshots,
+            current_snapshot_id=meta.current_snapshot_id,
+            version=meta.version + 1,
+            partition_by=meta.partition_by,
+            sort_by=meta.sort_by,
+            properties=meta.properties,
+        )
+        self._commit_table(
+            table, branch, new_meta, head, f"ADD COLUMN {table}.{name}"
+        )
+        return new_meta
+
+    # ------------------------------------------------------------------
+    # tags: immutable named refs (Nessie has them; useful for pinning
+    # the exact state an audit or a training run consumed)
+    # ------------------------------------------------------------------
+    def create_tag(self, name: str, from_branch: str = MAIN) -> None:
+        """A tag is a ref that commits refuse to advance."""
+        refs = self._read_refs()
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = refs[from_branch]
+        self._write_refs(refs)
+        tags = self._read_tags()
+        tags.add(name)
+        self._write_tags(tags)
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.warehouse, "tags.json")
+
+    def _read_tags(self) -> set[str]:
+        if not os.path.exists(self._tags_path()):
+            return set()
+        with open(self._tags_path()) as fh:
+            return set(json.load(fh)["tags"])
+
+    def _write_tags(self, tags: set[str]) -> None:
+        _atomic_write_json(self._tags_path(), {"tags": sorted(tags)})
 
     # ------------------------------------------------------------------
     # table maintenance (the at-scale housekeeping Iceberg ships as

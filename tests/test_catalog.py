@@ -230,3 +230,41 @@ def test_referential_integrity_check(spark, warehouse):
     )
     assert not bad.published
     assert "fk(" in bad.failed_checks[0]
+
+
+def test_schema_evolution_add_column(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), "t"
+    )
+    cat.add_column("t", "score", "double")
+    # old files read back with NULL in the new column
+    rows = {(r.id, r.score) for r in cat.read(spark, "t").collect()}
+    assert rows == {(1, None), (2, None)}
+    # new appends carry the column
+    cat.append(
+        spark.createDataFrame([(3, "c", 0.5)], "id long, s string, score double"), "t"
+    )
+    assert {r.score for r in cat.read(spark, "t").collect()} == {None, 0.5}
+    # old batches without the column are now rejected (strict alignment)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing columns"):
+        cat.append(spark.createDataFrame([(4, "d")], "id long, s string"), "t")
+
+
+def test_tags_are_immutable_pins(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(spark.range(10).withColumnRenamed("id", "v"), "t")
+    cat.create_tag("v1.0")
+    cat.append(spark.range(10, 20).withColumnRenamed("id", "v"), "t")
+    assert cat.row_count("t", "main") == 20
+    assert cat.row_count("t", "v1.0") == 10  # pinned state
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="immutable tag"):
+        cat.append(spark.range(5).withColumnRenamed("id", "v"), "t", branch="v1.0")
+    with _pytest.raises(ValueError, match="immutable tag"):
+        cat.merge("main", "v1.0")
