@@ -125,3 +125,34 @@ def test_run_file(spark, warehouse, tmp_path):
     assert p.catalog.row_count(TABLE, "main") == 20
     # same file again -> idempotent skip (ingest_key = path)
     assert p.run_file(spark, path).skipped
+
+
+def test_multi_table_wap_publishes_atomically(spark, warehouse):
+    """The catalog versions the WHOLE namespace per commit (like
+    Nessie), so one branch can stage writes to N tables and a single
+    fast-forward publishes them together — the multi-table WAP the
+    reference explicitly punts on (README.md:18, SURVEY §7.2). Iceberg
+    per-table branches cannot express this; a catalog-level ref can.
+    """
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.createDataFrame([(1, "a")], "id long, v string"), "facts"
+    )
+    cat.create_table_from_df(
+        spark.createDataFrame([(1,)], "dim_id long"), "dims"
+    )
+
+    cat.create_branch("staging")
+    cat.append(spark.createDataFrame([(2, "b")], "id long, v string"), "facts", "staging")
+    cat.append(spark.createDataFrame([(2,)], "dim_id long"), "dims", "staging")
+
+    # nothing visible on main until the single publish
+    assert cat.row_count("facts", "main") == 1
+    assert cat.row_count("dims", "main") == 1
+
+    cat.merge("staging", "main")
+    cat.drop_branch("staging")
+    assert cat.row_count("facts", "main") == 2
+    assert cat.row_count("dims", "main") == 2
