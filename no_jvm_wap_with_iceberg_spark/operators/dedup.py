@@ -440,3 +440,93 @@ def dedup_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("prefix16")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Union-find over a pair graph: label every node with the minimum
+    id reachable from it (= component id). Input columns ``id_a`` /
+    ``id_b``; output ``(doc_id, component_id)``.
+
+    Implementation is iterative min-label propagation — per round,
+    every node takes the min of its own label and its neighbors' — a
+    sequence of shuffles on the node id, converging in O(component
+    diameter) rounds (near-dup clusters are tiny cliques, so 2-3
+    rounds in practice; ``max_iters`` bounds pathological chains).
+    ``localCheckpoint`` cuts lineage each round so plans stay flat.
+    This is the standard large-graph CC under Spark (GraphFrames uses
+    the same shape); no driver-side graph state.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE pairs AS (
+      {_EXACT_JACCARD_ORACLE}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS component_id
+    FROM reach GROUP BY src
+    """,
+    doc="near-dup clustering: connected components over the verified "
+    "pair graph (iterative min-label propagation; keep-one-per-group "
+    "follows as min(doc_id) == component_id)",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text")
+    return connected_components(pairs)

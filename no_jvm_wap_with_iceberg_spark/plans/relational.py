@@ -730,3 +730,108 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("p_retailprice")).cast("double").alias("total_price"),
         )
     )
+
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "pivot_orders_status_by_priority",
+    f"""
+    SELECT o_orderpriority,
+           {', '.join(f"COUNT(*) FILTER (o_orderstatus = '{s}') AS status_{s}" for s in _STATUSES)},
+           {', '.join(
+               f"CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = '{s}'), 0) AS DOUBLE) AS price_{s}"
+               for s in _STATUSES)}
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot: order counts and exact price sums per priority, one "
+    "column pair per status (F.pivot -> conditional-agg expansion)",
+)
+def pivot_orders_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).alias("p"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.col(f"{s}_n").alias(f"status_{s}") for s in _STATUSES],
+        *[
+            F.coalesce(F.col(f"{s}_p"), F.lit(0)).cast("double").alias(f"price_{s}")
+            for s in _STATUSES
+        ],
+    )
+
+
+@register(
+    "unpivot_nation_measures",
+    """
+    SELECT n_name, measure, CAST(value AS BIGINT) AS value FROM (
+      SELECT n.n_name,
+             COUNT(DISTINCT c.c_custkey) AS customers,
+             COUNT(DISTINCT s.s_suppkey) AS suppliers
+      FROM nation n
+      LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ) UNPIVOT (value FOR measure IN (customers, suppliers))
+    """,
+    doc="unpivot/melt: per-nation entity counts to long form "
+    "(df.unpivot -> UNPIVOT)",
+)
+def unpivot_nation_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    wide = (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("customers"),
+            F.countDistinct("s_suppkey").alias("suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["customers", "suppliers"], "measure", "value"
+    ).select("n_name", "measure", F.col("value").cast("bigint").alias("value"))
+
+
+@register(
+    "window_moving_avg_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) OVER w AS DOUBLE) AS revenue_7d,
+           COUNT(*) OVER w AS days_in_window
+    FROM daily
+    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    doc="time-range window frame: trailing-7-day revenue over the "
+    "daily series (RANGE frame on event time, exact decimal sums)",
+)
+def window_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("timestamp_ntz").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).alias("revenue"))
+    w = (
+        W.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("revenue_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
