@@ -52,11 +52,19 @@ def main() -> None:
     for name in HEADLINE:
         queries[name].spark(spark, warm_dir).collect()
 
+    # two timed repetitions, report the min: the host is a shared VM
+    # and single runs see multi-second noise spikes; min-of-2 is the
+    # standard low-noise latency estimator
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        queries[name].spark(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+    for _rep in range(2):
+        # clear persisted intermediates so every rep measures the same
+        # cold-cache work (minhash persists its signature table)
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            t0 = time.time()
+            queries[name].spark(spark, sf_dir).collect()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     # end-to-end WAP throughput: one full write->audit->publish cycle
     # on a 100k-row clean batch (the reference's entire engine is this

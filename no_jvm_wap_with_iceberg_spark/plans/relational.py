@@ -835,3 +835,36 @@ def window_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("revenue").over(w).cast("double").alias("revenue_7d"),
         F.count(F.lit(1)).over(w).alias("days_in_window"),
     )
+
+
+@register(
+    "subquery_parts_above_brand_avg",
+    """
+    SELECT p_brand, COUNT(*) AS n_above,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+    FROM part p
+    WHERE CAST(p_retailprice AS DECIMAL(18,2))
+          * (SELECT COUNT(*) FROM part c WHERE c.p_brand = p.p_brand)
+        > (SELECT SUM(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+           FROM part p2 WHERE p2.p_brand = p.p_brand)
+    GROUP BY p_brand
+    """,
+    doc="correlated scalar subqueries, price*n > sum cross-multiplied so "
+    "the mean comparison is decimal-exact (Catalyst decorrelates to "
+    "aggregate + self-join; no per-row subquery execution)",
+)
+def subquery_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("_part_sq")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above,
+               CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+        FROM _part_sq p
+        WHERE CAST(p_retailprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM _part_sq c WHERE c.p_brand = p.p_brand)
+            > (SELECT SUM(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+               FROM _part_sq p2 WHERE p2.p_brand = p.p_brand)
+        GROUP BY p_brand
+        """
+    )

@@ -140,3 +140,36 @@ def test_multimodal_stub_paths(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_plan(media, decode_stub=False).collect()
+
+
+def test_streaming_exact_dedup_by_event_id(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicates on the event key under a
+    watermark — re-delivered events are dropped exactly once across
+    micro-batches (the delivery-idempotence the reference lacks,
+    SURVEY §2.7)."""
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+    events = load_table(spark, SF_DIR, "events").limit(300)
+    src = str(tmp_path / "dup_src")
+    # land the same 300 events twice -> stream sees 600 rows
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+    batch_df = spark.read.parquet(src)
+    assert batch_df.count() == 600
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    deduped = (
+        stream.withColumn("_evt", F.col("ts").cast("timestamp"))
+        .withWatermark("_evt", "1 day")
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM dedup_stream").collect()[0]
+    assert got.c == 300 and got.d == 300
