@@ -156,3 +156,31 @@ def test_multi_table_wap_publishes_atomically(spark, warehouse):
     cat.drop_branch("staging")
     assert cat.row_count("facts", "main") == 2
     assert cat.row_count("dims", "main") == 2
+
+
+def test_webhook_alert_parity(spark, warehouse, capsys, monkeypatch):
+    """Alert fires on audit failure with the branch name (the forensic
+    handle); unconfigured webhook degrades to a printed no-op."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+    from no_jvm_wap_with_iceberg_spark.wap import NotNullCheck, WapPipeline
+    from no_jvm_wap_with_iceberg_spark.wap.alerts import (
+        format_alert,
+        webhook_alert_from_env,
+    )
+
+    monkeypatch.delenv("WAP_ALERT_WEBHOOK_URL", raising=False)
+    cat = Catalog(warehouse)
+    pipe = WapPipeline(
+        cat,
+        "customer_data_log",
+        [NotNullCheck("my_col_1")],
+        alert=webhook_alert_from_env("customer_data_log"),
+    )
+    res = pipe.run_batch(spark, generate_batch(spark, n=30, no_null=False))
+    assert not res.published
+    out = capsys.readouterr().out
+    assert res.branch in out and "not_null" in out
+
+    msg = format_alert("t", "b-1", res.results)
+    assert "b-1" in msg and "forensics" in msg
