@@ -1,0 +1,37 @@
+"""End-to-end curation pipeline: WAP + dedup + quality composed."""
+
+from pyspark.sql import functions as F
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+from no_jvm_wap_with_iceberg_spark.pipelines import curate_documents
+from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def test_curation_pipeline_end_to_end(spark, warehouse):
+    cat = Catalog(warehouse)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    res = curate_documents(spark, cat, docs)
+    assert res.published, res.failed_checks
+    assert res.raw_rows == docs.count()
+    removed = (
+        res.exact_dups_removed + res.near_dups_removed + res.low_quality_removed
+    )
+    assert res.curated_rows == res.raw_rows - removed
+    assert res.curated_rows > 0
+
+    # curated table is published on main, has no exact dups left, and
+    # the branch is gone
+    curated = cat.read(spark, "documents_curated")
+    assert curated.count() == curated.select("text").distinct().count()
+    assert res.branch not in cat.list_branches()
+
+    # a dirty batch (null text) fails the audit, leaves the branch open,
+    # and publishes nothing new
+    dirty = spark.createDataFrame([(10_000_000, None)], "doc_id long, text string")
+    rows_before = cat.row_count("documents_raw", "main")
+    res2 = curate_documents(spark, cat, dirty)
+    assert not res2.published and res2.failed_checks
+    assert cat.row_count("documents_raw", "main") == rows_before
+    assert res2.branch in cat.list_branches()  # forensic handle
