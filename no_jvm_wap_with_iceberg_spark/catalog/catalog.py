@@ -290,9 +290,14 @@ class Catalog:
         data_dir = new_data_dir(self.warehouse, table)
         writer = df
         if meta.sort_by:
-            # cluster within partitions for tighter min/max stats →
-            # better file pruning on the sort columns at read time
-            writer = writer.sortWithinPartitions(*meta.sort_by)
+            # range-repartition THEN sort within partitions: files get
+            # disjoint (not merely tight) min/max ranges on the sort
+            # key, so a point/range predicate prunes to O(1) files
+            # instead of one-per-writer-task. Same layout Iceberg's
+            # write.distribution-mode=range produces.
+            writer = writer.repartitionByRange(
+                *meta.sort_by
+            ).sortWithinPartitions(*meta.sort_by)
         w = writer.write.mode("append")
         if meta.partition_by:
             w = w.partitionBy(*meta.partition_by)

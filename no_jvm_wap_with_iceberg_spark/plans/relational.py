@@ -868,3 +868,22 @@ def subquery_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY p_brand
         """
     )
+
+
+@register(
+    "sketch_events_approx_stats",
+    None,  # sketches are approximate by construction -> rows-only;
+    # pytest bounds the error against exact answers
+    doc="fixed-memory sketches per event type: HLL distinct users "
+    "(approx_count_distinct) and KLL-style p50/p99 "
+    "(approx_percentile) — the 100 TB substitutes for exact "
+    "countDistinct/percentile, whose state grows with cardinality",
+)
+def sketch_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -62,3 +62,30 @@ def register_views(
     """Register testdata tables as temp views for the SQL surface."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-general source: parquet (columnar, the hot path), or
+    csv/json/text (row formats for landing zones and interchange).
+
+    Parquet is the only format the reference reads
+    (``src/serverless/app.py:109`` asserts ``.parquet``); the rest is
+    Spark's DataSource surface exposed uniformly. CSV/JSON get header/
+    schema handling; at scale prefer converting row formats to Parquet
+    at ingest (one pass) so every later scan gets pushdown + pruning.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", schema is None)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.format(fmt).load(path)

@@ -268,3 +268,46 @@ def test_tags_are_immutable_pins(spark, warehouse):
         cat.append(spark.range(5).withColumnRenamed("id", "v"), "t", branch="v1.0")
     with _pytest.raises(ValueError, match="immutable tag"):
         cat.merge("main", "v1.0")
+
+
+def test_range_clustered_writes_prune_to_single_file(spark, warehouse):
+    """sort_by tables write range-disjoint files: a point predicate
+    prunes to one file via footer stats."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate, prune_files
+
+    cat = Catalog(warehouse)
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    cat.create_table("t", df.schema, sort_by=["k"])
+    cat.append(df, "t")
+    files = cat.load_table("t").files()
+    if len(files) > 1:  # range partitioner produced multiple files
+        pruned = prune_files(files, [Predicate.eq("k", 9_999)])
+        assert len(pruned) == 1
+    # pruned read agrees with full read
+    got = cat.read(spark, "t", predicates=[Predicate.eq("k", 9_999)])
+    assert [r.k for r in got.filter("k = 9999").collect()] == [9999]
+
+
+def test_load_any_row_formats_roundtrip(spark, tmp_path):
+    """CSV and JSON landing files load through the same source surface
+    and agree with the parquet original."""
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_any, load_table
+    from tests.conftest import SF_DIR
+
+    nation = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    nation.write.option("header", True).csv(csv_dir)
+    nation.write.json(json_dir)
+
+    expected = sorted(map(tuple, nation.collect()))
+    got_csv = sorted(
+        map(tuple, load_any(spark, csv_dir, "csv", schema=nation.schema).collect())
+    )
+    got_json = sorted(
+        map(tuple, load_any(spark, json_dir, "json", schema=nation.schema).collect())
+    )
+    assert got_csv == expected
+    assert got_json == expected

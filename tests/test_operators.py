@@ -130,3 +130,30 @@ def test_ann_ivf_recall_against_brute_force(spark, embeddings):
         for r in ann_ivf_topk(embeddings, queries, k=5).collect()
     }
     assert a == a2
+
+
+def test_sketch_error_bounds(spark):
+    """Approximate sketches stay within their advertised error of the
+    exact answers (HLL rsd=1%, percentile_approx accuracy=1e4)."""
+    from no_jvm_wap_with_iceberg_spark.plans.registry import get_queries
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        r.event_type: r
+        for r in get_queries()["sketch_events_approx_stats"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.approx_users - ex.users) <= max(3, 0.05 * ex.users)
+        assert abs(ap.approx_p50 - ex.p50) <= max(0.5, 0.05 * abs(ex.p50))
