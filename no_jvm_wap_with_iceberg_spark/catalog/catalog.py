@@ -361,6 +361,92 @@ class Catalog:
         self._commit_table(table, branch, new_meta, head, f"OVERWRITE {table}")
         return new_meta
 
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str,
+        branch: str = MAIN,
+    ) -> TableMetadata:
+        """MERGE-by-key (copy-on-write): rows in ``df`` replace existing
+        rows with the same key; new keys append.
+
+        Only files whose key-range stats overlap the incoming keys are
+        rewritten (pruned via footer min/max); untouched files carry
+        over by reference. Old snapshots still see the pre-merge rows
+        (time travel), exactly like Iceberg COW MERGE INTO.
+        At 100 TB with a ``sort_by`` table the range-clustered layout
+        makes the affected-file set proportional to the update's key
+        span, not to the table.
+        """
+        from pyspark.sql import functions as F
+
+        meta = self.load_table(table, branch)
+        df = self._align_schema(df, meta)
+        # bound the incoming key range driver-side (two scalars) to
+        # prune which files need rewriting
+        lo, hi = df.agg(F.min(key), F.max(key)).first()
+        affected, untouched = [], []
+        for f in meta.files():
+            st = f.columns.get(key, {})
+            mn, mx = st.get("min"), st.get("max")
+            overlaps = not (
+                mn is not None and mx is not None and (mx < lo or mn > hi)
+            )
+            (affected if overlaps else untouched).append(f)
+        keep_old = (
+            self._df_for_files(df.sparkSession, meta, affected)
+            .join(df.select(key).distinct(), key, "left_anti")
+            if affected
+            else None
+        )
+        rewritten = keep_old.unionByName(df) if keep_old is not None else df
+        head = self._read_refs()[branch]
+        new_files = self._write_files(rewritten, meta, table)
+        new_meta = meta.with_new_snapshot(
+            new_files, "rewrite", removed_paths=[f.path for f in affected]
+        )
+        self._commit_table(
+            table, branch, new_meta, head,
+            f"UPSERT {table} ({len(affected)} files rewritten)",
+        )
+        return new_meta
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicates: list[Predicate],
+        sql_condition: str,
+        branch: str = MAIN,
+    ) -> TableMetadata:
+        """Row-level DELETE (copy-on-write): rewrite only the files that
+        may contain matching rows (stats-pruned via ``predicates``),
+        keeping their non-matching rows; files the stats prove clean
+        carry over untouched. ``sql_condition`` is the row-exact filter
+        (predicates are the pruning approximation of it).
+        """
+        from pyspark.sql import functions as F
+
+        meta = self.load_table(table, branch)
+        all_files = meta.files()
+        affected = prune_files(all_files, predicates)
+        if not affected:
+            return meta
+        keep = self._df_for_files(spark, meta, affected).filter(
+            ~F.expr(sql_condition)
+        )
+        head = self._read_refs()[branch]
+        new_files = self._write_files(keep, meta, table)
+        new_meta = meta.with_new_snapshot(
+            new_files, "rewrite", removed_paths=[f.path for f in affected]
+        )
+        self._commit_table(
+            table, branch, new_meta, head,
+            f"DELETE FROM {table} WHERE {sql_condition}",
+        )
+        return new_meta
+
     def create_table_from_df(
         self,
         df: DataFrame,

@@ -134,9 +134,11 @@ class Snapshot:
     snapshot_id: int
     parent_snapshot_id: int | None
     timestamp_ms: int
-    operation: str  # "append" | "overwrite"
+    operation: str  # "append" | "overwrite" | "rewrite" (copy-on-write)
     added_files: list[FileEntry]
     summary: dict[str, Any] = dataclasses.field(default_factory=dict)
+    # copy-on-write: paths this snapshot logically removes (upsert/delete)
+    removed_paths: list[str] = dataclasses.field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -152,6 +154,7 @@ class Snapshot:
             operation=d["operation"],
             added_files=[FileEntry.from_json(f) for f in d["added_files"]],
             summary=d.get("summary", {}),
+            removed_paths=d.get("removed_paths", []),
         )
 
 
@@ -204,8 +207,11 @@ class TableMetadata:
             if cur.operation == "overwrite":
                 break  # overwrite replaces everything beneath it
             cur = by_id.get(cur.parent_snapshot_id) if cur.parent_snapshot_id else None
-        for s in reversed(chain):
-            out.extend(s.added_files)
+        removed: set[str] = set()
+        for s in chain:  # newest-first: removals mask older adds only
+            out.extend(f for f in s.added_files if f.path not in removed)
+            removed.update(s.removed_paths)
+        out.reverse()
         return out
 
     def added_files_since(self, from_snapshot_id: int | None) -> list[FileEntry]:
@@ -236,7 +242,10 @@ class TableMetadata:
 
     # -- mutation (returns new snapshot; caller commits via Catalog) ----
     def with_new_snapshot(
-        self, added: list[FileEntry], operation: str = "append"
+        self,
+        added: list[FileEntry],
+        operation: str = "append",
+        removed_paths: list[str] | None = None,
     ) -> "TableMetadata":
         sid = (self.current_snapshot_id or 0) + 1
         snap = Snapshot(
@@ -248,7 +257,9 @@ class TableMetadata:
             summary={
                 "added-files": len(added),
                 "added-rows": sum(f.rows for f in added),
+                "removed-files": len(removed_paths or []),
             },
+            removed_paths=removed_paths or [],
         )
         return TableMetadata(
             table=self.table,

@@ -311,3 +311,49 @@ def test_load_any_row_formats_roundtrip(spark, tmp_path):
     )
     assert got_csv == expected
     assert got_json == expected
+
+
+def test_upsert_copy_on_write(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    cat.create_table("t", base.schema, sort_by=["k"])
+    cat.append(base, "t")
+    pre = cat.load_table("t").current_snapshot_id
+
+    updates = spark.createDataFrame(
+        [(5, "NEW5"), (42, "NEW42"), (200, "NEW200")], "k long, v string"
+    )
+    cat.upsert(updates, "t", key="k")
+
+    rows = {r.k: r.v for r in cat.read(spark, "t").collect()}
+    assert len(rows) == 101  # 100 originals + 1 new key
+    assert rows[5] == "NEW5" and rows[42] == "NEW42" and rows[200] == "NEW200"
+    assert rows[6] == "v6"  # untouched neighbors survive
+    # time travel: pre-merge snapshot still has the old values
+    old = {r.k: r.v for r in cat.read(spark, "t", snapshot_id=pre).collect()}
+    assert old[5] == "v5" and 200 not in old
+
+
+def test_delete_where_copy_on_write(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate
+
+    cat = Catalog(warehouse)
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    cat.create_table("t", df.schema, sort_by=["k"])
+    cat.append(df, "t")
+    pre_files = {f.path for f in cat.load_table("t").files()}
+
+    cat.delete_where(
+        spark, "t", Predicate.between("k", 100, 199), "k BETWEEN 100 AND 199"
+    )
+    ks = sorted(r.k for r in cat.read(spark, "t").collect())
+    assert len(ks) == 900 and 100 not in ks and 150 not in ks and 99 in ks
+    # stats-clean files carried over by reference, not rewritten
+    post_files = {f.path for f in cat.load_table("t").files()}
+    if len(pre_files) > 1:
+        assert pre_files & post_files, "untouched files should carry over"
