@@ -357,3 +357,41 @@ def test_delete_where_copy_on_write(spark, warehouse):
     post_files = {f.path for f in cat.load_table("t").files()}
     if len(pre_files) > 1:
         assert pre_files & post_files, "untouched files should carry over"
+
+
+def test_concurrent_appends_retry_and_both_land(spark, warehouse):
+    """Optimistic concurrency: interleaved writers both commit — the
+    loser of the race retries on the new head (reference requirement
+    validation, pyiceberg_patch_nessie.py:168-169)."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat_a, cat_b = Catalog(warehouse), Catalog(warehouse, create=False)
+    df = spark.range(10).withColumnRenamed("id", "v")
+    cat_a.create_table("t", df.schema)
+
+    # interleave: both read the same head, then commit in sequence;
+    # the second commit must retry against the advanced head
+    import threading
+
+    errs = []
+
+    def _append(cat, lo):
+        try:
+            cat.append(
+                spark.range(lo, lo + 10).withColumnRenamed("id", "v"), "t"
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=_append, args=(cat_a, 0)),
+        threading.Thread(target=_append, args=(cat_b, 100)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    vs = sorted(r.v for r in cat_a.read(spark, "t").collect())
+    assert vs == list(range(0, 10)) + list(range(100, 110))
+    assert len(cat_a.load_table("t").snapshots) == 2
