@@ -711,6 +711,27 @@ class Catalog:
         return sorted(orphans)
 
     # ------------------------------------------------------------------
+    # SQL surface: expose branch tables as temp views so any audit or
+    # analysis can be written in plain Spark SQL (the reference's
+    # Snowflake example, README.md:193-207, subsumed)
+    # ------------------------------------------------------------------
+    def register_views(
+        self,
+        spark: SparkSession,
+        branch: str = MAIN,
+        suffix: str = "",
+    ) -> list[str]:
+        """Create/replace a temp view per table on ``branch`` (named
+        ``<table><suffix>``). Views are lazy scans — pruning and
+        pushdown apply as usual. Returns the view names."""
+        names = []
+        for t in self.list_tables(branch):
+            name = f"{t}{suffix}"
+            self.read(spark, t, branch).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
+    # ------------------------------------------------------------------
     # convenience: run a function against a temporary WAP branch
     # ------------------------------------------------------------------
     def with_branch(

@@ -395,3 +395,25 @@ def test_concurrent_appends_retry_and_both_land(spark, warehouse):
     vs = sorted(r.v for r in cat_a.read(spark, "t").collect())
     assert vs == list(range(0, 10)) + list(range(100, 110))
     assert len(cat_a.load_table("t").snapshots) == 2
+
+
+def test_register_views_sql_surface(spark, warehouse):
+    """Branch tables queryable in plain SQL — including the reference's
+    downstream example query shape (README.md:206)."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        generate_batch(spark, n=100, no_null=True), "customer_data_log"
+    )
+    cat.create_branch("b")
+    cat.append(generate_batch(spark, n=50, no_null=True, seed=1), "customer_data_log", "b")
+
+    cat.register_views(spark)
+    cat.register_views(spark, "b", suffix="_b")
+    row = spark.sql(
+        "SELECT SUM(my_col_0) s, AVG(my_col_2) a, COUNT(*) c FROM customer_data_log"
+    ).collect()[0]
+    assert row.c == 100 and row.s is not None and row.a is not None
+    assert spark.sql("SELECT COUNT(*) c FROM customer_data_log_b").collect()[0].c == 150
