@@ -18,6 +18,11 @@ bit-for-bit):
   differ in the last ulp. Decimal sums are exact in both engines.
 - Every top-k ORDER BY carries a unique tie-break key.
 - Every computed column is aliased identically in both dialects.
+- FLOAT columns are cast to DOUBLE before any decimal rounding: Spark
+  casts float->decimal through the shortest round-trip string
+  ("0.1"), DuckDB through the exact binary expansion
+  (0.100000001...), so a direct float->decimal diverges at the ulp.
+  float->double is exact in both engines.
 """
 
 from __future__ import annotations

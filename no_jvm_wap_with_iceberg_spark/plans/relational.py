@@ -887,3 +887,81 @@ def sketch_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "fn_scalar_suite",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           dayofweek(o_orderdate) + 1 AS dow,  -- DuckDB 0-based, Spark 1-based
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           upper(o_orderstatus) AS status_u,
+           substring(o_orderpriority, 1, 1) AS prio_code,
+           length(o_orderpriority) AS prio_len,
+           replace(o_orderpriority, '-', '_') AS prio_norm,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           concat(o_orderstatus, ':', o_orderpriority) AS status_prio
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="scalar-function surface: date extraction/trunc/diff + string "
+    "upper/substr/length/replace/lpad/concat (all JVM built-ins, "
+    "whole-stage codegen)",
+)
+def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofweek(d).alias("dow"),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias(
+            "days_to_eoy"
+        ),
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("prio_norm"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+    )
+
+
+@register(
+    "fn_array_map_suite",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           SUM(len(embedding)) AS total_elems,
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) AS first_sum,
+           CAST(SUM(CAST(CAST(list_max(embedding) AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) AS max_sum,
+           SUM(CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END) AS first_gt_second
+    FROM embeddings GROUP BY label
+    """,
+    doc="array-function surface: size, element_at, array_max, "
+    "element comparisons — JVM higher-order functions over "
+    "array<float>, decimal-exact sums",
+)
+def fn_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(emb)).alias("total_elems"),
+        F.sum(F.element_at(emb, 1).cast("double").cast("decimal(20,9)"))
+        .cast("double")
+        .alias("first_sum"),
+        F.sum(F.array_max(emb).cast("double").cast("decimal(20,9)"))
+        .cast("double")
+        .alias("max_sum"),
+        F.sum(
+            F.when(F.element_at(emb, 1) > F.element_at(emb, 2), 1).otherwise(0)
+        ).alias("first_gt_second"),
+    )
