@@ -152,7 +152,22 @@ class WapPipeline:
             df=audit_df,
             files=audit_files,
         )
-        results = [c.run(ctx) for c in self.checks]
+        # A check that THROWS (bad SQL, missing ref table, executor
+        # failure) must quarantine the batch like a failed audit, not
+        # crash the ingest loop — the branch stays open for forensics
+        # and the error travels in the result detail.
+        results = []
+        for c in self.checks:
+            try:
+                results.append(c.run(ctx))
+            except Exception as e:  # noqa: BLE001 — audit isolation boundary
+                results.append(
+                    CheckResult(
+                        getattr(c, "name", type(c).__name__),
+                        False,
+                        {"error": f"{type(e).__name__}: {e}"},
+                    )
+                )
         timings["audit"] = time.time() - t2
 
         # Publish or alert (app.py:302-315)

@@ -184,3 +184,21 @@ def test_webhook_alert_parity(spark, warehouse, capsys, monkeypatch):
 
     msg = format_alert("t", "b-1", res.results)
     assert "b-1" in msg and "forensics" in msg
+
+
+def test_throwing_check_quarantines_not_crashes(spark, warehouse):
+    """An audit check that raises must behave like a failed audit:
+    branch open, nothing published, error captured in the result."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+    from no_jvm_wap_with_iceberg_spark.wap import ExpressionCheck, WapPipeline
+
+    cat = Catalog(warehouse)
+    pipe = WapPipeline(
+        cat, "customer_data_log", [ExpressionCheck("no_such_column > 0")]
+    )
+    res = pipe.run_batch(spark, generate_batch(spark, n=20, no_null=True))
+    assert not res.published
+    assert res.branch in cat.list_branches()
+    assert "error" in res.results[0].detail
+    assert cat.table_exists("customer_data_log", "main")
