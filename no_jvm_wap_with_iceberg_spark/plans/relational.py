@@ -965,3 +965,42 @@ def fn_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.element_at(emb, 1) > F.element_at(emb, 2), 1).otherwise(0)
         ).alias("first_gt_second"),
     )
+
+
+@register(
+    "window_ranking_suite",
+    """
+    SELECT c_custkey, n_orders, total_price,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(10,6)) AS DOUBLE) AS pct_rank,
+           CAST(CAST(CUME_DIST() OVER w AS DECIMAL(10,6)) AS DOUBLE) AS cume
+    FROM (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY o_custkey
+    )
+    WINDOW w AS (ORDER BY n_orders DESC, c_custkey)
+    """,
+    doc="ranking-function surface: rank / dense_rank / ntile / "
+    "percent_rank / cume_dist over per-customer order counts "
+    "(unique tie-break key keeps every rank deterministic)",
+)
+def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+    w = W.orderBy(F.col("n_orders").desc(), "c_custkey")
+    return per_cust.select(
+        "c_custkey",
+        "n_orders",
+        "total_price",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("decimal(10,6)").cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("decimal(10,6)").cast("double").alias("cume"),
+    )

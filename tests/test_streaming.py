@@ -173,3 +173,61 @@ def test_streaming_exact_dedup_by_event_id(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM dedup_stream").collect()[0]
     assert got.c == 300 and got.d == 300
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks and an event-time interval:
+    each purchase joined to same-user clicks within the preceding hour
+    — state bounded by the watermark on both sides. Batch run of the
+    identical plan is the oracle."""
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_DIR, "events").limit(1500)
+    src = str(tmp_path / "ssj_src")
+    ev.write.parquet(src)
+    batch = spark.read.parquet(src).withColumn("_evt", F.col("ts").cast("timestamp"))
+
+    def plan(df):
+        clicks = (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("_evt").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        purchases = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("_evt").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        return purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).select("purchase_id", "click_id")
+
+    expected = {tuple(r) for r in plan(batch).collect()}
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withColumn("_evt", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        plan(stream)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert got == expected and expected
