@@ -31,7 +31,10 @@ HEADLINE = [
     "events_hourly_rollup",
     "text_quality_profile",
     "dedup_minhash_lsh",
+    "dedup_components",
     "similarity_cosine_topk",
+    "asof_purchase_last_click",
+    "events_sessionization",
 ]
 
 

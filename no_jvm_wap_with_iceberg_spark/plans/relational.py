@@ -818,7 +818,9 @@ def unpivot_nation_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
     """,
     doc="time-range window frame: trailing-7-day revenue over the "
-    "daily series (RANGE frame on event time, exact decimal sums)",
+    "daily series (RANGE frame on event time, exact decimal sums); "
+    "the window is global but its input is one row per DAY — bounded "
+    "by the calendar, not the data, at any scale",
 )
 def window_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -985,7 +987,11 @@ def fn_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ranking-function surface: rank / dense_rank / ntile / "
     "percent_rank / cume_dist over per-customer order counts "
-    "(unique tie-break key keeps every rank deterministic)",
+    "(unique tie-break key keeps every rank deterministic). "
+    "NOTE an unpartitioned window is a single-task sort — fine for "
+    "per-entity aggregates that fit one executor; at 100 TB global "
+    "ranking is done in two passes (range-partition, rank within "
+    "range, add per-range offsets)",
 )
 def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
