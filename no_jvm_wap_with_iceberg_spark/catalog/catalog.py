@@ -711,6 +711,50 @@ class Catalog:
         return sorted(orphans)
 
     # ------------------------------------------------------------------
+    # metadata tables (Iceberg's t.snapshots / t.files introspection)
+    # ------------------------------------------------------------------
+    def snapshots_df(
+        self, spark: SparkSession, table: str, branch: str = MAIN
+    ) -> DataFrame:
+        """Snapshot log as a DataFrame (Iceberg ``t.snapshots``)."""
+        meta = self.load_table(table, branch)
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_snapshot_id,
+                s.timestamp_ms,
+                s.operation,
+                len(s.added_files),
+                sum(f.rows for f in s.added_files),
+                len(s.removed_paths),
+            )
+            for s in meta.snapshots
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_snapshot_id long, timestamp_ms long, "
+            "operation string, added_files long, added_rows long, removed_files long",
+        )
+
+    def files_df(
+        self,
+        spark: SparkSession,
+        table: str,
+        branch: str = MAIN,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Live data files + stats as a DataFrame (Iceberg ``t.files``)."""
+        meta = self.load_table(table, branch)
+        rows = [
+            (f.path, f.rows, f.bytes, json.dumps(f.partition), json.dumps(f.columns))
+            for f in meta.files(snapshot_id)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, rows long, bytes long, partition string, column_stats string",
+        )
+
+    # ------------------------------------------------------------------
     # SQL surface: expose branch tables as temp views so any audit or
     # analysis can be written in plain Spark SQL (the reference's
     # Snowflake example, README.md:193-207, subsumed)

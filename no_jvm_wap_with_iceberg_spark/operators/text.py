@@ -264,3 +264,38 @@ def text_punct_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop.alias("n_stopwords"),
         (stop.cast("double") / n_words).alias("stopword_ratio"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonicalize for dedup: lowercase, strip punctuation to spaces,
+    collapse whitespace, trim — pure JVM regex, codegen'd. The
+    standard pre-hash normalization so near-identical docs (case/
+    punctuation/spacing variants) become exact duplicates."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+@register(
+    "dedup_normalized_fingerprints",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_fp,
+           COUNT(*) AS group_size,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) >= 1
+    """,
+    doc="normalized-content dedup: case/punct/whitespace-canonical "
+    "md5 groups (catches variants exact dedup misses)",
+)
+def dedup_normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(normalize_text(F.col("text"))).alias("norm_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )

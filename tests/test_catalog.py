@@ -417,3 +417,23 @@ def test_register_views_sql_surface(spark, warehouse):
     ).collect()[0]
     assert row.c == 100 and row.s is not None and row.a is not None
     assert spark.sql("SELECT COUNT(*) c FROM customer_data_log_b").collect()[0].c == 150
+
+
+def test_metadata_tables(spark, warehouse):
+    """snapshots/files introspection as DataFrames (Iceberg t.snapshots
+    / t.files parity) — queryable with plain SQL."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    df = spark.range(50).withColumnRenamed("id", "v")
+    cat.create_table("t", df.schema)
+    cat.append(df, "t")
+    cat.append(spark.range(50, 80).withColumnRenamed("id", "v"), "t")
+
+    snaps = cat.snapshots_df(spark, "t")
+    assert snaps.count() == 2
+    assert snaps.agg({"added_rows": "sum"}).collect()[0][0] == 80
+
+    files = cat.files_df(spark, "t")
+    assert files.agg({"rows": "sum"}).collect()[0][0] == 80
+    assert all(r.bytes > 0 for r in files.collect())
