@@ -234,6 +234,7 @@ class Catalog:
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
         if_not_exists: bool = False,
+        bloom_cols: list[str] | None = None,
     ) -> bool:
         """Create an empty table on a branch from a Spark schema.
 
@@ -253,6 +254,7 @@ class Catalog:
             version=1,
             partition_by=partition_by,
             sort_by=sort_by,
+            properties={"bloom_cols": ",".join(bloom_cols)} if bloom_cols else None,
         )
         self._commit_table(table, branch, meta, head, f"CREATE TABLE {table}")
         return True
@@ -302,7 +304,10 @@ class Catalog:
         if meta.partition_by:
             w = w.partitionBy(*meta.partition_by)
         w.parquet(data_dir)
-        return collect_written_files(data_dir, self.warehouse)
+        bloom_cols = [
+            c for c in meta.properties.get("bloom_cols", "").split(",") if c
+        ]
+        return collect_written_files(data_dir, self.warehouse, bloom_cols or None)
 
     def _align_schema(self, df: DataFrame, meta: TableMetadata) -> DataFrame:
         """Project/cast the batch to the table schema (strict names)."""

@@ -66,6 +66,11 @@ def _norm(v: Any) -> Any:
 
 def _file_may_match(f: FileEntry, p: Predicate) -> bool:
     """Conservative: True unless stats PROVE no row can match."""
+    if p.op == "eq" and p.column in f.blooms:
+        from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
+
+        if not bloom_may_contain(f.blooms[p.column], p.value):
+            return False  # bloom proves absence; min/max can only agree
     st = f.columns.get(p.column)
     if st is None:
         return True  # no stats -> cannot prune

@@ -65,6 +65,8 @@ class FileEntry:
     # col -> {"nulls": int|None, "min": Any, "max": Any}
     columns: dict[str, dict[str, Any]]
     partition: dict[str, str] = dataclasses.field(default_factory=dict)
+    # col -> hex bloom filter (see catalog/bloom.py); absent -> no pruning
+    blooms: dict[str, str] = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
@@ -77,6 +79,7 @@ class FileEntry:
             bytes=d["bytes"],
             columns=d["columns"],
             partition=d.get("partition", {}),
+            blooms=d.get("blooms", {}),
         )
 
     @classmethod
@@ -300,12 +303,27 @@ class TableMetadata:
         )
 
 
-def collect_written_files(data_dir: str, warehouse: str) -> list[FileEntry]:
-    """Footer-scan every parquet file Spark wrote under ``data_dir``."""
+def collect_written_files(
+    data_dir: str, warehouse: str, bloom_cols: list[str] | None = None
+) -> list[FileEntry]:
+    """Footer-scan every parquet file Spark wrote under ``data_dir``;
+    optionally build per-file bloom filters for ``bloom_cols`` (one
+    columnar read per file — on a cluster the write tasks build these
+    as rows stream through; see catalog/bloom.py)."""
+    from no_jvm_wap_with_iceberg_spark.catalog.bloom import build_bloom
+
     paths = sorted(
         glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
     )
-    return [FileEntry.from_parquet(p, warehouse) for p in paths]
+    out = []
+    for p in paths:
+        entry = FileEntry.from_parquet(p, warehouse)
+        if bloom_cols:
+            tbl = pq.read_table(p, columns=[c for c in bloom_cols if c in entry.columns])
+            for c in tbl.column_names:
+                entry.blooms[c] = build_bloom(tbl[c].to_pylist())
+        out.append(entry)
+    return out
 
 
 def new_data_dir(warehouse: str, table: str) -> str:

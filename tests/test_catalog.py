@@ -437,3 +437,39 @@ def test_metadata_tables(spark, warehouse):
     files = cat.files_df(spark, "t")
     assert files.agg({"rows": "sum"}).collect()[0][0] == 80
     assert all(r.bytes > 0 for r in files.collect())
+
+
+def test_bloom_filter_pruning_on_unsorted_column(spark, warehouse):
+    """Equality probes on an UNSORTED column: min/max can't prune
+    (every file spans the needle) but blooms can."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate, prune_files
+    from pyspark.sql import functions as F
+
+    cat = Catalog(warehouse)
+    # value column is a hash of id -> uniformly scattered, unsorted
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), F.conv(F.xxhash64("id"), 10, 16)).alias("user"),
+        )
+        .repartition(8)
+    )
+    cat.create_table("t", df.schema, bloom_cols=["user"])
+    cat.append(df, "t")
+    files = cat.load_table("t").files()
+    assert len(files) > 3
+    assert all("user" in f.blooms for f in files)
+
+    needle = df.filter("k = 1234").collect()[0].user
+    # min/max alone cannot prune hex-ish scattered strings well;
+    # bloom pruning must cut the file set sharply
+    pruned = prune_files(files, [Predicate.eq("user", needle)])
+    assert len(pruned) <= max(1, len(files) // 4)
+    # correctness: the surviving set still yields the row
+    got = cat.read(spark, "t", predicates=[Predicate.eq("user", needle)])
+    assert got.filter(F.col("user") == needle).count() == 1
+    # absent value -> typically zero files
+    none = prune_files(files, [Predicate.eq("user", "u_definitely_absent")])
+    assert len(none) <= 1
