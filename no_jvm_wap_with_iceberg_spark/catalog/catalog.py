@@ -389,8 +389,16 @@ class Catalog:
         meta = self.load_table(table, branch)
         df = self._align_schema(df, meta)
         # bound the incoming key range driver-side (two scalars) to
-        # prune which files need rewriting
+        # prune which files need rewriting; when the key column carries
+        # bloom filters, probe them with the exact key set (collected
+        # only when small) so point updates on scattered keys rewrite
+        # just the files that truly hold those keys
         lo, hi = df.agg(F.min(key), F.max(key)).first()
+        keys = None
+        if any(key in f.blooms for f in meta.files()):
+            sample = df.select(key).distinct().limit(10_001).collect()
+            if len(sample) <= 10_000:
+                keys = [r[0] for r in sample]
         affected, untouched = [], []
         for f in meta.files():
             st = f.columns.get(key, {})
@@ -398,6 +406,12 @@ class Catalog:
             overlaps = not (
                 mn is not None and mx is not None and (mx < lo or mn > hi)
             )
+            if overlaps and keys is not None and key in f.blooms:
+                from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
+                    bloom_may_contain,
+                )
+
+                overlaps = any(bloom_may_contain(f.blooms[key], k) for k in keys)
             (affected if overlaps else untouched).append(f)
         keep_old = (
             self._df_for_files(df.sparkSession, meta, affected)

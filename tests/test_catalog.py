@@ -473,3 +473,31 @@ def test_bloom_filter_pruning_on_unsorted_column(spark, warehouse):
     # absent value -> typically zero files
     none = prune_files(files, [Predicate.eq("user", "u_definitely_absent")])
     assert len(none) <= 1
+
+
+def test_upsert_bloom_probe_limits_rewrite(spark, warehouse):
+    """Point upsert on a bloom-indexed scattered key rewrites only the
+    files that actually hold the keys."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    cat = Catalog(warehouse)
+    df = (
+        spark.range(4000)
+        .select(
+            F.concat(F.lit("u"), F.conv(F.xxhash64("id"), 10, 16)).alias("user"),
+            F.col("id").alias("score"),
+        )
+        .repartition(8)
+    )
+    cat.create_table("t", df.schema, bloom_cols=["user"])
+    cat.append(df, "t")
+    n_files = len(cat.load_table("t").files())
+    assert n_files > 3
+
+    needle = df.filter("score = 7").collect()[0].user
+    upd = spark.createDataFrame([(needle, 999_999)], "user string, score long")
+    meta = cat.upsert(upd, "t", key="user")
+    assert len(meta.snapshots[-1].removed_paths) <= max(1, n_files // 4)
+    rows = {r.user: r.score for r in cat.read(spark, "t").collect()}
+    assert rows[needle] == 999_999 and len(rows) == 4000
