@@ -32,4 +32,7 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL instead of killing the
+    # job under ANSI mode (one degenerate row in a 100 TB corpus must
+    # not fail the scan); callers treat NULL as "no similarity"
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))

@@ -82,3 +82,66 @@ def test_asof_join_matches_pandas_reference(spark_h, lefts, rights):
         prior = [(rt, 100 + j) for j, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
         expect = max(prior)[1] if prior else None
         assert got[(k, i)] == expect, (k, t, prior)
+
+
+@settings(**SLOW)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_minhash_pairs_subset_of_exact(spark_h, docs):
+    """Precision is deterministic: every LSH-candidate pair is
+    exact-verified, so minhash output ⊆ exact Jaccard output on ANY
+    corpus (recall is probabilistic; precision never is)."""
+    from no_jvm_wap_with_iceberg_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_dedup_pairs,
+    )
+
+    df = spark_h.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    exact = {
+        (r.id_a, r.id_b) for r in exact_jaccard_pairs(df, "doc_id", "text").collect()
+    }
+    mh = {
+        (r.id_a, r.id_b) for r in minhash_dedup_pairs(df, "doc_id", "text").collect()
+    }
+    assert mh <= exact
+
+
+def test_vector_ops_edge_cases(spark_h):
+    """cosine/dot on empty, null, and zero vectors: defined, no crash."""
+    from no_jvm_wap_with_iceberg_spark.functions.vector import (
+        cosine_similarity,
+        dot_product,
+        l2_norm,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark_h.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, [0.0, 0.0], [1.0, 2.0]),  # zero vector -> NaN cosine
+            (3, None, [1.0]),             # null -> null out
+            (4, [], []),                  # empty -> dot 0, norm 0
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            dot_product(F.col("a"), F.col("b")).alias("dot"),
+            l2_norm(F.col("a")).alias("norm"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+        ).collect()
+    }
+    assert rows[1].dot == 1.0 and rows[1].cos == 1.0
+    assert rows[2].dot == 0.0
+    assert rows[2].cos is None  # try_divide: zero norm -> NULL, not a crash
+    assert rows[3].dot is None
+    assert rows[4].dot == 0.0 and rows[4].norm == 0.0
