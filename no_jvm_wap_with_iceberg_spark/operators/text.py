@@ -54,11 +54,11 @@ def quality_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(text_col).alias("n_chars"),
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("n_distinct_words"),
-        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
+        F.try_divide(F.size(F.array_distinct(w)).cast("double"), F.size(w)).alias(
             "type_token_ratio"
         ),
-        (
-            (F.length(text_col) - F.size(w) + 1).cast("double") / F.size(w)
+        F.try_divide(
+            (F.length(text_col) - F.size(w) + 1).cast("double"), F.size(w)
         ).alias("avg_word_len"),
     )
 
@@ -114,9 +114,9 @@ def text_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_tokens"),
         F.countDistinct("t").alias("distinct_tokens"),
         F.countDistinct("doc_id").alias("n_docs"),
-        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias(
-            "tokens_per_doc"
-        ),
+        F.try_divide(
+            F.count(F.lit(1)).cast("double"), F.countDistinct("doc_id")
+        ).alias("tokens_per_doc"),
     )
 
 
@@ -187,7 +187,9 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("lang").agg(
         F.sum("n_ws").alias("whitespace_tokens"),
         F.sum("n_bpe").alias("bpe_ish_tokens"),
-        (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("expansion_ratio"),
+        F.try_divide(F.sum("n_bpe").cast("double"), F.sum("n_ws")).alias(
+            "expansion_ratio"
+        ),
     )
 
 
@@ -260,9 +262,9 @@ def text_punct_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         punct.alias("n_punct"),
-        (punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        F.try_divide(punct.cast("double"), F.length("text")).alias("punct_ratio"),
         stop.alias("n_stopwords"),
-        (stop.cast("double") / n_words).alias("stopword_ratio"),
+        F.try_divide(stop.cast("double"), n_words).alias("stopword_ratio"),
     )
 
 
