@@ -39,11 +39,19 @@ def asof_join(
     ts_col: str,
     seq_col: str,
     right_prefix: str = "r_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row at-or-before its
-    timestamp (same key). Right columns come back ``right_prefix``ed;
-    left rows with no prior right row keep nulls (left-join shape).
+    """For each left row, attach the nearest right row at-or-before
+    (``direction='backward'``, default) or at-or-after (``'forward'``)
+    its timestamp within the same key — pandas ``merge_asof``
+    semantics, one shuffle. Right columns come back
+    ``right_prefix``ed; unmatched left rows keep nulls (left-join
+    shape). ``tolerance_seconds`` drops matches further than the bound
+    from the left timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     r_cols = [c for c in right.columns if c not in (key_col,)]
     # deterministic ties: one right row per (key, ts) — the max seq
     dedup_w = W.partitionBy(key_col, ts_col).orderBy(F.col(seq_col).desc())
@@ -53,30 +61,47 @@ def asof_join(
         .drop("_rn")
     )
     r_payload = F.struct(*[F.col(c) for c in r_cols])
+    # right rows sort on the matching side of equal timestamps so an
+    # exactly-simultaneous right row is visible (inclusive semantics)
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
     r_tagged = r.select(
         F.col(key_col),
         F.col(ts_col).alias("_ts"),
-        F.lit(0).alias("_side"),  # right sorts first at equal ts -> inclusive
+        F.lit(r_side).alias("_side"),
         r_payload.alias("_rp"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != key_col],
     )
     l_tagged = left.select(
         F.col(key_col),
         F.col(ts_col).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(l_side).alias("_side"),
         F.lit(None).cast(r_tagged.schema["_rp"].dataType).alias("_rp"),
         *[F.col(c) for c in left.columns if c != key_col],
     )
-    w = (
-        W.partitionBy(key_col)
-        .orderBy("_ts", "_side")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    base = W.partitionBy(key_col).orderBy("_ts", "_side")
+    if direction == "backward":
+        w = base.rowsBetween(W.unboundedPreceding, 0)
+        pick = F.last("_rp", ignorenulls=True)
+        pick_ts = F.last(F.when(F.col("_rp").isNotNull(), F.col("_ts")), ignorenulls=True)
+    else:
+        w = base.rowsBetween(0, W.unboundedFollowing)
+        pick = F.first("_rp", ignorenulls=True)
+        pick_ts = F.first(F.when(F.col("_rp").isNotNull(), F.col("_ts")), ignorenulls=True)
     joined = (
         r_tagged.unionByName(l_tagged)
-        .withColumn("_asof", F.last("_rp", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
+        .withColumn("_asof", pick.over(w))
+        .withColumn("_asof_ts", pick_ts.over(w))
+        .filter(F.col("_side") == (1 if direction == "backward" else 0))
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_asof_ts").cast("timestamp"))
+        )
+        within = gap <= int(tolerance_seconds * 1_000_000)
+        joined = joined.withColumn(
+            "_asof", F.when(within, F.col("_asof"))
+        )
     out_cols = [F.col(key_col)] + [
         F.col(c) for c in left.columns if c != key_col
     ]

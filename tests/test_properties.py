@@ -145,3 +145,39 @@ def test_vector_ops_edge_cases(spark_h):
     assert rows[2].cos is None  # try_divide: zero norm -> NULL, not a crash
     assert rows[3].dot is None
     assert rows[4].dot == 0.0 and rows[4].norm == 0.0
+
+
+@settings(**SLOW)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=20),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=20),
+    tol=st.sampled_from([None, 5, 20]),
+)
+def test_asof_forward_and_tolerance_vs_pandas(spark_h, lefts, rights, tol):
+    from no_jvm_wap_with_iceberg_spark.operators.asof import asof_join
+
+    lefts = list({(k, t): None for k, t in lefts}.keys())
+    rights = list({(k, t): None for k, t in rights}.keys())
+    left = spark_h.createDataFrame(
+        [(k, datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=t), i) for i, (k, t) in enumerate(lefts)],
+        "k long, ts timestamp_ntz, lid long",
+    )
+    right = spark_h.createDataFrame(
+        [(k, datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=t), 100 + i) for i, (k, t) in enumerate(rights)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    got = {
+        (r.k, r.lid): r.r_rid
+        for r in asof_join(
+            left, right, "k", "ts", "rid",
+            direction="forward", tolerance_seconds=tol,
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cand = [
+            (rt, 100 + j)
+            for j, (rk, rt) in enumerate(rights)
+            if rk == k and rt >= t and (tol is None or rt - t <= tol)
+        ]
+        expect = min(cand)[1] if cand else None
+        assert got[(k, i)] == expect, (k, t, cand, got[(k, i)])
