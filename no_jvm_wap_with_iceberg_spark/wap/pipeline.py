@@ -71,6 +71,8 @@ class WapPipeline:
         incremental_audit: bool = True,
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
+        compact_every: int | None = None,
+        compact_target_file_mb: int = 128,
     ):
         self.catalog = catalog
         self.table = table
@@ -80,6 +82,12 @@ class WapPipeline:
         self.incremental_audit = incremental_audit
         self.partition_by = partition_by
         self.sort_by = sort_by
+        # streaming ingest writes one small file set per micro-batch;
+        # compact on main after every N published appends so long-running
+        # ingest never degrades reads (a best-effort optimistic commit —
+        # losing the race to a concurrent append just skips this round)
+        self.compact_every = compact_every
+        self.compact_target_file_mb = compact_target_file_mb
 
     # ------------------------------------------------------------------
     def _ensure_table(self, df: DataFrame) -> None:
@@ -179,6 +187,7 @@ class WapPipeline:
             if ingest_key is not None:
                 # stamp idempotence marker as an empty commit message on main
                 self._stamp_ingest(ingest_key)
+            self._maybe_compact(spark)
         else:
             self.alert(branch, results)  # branch left open for forensics
         timings["publish"] = time.time() - t3
@@ -192,6 +201,19 @@ class WapPipeline:
             results=results,
             timings=timings,
         )
+
+    def _maybe_compact(self, spark: SparkSession) -> None:
+        if not self.compact_every:
+            return
+        meta = self.catalog.load_table(self.table, MAIN)
+        appends = sum(1 for s in meta.snapshots if s.operation == "append")
+        if appends and appends % self.compact_every == 0:
+            try:
+                self.catalog.compact(
+                    spark, self.table, MAIN, self.compact_target_file_mb
+                )
+            except Exception:
+                pass  # best-effort maintenance; never fail the ingest
 
     def _stamp_ingest(self, ingest_key: str) -> None:
         refs = self.catalog._read_refs()

@@ -202,3 +202,23 @@ def test_throwing_check_quarantines_not_crashes(spark, warehouse):
     assert res.branch in cat.list_branches()
     assert "error" in res.results[0].detail
     assert cat.table_exists("customer_data_log", "main")
+
+
+def test_auto_compaction_every_n_batches(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+    from no_jvm_wap_with_iceberg_spark.wap import NotNullCheck, WapPipeline
+
+    cat = Catalog(warehouse)
+    pipe = WapPipeline(
+        cat, "customer_data_log", [NotNullCheck("my_col_1")], compact_every=3
+    )
+    for i in range(3):
+        assert pipe.run_batch(
+            spark, generate_batch(spark, n=200, no_null=True, seed=i)
+        ).published
+    meta = cat.load_table("customer_data_log")
+    # the 3rd publish triggered compaction: newest snapshot is a rewrite
+    assert meta.snapshots[-1].operation == "overwrite"
+    assert len(meta.files()) < 3 * 4  # far fewer than per-batch file sets
+    assert cat.row_count("customer_data_log") == 600
