@@ -501,3 +501,21 @@ def test_upsert_bloom_probe_limits_rewrite(spark, warehouse):
     assert len(meta.snapshots[-1].removed_paths) <= max(1, n_files // 4)
     rows = {r.user: r.score for r in cat.read(spark, "t").collect()}
     assert rows[needle] == 999_999 and len(rows) == 4000
+
+
+def test_dashboard_report_is_metadata_only(spark, warehouse):
+    """tools/dashboard.py report(): correct counts with zero Spark jobs
+    (works off file stats alone)."""
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    from dashboard import report
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        generate_batch(spark, n=120, no_null=False), "customer_data_log"
+    )
+    rows = report(warehouse, "customer_data_log", ["my_col_1"])
+    assert rows and rows[0]["rows"] == 120
+    assert rows[0]["nulls(my_col_1)"] == 1

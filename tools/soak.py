@@ -1,0 +1,68 @@
+"""Scaling soak: run key operators at amplified input sizes and print
+the time ratios (the SCALE.md "Measured scaling" evidence,
+reproducibly).
+
+Union-amplifies the sf0.1 testdata in memory — inputs are the driver's
+tables, only replicated; results are timings, not correctness claims.
+
+Usage: python tools/soak.py [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from no_jvm_wap_with_iceberg_spark.operators.dedup import minhash_dedup_pairs  # noqa: E402
+from no_jvm_wap_with_iceberg_spark.plans.relational import dec  # noqa: E402
+from no_jvm_wap_with_iceberg_spark.session import get_spark  # noqa: E402
+from no_jvm_wap_with_iceberg_spark.sources.registry import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="soak")
+
+    li = load_table(spark, sf, "lineitem")
+    li10 = li
+    for _ in range(9):
+        li10 = li10.unionByName(li)
+    li10 = li10.cache()
+    n10 = li10.count()
+
+    def q1(df):
+        df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(dec("l_quantity")).cast("double"),
+            F.sum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))).cast("double"),
+            F.count(F.lit(1)),
+        ).collect()
+
+    q1(li)  # warm
+    t0 = time.time(); q1(li); t1x = time.time() - t0
+    t0 = time.time(); q1(li10); t10x = time.time() - t0
+    print(f"q1-agg: 1x={t1x:.2f}s 10x({n10} rows)={t10x:.2f}s ratio={t10x / t1x:.2f}")
+
+    d = load_table(spark, sf, "documents")
+    d4 = d
+    for i in range(1, 4):
+        d4 = d4.unionByName(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        )
+    d4 = d4.cache()
+    nd = d4.count()
+    minhash_dedup_pairs(d, "doc_id", "text").count()  # warm
+    t0 = time.time(); p1 = minhash_dedup_pairs(d, "doc_id", "text").count(); t1 = time.time() - t0
+    t0 = time.time(); p4 = minhash_dedup_pairs(d4, "doc_id", "text").count(); t4 = time.time() - t0
+    print(
+        f"minhash: 1x={t1:.2f}s/{p1} pairs 4x({nd} docs)={t4:.2f}s/{p4} pairs "
+        f"ratio={t4 / t1:.2f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
