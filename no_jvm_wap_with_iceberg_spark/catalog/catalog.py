@@ -729,6 +729,27 @@ class Catalog:
                 os.remove(os.path.join(self.warehouse, rel))
         return sorted(orphans)
 
+    def diff(self, branch_a: str, branch_b: str) -> dict[str, Any]:
+        """What differs between two refs: tables only on one side, and
+        tables whose current snapshot diverges — the WAP forensic
+        question ("what would publishing this branch change?") answered
+        from metadata alone."""
+        ta = {t: self.load_table(t, branch_a) for t in self.list_tables(branch_a)}
+        tb = {t: self.load_table(t, branch_b) for t in self.list_tables(branch_b)}
+        changed = {}
+        for t in ta.keys() & tb.keys():
+            a, b = ta[t], tb[t]
+            if a.current_snapshot_id != b.current_snapshot_id or a.version != b.version:
+                changed[t] = {
+                    branch_a: {"snapshot": a.current_snapshot_id, "rows": a.row_count()},
+                    branch_b: {"snapshot": b.current_snapshot_id, "rows": b.row_count()},
+                }
+        return {
+            "only_in_" + branch_a: sorted(ta.keys() - tb.keys()),
+            "only_in_" + branch_b: sorted(tb.keys() - ta.keys()),
+            "changed": changed,
+        }
+
     # ------------------------------------------------------------------
     # metadata tables (Iceberg's t.snapshots / t.files introspection)
     # ------------------------------------------------------------------

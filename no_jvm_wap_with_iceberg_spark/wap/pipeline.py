@@ -215,21 +215,29 @@ class WapPipeline:
             except Exception:
                 pass  # best-effort maintenance; never fail the ingest
 
-    def _stamp_ingest(self, ingest_key: str) -> None:
-        refs = self.catalog._read_refs()
-        head = refs[MAIN]
-        parent = self.catalog._read_commit(head)
-        new_id = uuid.uuid4().hex[:16]
-        self.catalog._write_commit(
-            {
-                "id": new_id,
-                "parent": head,
-                "tables": dict(parent["tables"]),
-                "message": f"ingest_key={ingest_key}",
-            }
-        )
-        refs[MAIN] = new_id
-        self.catalog._write_refs(refs)
+    def _stamp_ingest(self, ingest_key: str, max_retries: int = 3) -> None:
+        # same optimistic narrow-window pattern as Catalog._commit_table:
+        # re-read the head right before advancing the ref so a concurrent
+        # writer's commit is not clobbered; retry on a lost race
+        for _ in range(max_retries + 1):
+            refs = self.catalog._read_refs()
+            head = refs[MAIN]
+            parent = self.catalog._read_commit(head)
+            new_id = uuid.uuid4().hex[:16]
+            self.catalog._write_commit(
+                {
+                    "id": new_id,
+                    "parent": head,
+                    "tables": dict(parent["tables"]),
+                    "message": f"ingest_key={ingest_key}",
+                }
+            )
+            current = self.catalog._read_refs()
+            if current[MAIN] != head:
+                continue  # head moved: orphan the stamp commit, retry
+            current[MAIN] = new_id
+            self.catalog._write_refs(current)
+            return
 
     # ------------------------------------------------------------------
     def run_file(self, spark: SparkSession, path: str) -> WapResult:

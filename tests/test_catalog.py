@@ -519,3 +519,18 @@ def test_dashboard_report_is_metadata_only(spark, warehouse):
     rows = report(warehouse, "customer_data_log", ["my_col_1"])
     assert rows and rows[0]["rows"] == 120
     assert rows[0]["nulls(my_col_1)"] == 1
+
+
+def test_branch_diff(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(spark.range(10).withColumnRenamed("id", "v"), "t")
+    cat.create_branch("b")
+    cat.append(spark.range(5).withColumnRenamed("id", "v"), "t", "b")
+    cat.create_table_from_df(spark.range(3).withColumnRenamed("id", "v"), "t2", "b")
+
+    d = cat.diff("main", "b")
+    assert d["only_in_b"] == ["t2"] and d["only_in_main"] == []
+    assert d["changed"]["t"]["b"]["rows"] == 15
+    assert d["changed"]["t"]["main"]["rows"] == 10
