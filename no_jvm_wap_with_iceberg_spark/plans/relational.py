@@ -1093,3 +1093,85 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "events_anomaly_iqr",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             CAST(CAST(quantile_cont(value, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS q1,
+             CAST(CAST(quantile_cont(value, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN e.value > b.q3 + 1.5 * (b.q3 - b.q1) THEN 1 ELSE 0 END) AS high_outliers,
+           SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1) THEN 1 ELSE 0 END) AS low_outliers
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    doc="IQR anomaly rule per event type: quartiles once (rounded "
+    "decimal-exact), outlier counts via a broadcast join of the "
+    "5-row bounds table back onto the stream",
+)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    def q(p, name):
+        return (
+            F.percentile(F.col("value"), F.lit(p))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias(name)
+        )
+    bounds = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        q(0.25, "q1"), q(0.75, "q3")
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(bounds), ev.event_type == bounds._et)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+            ).alias("high_outliers"),
+            F.sum(
+                F.when(F.col("value") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+            ).alias("low_outliers"),
+        )
+    )
+
+
+@register(
+    "histogram_order_totals",
+    """
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 6000 THEN 13
+                ELSE CAST(floor(CAST(o_totalprice AS DOUBLE) / 500.0) + 1 AS BIGINT)
+           END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY 1
+    """,
+    doc="fixed-width histogram of order totals via width_bucket — the "
+    "single-pass distribution profile an audit dashboard plots",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(
+                F.col("o_totalprice").cast("double"),
+                F.lit(0.0),
+                F.lit(6000.0),
+                F.lit(12),
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
