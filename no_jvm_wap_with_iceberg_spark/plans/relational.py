@@ -1175,3 +1175,31 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+@register(
+    "fn_json_map_suite",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           SUM(len(json_keys(props))) AS total_keys,
+           SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS rows_with_k
+    FROM events GROUP BY event_type
+    """,
+    doc="typed JSON->map parsing (from_json to map<string,bigint>) "
+    "with map_keys/element_at/map_contains_key — the structured "
+    "complement to the regex-extraction query",
+)
+def fn_json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.element_at(m, "k")).alias("sum_k"),
+        F.sum(F.size(m)).alias("total_keys"),
+        F.sum(
+            F.when(F.map_contains_key(m, "k"), 1).otherwise(0)
+        ).alias("rows_with_k"),
+    )
