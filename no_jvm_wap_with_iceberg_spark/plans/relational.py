@@ -1203,3 +1203,30 @@ def fn_json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.map_contains_key(m, "k"), 1).otherwise(0)
         ).alias("rows_with_k"),
     )
+
+
+@register(
+    "agg_collect_ordered",
+    """
+    SELECT o_custkey AS c_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey HAVING COUNT(*) <= 2
+    """,
+    doc="array aggregation: per-customer order-key list. collect_list "
+    "is partition-order-dependent, so determinism REQUIRES sort_array "
+    "around it; emitted as a joined string (canonical across engines)",
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") <= 2)
+    )
