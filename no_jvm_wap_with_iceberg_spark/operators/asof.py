@@ -125,16 +125,23 @@ def asof_join(
     purchases AS (
       SELECT event_id, user_id, ts, value FROM events
       WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT p.event_id, c.event_id AS r_event_id, c.ts AS r_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM purchases p
+      JOIN clicks c ON c.user_id = p.user_id AND c.ts <= p.ts
     )
     SELECT p.event_id, p.user_id, p.ts,
            CAST(p.value AS DOUBLE) AS value,
-           c.event_id AS r_event_id,
-           epoch_us(c.ts) AS r_ts_us,
-           CASE WHEN c.ts IS NULL THEN NULL
-                ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS us_since_click
+           m.r_event_id,
+           date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', m.r_ts)
+             AS r_ts_us,
+           date_diff('microsecond', m.r_ts, p.ts) AS us_since_click
     FROM purchases p
-    ASOF LEFT JOIN clicks c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+      ON m.event_id = p.event_id
     """,
     doc="as-of join: each purchase matched to the same user's latest "
     "at-or-before click (union + last_value window, one shuffle)",

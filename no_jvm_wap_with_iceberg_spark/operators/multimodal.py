@@ -198,9 +198,9 @@ def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_feature_extract",
     """
     SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           CAST(octet_length(encode(text)) % 1024 AS INTEGER) AS width,
-           CAST(octet_length(encode(text)) // 1024 + 1 AS INTEGER) AS height
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CAST(strlen(text) % 1024 AS INTEGER) AS width,
+           CAST(strlen(text) // 1024 + 1 AS INTEGER) AS height
     FROM documents
     """,
     doc="mapInPandas decode+featurize plumbing, oracle-checked on the "
@@ -217,8 +217,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH src AS (
       SELECT doc_id AS media_id,
-             octet_length(encode(text)) % 1024 + 1 AS sw,
-             octet_length(encode(text)) // 1024 + 1 AS sh
+             strlen(text) % 1024 + 1 AS sw,
+             strlen(text) // 1024 + 1 AS sh
       FROM documents
     )
     SELECT media_id,
@@ -241,7 +241,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(i AS INTEGER) AS frame_index,
            CAST(i * 4096 AS BIGINT) AS frame_offset_bytes
     FROM documents,
-         UNNEST(range(0, octet_length(encode(text)) // 4096 + 1)) AS t(i)
+         UNNEST(range(0, strlen(text) // 4096 + 1)) AS t(i)
     """,
     doc="one-to-many frame sampling via mapInPandas (stub demuxer: one "
     "frame per 4 KiB of payload)",
@@ -255,9 +255,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang AS media_group,
            COUNT(*) AS n_payloads,
-           SUM(octet_length(encode(text))) AS total_bytes,
-           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
-           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(MIN(strlen(text)) AS BIGINT) AS min_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
     FROM documents GROUP BY lang
     """,
     doc="binary-column plumbing: utf-8 payload byte stats per group "

@@ -137,7 +137,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_source_lang_matrix",
     """
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
     FROM documents GROUP BY source, lang
@@ -167,8 +167,8 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
       FROM documents
     )
     SELECT lang,
-           SUM(n_ws) AS whitespace_tokens,
-           SUM(n_bpe) AS bpe_ish_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_ish_tokens,
            CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS expansion_ratio
     FROM tok GROUP BY lang
     """,

@@ -592,7 +592,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS min_k,
            MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k
     FROM events
@@ -941,10 +941,10 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label,
            COUNT(*) AS n,
-           SUM(len(embedding)) AS total_elems,
+           CAST(SUM(len(embedding)) AS BIGINT) AS total_elems,
            CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) AS first_sum,
            CAST(SUM(CAST(CAST(list_max(embedding) AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) AS max_sum,
-           SUM(CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END) AS first_gt_second
+           CAST(SUM(CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END) AS BIGINT) AS first_gt_second
     FROM embeddings GROUP BY label
     """,
     doc="array-function surface: size, element_at, array_max, "
@@ -1070,10 +1070,10 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_returnflag = 'R'
     GROUP BY l_linestatus
@@ -1106,8 +1106,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN e.value > b.q3 + 1.5 * (b.q3 - b.q1) THEN 1 ELSE 0 END) AS high_outliers,
-           SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1) THEN 1 ELSE 0 END) AS low_outliers
+           CAST(SUM(CASE WHEN e.value > b.q3 + 1.5 * (b.q3 - b.q1) THEN 1 ELSE 0 END) AS BIGINT) AS high_outliers,
+           CAST(SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1) THEN 1 ELSE 0 END) AS BIGINT) AS low_outliers
     FROM events e JOIN bounds b ON b.event_type = e.event_type
     GROUP BY e.event_type
     """,
@@ -1182,10 +1182,10 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
-           SUM(len(json_keys(props))) AS total_keys,
-           SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
-                    THEN 1 ELSE 0 END) AS rows_with_k
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_k
     FROM events GROUP BY event_type
     """,
     doc="typed JSON->map parsing (from_json to map<string,bigint>) "

@@ -171,7 +171,7 @@ def sessionize_stream(
     WITH tagged AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts) >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
