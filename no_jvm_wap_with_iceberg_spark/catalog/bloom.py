@@ -21,6 +21,7 @@ filters simply don't prune (correctness never depends on them).
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 from typing import Any, Iterable
 
@@ -28,11 +29,25 @@ M_BITS = 8192  # 1 KiB per (file, column)
 K_HASHES = 6
 
 
+def _canon(value: Any) -> Any:
+    """One canonical form per logical value, whatever producer it came
+    from: Arrow ``to_pylist`` yields datetime/bytes, a Spark ``collect``
+    yields datetime/bytearray — their ``repr``s differ, which would make
+    a bloom built from one side false-NEGATIVE against a probe from the
+    other. Timestamps/dates canonicalize to ISO strings (same as stored
+    stats), binary to hex."""
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return value.isoformat()
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return bytes(value).hex()
+    return value
+
+
 def _hashes(value: Any) -> list[int]:
     """k deterministic bit positions for a value (type-canonical)."""
     # canonical bytes: ints/floats/strings hash by text form — the
     # same canonicalization the pruning probe uses
-    data = repr(value).encode("utf-8")
+    data = repr(_canon(value)).encode("utf-8")
     digest = hashlib.blake2b(data, digest_size=16).digest()
     out = []
     for i in range(K_HASHES):

@@ -21,11 +21,17 @@ conditional-put object store — the commit protocol is the same.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
 import uuid
 from typing import Any, Callable
+
+try:  # POSIX file locking; on other platforms fall back to best-effort
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -70,6 +76,25 @@ class Catalog:
     # ------------------------------------------------------------------
     # refs & commits (the Nessie-equivalent surface, SURVEY §2.9 C1-C8)
     # ------------------------------------------------------------------
+    @contextlib.contextmanager
+    def _ref_lock(self):
+        """Exclusive lock making every ref read-validate-write sequence an
+        actual compare-and-swap across processes. The commit protocol is
+        written against a CAS primitive (object-store conditional put /
+        REST catalog commit); on a local filesystem ``os.replace`` alone
+        only gives atomic *replace*, so two writers on different branches
+        could interleave read→write and clobber each other's ref advance.
+        ``flock`` provides the missing compare half locally."""
+        if fcntl is None:  # pragma: no cover - non-POSIX
+            yield
+            return
+        with open(os.path.join(self.warehouse, "refs.lock"), "a") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
     def _read_refs(self) -> dict[str, str]:
         with open(self._refs_path) as fh:
             return json.load(fh)["refs"]
@@ -95,22 +120,24 @@ class Catalog:
 
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:
         """Zero-copy: the new ref points at the source branch's commit."""
-        refs = self._read_refs()
-        if name in refs:
-            raise ValueError(f"branch {name!r} already exists")
-        if from_branch not in refs:
-            raise KeyError(f"source branch {from_branch!r} not found")
-        refs[name] = refs[from_branch]
-        self._write_refs(refs)
+        with self._ref_lock():
+            refs = self._read_refs()
+            if name in refs:
+                raise ValueError(f"branch {name!r} already exists")
+            if from_branch not in refs:
+                raise KeyError(f"source branch {from_branch!r} not found")
+            refs[name] = refs[from_branch]
+            self._write_refs(refs)
 
     def drop_branch(self, name: str) -> None:
         if name == MAIN:
             raise ValueError("refusing to drop 'main'")
-        refs = self._read_refs()
-        if name not in refs:
-            raise KeyError(f"branch {name!r} not found")
-        del refs[name]
-        self._write_refs(refs)
+        with self._ref_lock():
+            refs = self._read_refs()
+            if name not in refs:
+                raise KeyError(f"branch {name!r} not found")
+            del refs[name]
+            self._write_refs(refs)
 
     def _is_ancestor(self, maybe_ancestor: str, commit_id: str) -> bool:
         cur: str | None = commit_id
@@ -129,19 +156,20 @@ class Catalog:
         and the caller re-runs WAP on a fresh branch (same behavior an
         Iceberg ``fast_forward`` procedure gives).
         """
-        refs = self._read_refs()
-        if to_branch in self._read_tags():
-            raise ValueError(f"ref {to_branch!r} is an immutable tag")
-        head_from, head_to = refs[from_branch], refs[to_branch]
-        if head_from == head_to:
-            return  # nothing to publish
-        if not self._is_ancestor(head_to, head_from):
-            raise CommitConflict(
-                f"cannot fast-forward {to_branch!r}: it advanced since "
-                f"{from_branch!r} was created"
-            )
-        refs[to_branch] = head_from
-        self._write_refs(refs)
+        with self._ref_lock():
+            refs = self._read_refs()
+            if to_branch in self._read_tags():
+                raise ValueError(f"ref {to_branch!r} is an immutable tag")
+            head_from, head_to = refs[from_branch], refs[to_branch]
+            if head_from == head_to:
+                return  # nothing to publish
+            if not self._is_ancestor(head_to, head_from):
+                raise CommitConflict(
+                    f"cannot fast-forward {to_branch!r}: it advanced since "
+                    f"{from_branch!r} was created"
+                )
+            refs[to_branch] = head_from
+            self._write_refs(refs)
 
     def log(self, branch: str = MAIN) -> list[dict[str, Any]]:
         """Commit log (newest first) for a branch."""
@@ -169,8 +197,17 @@ class Catalog:
         Reference: ``NessieCatalog.load_table``
         (``pyiceberg_patch_nessie.py:207-228``).
         """
-        head = self._read_refs()[branch]
-        tables = self._read_commit(head)["tables"]
+        return self._load_table_at(table, self._read_refs()[branch], branch)
+
+    def _load_table_at(
+        self, table: str, commit_id: str, branch: str = "?"
+    ) -> TableMetadata:
+        """Metadata exactly as of ``commit_id`` — mutators use this with
+        a head captured FIRST, so the metadata they build on can never
+        be newer than the head their commit CAS will validate against
+        (reading refs after a long Spark write would pass the conflict
+        check while silently dropping a concurrent snapshot)."""
+        tables = self._read_commit(commit_id)["tables"]
         if table not in tables:
             raise KeyError(f"table {table!r} not found on branch {branch!r}")
         with open(os.path.join(self.warehouse, tables[table])) as fh:
@@ -201,27 +238,57 @@ class Catalog:
         )
         _atomic_write_json(os.path.join(self.warehouse, rel), meta.to_json())
 
-        refs = self._read_refs()
-        if branch in self._read_tags():
-            raise ValueError(f"ref {branch!r} is an immutable tag")
-        if refs[branch] != expected_head:
-            raise CommitConflict(
-                f"branch {branch!r} moved from {expected_head} to {refs[branch]}"
+        with self._ref_lock():
+            refs = self._read_refs()
+            if branch in self._read_tags():
+                raise ValueError(f"ref {branch!r} is an immutable tag")
+            if refs[branch] != expected_head:
+                raise CommitConflict(
+                    f"branch {branch!r} moved from {expected_head} to {refs[branch]}"
+                )
+            parent = self._read_commit(expected_head)
+            new_tables = dict(parent["tables"])
+            new_tables[table] = rel
+            new_id = uuid.uuid4().hex[:16]
+            self._write_commit(
+                {
+                    "id": new_id,
+                    "parent": expected_head,
+                    "tables": new_tables,
+                    "message": message,
+                }
             )
-        parent = self._read_commit(expected_head)
-        new_tables = dict(parent["tables"])
-        new_tables[table] = rel
-        new_id = uuid.uuid4().hex[:16]
-        self._write_commit(
-            {
-                "id": new_id,
-                "parent": expected_head,
-                "tables": new_tables,
-                "message": message,
-            }
-        )
-        refs[branch] = new_id
-        self._write_refs(refs)
+            refs[branch] = new_id
+            self._write_refs(refs)
+
+    def _optimistic_commit(
+        self,
+        table: str,
+        branch: str,
+        build: Callable[[TableMetadata], tuple[TableMetadata | None, str]],
+        max_retries: int = 3,
+    ) -> TableMetadata:
+        """Shared optimistic loop for every table mutator: capture the
+        head FIRST, derive metadata from that exact commit, let ``build``
+        produce the new metadata (it may run Spark writes), then CAS the
+        ref. On conflict the whole build re-runs on the fresh head, so a
+        concurrent commit can never be silently dropped; files written by
+        a losing attempt are unreferenced and reclaimed by
+        ``remove_orphan_files``. ``build`` returning ``(None, _)`` means
+        no-op (commit elision)."""
+        for attempt in range(max_retries + 1):
+            head = self._read_refs()[branch]
+            meta = self._load_table_at(table, head, branch)
+            new_meta, message = build(meta)
+            if new_meta is None:
+                return meta
+            try:
+                self._commit_table(table, branch, new_meta, head, message)
+                return new_meta
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     # ------------------------------------------------------------------
     # DDL
@@ -243,7 +310,7 @@ class Catalog:
         Returns True if created, False if it already existed.
         """
         head = self._read_refs()[branch]
-        if self.table_exists(table, branch):
+        if table in self._read_commit(head)["tables"]:
             if if_not_exists:
                 return False
             raise ValueError(f"table {table!r} already exists on {branch!r}")
@@ -265,25 +332,24 @@ class Catalog:
         The reference leaves this ``NotImplementedError``
         (``pyiceberg_patch_nessie.py:230-264``); we support it.
         """
-        head = self._read_refs()[branch]
-        parent = self._read_commit(head)
-        if table not in parent["tables"]:
-            raise KeyError(f"table {table!r} not found on branch {branch!r}")
-        new_tables = {k: v for k, v in parent["tables"].items() if k != table}
-        new_id = uuid.uuid4().hex[:16]
-        self._write_commit(
-            {
-                "id": new_id,
-                "parent": head,
-                "tables": new_tables,
-                "message": f"DROP TABLE {table}",
-            }
-        )
-        refs = self._read_refs()
-        if refs[branch] != head:
-            raise CommitConflict(f"branch {branch!r} moved during drop")
-        refs[branch] = new_id
-        self._write_refs(refs)
+        with self._ref_lock():
+            refs = self._read_refs()
+            head = refs[branch]
+            parent = self._read_commit(head)
+            if table not in parent["tables"]:
+                raise KeyError(f"table {table!r} not found on branch {branch!r}")
+            new_tables = {k: v for k, v in parent["tables"].items() if k != table}
+            new_id = uuid.uuid4().hex[:16]
+            self._write_commit(
+                {
+                    "id": new_id,
+                    "parent": head,
+                    "tables": new_tables,
+                    "message": f"DROP TABLE {table}",
+                }
+            )
+            refs[branch] = new_id
+            self._write_refs(refs)
 
     # ------------------------------------------------------------------
     # write path (Spark-distributed)
@@ -343,28 +409,26 @@ class Catalog:
             # no-op commit elision (reference: _commit_table early return,
             # pyiceberg_patch_nessie.py:172-176)
             return meta
-        for attempt in range(max_retries + 1):
-            head = self._read_refs()[branch]
-            meta = self.load_table(table, branch)
-            new_meta = meta.with_new_snapshot(files, "append")
-            try:
-                self._commit_table(
-                    table, branch, new_meta, head, f"APPEND {table} ({len(files)} files)"
-                )
-                return new_meta
-            except CommitConflict:
-                if attempt == max_retries:
-                    raise
-        raise AssertionError("unreachable")
+        # data files are written ONCE; only the metadata commit retries
+        return self._optimistic_commit(
+            table,
+            branch,
+            lambda m: (
+                m.with_new_snapshot(files, "append"),
+                f"APPEND {table} ({len(files)} files)",
+            ),
+            max_retries=max_retries,
+        )
 
     def overwrite(self, df: DataFrame, table: str, branch: str = MAIN) -> TableMetadata:
         """Replace table contents (snapshot with operation='overwrite')."""
         meta = self.load_table(table, branch)
         files = self._write_files(self._align_schema(df, meta), meta, table)
-        head = self._read_refs()[branch]
-        new_meta = meta.with_new_snapshot(files, "overwrite")
-        self._commit_table(table, branch, new_meta, head, f"OVERWRITE {table}")
-        return new_meta
+        return self._optimistic_commit(
+            table,
+            branch,
+            lambda m: (m.with_new_snapshot(files, "overwrite"), f"OVERWRITE {table}"),
+        )
 
     def upsert(
         self,
@@ -386,50 +450,63 @@ class Catalog:
         """
         from pyspark.sql import functions as F
 
-        meta = self.load_table(table, branch)
-        df = self._align_schema(df, meta)
-        # bound the incoming key range driver-side (two scalars) to
-        # prune which files need rewriting; when the key column carries
-        # bloom filters, probe them with the exact key set (collected
-        # only when small) so point updates on scattered keys rewrite
-        # just the files that truly hold those keys
-        lo, hi = df.agg(F.min(key), F.max(key)).first()
-        keys = None
-        if any(key in f.blooms for f in meta.files()):
-            sample = df.select(key).distinct().limit(10_001).collect()
-            if len(sample) <= 10_000:
-                keys = [r[0] for r in sample]
-        affected, untouched = [], []
-        for f in meta.files():
-            st = f.columns.get(key, {})
-            mn, mx = st.get("min"), st.get("max")
-            overlaps = not (
-                mn is not None and mx is not None and (mx < lo or mn > hi)
-            )
-            if overlaps and keys is not None and key in f.blooms:
-                from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
-                    bloom_may_contain,
-                )
+        from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
+        from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
 
-                overlaps = any(bloom_may_contain(f.blooms[key], k) for k in keys)
-            (affected if overlaps else untouched).append(f)
-        keep_old = (
-            self._df_for_files(df.sparkSession, meta, affected)
-            .join(df.select(key).distinct(), key, "left_anti")
-            if affected
-            else None
-        )
-        rewritten = keep_old.unionByName(df) if keep_old is not None else df
-        head = self._read_refs()[branch]
-        new_files = self._write_files(rewritten, meta, table)
-        new_meta = meta.with_new_snapshot(
-            new_files, "rewrite", removed_paths=[f.path for f in affected]
-        )
-        self._commit_table(
-            table, branch, new_meta, head,
-            f"UPSERT {table} ({len(affected)} files rewritten)",
-        )
-        return new_meta
+        batch = df
+
+        def build(meta: TableMetadata):
+            d = self._align_schema(batch, meta)
+            # bound the incoming key range driver-side (two scalars) to
+            # prune which files need rewriting — normalized with the same
+            # _norm the stored stats use, so a timestamp/date key compares
+            # as ISO strings instead of raising on datetime-vs-str
+            lo, hi = (_norm(v) for v in d.agg(F.min(key), F.max(key)).first())
+            files = meta.files()
+            affected: list[FileEntry] = []
+            if lo is not None:
+                # when the key column carries bloom filters, probe them
+                # with the exact key set (collected only when small) so
+                # point updates on scattered keys rewrite just the files
+                # that truly hold those keys
+                keys = None
+                if any(key in f.blooms for f in files):
+                    sample = d.select(key).distinct().limit(10_001).collect()
+                    if len(sample) <= 10_000:
+                        keys = [r[0] for r in sample]
+                for f in files:
+                    st = f.columns.get(key, {})
+                    mn, mx = st.get("min"), st.get("max")
+                    try:
+                        overlaps = not (
+                            mn is not None and mx is not None and (mx < lo or mn > hi)
+                        )
+                    except TypeError:
+                        overlaps = True  # incomparable stats -> conservative
+                    if overlaps and keys is not None and key in f.blooms:
+                        overlaps = any(
+                            bloom_may_contain(f.blooms[key], k) for k in keys
+                        )
+                    if overlaps:
+                        affected.append(f)
+            keep_old = (
+                self._df_for_files(d.sparkSession, meta, affected)
+                .join(d.select(key).distinct(), key, "left_anti")
+                if affected
+                else None
+            )
+            rewritten = keep_old.unionByName(d) if keep_old is not None else d
+            new_files = self._write_files(rewritten, meta, table)
+            if not affected and sum(f.rows for f in new_files) == 0:
+                return None, ""  # empty batch: no-op commit elision
+            return (
+                meta.with_new_snapshot(
+                    new_files, "rewrite", removed_paths=[f.path for f in affected]
+                ),
+                f"UPSERT {table} ({len(affected)} files rewritten)",
+            )
+
+        return self._optimistic_commit(table, branch, build)
 
     def delete_where(
         self,
@@ -447,24 +524,22 @@ class Catalog:
         """
         from pyspark.sql import functions as F
 
-        meta = self.load_table(table, branch)
-        all_files = meta.files()
-        affected = prune_files(all_files, predicates)
-        if not affected:
-            return meta
-        keep = self._df_for_files(spark, meta, affected).filter(
-            ~F.expr(sql_condition)
-        )
-        head = self._read_refs()[branch]
-        new_files = self._write_files(keep, meta, table)
-        new_meta = meta.with_new_snapshot(
-            new_files, "rewrite", removed_paths=[f.path for f in affected]
-        )
-        self._commit_table(
-            table, branch, new_meta, head,
-            f"DELETE FROM {table} WHERE {sql_condition}",
-        )
-        return new_meta
+        def build(meta: TableMetadata):
+            affected = prune_files(meta.files(), predicates)
+            if not affected:
+                return None, ""
+            keep = self._df_for_files(spark, meta, affected).filter(
+                ~F.expr(sql_condition)
+            )
+            new_files = self._write_files(keep, meta, table)
+            return (
+                meta.with_new_snapshot(
+                    new_files, "rewrite", removed_paths=[f.path for f in affected]
+                ),
+                f"DELETE FROM {table} WHERE {sql_condition}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
 
     def create_table_from_df(
         self,
@@ -562,28 +637,29 @@ class Catalog:
         """
         from pyspark.sql import types as T
 
-        meta = self.load_table(table, branch)
-        schema = meta.spark_schema
-        if name in schema.fieldNames():
-            raise ValueError(f"column {name!r} already exists on {table!r}")
-        new_schema = T.StructType(
-            schema.fields + [T.StructField(name, T._parse_datatype_string(data_type), True)]
-        )
-        head = self._read_refs()[branch]
-        new_meta = TableMetadata(
-            table=meta.table,
-            schema_json=new_schema.jsonValue(),
-            snapshots=meta.snapshots,
-            current_snapshot_id=meta.current_snapshot_id,
-            version=meta.version + 1,
-            partition_by=meta.partition_by,
-            sort_by=meta.sort_by,
-            properties=meta.properties,
-        )
-        self._commit_table(
-            table, branch, new_meta, head, f"ADD COLUMN {table}.{name}"
-        )
-        return new_meta
+        def build(meta: TableMetadata):
+            schema = meta.spark_schema
+            if name in schema.fieldNames():
+                raise ValueError(f"column {name!r} already exists on {table!r}")
+            new_schema = T.StructType(
+                schema.fields
+                + [T.StructField(name, T._parse_datatype_string(data_type), True)]
+            )
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=new_schema.jsonValue(),
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=meta.sort_by,
+                    properties=meta.properties,
+                ),
+                f"ADD COLUMN {table}.{name}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
 
     # ------------------------------------------------------------------
     # tags: immutable named refs (Nessie has them; useful for pinning
@@ -591,14 +667,15 @@ class Catalog:
     # ------------------------------------------------------------------
     def create_tag(self, name: str, from_branch: str = MAIN) -> None:
         """A tag is a ref that commits refuse to advance."""
-        refs = self._read_refs()
-        if name in refs:
-            raise ValueError(f"ref {name!r} already exists")
-        refs[name] = refs[from_branch]
-        self._write_refs(refs)
-        tags = self._read_tags()
-        tags.add(name)
-        self._write_tags(tags)
+        with self._ref_lock():
+            refs = self._read_refs()
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            refs[name] = refs[from_branch]
+            self._write_refs(refs)
+            tags = self._read_tags()
+            tags.add(name)
+            self._write_tags(tags)
 
     def _tags_path(self) -> str:
         return os.path.join(self.warehouse, "tags.json")
@@ -611,6 +688,30 @@ class Catalog:
 
     def _write_tags(self, tags: set[str]) -> None:
         _atomic_write_json(self._tags_path(), {"tags": sorted(tags)})
+
+    # ------------------------------------------------------------------
+    # ingest-key index: O(1) idempotence for WAP batch redelivery.
+    # A sidecar map (key -> stamp time) replaces scanning the commit log
+    # per batch (which is O(history) and collapses under long-running
+    # streaming ingest). Updated under the ref lock, read lock-free.
+    # ------------------------------------------------------------------
+    def _ingest_index_path(self) -> str:
+        return os.path.join(self.warehouse, "ingest_keys.json")
+
+    def _read_ingest_index(self) -> dict[str, int]:
+        if not os.path.exists(self._ingest_index_path()):
+            return {}
+        with open(self._ingest_index_path()) as fh:
+            return json.load(fh)["keys"]
+
+    def has_ingest_key(self, key: str) -> bool:
+        return key in self._read_ingest_index()
+
+    def stamp_ingest_key(self, key: str) -> None:
+        with self._ref_lock():
+            idx = self._read_ingest_index()
+            idx[key] = int(time.time() * 1000)
+            _atomic_write_json(self._ingest_index_path(), {"keys": idx})
 
     # ------------------------------------------------------------------
     # table maintenance (the at-scale housekeeping Iceberg ships as
@@ -633,23 +734,22 @@ class Catalog:
         file-open costs. Run this off the write path (it's a normal
         optimistic commit — concurrent appends win or retry).
         """
-        meta = self.load_table(table, branch)
-        files = meta.files()
-        total_bytes = sum(f.bytes for f in files)
-        n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-        df = self._df_for_files(spark, meta, files)
-        if meta.sort_by:
-            df = df.repartition(n_out).sortWithinPartitions(*meta.sort_by)
-        else:
-            df = df.repartition(n_out)
-        head = self._read_refs()[branch]
-        new_files = self._write_files(df, meta, table)
-        new_meta = meta.with_new_snapshot(new_files, "overwrite")
-        self._commit_table(
-            table, branch, new_meta, head,
-            f"COMPACT {table} ({len(files)} -> {len(new_files)} files)",
-        )
-        return new_meta
+        def build(meta: TableMetadata):
+            files = meta.files()
+            total_bytes = sum(f.bytes for f in files)
+            n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+            df = self._df_for_files(spark, meta, files)
+            if meta.sort_by:
+                df = df.repartition(n_out).sortWithinPartitions(*meta.sort_by)
+            else:
+                df = df.repartition(n_out)
+            new_files = self._write_files(df, meta, table)
+            return (
+                meta.with_new_snapshot(new_files, "overwrite"),
+                f"COMPACT {table} ({len(files)} -> {len(new_files)} files)",
+            )
+
+        return self._optimistic_commit(table, branch, build)
 
     def expire_snapshots(
         self, table: str, branch: str = MAIN, keep_last: int = 1
@@ -661,44 +761,44 @@ class Catalog:
         Keeps snapshot ids stable for the retained tail so incremental
         readers holding a recent snapshot id keep working.
         """
-        meta = self.load_table(table, branch)
-        snaps = sorted(meta.snapshots, key=lambda s: s.snapshot_id)
-        if len(snaps) <= keep_last:
-            return meta
-        kept = snaps[-keep_last:]
-        cutoff = kept[0]
-        new_snaps = []
-        # An 'overwrite' cutoff already carries the full live file set —
-        # everything beneath it is pure history and vanishes. A plain
-        # 'append' cutoff still depends on its ancestry, so the expired
-        # prefix is squashed into a synthetic base overwrite snapshot.
-        if cutoff.operation != "overwrite" and cutoff.parent_snapshot_id:
-            new_snaps.append(
-                TableSnapshot(
-                    snapshot_id=cutoff.parent_snapshot_id,
-                    parent_snapshot_id=None,
-                    timestamp_ms=cutoff.timestamp_ms,
-                    operation="overwrite",
-                    added_files=meta.files(cutoff.parent_snapshot_id),
-                    summary={"expired-history": len(snaps) - keep_last},
+        def build(meta: TableMetadata):
+            snaps = sorted(meta.snapshots, key=lambda s: s.snapshot_id)
+            if len(snaps) <= keep_last:
+                return None, ""
+            kept = snaps[-keep_last:]
+            cutoff = kept[0]
+            new_snaps = []
+            # An 'overwrite' cutoff already carries the full live file set —
+            # everything beneath it is pure history and vanishes. A plain
+            # 'append' cutoff still depends on its ancestry, so the expired
+            # prefix is squashed into a synthetic base overwrite snapshot.
+            if cutoff.operation != "overwrite" and cutoff.parent_snapshot_id:
+                new_snaps.append(
+                    TableSnapshot(
+                        snapshot_id=cutoff.parent_snapshot_id,
+                        parent_snapshot_id=None,
+                        timestamp_ms=cutoff.timestamp_ms,
+                        operation="overwrite",
+                        added_files=meta.files(cutoff.parent_snapshot_id),
+                        summary={"expired-history": len(snaps) - keep_last},
+                    )
                 )
+            new_snaps.extend(kept)
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=meta.schema_json,
+                    snapshots=new_snaps,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=meta.sort_by,
+                    properties=meta.properties,
+                ),
+                f"EXPIRE SNAPSHOTS {table}",
             )
-        new_snaps.extend(kept)
-        head = self._read_refs()[branch]
-        new_meta = TableMetadata(
-            table=meta.table,
-            schema_json=meta.schema_json,
-            snapshots=new_snaps,
-            current_snapshot_id=meta.current_snapshot_id,
-            version=meta.version + 1,
-            partition_by=meta.partition_by,
-            sort_by=meta.sort_by,
-            properties=meta.properties,
-        )
-        self._commit_table(
-            table, branch, new_meta, head, f"EXPIRE SNAPSHOTS {table}"
-        )
-        return new_meta
+
+        return self._optimistic_commit(table, branch, build)
 
     def remove_orphan_files(self, table: str, dry_run: bool = True) -> list[str]:
         """Data files on disk that no branch's current metadata

@@ -35,13 +35,39 @@ import pyarrow.parquet as pq
 from pyspark.sql import types as T
 
 _STATS_TRUNCATE = 64  # cap stored string min/max length (Iceberg truncates too)
+_SURROGATE_LO, _SURROGATE_HI = 0xD800, 0xDFFF
 
 
-def _json_safe(value: Any) -> Any:
+def _truncate_string_max(s: str) -> str | None:
+    """Truncate an UPPER bound so it stays an upper bound.
+
+    A plain prefix UNDERSTATES the max ("zz...z"[:64] < the real value),
+    which would let pruning drop files that do contain matching rows.
+    Iceberg's ``UnicodeUtil.truncateStringMax`` fixes this by
+    incrementing the last incrementable code point of the prefix; if
+    every code point is U+10FFFF the bound is dropped (None = unknown).
+    """
+    if len(s) <= _STATS_TRUNCATE:
+        return s
+    chars = list(s[:_STATS_TRUNCATE])
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i]) + 1
+        if _SURROGATE_LO <= cp <= _SURROGATE_HI:
+            cp = _SURROGATE_HI + 1  # skip the unencodable surrogate block
+        if cp <= 0x10FFFF:
+            chars[i] = chr(cp)
+            return "".join(chars[: i + 1])
+    return None
+
+
+def _json_safe(value: Any, bound: str | None = None) -> Any:
     """Convert a Parquet-footer stat value to a JSON- and order-safe form.
 
     Timestamps become ISO-8601 strings (lexicographic order == time
-    order); bytes decode best-effort; everything else passes through.
+    order); bytes decode best-effort; long strings truncate — prefix for
+    a min (a prefix only understates a lower bound, which is sound) and
+    truncate-and-increment for a max (see ``_truncate_string_max``).
+    ``None`` means "bound unknown" and the caller must not prune on it.
     """
     if isinstance(value, (_dt.datetime, _dt.date)):
         return value.isoformat()
@@ -51,6 +77,8 @@ def _json_safe(value: Any) -> Any:
         except UnicodeDecodeError:
             return None
     if isinstance(value, str):
+        if bound == "max":
+            return _truncate_string_max(value)
         return value[:_STATS_TRUNCATE]
     return value
 
@@ -93,23 +121,42 @@ class FileEntry:
         """
         meta = pq.ParquetFile(abs_path).metadata
         cols: dict[str, dict[str, Any]] = {}
+        # a bound is stored only if EVERY row group contributes a known
+        # value — one unknown row-group bound poisons the file bound
+        # (keeping the other groups' min/max would under/overstate it
+        # and make pruning unsound)
+        ok: dict[str, dict[str, bool]] = {}
         for rg_i in range(meta.num_row_groups):
             rg = meta.row_group(rg_i)
             for c_i in range(rg.num_columns):
                 col = rg.column(c_i)
                 name = col.path_in_schema
                 entry = cols.setdefault(name, {"nulls": 0, "min": None, "max": None})
+                flags = ok.setdefault(name, {"min": True, "max": True})
                 st = col.statistics
                 if st is None or not st.has_null_count:
                     entry["nulls"] = None  # unknown
                 elif entry["nulls"] is not None:
                     entry["nulls"] += st.null_count
-                if st is not None and st.has_min_max:
-                    mn, mx = _json_safe(st.min), _json_safe(st.max)
-                    if entry["min"] is None or (mn is not None and mn < entry["min"]):
+                if st is None or not st.has_min_max:
+                    flags["min"] = flags["max"] = False
+                    continue
+                mn, mx = _json_safe(st.min, "min"), _json_safe(st.max, "max")
+                if mn is None:
+                    flags["min"] = False
+                elif flags["min"]:
+                    if entry["min"] is None or mn < entry["min"]:
                         entry["min"] = mn
-                    if entry["max"] is None or (mx is not None and mx > entry["max"]):
+                if mx is None:
+                    flags["max"] = False
+                elif flags["max"]:
+                    if entry["max"] is None or mx > entry["max"]:
                         entry["max"] = mx
+        for name, flags in ok.items():
+            if not flags["min"]:
+                cols[name]["min"] = None
+            if not flags["max"]:
+                cols[name]["max"] = None
         partition = _partition_from_path(abs_path, warehouse)
         return cls(
             path=os.path.relpath(abs_path, warehouse),
@@ -318,6 +365,11 @@ def collect_written_files(
     out = []
     for p in paths:
         entry = FileEntry.from_parquet(p, warehouse)
+        if entry.rows == 0:
+            # Spark can emit a 0-row part file for an empty partition;
+            # registering it would only add a stat-less entry that
+            # poisons metadata-only null counts and pruning
+            continue
         if bloom_cols:
             tbl = pq.read_table(p, columns=[c for c in bloom_cols if c in entry.columns])
             for c in tbl.column_names:

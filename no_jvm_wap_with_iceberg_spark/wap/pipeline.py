@@ -29,7 +29,11 @@ from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from no_jvm_wap_with_iceberg_spark.catalog.catalog import MAIN, Catalog
+from no_jvm_wap_with_iceberg_spark.catalog.catalog import (
+    MAIN,
+    Catalog,
+    CommitConflict,
+)
 from no_jvm_wap_with_iceberg_spark.wap.checks import AuditContext, Check, CheckResult
 
 AlertFn = Callable[[str, list[CheckResult]], None]
@@ -104,10 +108,9 @@ class WapPipeline:
             )
 
     def _already_ingested(self, ingest_key: str) -> bool:
-        for commit in self.catalog.log(MAIN):
-            if commit.get("message", "").endswith(f"ingest_key={ingest_key}"):
-                return True
-        return False
+        # O(1) sidecar index lookup (was: linear scan of the commit log,
+        # O(history) per batch — fatal for long-running streaming ingest)
+        return self.catalog.has_ingest_key(ingest_key)
 
     # ------------------------------------------------------------------
     def run_batch(
@@ -115,6 +118,7 @@ class WapPipeline:
         spark: SparkSession,
         batch: DataFrame,
         ingest_key: str | None = None,
+        _publish_retries: int = 3,
     ) -> WapResult:
         """Execute one full WAP cycle for a batch DataFrame."""
         timings: dict[str, float] = {}
@@ -182,11 +186,38 @@ class WapPipeline:
         t3 = time.time()
         published = all(r.passed for r in results)
         if published:
-            self.catalog.merge(branch, MAIN)
+            try:
+                self.catalog.merge(branch, MAIN)
+            except CommitConflict:
+                # main advanced since our branch point (non-fast-forward):
+                # the audited state no longer matches what publishing
+                # would produce. Re-run the whole WAP cycle on a fresh
+                # branch from the new main (the merge docstring's
+                # contract); give up loudly after a few rounds.
+                self.catalog.drop_branch(branch)
+                if _publish_retries <= 0:
+                    conflict = CheckResult(
+                        "publish", False, {"error": "merge conflict retries exhausted"}
+                    )
+                    self.alert(branch, results + [conflict])
+                    return WapResult(
+                        published=False,
+                        branch=branch,
+                        table=self.table,
+                        snapshot_id=meta.current_snapshot_id,
+                        results=results + [conflict],
+                        timings=timings,
+                    )
+                return self.run_batch(
+                    spark,
+                    batch,
+                    ingest_key=ingest_key,
+                    _publish_retries=_publish_retries - 1,
+                )
             self.catalog.drop_branch(branch)
             if ingest_key is not None:
-                # stamp idempotence marker as an empty commit message on main
-                self._stamp_ingest(ingest_key)
+                # stamp the idempotence marker (O(1) sidecar index)
+                self.catalog.stamp_ingest_key(ingest_key)
             self._maybe_compact(spark)
         else:
             self.alert(branch, results)  # branch left open for forensics
@@ -214,30 +245,6 @@ class WapPipeline:
                 )
             except Exception:
                 pass  # best-effort maintenance; never fail the ingest
-
-    def _stamp_ingest(self, ingest_key: str, max_retries: int = 3) -> None:
-        # same optimistic narrow-window pattern as Catalog._commit_table:
-        # re-read the head right before advancing the ref so a concurrent
-        # writer's commit is not clobbered; retry on a lost race
-        for _ in range(max_retries + 1):
-            refs = self.catalog._read_refs()
-            head = refs[MAIN]
-            parent = self.catalog._read_commit(head)
-            new_id = uuid.uuid4().hex[:16]
-            self.catalog._write_commit(
-                {
-                    "id": new_id,
-                    "parent": head,
-                    "tables": dict(parent["tables"]),
-                    "message": f"ingest_key={ingest_key}",
-                }
-            )
-            current = self.catalog._read_refs()
-            if current[MAIN] != head:
-                continue  # head moved: orphan the stamp commit, retry
-            current[MAIN] = new_id
-            self.catalog._write_refs(current)
-            return
 
     # ------------------------------------------------------------------
     def run_file(self, spark: SparkSession, path: str) -> WapResult:

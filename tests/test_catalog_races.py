@@ -1,0 +1,241 @@
+"""Regression tests for the round-2 catalog correctness fixes:
+
+- stale-metadata lost updates (upsert/compact built on metadata read
+  AFTER a long Spark write could drop a concurrent append's snapshot)
+- unsound string max-stat truncation (a truncated upper bound
+  understates the real max -> pruning could drop matching files)
+- cross-branch ref clobbering without a CAS lock
+- type canonicalization in upsert bounds and bloom probes
+  (timestamp keys; empty batches)
+- publish conflict handling in the WAP pipeline
+"""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate, prune_files
+from no_jvm_wap_with_iceberg_spark.catalog.bloom import build_bloom, bloom_may_contain
+from no_jvm_wap_with_iceberg_spark.catalog.table import (
+    _json_safe,
+    _truncate_string_max,
+)
+from no_jvm_wap_with_iceberg_spark.wap.pipeline import WapPipeline
+from no_jvm_wap_with_iceberg_spark.wap.checks import NotNullCheck
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _df(spark, lo, hi, name="x"):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(name).alias("name")
+    )
+
+
+# ----------------------------------------------------------------------
+# string stat truncation soundness
+# ----------------------------------------------------------------------
+def test_truncate_string_max_is_upper_bound():
+    long = "z" * 100 + "tail"
+    t = _truncate_string_max(long)
+    assert t is not None and len(t) <= 64 and t > long
+    # prefix unchanged when short
+    assert _truncate_string_max("short") == "short"
+    # un-incrementable prefix (all U+10FFFF) drops the bound
+    assert _truncate_string_max(chr(0x10FFFF) * 70) is None
+    # surrogate block is skipped, result still an upper bound
+    s = chr(0xD7FF) * 70
+    t = _truncate_string_max(s)
+    assert t is not None and t > s
+
+
+def test_long_string_stats_do_not_misprune(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    needle = "m" * 80  # longer than the 64-char stat cap
+    df = spark.createDataFrame([(1, "a" * 80), (2, needle)], SCHEMA).coalesce(1)
+    cat.append(df, "t")
+    meta = cat.load_table("t")
+    (f,) = meta.files()
+    st = f.columns["name"]
+    # stored max must bound the real value
+    assert st["max"] is None or st["max"] >= needle
+    # eq/ge pruning must keep the file that holds the needle
+    for pred in (Predicate.eq("name", needle), Predicate("ge", "name", needle)):
+        assert prune_files([f], [pred]), f"pruned away file containing {pred}"
+    # and the min side stays a lower bound
+    assert st["min"] is None or st["min"] <= "a" * 80
+    assert _json_safe("q" * 80, "min") == "q" * 64
+
+
+# ----------------------------------------------------------------------
+# concurrency: stale metadata + cross-branch refs
+# ----------------------------------------------------------------------
+def test_upsert_does_not_drop_concurrent_append(spark, warehouse):
+    """ADVICE high #1: upsert's rewrite must retry on a head moved by a
+    concurrent append, not silently commit metadata built before it."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 100), "t")
+
+    real_write = cat._write_files
+    raced = {"done": False}
+
+    def racing_write(df, meta, table):
+        files = real_write(df, meta, table)
+        if not raced["done"]:
+            raced["done"] = True
+            # another writer lands an append while our upsert is mid-write
+            cat.append(_df(spark, 1000, 1010, name="concurrent"), "t")
+        return files
+
+    cat._write_files = racing_write
+    try:
+        upd = spark.createDataFrame([(5, "updated")], SCHEMA)
+        cat.upsert(upd, "t", key="id")
+    finally:
+        cat._write_files = real_write
+
+    out = cat.read(spark, "t")
+    assert out.count() == 110  # 100 original + 10 concurrent (5 replaced in place)
+    assert out.filter("name = 'concurrent'").count() == 10, "concurrent append lost"
+    assert out.filter("id = 5").collect()[0]["name"] == "updated"
+
+
+def test_compact_does_not_drop_concurrent_append(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 50), "t")
+    real_write = cat._write_files
+    raced = {"done": False}
+
+    def racing_write(df, meta, table):
+        files = real_write(df, meta, table)
+        if not raced["done"]:
+            raced["done"] = True
+            cat.append(_df(spark, 500, 510, name="concurrent"), "t")
+        return files
+
+    cat._write_files = racing_write
+    try:
+        cat.compact(spark, "t")
+    finally:
+        cat._write_files = real_write
+    out = cat.read(spark, "t")
+    assert out.count() == 60
+    assert out.filter("name = 'concurrent'").count() == 10
+
+
+def test_parallel_branch_creates_do_not_clobber(warehouse):
+    """ADVICE medium: ref updates on DIFFERENT branches must not lose
+    one another (read-check-write on the shared refs.json needs a CAS)."""
+    cat = Catalog(warehouse)
+    n = 24
+    errs = []
+
+    def make(i):
+        try:
+            cat.create_branch(f"b{i}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=make, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert set(cat.list_branches()) == {"main", *{f"b{i}" for i in range(n)}}
+
+
+# ----------------------------------------------------------------------
+# upsert bounds / bloom canonicalization
+# ----------------------------------------------------------------------
+def test_upsert_timestamp_key_and_empty_batch(spark, warehouse):
+    ts_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("t", ts_schema)
+    base = spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,"
+        " 'old' AS v FROM range(10)"
+    )
+    cat.append(base, "t")
+    # timestamp-typed key: bounds compare against ISO-string stats
+    upd = spark.sql("SELECT timestamp'2024-01-01 00:00:05' AS ts, 'new' AS v")
+    cat.upsert(upd, "t", key="ts")
+    out = cat.read(spark, "t")
+    assert out.count() == 10
+    assert out.filter("v = 'new'").count() == 1
+    # empty batch: clean no-op, not a crash
+    before = cat.load_table("t").current_snapshot_id
+    cat.upsert(base.limit(0), "t", key="ts")
+    assert cat.load_table("t").current_snapshot_id == before
+
+
+def test_bloom_canonicalizes_datetime_and_binary():
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 2, 3, 4, 5)
+    bloom = build_bloom([t, b"\x01\x02"])
+    # probe with the same logical values in the other producer's types
+    assert bloom_may_contain(bloom, t.isoformat()) or bloom_may_contain(bloom, t)
+    assert bloom_may_contain(bloom, bytearray(b"\x01\x02"))
+    assert not bloom_may_contain(bloom, dt.datetime(2030, 1, 1))
+
+
+# ----------------------------------------------------------------------
+# pipeline publish conflict
+# ----------------------------------------------------------------------
+def test_publish_conflict_reruns_wap_on_fresh_branch(spark, warehouse):
+    """ADVICE low: a non-fast-forward merge at publish must re-run WAP,
+    not crash the ingest loop."""
+    cat = Catalog(warehouse)
+    pipe = WapPipeline(cat, "t", [NotNullCheck("name")])
+    first = _df(spark, 0, 10)
+    pipe.run_batch(spark, first)
+
+    real_merge = cat.merge
+    raced = {"done": False}
+
+    def racing_merge(from_branch, to_branch="main"):
+        if not raced["done"]:
+            raced["done"] = True
+            # main advances between audit and publish
+            cat.append(_df(spark, 100, 105, name="rival"), "t")
+        return real_merge(from_branch, to_branch)
+
+    cat.merge = racing_merge
+    try:
+        res = pipe.run_batch(spark, _df(spark, 10, 20, name="second"))
+    finally:
+        cat.merge = real_merge
+    assert res.published
+    out = cat.read(spark, "t")
+    assert out.count() == 25
+    assert out.filter("name = 'rival'").count() == 5
+    assert out.filter("name = 'second'").count() == 10
+    # no stray open wap branches
+    assert [b for b in cat.list_branches() if b != "main"] == []
+
+
+def test_ingest_key_index_is_o1_and_idempotent(spark, warehouse):
+    cat = Catalog(warehouse)
+    pipe = WapPipeline(cat, "t", [])
+    pipe.run_batch(spark, _df(spark, 0, 10), ingest_key="k1")
+    r2 = pipe.run_batch(spark, _df(spark, 0, 10), ingest_key="k1")
+    assert r2.skipped
+    assert cat.row_count("t") == 10
+    assert cat.has_ingest_key("k1") and not cat.has_ingest_key("k2")
+    # the index is a sidecar, not a commit-log scan
+    assert len(cat.log()) <= 3  # root + create + append (no stamp commits)
