@@ -40,6 +40,11 @@ def _canon(value: Any) -> Any:
         return value.isoformat()
     if isinstance(value, (bytes, bytearray, memoryview)):
         return bytes(value).hex()
+    if isinstance(value, float) and value.is_integer():
+        # Arrow->pandas widens nullable int columns to float64; fold
+        # integral floats onto ints so 5 and 5.0 hash identically
+        # (a cross-type collision only ever ADDS a false positive)
+        return int(value)
     return value
 
 
@@ -74,3 +79,64 @@ def bloom_may_contain(hex_bloom: str, value: Any) -> bool:
     return all(
         bits[pos // 8] & (1 << (pos % 8)) for pos in _hashes(value)
     )
+
+
+def merge_blooms(hex_a: str, hex_b: str) -> str:
+    """Bitwise OR of two filters over the same (m, k) parameters."""
+    a, b = bytes.fromhex(hex_a), bytes.fromhex(hex_b)
+    return bytes(x | y for x, y in zip(a, b)).hex()
+
+
+def build_blooms_distributed(
+    spark, paths: list[str], cols: list[str]
+) -> dict[str, dict[str, str]]:
+    """Per-(file, column) bloom filters built BY EXECUTORS.
+
+    One ``mapInPandas`` pass over the just-written files: each Arrow
+    batch contributes a partial filter per (file, column) it touches
+    (``input_file_name`` tags rows; a file split across tasks simply
+    yields several partials), and the driver ORs the partials — a few
+    KB per file — into the final filters. The driver never reads
+    column data, so a large append costs it O(files), not O(rows);
+    this is the write-task/commit-message split a real cluster uses.
+
+    Returns ``{absolute_file_path: {column: hex_bloom}}``.
+    """
+    from pyspark.sql import functions as F
+
+    if not paths or not cols:
+        return {}
+
+    want = list(cols)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, group in pdf.groupby("_f"):
+                for c in want:
+                    if c in group.columns:
+                        rows.append(
+                            (fname, c, build_bloom(group[c].dropna().tolist()))
+                        )
+            if rows:
+                yield pd.DataFrame(rows, columns=["f", "c", "b"])
+
+    df = spark.read.parquet(*paths)
+    present = [c for c in want if c in df.columns]
+    if not present:
+        return {}
+    partials = (
+        df.select(F.input_file_name().alias("_f"), *present)
+        .mapInPandas(gen, "f string, c string, b string")
+        .collect()
+    )
+    out: dict[str, dict[str, str]] = {}
+    for r in partials:
+        path = r["f"].removeprefix("file://")
+        per_file = out.setdefault(path, {})
+        per_file[r["c"]] = (
+            merge_blooms(per_file[r["c"]], r["b"]) if r["c"] in per_file else r["b"]
+        )
+    return out

@@ -373,7 +373,9 @@ class Catalog:
         bloom_cols = [
             c for c in meta.properties.get("bloom_cols", "").split(",") if c
         ]
-        return collect_written_files(data_dir, self.warehouse, bloom_cols or None)
+        return collect_written_files(
+            data_dir, self.warehouse, bloom_cols or None, spark=df.sparkSession
+        )
 
     def _align_schema(self, df: DataFrame, meta: TableMetadata) -> DataFrame:
         """Project/cast the batch to the table schema (strict names)."""

@@ -351,13 +351,21 @@ class TableMetadata:
 
 
 def collect_written_files(
-    data_dir: str, warehouse: str, bloom_cols: list[str] | None = None
+    data_dir: str,
+    warehouse: str,
+    bloom_cols: list[str] | None = None,
+    spark=None,
 ) -> list[FileEntry]:
-    """Footer-scan every parquet file Spark wrote under ``data_dir``;
-    optionally build per-file bloom filters for ``bloom_cols`` (one
-    columnar read per file — on a cluster the write tasks build these
-    as rows stream through; see catalog/bloom.py)."""
-    from no_jvm_wap_with_iceberg_spark.catalog.bloom import build_bloom
+    """Footer-scan every parquet file Spark wrote under ``data_dir``
+    (a few KB of footer IO per file, no data reads on the driver);
+    optionally attach per-file bloom filters for ``bloom_cols``, built
+    distributed by executors when a SparkSession is provided (see
+    ``bloom.build_blooms_distributed``) and falling back to a local
+    columnar read only without one."""
+    from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
+        build_bloom,
+        build_blooms_distributed,
+    )
 
     paths = sorted(
         glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
@@ -370,11 +378,22 @@ def collect_written_files(
             # registering it would only add a stat-less entry that
             # poisons metadata-only null counts and pruning
             continue
-        if bloom_cols:
-            tbl = pq.read_table(p, columns=[c for c in bloom_cols if c in entry.columns])
-            for c in tbl.column_names:
-                entry.blooms[c] = build_bloom(tbl[c].to_pylist())
         out.append(entry)
+    if bloom_cols and out:
+        if spark is not None:
+            blooms = build_blooms_distributed(
+                spark, [os.path.join(warehouse, e.path) for e in out], bloom_cols
+            )
+            for e in out:
+                e.blooms.update(blooms.get(os.path.join(warehouse, e.path), {}))
+        else:  # pragma: no cover - local fallback, no session available
+            for e in out:
+                p = os.path.join(warehouse, e.path)
+                tbl = pq.read_table(
+                    p, columns=[c for c in bloom_cols if c in e.columns]
+                )
+                for c in tbl.column_names:
+                    e.blooms[c] = build_bloom(tbl[c].to_pylist())
     return out
 
 

@@ -239,19 +239,26 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 3,
-    sample_fraction: float = 1.0,
+    max_train_vectors: int = 100_000,
     seed: int = 11,
 ) -> np.ndarray:
-    """Lloyd-iterate coarse centroids on (a sample of) the corpus.
+    """Lloyd-iterate coarse centroids on a BOUNDED sample of the corpus.
 
-    Driver-side numpy over a bounded sample — exactly how IVF indexes
-    are trained in production (the index is small; the DATA never
-    leaves the cluster except this sample). Deterministic: seeded
-    sample, seeded init.
+    Driver-side numpy over at most ``max_train_vectors`` rows — exactly
+    how IVF indexes are trained in production (the index is small; the
+    DATA never leaves the cluster except this sample). The cap holds
+    regardless of corpus size: the sample fraction is derived from the
+    corpus count and a ``limit`` hard-bounds the collect, so a 100 TB
+    corpus costs the driver the same memory as a 100 MB one.
+    Deterministic: seeded sample, seeded init.
     """
+    n = corpus.count()
     sample = corpus.select(vec_col)
-    if sample_fraction < 1.0:
-        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    if n > max_train_vectors:
+        # oversample by 10% so the post-sample limit() almost always
+        # has the full budget to draw from, then hard-cap
+        frac = min(1.0, 1.1 * max_train_vectors / n)
+        sample = sample.sample(fraction=frac, seed=seed).limit(max_train_vectors)
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

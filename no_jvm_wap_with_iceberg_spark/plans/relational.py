@@ -988,10 +988,11 @@ def fn_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ranking-function surface: rank / dense_rank / ntile / "
     "percent_rank / cume_dist over per-customer order counts "
     "(unique tie-break key keeps every rank deterministic). "
-    "NOTE an unpartitioned window is a single-task sort — fine for "
-    "per-entity aggregates that fit one executor; at 100 TB global "
-    "ranking is done in two passes (range-partition, rank within "
-    "range, add per-range offsets)",
+    "Global ranking runs as TWO PASSES — range-partition on the sort "
+    "key, rank within each range, add per-range offsets via a "
+    "broadcast of one tiny row per range — so no stage ever sorts the "
+    "whole table in a single task (the naive unpartitioned window "
+    "does, and dies at 100 TB)",
 )
 def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -999,16 +1000,49 @@ def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total_price"),
     )
-    w = W.orderBy(F.col("n_orders").desc(), "c_custkey")
-    return per_cust.select(
+    sort_cols = [F.col("n_orders").desc(), F.col("c_custkey").asc()]
+    # pass 1: range-partition on the global sort key, rank locally.
+    # The ordering key (n_orders, c_custkey) is unique, so rank ==
+    # dense_rank == row_number and every global rank is local rank +
+    # the count of rows in earlier ranges — exact regardless of where
+    # the range sampler places boundaries.
+    local = (
+        per_cust.repartitionByRange(32, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*sort_cols))
+        )
+    )
+    # pass 2: per-range counts -> prefix-sum offsets + grand total.
+    # One row per range; the only unpartitioned window runs over those
+    # 32 rows, and they broadcast back to the ranked data.
+    stats = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
+    w_prev = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = stats.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(W.partitionBy()).alias("_n"),
+    )
+    ranked = local.join(F.broadcast(offsets), "_pid")
+    rn = F.col("_lrn") + F.col("_off")
+    n = F.col("_n")
+    # Spark NTILE(k): the first N%k buckets get ceil(N/k) rows
+    base, rem = F.floor(n / 4), n % 4
+    big = base + 1
+    quartile = (
+        F.when(rn <= rem * big, ((rn - 1) / big).cast("long") + 1)
+        .otherwise(rem + ((rn - rem * big - 1) / base).cast("long") + 1)
+    )
+    pct = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))
+    return ranked.select(
         "c_custkey",
         "n_orders",
         "total_price",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).cast("decimal(10,6)").cast("double").alias("pct_rank"),
-        F.cume_dist().over(w).cast("decimal(10,6)").cast("double").alias("cume"),
+        rn.cast("int").alias("rnk"),
+        rn.cast("int").alias("drnk"),
+        quartile.cast("int").alias("quartile"),
+        pct.cast("decimal(10,6)").cast("double").alias("pct_rank"),
+        (rn / n).cast("decimal(10,6)").cast("double").alias("cume"),
     )
 
 

@@ -229,6 +229,60 @@ def test_publish_conflict_reruns_wap_on_fresh_branch(spark, warehouse):
     assert [b for b in cat.list_branches() if b != "main"] == []
 
 
+def test_blooms_built_by_executors_not_driver(spark, warehouse, monkeypatch):
+    """Bloom construction must not read column data on the driver."""
+    import pyarrow.parquet as pq
+    import no_jvm_wap_with_iceberg_spark.catalog.table as table_mod
+
+    def forbid_read(*a, **k):
+        raise AssertionError("driver-side pq.read_table in bloom build")
+
+    monkeypatch.setattr(table_mod.pq, "read_table", forbid_read)
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA, bloom_cols=["name"])
+    cat.append(
+        spark.createDataFrame([(i, f"val_{i}") for i in range(50)], SCHEMA), "t"
+    )
+    meta = cat.load_table("t")
+    files = [f for f in meta.files() if "name" in f.blooms]
+    assert files, "no blooms attached"
+    hit = [f for f in files if bloom_may_contain(f.blooms["name"], "val_7")]
+    assert hit
+    # a value that exists nowhere is pruned by every file's filter
+    assert all(
+        not bloom_may_contain(f.blooms["name"], "nope_xyz") for f in files
+    )
+
+
+def test_ivf_training_sample_is_bounded(spark):
+    from no_jvm_wap_with_iceberg_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+
+    corpus = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=3) for _ in range(4)]).alias("embedding"),
+    )
+    collected = {}
+    orig = ivf_train_centroids.__globals__["np"].array
+
+    def counting_array(obj, *a, **k):
+        arr = orig(obj, *a, **k)
+        if getattr(arr, "ndim", 0) == 2:  # the training matrix
+            collected.setdefault("n", []).append(len(arr))
+        return arr
+
+    ivf_train_centroids.__globals__["np"].array = counting_array
+    try:
+        cents = ivf_train_centroids(
+            corpus, n_cells=4, max_train_vectors=100
+        )
+    finally:
+        ivf_train_centroids.__globals__["np"].array = orig
+    assert len(cents) == 4
+    assert collected["n"][0] <= 100, "training sample exceeded the cap"
+
+
 def test_ingest_key_index_is_o1_and_idempotent(spark, warehouse):
     cat = Catalog(warehouse)
     pipe = WapPipeline(cat, "t", [])
