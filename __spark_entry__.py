@@ -48,6 +48,7 @@ _HEAD = [
     "multimodal_feature_extract",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
+    "dedup_embedding_lsh",  # new in round 2, never driver-checked
 ]
 _TAIL = [
     "q6_revenue_forecast",
