@@ -464,7 +464,9 @@ class Catalog:
             # _norm the stored stats use, so a timestamp/date key compares
             # as ISO strings instead of raising on datetime-vs-str
             lo, hi = (_norm(v) for v in d.agg(F.min(key), F.max(key)).first())
-            files = meta.files()
+            with_conds = meta.files_with_deletes()
+            conds_by_path = {f.path: c for f, c in with_conds}
+            files = [f for f, _ in with_conds]
             affected: list[FileEntry] = []
             if lo is not None:
                 # when the key column carries bloom filters, probe them
@@ -492,7 +494,11 @@ class Catalog:
                     if overlaps:
                         affected.append(f)
             keep_old = (
-                self._df_for_files(d.sparkSession, meta, affected)
+                self._df_applying_deletes(
+                    d.sparkSession,
+                    meta,
+                    [(f, conds_by_path[f.path]) for f in affected],
+                )
                 .join(d.select(key).distinct(), key, "left_anti")
                 if affected
                 else None
@@ -517,26 +523,55 @@ class Catalog:
         predicates: list[Predicate],
         sql_condition: str,
         branch: str = MAIN,
+        mode: str = "cow",
     ) -> TableMetadata:
-        """Row-level DELETE (copy-on-write): rewrite only the files that
-        may contain matching rows (stats-pruned via ``predicates``),
-        keeping their non-matching rows; files the stats prove clean
-        carry over untouched. ``sql_condition`` is the row-exact filter
-        (predicates are the pruning approximation of it).
+        """Row-level DELETE. ``sql_condition`` is the row-exact filter
+        (``predicates`` are its stats-pruning approximation).
+
+        - ``mode="cow"`` (copy-on-write): rewrite only the files that
+          may contain matching rows, keeping their non-matching rows;
+          files the stats prove clean carry over untouched. Write cost
+          proportional to affected data; reads stay raw scans.
+        - ``mode="mor"`` (merge-on-read): commit a metadata-only
+          'delete' snapshot recording the condition and its target
+          files; the read path applies ``NOT(condition)`` to exactly
+          those files. Commit cost O(metadata) — the right trade for
+          update-heavy 100 TB tables; ``compact`` later folds pending
+          deletes into a clean rewrite.
         """
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be cow|mor, got {mode!r}")
+
         def build(meta: TableMetadata):
-            affected = prune_files(meta.files(), predicates)
-            if not affected:
+            with_conds = meta.files_with_deletes()
+            affected_raw = prune_files([f for f, _ in with_conds], predicates)
+            if not affected_raw:
                 return None, ""
-            keep = self._df_for_files(spark, meta, affected).filter(
-                ~F.expr(sql_condition)
+            if mode == "mor":
+                return (
+                    meta.with_new_snapshot(
+                        [],
+                        "delete",
+                        deletes=[
+                            {
+                                "condition": sql_condition,
+                                "targets": [f.path for f in affected_raw],
+                            }
+                        ],
+                    ),
+                    f"DELETE (MoR) FROM {table} WHERE {sql_condition}",
+                )
+            affected_paths = {f.path for f in affected_raw}
+            affected = [(f, c) for f, c in with_conds if f.path in affected_paths]
+            keep = self._df_applying_deletes(spark, meta, affected).filter(
+                ~F.coalesce(F.expr(sql_condition), F.lit(False))
             )
             new_files = self._write_files(keep, meta, table)
             return (
                 meta.with_new_snapshot(
-                    new_files, "rewrite", removed_paths=[f.path for f in affected]
+                    new_files, "rewrite", removed_paths=sorted(affected_paths)
                 ),
                 f"DELETE FROM {table} WHERE {sql_condition}",
             )
@@ -579,10 +614,11 @@ class Catalog:
         (``app.py:217-223``, ``quality_app.py:43-51``).
         """
         meta = self.load_table(table, branch)
-        files = meta.files(snapshot_id)
+        with_deletes = meta.files_with_deletes(snapshot_id)
         if predicates:
-            files = prune_files(files, predicates)
-        return self._df_for_files(spark, meta, files)
+            keep = {f.path for f in prune_files([f for f, _ in with_deletes], predicates)}
+            with_deletes = [(f, c) for f, c in with_deletes if f.path in keep]
+        return self._df_applying_deletes(spark, meta, with_deletes)
 
     def read_incremental(
         self,
@@ -597,7 +633,10 @@ class Catalog:
         """
         meta = self.load_table(table, branch)
         files = meta.added_files_since(from_snapshot_id)
-        return self._df_for_files(spark, meta, files)
+        conds = {f.path: c for f, c in meta.files_with_deletes()}
+        return self._df_applying_deletes(
+            spark, meta, [(f, conds.get(f.path, ())) for f in files]
+        )
 
     def _df_for_files(
         self, spark: SparkSession, meta: TableMetadata, files: list[FileEntry]
@@ -612,16 +651,71 @@ class Catalog:
             reader = reader.option("basePath", os.path.join(self.warehouse, "tables", meta.table, "data"))
         return reader.parquet(*paths)
 
+    def _df_applying_deletes(
+        self,
+        spark: SparkSession,
+        meta: TableMetadata,
+        files_with_conds: list[tuple[FileEntry, tuple[str, ...]]],
+    ) -> DataFrame:
+        """Scan files applying their pending merge-on-read deletes.
+
+        Files are grouped by their (usually empty, rarely >2-element)
+        applicable-condition set; each group is one parquet scan with
+        ``NOT(cond)`` filters Catalyst pushes into the scan, and the
+        groups union — still one distributed job, no Python."""
+        from pyspark.sql import functions as F
+
+        groups: dict[tuple[str, ...], list[FileEntry]] = {}
+        for f, conds in files_with_conds:
+            groups.setdefault(conds, []).append(f)
+        if not groups:
+            return self._df_for_files(spark, meta, [])
+        dfs = []
+        for conds, files in groups.items():
+            df = self._df_for_files(spark, meta, files)
+            for c in conds:
+                # NULL-safe: rows where the condition is NULL are kept
+                # (a delete predicate only removes rows it PROVES match)
+                df = df.filter(~F.coalesce(F.expr(c), F.lit(False)))
+            dfs.append(df)
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
     # ------------------------------------------------------------------
     # metadata-only aggregates (no Spark job at all)
     # ------------------------------------------------------------------
-    def row_count(self, table: str, branch: str = MAIN, snapshot_id: int | None = None) -> int:
-        return self.load_table(table, branch).row_count(snapshot_id)
+    def row_count(
+        self,
+        table: str,
+        branch: str = MAIN,
+        snapshot_id: int | None = None,
+        spark: SparkSession | None = None,
+    ) -> int:
+        """Exact row count — metadata-only unless merge-on-read deletes
+        are pending, in which case a scan is required (pass ``spark``)
+        rather than silently over-counting deleted rows."""
+        meta = self.load_table(table, branch)
+        if meta.has_pending_deletes(snapshot_id):
+            if spark is None:
+                raise ValueError(
+                    f"table {table!r} has pending MoR deletes; metadata-only "
+                    "row_count would over-count — pass spark= for an exact scan "
+                    "or compact() first"
+                )
+            return self._df_applying_deletes(
+                spark, meta, meta.files_with_deletes(snapshot_id)
+            ).count()
+        return meta.row_count(snapshot_id)
 
     def null_count(
         self, table: str, column: str, branch: str = MAIN, snapshot_id: int | None = None
     ) -> int | None:
-        return self.load_table(table, branch).null_count(column, snapshot_id)
+        meta = self.load_table(table, branch)
+        if meta.has_pending_deletes(snapshot_id):
+            return None  # stats predate the pending deletes
+        return meta.null_count(column, snapshot_id)
 
     # ------------------------------------------------------------------
     # schema evolution (the reference leaves this NotImplementedError —
@@ -737,10 +831,13 @@ class Catalog:
         optimistic commit — concurrent appends win or retry).
         """
         def build(meta: TableMetadata):
-            files = meta.files()
+            with_conds = meta.files_with_deletes()
+            files = [f for f, _ in with_conds]
             total_bytes = sum(f.bytes for f in files)
             n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-            df = self._df_for_files(spark, meta, files)
+            # MoR-aware read: compaction folds pending deletes into the
+            # rewrite, and the overwrite snapshot clears them
+            df = self._df_applying_deletes(spark, meta, with_conds)
             if meta.sort_by:
                 df = df.repartition(n_out).sortWithinPartitions(*meta.sort_by)
             else:
@@ -775,9 +872,22 @@ class Catalog:
             # 'append' cutoff still depends on its ancestry, so the expired
             # prefix is squashed into a synthetic base overwrite snapshot.
             if cutoff.operation != "overwrite" and cutoff.parent_snapshot_id:
+                # carry unapplied MoR deletes of the expired prefix —
+                # squashing to raw files would silently resurrect the
+                # deleted rows. A delete only applies to files in OLDER
+                # snapshots, so the carrier sits above the base.
+                carried: dict[str, list[str]] = {}
+                for f, conds in meta.files_with_deletes(cutoff.parent_snapshot_id):
+                    for c in conds:
+                        carried.setdefault(c, []).append(f.path)
+                base_id = (
+                    min(s.snapshot_id for s in snaps) - 1
+                    if carried
+                    else cutoff.parent_snapshot_id
+                )
                 new_snaps.append(
                     TableSnapshot(
-                        snapshot_id=cutoff.parent_snapshot_id,
+                        snapshot_id=base_id,
                         parent_snapshot_id=None,
                         timestamp_ms=cutoff.timestamp_ms,
                         operation="overwrite",
@@ -785,6 +895,20 @@ class Catalog:
                         summary={"expired-history": len(snaps) - keep_last},
                     )
                 )
+                if carried:
+                    new_snaps.append(
+                        TableSnapshot(
+                            snapshot_id=cutoff.parent_snapshot_id,
+                            parent_snapshot_id=base_id,
+                            timestamp_ms=cutoff.timestamp_ms,
+                            operation="delete",
+                            added_files=[],
+                            deletes=[
+                                {"condition": c, "targets": paths}
+                                for c, paths in carried.items()
+                            ],
+                        )
+                    )
             new_snaps.extend(kept)
             return (
                 TableMetadata(

@@ -184,11 +184,18 @@ class Snapshot:
     snapshot_id: int
     parent_snapshot_id: int | None
     timestamp_ms: int
-    operation: str  # "append" | "overwrite" | "rewrite" (copy-on-write)
+    # "append" | "overwrite" | "rewrite" (copy-on-write) | "delete"
+    # (merge-on-read: metadata-only, see ``deletes``)
+    operation: str
     added_files: list[FileEntry]
     summary: dict[str, Any] = dataclasses.field(default_factory=dict)
     # copy-on-write: paths this snapshot logically removes (upsert/delete)
     removed_paths: list[str] = dataclasses.field(default_factory=list)
+    # merge-on-read deletes pending against OLDER files: each entry is
+    # {"condition": <spark-sql boolean expr>, "targets": [paths]} — the
+    # read path filters NOT(condition) over exactly the target files
+    # (an Iceberg equality-delete analogue; commit cost is O(metadata))
+    deletes: list[dict[str, Any]] = dataclasses.field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -205,6 +212,7 @@ class Snapshot:
             added_files=[FileEntry.from_json(f) for f in d["added_files"]],
             summary=d.get("summary", {}),
             removed_paths=d.get("removed_paths", []),
+            deletes=d.get("deletes", []),
         )
 
 
@@ -256,13 +264,59 @@ class TableMetadata:
             chain.append(cur)
             if cur.operation == "overwrite":
                 break  # overwrite replaces everything beneath it
-            cur = by_id.get(cur.parent_snapshot_id) if cur.parent_snapshot_id else None
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
         removed: set[str] = set()
         for s in chain:  # newest-first: removals mask older adds only
             out.extend(f for f in s.added_files if f.path not in removed)
             removed.update(s.removed_paths)
         out.reverse()
         return out
+
+    def files_with_deletes(
+        self, snapshot_id: int | None = None
+    ) -> list[tuple[FileEntry, tuple[str, ...]]]:
+        """Live files plus, per file, the merge-on-read delete
+        conditions that apply to it — those committed AFTER the file
+        (newer in the chain) naming it as a target. Rows appended after
+        a delete are never re-deleted by it."""
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        cur = self.snapshot(snapshot_id)
+        chain: list[Snapshot] = []
+        while cur is not None:
+            chain.append(cur)
+            if cur.operation == "overwrite":
+                break
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        removed: set[str] = set()
+        out: list[tuple[FileEntry, tuple[str, ...]]] = []
+        pending: list[dict[str, Any]] = []  # deletes newer than current snapshot
+        for s in chain:  # newest-first
+            for f in s.added_files:
+                if f.path in removed:
+                    continue
+                conds = tuple(
+                    d["condition"]
+                    for d in pending
+                    if d.get("targets") is None or f.path in d["targets"]
+                )
+                out.append((f, conds))
+            removed.update(s.removed_paths)
+            pending.extend(s.deletes)
+        out.reverse()
+        return out
+
+    def has_pending_deletes(self, snapshot_id: int | None = None) -> bool:
+        """True if any live file still has an unapplied MoR delete —
+        metadata-only aggregates (row/null counts) are not exact then."""
+        return any(conds for _f, conds in self.files_with_deletes(snapshot_id))
 
     def added_files_since(self, from_snapshot_id: int | None) -> list[FileEntry]:
         """Files added strictly after ``from_snapshot_id`` (incremental read)."""
@@ -273,7 +327,11 @@ class TableMetadata:
             out.extend(cur.added_files)
             if cur.operation == "overwrite":
                 break
-            cur = by_id.get(cur.parent_snapshot_id) if cur.parent_snapshot_id else None
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
         return list(reversed(out))
 
     # -- metadata-only aggregates --------------------------------------
@@ -296,6 +354,7 @@ class TableMetadata:
         added: list[FileEntry],
         operation: str = "append",
         removed_paths: list[str] | None = None,
+        deletes: list[dict[str, Any]] | None = None,
     ) -> "TableMetadata":
         sid = (self.current_snapshot_id or 0) + 1
         snap = Snapshot(
@@ -308,8 +367,10 @@ class TableMetadata:
                 "added-files": len(added),
                 "added-rows": sum(f.rows for f in added),
                 "removed-files": len(removed_paths or []),
+                "mor-deletes": len(deletes or []),
             },
             removed_paths=removed_paths or [],
+            deletes=deletes or [],
         )
         return TableMetadata(
             table=self.table,

@@ -267,7 +267,7 @@ def branch_report(
     for b in cat.list_branches():
         if not cat.table_exists(table, b):
             continue
-        row: dict[str, Any] = {"branch": b, "rows": cat.row_count(table, b)}
+        row: dict[str, Any] = {"branch": b, "rows": cat.row_count(table, b, spark=spark)}
         for c in columns:
             row[f"nulls_{c}"] = cat.null_count(table, c, b)
         out.append(row)

@@ -1,0 +1,152 @@
+"""Merge-on-read deletes: metadata-only delete commits applied at read.
+
+The reference has no row-level deletes at all; Iceberg's MoR path
+(equality deletes / deletion vectors) is the at-scale design this
+mirrors: commit cost O(metadata), read path filters NOT(condition)
+over exactly the targeted files, compaction folds deletes away.
+"""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _df(spark, lo, hi, name="x"):
+    return spark.range(lo, hi).select(F.col("id"), F.lit(name).alias("name"))
+
+
+def _mor_delete(cat, spark, table, lo, hi):
+    return cat.delete_where(
+        spark,
+        table,
+        Predicate.between("id", lo, hi),
+        f"id BETWEEN {lo} AND {hi}",
+        mode="mor",
+    )
+
+
+def test_mor_delete_is_metadata_only_and_filters_reads(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    meta0 = cat.append(_df(spark, 0, 100), "t")
+    n_files_before = len(meta0.files())
+    meta = _mor_delete(cat, spark, "t", 10, 19)
+    # metadata-only: no files written, no files removed
+    assert len(meta.files()) == n_files_before
+    assert meta.snapshots[-1].operation == "delete"
+    assert meta.snapshots[-1].added_files == []
+    out = cat.read(spark, "t")
+    assert out.count() == 90
+    assert out.filter("id BETWEEN 10 AND 19").count() == 0
+    # time travel: the pre-delete snapshot still sees all rows
+    assert cat.read(spark, "t", snapshot_id=meta0.current_snapshot_id).count() == 100
+
+
+def test_mor_delete_does_not_affect_later_appends(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 50), "t")
+    _mor_delete(cat, spark, "t", 0, 9)
+    # re-insert ids 0..9 AFTER the delete: they must survive
+    cat.append(_df(spark, 0, 10, name="reborn"), "t")
+    out = cat.read(spark, "t")
+    assert out.count() == 50
+    assert out.filter("id < 10").count() == 10
+    assert set(r["name"] for r in out.filter("id < 10").collect()) == {"reborn"}
+
+
+def test_mor_deletes_stack_and_compact_folds_them(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 100), "t")
+    _mor_delete(cat, spark, "t", 0, 4)
+    _mor_delete(cat, spark, "t", 90, 99)
+    assert cat.read(spark, "t").count() == 85
+    assert cat.load_table("t").has_pending_deletes()
+    meta = cat.compact(spark, "t")
+    assert not meta.has_pending_deletes()
+    assert cat.read(spark, "t").count() == 85
+    # metadata-only count is exact again after compaction
+    assert cat.row_count("t") == 85
+
+
+def test_metadata_counts_guard_against_pending_deletes(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 30), "t")
+    _mor_delete(cat, spark, "t", 0, 9)
+    with pytest.raises(ValueError, match="pending MoR deletes"):
+        cat.row_count("t")
+    assert cat.row_count("t", spark=spark) == 20
+    assert cat.null_count("t", "name") is None  # unknown, not wrong
+
+
+def test_upsert_does_not_resurrect_mor_deleted_rows(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 100), "t")
+    _mor_delete(cat, spark, "t", 0, 49)
+    # upsert touches the affected file(s); the rewrite must not bring
+    # back the 50 deleted rows
+    cat.upsert(spark.createDataFrame([(60, "upd")], SCHEMA), "t", key="id")
+    out = cat.read(spark, "t")
+    assert out.count() == 50
+    assert out.filter("id < 50").count() == 0
+    assert out.filter("id = 60").collect()[0]["name"] == "upd"
+
+
+def test_cow_delete_with_pending_mor_deletes(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 100), "t")
+    _mor_delete(cat, spark, "t", 0, 9)
+    cat.delete_where(
+        spark, "t", Predicate.between("id", 10, 19), "id BETWEEN 10 AND 19"
+    )
+    out = cat.read(spark, "t")
+    assert out.count() == 80
+    assert out.filter("id < 20").count() == 0
+
+
+def test_expire_snapshots_carries_pending_deletes(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 50), "t")
+    _mor_delete(cat, spark, "t", 0, 9)
+    cat.append(_df(spark, 100, 110), "t")
+    cat.append(_df(spark, 200, 210), "t")
+    meta = cat.expire_snapshots("t", keep_last=1)
+    # squashing history must not resurrect the 10 deleted rows
+    assert cat.read(spark, "t").count() == 60
+    assert cat.read(spark, "t").filter("id < 10").count() == 0
+    assert meta.has_pending_deletes()
+    # and compaction still clears them afterwards
+    cat.compact(spark, "t")
+    assert cat.row_count("t") == 60
+
+
+def test_mor_delete_on_branch_isolated_until_merge(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 40), "t")
+    cat.create_branch("fix")
+    cat.delete_where(
+        spark,
+        "t",
+        Predicate.between("id", 0, 9),
+        "id BETWEEN 0 AND 9",
+        branch="fix",
+        mode="mor",
+    )
+    assert cat.read(spark, "t").count() == 40  # main untouched
+    assert cat.read(spark, "t", branch="fix").count() == 30
+    cat.merge("fix")
+    assert cat.read(spark, "t").count() == 30
