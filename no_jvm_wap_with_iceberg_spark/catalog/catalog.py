@@ -21,21 +21,16 @@ conditional-put object store — the commit protocol is the same.
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 import time
 import uuid
 from typing import Any, Callable
 
-try:  # POSIX file locking; on other platforms fall back to best-effort
-    import fcntl
-except ImportError:  # pragma: no cover - non-POSIX
-    fcntl = None
-
 from pyspark.sql import DataFrame, SparkSession
 
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate, prune_files
+from no_jvm_wap_with_iceberg_spark.catalog.store import LocalFSStore, RefStore
 from no_jvm_wap_with_iceberg_spark.catalog.table import (
     FileEntry,
     Snapshot as TableSnapshot,
@@ -46,71 +41,72 @@ from no_jvm_wap_with_iceberg_spark.catalog.table import (
 
 MAIN = "main"
 _ROOT = "root"  # the empty initial commit
+_REFS = "refs.json"
 
 
 class CommitConflict(RuntimeError):
     """Another writer advanced the ref between our read and our commit."""
 
 
-def _atomic_write_json(path: str, payload: dict[str, Any]) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh, indent=1, default=str)
-    os.replace(tmp, path)  # atomic on POSIX
-
-
 class Catalog:
-    """Branching lakehouse catalog rooted at ``warehouse``."""
+    """Branching lakehouse catalog rooted at ``warehouse``.
 
-    def __init__(self, warehouse: str, create: bool = True):
+    All catalog METADATA (refs, commits, table metadata, the ingest-key
+    index) goes through a :class:`RefStore` — a four-primitive
+    conditional-put KV interface with local-FS, in-memory, and
+    documented object-store mappings (see catalog/store.py). DATA files
+    are Parquet under ``warehouse`` written and read by Spark executors
+    directly; in a cloud deployment that path is the object store the
+    Spark cluster already talks to (s3a/gs), orthogonal to the ref
+    store.
+    """
+
+    def __init__(
+        self, warehouse: str, create: bool = True, store: RefStore | None = None
+    ):
         self.warehouse = os.path.abspath(warehouse)
-        self._refs_path = os.path.join(self.warehouse, "refs.json")
-        self._commits_dir = os.path.join(self.warehouse, "commits")
-        if create and not os.path.exists(self._refs_path):
-            os.makedirs(self._commits_dir, exist_ok=True)
+        self._store = store if store is not None else LocalFSStore(self.warehouse)
+        if create and self._store.get(_REFS) is None:
             self._write_commit(
                 {"id": _ROOT, "parent": None, "tables": {}, "message": "root"}
             )
-            _atomic_write_json(self._refs_path, {"refs": {MAIN: _ROOT}})
+            # create-if-absent CAS: a concurrent bootstrap simply loses
+            self._store.put_if(_REFS, {"refs": {MAIN: _ROOT}}, None)
 
     # ------------------------------------------------------------------
     # refs & commits (the Nessie-equivalent surface, SURVEY §2.9 C1-C8)
     # ------------------------------------------------------------------
-    @contextlib.contextmanager
-    def _ref_lock(self):
-        """Exclusive lock making every ref read-validate-write sequence an
-        actual compare-and-swap across processes. The commit protocol is
-        written against a CAS primitive (object-store conditional put /
-        REST catalog commit); on a local filesystem ``os.replace`` alone
-        only gives atomic *replace*, so two writers on different branches
-        could interleave read→write and clobber each other's ref advance.
-        ``flock`` provides the missing compare half locally."""
-        if fcntl is None:  # pragma: no cover - non-POSIX
-            yield
-            return
-        with open(os.path.join(self.warehouse, "refs.lock"), "a") as fh:
-            fcntl.flock(fh, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(fh, fcntl.LOCK_UN)
-
     def _read_refs(self) -> dict[str, str]:
-        with open(self._refs_path) as fh:
-            return json.load(fh)["refs"]
+        payload, _token = self._store.get(_REFS)
+        return payload["refs"]
 
-    def _write_refs(self, refs: dict[str, str]) -> None:
-        _atomic_write_json(self._refs_path, {"refs": refs})
+    def _update_refs(
+        self, fn: Callable[[dict[str, str]], dict[str, str]], max_retries: int = 64
+    ) -> None:
+        """CAS loop: ``fn`` validates + transforms the ref map against
+        the freshest state; the conditional put either lands it or we
+        re-run ``fn`` on the new state. Domain errors raised by ``fn``
+        (unknown branch, non-fast-forward, moved head) propagate — only
+        the CAS race itself retries. This is the whole concurrency
+        story: with an object store it is a conditional PUT, locally the
+        store emulates it (flock), and two writers can never clobber
+        each other's ref advance whatever branches they touch."""
+        for _ in range(max_retries):
+            payload, token = self._store.get(_REFS)
+            new_refs = fn(dict(payload["refs"]))
+            if self._store.put_if(_REFS, {"refs": new_refs}, token):
+                return
+        raise CommitConflict("ref-store CAS retries exhausted")
 
     def _write_commit(self, payload: dict[str, Any]) -> None:
         payload.setdefault("timestamp_ms", int(time.time() * 1000))
-        _atomic_write_json(
-            os.path.join(self._commits_dir, f"{payload['id']}.json"), payload
-        )
+        self._store.put(f"commits/{payload['id']}.json", payload)
 
     def _read_commit(self, commit_id: str) -> dict[str, Any]:
-        with open(os.path.join(self._commits_dir, f"{commit_id}.json")) as fh:
-            return json.load(fh)
+        got = self._store.get(f"commits/{commit_id}.json")
+        if got is None:
+            raise KeyError(f"commit {commit_id!r} not found")
+        return got[0]
 
     def list_branches(self) -> list[str]:
         return sorted(self._read_refs())
@@ -120,24 +116,28 @@ class Catalog:
 
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:
         """Zero-copy: the new ref points at the source branch's commit."""
-        with self._ref_lock():
-            refs = self._read_refs()
+
+        def apply(refs: dict[str, str]) -> dict[str, str]:
             if name in refs:
                 raise ValueError(f"branch {name!r} already exists")
             if from_branch not in refs:
                 raise KeyError(f"source branch {from_branch!r} not found")
             refs[name] = refs[from_branch]
-            self._write_refs(refs)
+            return refs
+
+        self._update_refs(apply)
 
     def drop_branch(self, name: str) -> None:
         if name == MAIN:
             raise ValueError("refusing to drop 'main'")
-        with self._ref_lock():
-            refs = self._read_refs()
+
+        def apply(refs: dict[str, str]) -> dict[str, str]:
             if name not in refs:
                 raise KeyError(f"branch {name!r} not found")
             del refs[name]
-            self._write_refs(refs)
+            return refs
+
+        self._update_refs(apply)
 
     def _is_ancestor(self, maybe_ancestor: str, commit_id: str) -> bool:
         cur: str | None = commit_id
@@ -156,20 +156,22 @@ class Catalog:
         and the caller re-runs WAP on a fresh branch (same behavior an
         Iceberg ``fast_forward`` procedure gives).
         """
-        with self._ref_lock():
-            refs = self._read_refs()
-            if to_branch in self._read_tags():
-                raise ValueError(f"ref {to_branch!r} is an immutable tag")
+        if to_branch in self._read_tags():
+            raise ValueError(f"ref {to_branch!r} is an immutable tag")
+
+        def apply(refs: dict[str, str]) -> dict[str, str]:
             head_from, head_to = refs[from_branch], refs[to_branch]
             if head_from == head_to:
-                return  # nothing to publish
+                return refs  # nothing to publish (idempotent CAS)
             if not self._is_ancestor(head_to, head_from):
                 raise CommitConflict(
                     f"cannot fast-forward {to_branch!r}: it advanced since "
                     f"{from_branch!r} was created"
                 )
             refs[to_branch] = head_from
-            self._write_refs(refs)
+            return refs
+
+        self._update_refs(apply)
 
     def log(self, branch: str = MAIN) -> list[dict[str, Any]]:
         """Commit log (newest first) for a branch."""
@@ -210,8 +212,8 @@ class Catalog:
         tables = self._read_commit(commit_id)["tables"]
         if table not in tables:
             raise KeyError(f"table {table!r} not found on branch {branch!r}")
-        with open(os.path.join(self.warehouse, tables[table])) as fh:
-            return TableMetadata.from_json(json.load(fh))
+        payload, _token = self._store.get(tables[table])
+        return TableMetadata.from_json(payload)
 
     def _commit_table(
         self,
@@ -228,38 +230,36 @@ class Catalog:
         metadata, then commit the pointer. Raises CommitConflict if the
         branch moved under us.
         """
-        meta_dir = os.path.join(self.warehouse, "tables", table, "metadata")
-        os.makedirs(meta_dir, exist_ok=True)
-        rel = os.path.join(
-            "tables",
-            table,
-            "metadata",
-            f"v{meta.version:05d}-{uuid.uuid4().hex[:8]}.json",
+        rel = (
+            f"tables/{table}/metadata/"
+            f"v{meta.version:05d}-{uuid.uuid4().hex[:8]}.json"
         )
-        _atomic_write_json(os.path.join(self.warehouse, rel), meta.to_json())
+        self._store.put(rel, meta.to_json())  # immutable, uuid-named
 
-        with self._ref_lock():
-            refs = self._read_refs()
-            if branch in self._read_tags():
-                raise ValueError(f"ref {branch!r} is an immutable tag")
+        if branch in self._read_tags():
+            raise ValueError(f"ref {branch!r} is an immutable tag")
+        parent = self._read_commit(expected_head)
+        new_tables = dict(parent["tables"])
+        new_tables[table] = rel
+        new_id = uuid.uuid4().hex[:16]
+        self._write_commit(
+            {
+                "id": new_id,
+                "parent": expected_head,
+                "tables": new_tables,
+                "message": message,
+            }
+        )
+
+        def apply(refs: dict[str, str]) -> dict[str, str]:
             if refs[branch] != expected_head:
                 raise CommitConflict(
                     f"branch {branch!r} moved from {expected_head} to {refs[branch]}"
                 )
-            parent = self._read_commit(expected_head)
-            new_tables = dict(parent["tables"])
-            new_tables[table] = rel
-            new_id = uuid.uuid4().hex[:16]
-            self._write_commit(
-                {
-                    "id": new_id,
-                    "parent": expected_head,
-                    "tables": new_tables,
-                    "message": message,
-                }
-            )
             refs[branch] = new_id
-            self._write_refs(refs)
+            return refs
+
+        self._update_refs(apply)
 
     def _optimistic_commit(
         self,
@@ -332,8 +332,7 @@ class Catalog:
         The reference leaves this ``NotImplementedError``
         (``pyiceberg_patch_nessie.py:230-264``); we support it.
         """
-        with self._ref_lock():
-            refs = self._read_refs()
+        def apply(refs: dict[str, str]) -> dict[str, str]:
             head = refs[branch]
             parent = self._read_commit(head)
             if table not in parent["tables"]:
@@ -349,7 +348,9 @@ class Catalog:
                 }
             )
             refs[branch] = new_id
-            self._write_refs(refs)
+            return refs
+
+        self._update_refs(apply)
 
     # ------------------------------------------------------------------
     # write path (Spark-distributed)
@@ -763,27 +764,32 @@ class Catalog:
     # ------------------------------------------------------------------
     def create_tag(self, name: str, from_branch: str = MAIN) -> None:
         """A tag is a ref that commits refuse to advance."""
-        with self._ref_lock():
-            refs = self._read_refs()
+        # mark immutability first: a ref that briefly exists as a tag
+        # entry without a pointer blocks nothing; the reverse order
+        # would leave a mutable window
+        for _ in range(64):
+            got = self._store.get("tags.json")
+            tags, token = (got[0]["tags"], got[1]) if got else ([], None)
+            if name in tags:
+                raise ValueError(f"ref {name!r} already exists")
+            if self._store.put_if(
+                "tags.json", {"tags": sorted({*tags, name})}, token
+            ):
+                break
+        else:  # pragma: no cover - pathological contention
+            raise CommitConflict("tag CAS retries exhausted")
+
+        def apply(refs: dict[str, str]) -> dict[str, str]:
             if name in refs:
                 raise ValueError(f"ref {name!r} already exists")
             refs[name] = refs[from_branch]
-            self._write_refs(refs)
-            tags = self._read_tags()
-            tags.add(name)
-            self._write_tags(tags)
+            return refs
 
-    def _tags_path(self) -> str:
-        return os.path.join(self.warehouse, "tags.json")
+        self._update_refs(apply)
 
     def _read_tags(self) -> set[str]:
-        if not os.path.exists(self._tags_path()):
-            return set()
-        with open(self._tags_path()) as fh:
-            return set(json.load(fh)["tags"])
-
-    def _write_tags(self, tags: set[str]) -> None:
-        _atomic_write_json(self._tags_path(), {"tags": sorted(tags)})
+        got = self._store.get("tags.json")
+        return set(got[0]["tags"]) if got else set()
 
     # ------------------------------------------------------------------
     # ingest-key index: O(1) idempotence for WAP batch redelivery.
@@ -791,23 +797,18 @@ class Catalog:
     # per batch (which is O(history) and collapses under long-running
     # streaming ingest). Updated under the ref lock, read lock-free.
     # ------------------------------------------------------------------
-    def _ingest_index_path(self) -> str:
-        return os.path.join(self.warehouse, "ingest_keys.json")
-
-    def _read_ingest_index(self) -> dict[str, int]:
-        if not os.path.exists(self._ingest_index_path()):
-            return {}
-        with open(self._ingest_index_path()) as fh:
-            return json.load(fh)["keys"]
-
     def has_ingest_key(self, key: str) -> bool:
-        return key in self._read_ingest_index()
+        got = self._store.get("ingest_keys.json")
+        return got is not None and key in got[0]["keys"]
 
     def stamp_ingest_key(self, key: str) -> None:
-        with self._ref_lock():
-            idx = self._read_ingest_index()
-            idx[key] = int(time.time() * 1000)
-            _atomic_write_json(self._ingest_index_path(), {"keys": idx})
+        for _ in range(64):
+            got = self._store.get("ingest_keys.json")
+            keys, token = (dict(got[0]["keys"]), got[1]) if got else ({}, None)
+            keys[key] = int(time.time() * 1000)
+            if self._store.put_if("ingest_keys.json", {"keys": keys}, token):
+                return
+        raise CommitConflict("ingest-key CAS retries exhausted")
 
     # ------------------------------------------------------------------
     # table maintenance (the at-scale housekeeping Iceberg ships as
