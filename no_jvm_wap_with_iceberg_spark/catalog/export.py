@@ -1,0 +1,129 @@
+"""External-engine interop: export a table snapshot for non-Spark readers.
+
+The reference's lakehouse point is that OTHER engines read the same
+published tables (Snowflake external Iceberg tables, `README.md:174-211`;
+a Streamlit dashboard). Our table format keeps that property two ways,
+both verifiable offline:
+
+- :func:`duckdb_view_sql` — a standalone SQL statement any DuckDB (or,
+  with trivial dialect tweaks, Trino/ClickHouse) can run to query one
+  branch/snapshot: ``read_parquet`` over the exact live file list,
+  with pending merge-on-read delete conditions compiled in as
+  ``WHERE NOT(...)`` per file group. No Spark, no catalog client.
+- :func:`export_manifest` — an engine-neutral JSON document (schema,
+  live files + stats, pending deletes, snapshot lineage) that any tool
+  can parse to plan its own scan; this is the information content of
+  an Iceberg metadata.json + manifest list, minus the Avro encoding
+  (which needs an Avro writer that is deliberately out of scope —
+  the JSON carries the same facts).
+
+A true Iceberg-metadata emitter would slot in behind the same
+interface; the container lacks both pyiceberg and any Avro codec, so
+it could not be tested here and is left documented instead of shipped
+half-verified.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from no_jvm_wap_with_iceberg_spark.catalog.catalog import MAIN, Catalog
+
+
+def _sql_quote(path: str) -> str:
+    return "'" + path.replace("'", "''") + "'"
+
+
+def duckdb_view_sql(
+    cat: Catalog,
+    table: str,
+    branch: str = MAIN,
+    snapshot_id: int | None = None,
+    view_name: str | None = None,
+) -> str:
+    """CREATE VIEW statement a plain DuckDB can execute to read the
+    table as of a branch/snapshot — the zero-dependency read path.
+
+    Pending MoR deletes compile to ``WHERE NOT coalesce(cond, false)``
+    over exactly their target files, mirroring the Spark read path.
+    Delete conditions are the ANSI subset both engines parse (the
+    delete API stores the row filter as SQL text).
+    """
+    meta = cat.load_table(table, branch)
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for f, conds in meta.files_with_deletes(snapshot_id):
+        groups.setdefault(conds, []).append(
+            os.path.join(cat.warehouse, f.path)
+        )
+    name = view_name or f"{table}_{branch}"
+    hive = ", hive_partitioning = true" if meta.partition_by else ""
+    if not groups:
+        cols = ", ".join(
+            f"NULL AS {f['name']}" for f in meta.schema_json["fields"]
+        )
+        return f"CREATE OR REPLACE VIEW {name} AS SELECT {cols} WHERE 1 = 0"
+    selects = []
+    for conds, paths in sorted(groups.items()):
+        file_list = ", ".join(_sql_quote(p) for p in sorted(paths))
+        sql = f"SELECT * FROM read_parquet([{file_list}]{hive})"
+        for c in conds:
+            sql += f" WHERE NOT coalesce(({c}), false)"
+        selects.append(sql)
+    body = "\nUNION ALL BY NAME\n".join(selects)
+    return f"CREATE OR REPLACE VIEW {name} AS\n{body}"
+
+
+def export_manifest(
+    cat: Catalog,
+    table: str,
+    branch: str = MAIN,
+    snapshot_id: int | None = None,
+) -> dict[str, Any]:
+    """Engine-neutral snapshot manifest: everything an external scanner
+    needs to plan reads (absolute file paths, row counts, per-column
+    stats for pruning, pending delete filters, lineage)."""
+    meta = cat.load_table(table, branch)
+    files = [
+        {
+            "path": os.path.join(cat.warehouse, f.path),
+            "rows": f.rows,
+            "bytes": f.bytes,
+            "partition": f.partition,
+            "column_stats": f.columns,
+            "delete_filters": list(conds),
+        }
+        for f, conds in meta.files_with_deletes(snapshot_id)
+    ]
+    return {
+        "format": "no-jvm-wap-spark/manifest-v1",
+        "table": table,
+        "branch": branch,
+        "snapshot_id": (
+            snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+        ),
+        "schema": meta.schema_json,
+        "partition_by": meta.partition_by,
+        "sort_by": meta.sort_by,
+        "files": files,
+        "total_rows_before_deletes": sum(f["rows"] for f in files),
+        "snapshots": [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_snapshot_id": s.parent_snapshot_id,
+                "timestamp_ms": s.timestamp_ms,
+                "operation": s.operation,
+            }
+            for s in meta.snapshots
+        ],
+    }
+
+
+def write_manifest(
+    cat: Catalog, table: str, out_path: str, branch: str = MAIN
+) -> str:
+    """Serialize :func:`export_manifest` to ``out_path`` (JSON)."""
+    with open(out_path, "w") as fh:
+        json.dump(export_manifest(cat, table, branch), fh, indent=1)
+    return out_path
