@@ -48,37 +48,42 @@ def salted_join(
     return l_salted.join(r_salted, on + ["_salt"], how).drop("_salt")
 
 
+_COMBINERS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def two_stage_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     salt: int = 16,
 ) -> DataFrame:
     """Two-stage aggregation for re-aggregatable (algebraic) measures.
 
-    ``aggs`` maps output name -> partial aggregate expression; the
-    final stage re-applies the matching combiner (sum for sums/counts,
-    min/max for min/max). Only sum/count/min/max shapes are supported —
-    exactly the set that is safely re-aggregatable.
+    ``aggs`` maps output name -> (partial aggregate expression,
+    combiner), where the combiner is one of ``"sum"`` / ``"min"`` /
+    ``"max"`` — declared by the CALLER, because only the caller knows
+    how its partial re-aggregates (counts recombine by sum; inspecting
+    the expression text to guess is unstable across Spark versions).
+    A plain-Column value is rejected with a pointer to the new shape.
     """
     salted = df.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
     )
+    for name, spec in aggs.items():
+        if isinstance(spec, Column) or not (
+            isinstance(spec, tuple) and len(spec) == 2 and spec[1] in _COMBINERS
+        ):
+            raise TypeError(
+                f"aggs[{name!r}] must be (partial_expr, 'sum'|'min'|'max'); "
+                "counts recombine with 'sum'"
+            )
     partial = salted.groupBy(*keys, "_salt").agg(
-        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"_p_{name}") for name, (expr, _c) in aggs.items()]
     )
-
-    def _combiner(name: str, expr: Column) -> Column:
-        s = str(expr._jc)  # textual form of the partial expression
-        col = F.col(f"_p_{name}")
-        if s.startswith("min"):
-            return F.min(col).alias(name)
-        if s.startswith("max"):
-            return F.max(col).alias(name)
-        # sum and count both recombine by summation
-        return F.sum(col).alias(name)
-
     return partial.groupBy(*keys).agg(
-        *[_combiner(name, expr) for name, expr in aggs.items()]
+        *[
+            _COMBINERS[comb](F.col(f"_p_{name}")).alias(name)
+            for name, (_e, comb) in aggs.items()
+        ]
     )

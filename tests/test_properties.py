@@ -34,6 +34,51 @@ def test_datagen_null_accounting(spark_h, n, no_null):
     assert all(v == expected for v in nulls.asDict().values())
 
 
+def test_two_stage_agg_equals_plain_agg(spark_h):
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.operators.skew import two_stage_agg
+
+    df = spark_h.range(1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3 % 101).alias("v")
+    )
+    got = sorted(
+        map(
+            tuple,
+            two_stage_agg(
+                df,
+                ["k"],
+                {
+                    "total": (F.sum("v"), "sum"),
+                    "n": (F.count(F.lit(1)), "sum"),
+                    "lo": (F.min("v"), "min"),
+                    "hi": (F.max("v"), "max"),
+                },
+                salt=8,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("k")
+            .agg(
+                F.sum("v").alias("total"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # the old bare-Column shape is rejected loudly, not mis-combined
+    import pytest
+
+    with pytest.raises(TypeError, match="sum"):
+        two_stage_agg(df, ["k"], {"n": F.count(F.lit(1))})
+
+
 @settings(**SLOW)
 @given(
     rows=st.lists(
