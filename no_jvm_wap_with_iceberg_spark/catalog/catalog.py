@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate, prune_files
 from no_jvm_wap_with_iceberg_spark.catalog.store import LocalFSStore, RefStore
 from no_jvm_wap_with_iceberg_spark.catalog.table import (
+    DeleteSpec,
     FileEntry,
     Snapshot as TableSnapshot,
     TableMetadata,
@@ -579,6 +580,97 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        table: str,
+        key: str,
+        branch: str = MAIN,
+        mode: str = "mor",
+    ) -> TableMetadata:
+        """Row-level DELETE by key set (Iceberg equality-delete shape).
+
+        - ``mode="mor"``: write the (distinct) key values as a parquet
+          delete file and commit a metadata-only 'delete' snapshot
+          targeting the stats/bloom-pruned files; reads anti-join those
+          files against the key set. Commit cost = one small key write,
+          independent of table size.
+        - ``mode="cow"``: rewrite the pruned files minus matching keys.
+
+        The target-file pruning reuses the upsert machinery: key-range
+        min/max plus bloom probes when the key column carries filters.
+        """
+        from pyspark.sql import functions as F
+
+        from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
+        from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
+
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be cow|mor, got {mode!r}")
+        kdf = keys_df.select(key).distinct()
+
+        def build(meta: TableMetadata):
+            lo, hi = (_norm(v) for v in kdf.agg(F.min(key), F.max(key)).first())
+            if lo is None:
+                return None, ""  # empty / all-null key set
+            with_conds = meta.files_with_deletes()
+            sample = kdf.limit(10_001).collect()
+            keys = [r[0] for r in sample] if len(sample) <= 10_000 else None
+            affected: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
+            for f, specs in with_conds:
+                st = f.columns.get(key, {})
+                mn, mx = st.get("min"), st.get("max")
+                try:
+                    overlaps = not (
+                        mn is not None and mx is not None and (mx < lo or mn > hi)
+                    )
+                except TypeError:
+                    overlaps = True
+                if overlaps and keys is not None and key in f.blooms:
+                    overlaps = any(bloom_may_contain(f.blooms[key], k) for k in keys)
+                if overlaps:
+                    affected.append((f, specs))
+            if not affected:
+                return None, ""
+            if mode == "mor":
+                delete_dir = os.path.join(
+                    self.warehouse, "tables", table, "deletes", uuid.uuid4().hex[:12]
+                )
+                kdf.write.mode("overwrite").parquet(delete_dir)
+                key_files = sorted(
+                    os.path.relpath(os.path.join(delete_dir, n), self.warehouse)
+                    for n in os.listdir(delete_dir)
+                    if n.endswith(".parquet")
+                )
+                return (
+                    meta.with_new_snapshot(
+                        [],
+                        "delete",
+                        deletes=[
+                            {
+                                "key": key,
+                                "key_files": key_files,
+                                "targets": [f.path for f, _ in affected],
+                            }
+                        ],
+                    ),
+                    f"DELETE KEYS (MoR) FROM {table} ON {key}",
+                )
+            keep = self._df_applying_deletes(
+                kdf.sparkSession, meta, affected
+            ).join(F.broadcast(kdf), key, "left_anti")
+            new_files = self._write_files(keep, meta, table)
+            return (
+                meta.with_new_snapshot(
+                    new_files,
+                    "rewrite",
+                    removed_paths=[f.path for f, _ in affected],
+                ),
+                f"DELETE KEYS FROM {table} ON {key}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
     def create_table_from_df(
         self,
         df: DataFrame,
@@ -656,28 +748,38 @@ class Catalog:
         self,
         spark: SparkSession,
         meta: TableMetadata,
-        files_with_conds: list[tuple[FileEntry, tuple[str, ...]]],
+        files_with_conds: list[tuple[FileEntry, tuple[DeleteSpec, ...]]],
     ) -> DataFrame:
         """Scan files applying their pending merge-on-read deletes.
 
         Files are grouped by their (usually empty, rarely >2-element)
-        applicable-condition set; each group is one parquet scan with
-        ``NOT(cond)`` filters Catalyst pushes into the scan, and the
-        groups union — still one distributed job, no Python."""
+        applicable-delete set; each group is one parquet scan with
+        ``NOT(cond)`` filters Catalyst pushes into the scan (predicate
+        deletes) and/or a broadcast anti-join against the delete-key
+        files (equality deletes), and the groups union — still one
+        distributed job, no Python."""
         from pyspark.sql import functions as F
 
-        groups: dict[tuple[str, ...], list[FileEntry]] = {}
-        for f, conds in files_with_conds:
-            groups.setdefault(conds, []).append(f)
+        groups: dict[tuple[DeleteSpec, ...], list[FileEntry]] = {}
+        for f, specs in files_with_conds:
+            groups.setdefault(specs, []).append(f)
         if not groups:
             return self._df_for_files(spark, meta, [])
         dfs = []
-        for conds, files in groups.items():
+        for specs, files in groups.items():
             df = self._df_for_files(spark, meta, files)
-            for c in conds:
-                # NULL-safe: rows where the condition is NULL are kept
-                # (a delete predicate only removes rows it PROVES match)
-                df = df.filter(~F.coalesce(F.expr(c), F.lit(False)))
+            for s in specs:
+                if s.condition is not None:
+                    # NULL-safe: rows where the condition is NULL are
+                    # kept (a delete only removes rows it PROVES match)
+                    df = df.filter(~F.coalesce(F.expr(s.condition), F.lit(False)))
+                else:
+                    keys = spark.read.parquet(
+                        *[os.path.join(self.warehouse, p) for p in s.key_files]
+                    ).select(s.key)
+                    # delete-key sets are small relative to the data —
+                    # broadcast so the anti-join adds no shuffle
+                    df = df.join(F.broadcast(keys), s.key, "left_anti")
             dfs.append(df)
         out = dfs[0]
         for df in dfs[1:]:
@@ -877,10 +979,10 @@ class Catalog:
                 # squashing to raw files would silently resurrect the
                 # deleted rows. A delete only applies to files in OLDER
                 # snapshots, so the carrier sits above the base.
-                carried: dict[str, list[str]] = {}
-                for f, conds in meta.files_with_deletes(cutoff.parent_snapshot_id):
-                    for c in conds:
-                        carried.setdefault(c, []).append(f.path)
+                carried: dict[DeleteSpec, list[str]] = {}
+                for f, specs in meta.files_with_deletes(cutoff.parent_snapshot_id):
+                    for s in specs:
+                        carried.setdefault(s, []).append(f.path)
                 base_id = (
                     min(s.snapshot_id for s in snaps) - 1
                     if carried
@@ -905,8 +1007,8 @@ class Catalog:
                             operation="delete",
                             added_files=[],
                             deletes=[
-                                {"condition": c, "targets": paths}
-                                for c, paths in carried.items()
+                                {**s.to_json(), "targets": paths}
+                                for s, paths in carried.items()
                             ],
                         )
                     )

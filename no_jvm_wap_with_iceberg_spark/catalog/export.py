@@ -65,11 +65,25 @@ def duckdb_view_sql(
         )
         return f"CREATE OR REPLACE VIEW {name} AS SELECT {cols} WHERE 1 = 0"
     selects = []
-    for conds, paths in sorted(groups.items()):
+    for specs, paths in sorted(
+        groups.items(), key=lambda kv: sorted(kv[1])
+    ):
         file_list = ", ".join(_sql_quote(p) for p in sorted(paths))
         sql = f"SELECT * FROM read_parquet([{file_list}]{hive})"
-        for c in conds:
-            sql += f" WHERE NOT coalesce(({c}), false)"
+        clauses = []
+        for s in specs:
+            if s.condition is not None:
+                clauses.append(f"NOT coalesce(({s.condition}), false)")
+            else:
+                kf = ", ".join(
+                    _sql_quote(os.path.join(cat.warehouse, p))
+                    for p in s.key_files
+                )
+                clauses.append(
+                    f"{s.key} NOT IN (SELECT {s.key} FROM read_parquet([{kf}]))"
+                )
+        if clauses:
+            sql += " WHERE " + " AND ".join(clauses)
         selects.append(sql)
     body = "\nUNION ALL BY NAME\n".join(selects)
     return f"CREATE OR REPLACE VIEW {name} AS\n{body}"
@@ -92,9 +106,12 @@ def export_manifest(
             "bytes": f.bytes,
             "partition": f.partition,
             "column_stats": f.columns,
-            "delete_filters": list(conds),
+            "delete_filters": [
+                {k: v for k, v in s.to_json().items() if k != "targets"}
+                for s in specs
+            ],
         }
-        for f, conds in meta.files_with_deletes(snapshot_id)
+        for f, specs in meta.files_with_deletes(snapshot_id)
     ]
     return {
         "format": "no-jvm-wap-spark/manifest-v1",

@@ -177,6 +177,38 @@ def _partition_from_path(abs_path: str, warehouse: str) -> dict[str, str]:
     return out
 
 
+@dataclasses.dataclass(frozen=True)
+class DeleteSpec:
+    """One pending merge-on-read delete, in one of two shapes:
+
+    - **predicate delete**: ``condition`` holds a SQL boolean; the read
+      path keeps rows where it is not proven true.
+    - **equality delete**: ``key`` + ``key_files`` (parquet holding the
+      deleted key values — Iceberg equality-delete files); the read
+      path anti-joins targets against the key set.
+
+    Frozen/hashable so the read path can group files by their exact
+    applicable-delete set.
+    """
+
+    condition: str | None = None
+    key: str | None = None
+    key_files: tuple[str, ...] = ()
+
+    def to_json(self) -> dict[str, Any]:
+        if self.condition is not None:
+            return {"condition": self.condition, "targets": None}
+        return {"key": self.key, "key_files": list(self.key_files), "targets": None}
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "DeleteSpec":
+        return cls(
+            condition=d.get("condition"),
+            key=d.get("key"),
+            key_files=tuple(d.get("key_files", [])),
+        )
+
+
 @dataclasses.dataclass
 class Snapshot:
     """A committed table state: parent chain + files added at this commit."""
@@ -278,11 +310,11 @@ class TableMetadata:
 
     def files_with_deletes(
         self, snapshot_id: int | None = None
-    ) -> list[tuple[FileEntry, tuple[str, ...]]]:
-        """Live files plus, per file, the merge-on-read delete
-        conditions that apply to it — those committed AFTER the file
-        (newer in the chain) naming it as a target. Rows appended after
-        a delete are never re-deleted by it."""
+    ) -> list[tuple[FileEntry, tuple[DeleteSpec, ...]]]:
+        """Live files plus, per file, the merge-on-read deletes that
+        apply to it — those committed AFTER the file (newer in the
+        chain) naming it as a target. Rows appended after a delete are
+        never re-deleted by it."""
         by_id = {s.snapshot_id: s for s in self.snapshots}
         cur = self.snapshot(snapshot_id)
         chain: list[Snapshot] = []
@@ -296,18 +328,18 @@ class TableMetadata:
                 else None
             )
         removed: set[str] = set()
-        out: list[tuple[FileEntry, tuple[str, ...]]] = []
+        out: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
         pending: list[dict[str, Any]] = []  # deletes newer than current snapshot
         for s in chain:  # newest-first
             for f in s.added_files:
                 if f.path in removed:
                     continue
-                conds = tuple(
-                    d["condition"]
+                specs = tuple(
+                    DeleteSpec.from_json(d)
                     for d in pending
                     if d.get("targets") is None or f.path in d["targets"]
                 )
-                out.append((f, conds))
+                out.append((f, specs))
             removed.update(s.removed_paths)
             pending.extend(s.deletes)
         out.reverse()

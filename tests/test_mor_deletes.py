@@ -133,6 +133,67 @@ def test_expire_snapshots_carries_pending_deletes(spark, warehouse):
     assert cat.row_count("t") == 60
 
 
+def test_equality_delete_keys_mor(spark, warehouse):
+    """Keyed MoR delete: parquet delete-key file + anti-join read."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    m0 = cat.append(_df(spark, 0, 100), "t")
+    keys = spark.range(0, 40, 2).select(F.col("id"))  # 20 even ids
+    meta = cat.delete_keys(keys, "t", key="id", mode="mor")
+    assert meta.snapshots[-1].operation == "delete"
+    assert meta.snapshots[-1].added_files == []
+    assert meta.snapshots[-1].deletes[0]["key"] == "id"
+    assert meta.snapshots[-1].deletes[0]["key_files"]
+    out = cat.read(spark, "t")
+    assert out.count() == 80
+    assert out.filter("id < 40 AND id % 2 = 0").count() == 0
+    # time travel unaffected
+    assert cat.read(spark, "t", snapshot_id=m0.current_snapshot_id).count() == 100
+    # re-inserted keys survive (delete applies only to older files)
+    cat.append(_df(spark, 0, 2, name="back"), "t")
+    assert cat.read(spark, "t").filter("name = 'back'").count() == 2
+    # compaction folds the keyed delete away
+    cat.compact(spark, "t")
+    assert cat.row_count("t") == 82
+
+
+def test_equality_delete_keys_cow(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 50), "t")
+    meta = cat.delete_keys(
+        spark.range(10, 20).select("id"), "t", key="id", mode="cow"
+    )
+    assert meta.snapshots[-1].operation == "rewrite"
+    assert not meta.has_pending_deletes()
+    assert cat.row_count("t") == 40
+    assert cat.read(spark, "t").filter("id BETWEEN 10 AND 19").count() == 0
+
+
+def test_equality_delete_empty_keyset_is_noop(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 10), "t")
+    before = cat.load_table("t").current_snapshot_id
+    cat.delete_keys(spark.range(0).select("id"), "t", key="id", mode="mor")
+    assert cat.load_table("t").current_snapshot_id == before
+
+
+def test_duckdb_export_applies_equality_deletes(spark, warehouse):
+    import duckdb
+
+    from no_jvm_wap_with_iceberg_spark.catalog.export import duckdb_view_sql
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 60), "t")
+    cat.delete_keys(spark.range(0, 10).select("id"), "t", key="id", mode="mor")
+    con = duckdb.connect()
+    con.execute(duckdb_view_sql(cat, "t", view_name="v"))
+    assert con.execute("SELECT COUNT(*) FROM v").fetchone()[0] == 50
+    assert con.execute("SELECT COUNT(*) FROM v WHERE id < 10").fetchone()[0] == 0
+
+
 def test_mor_delete_on_branch_isolated_until_merge(spark, warehouse):
     cat = Catalog(warehouse)
     cat.create_table("t", SCHEMA)

@@ -59,3 +59,42 @@ def test_whole_stage_codegen_covers_relational_core(spark):
     plan = _plan(get_queries()["q1_pricing_summary"].spark(spark, SF_DIR))
     # "*(n)" prefixes mark whole-stage-codegen'd operators
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_two_pass_ranking_has_no_data_sized_global_sort(spark):
+    """window_ranking_suite: the only single-partition exchange may be
+    the per-range stats (32 rows); the data path must range-partition
+    and take the offsets via broadcast."""
+    plan = _plan(get_queries()["window_ranking_suite"].spark(spark, SF_DIR))
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "rangepartitioning" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mor_read_filters_only_targeted_files(spark, tmp_path):
+    """A pending MoR delete must not touch scans of clean files: the
+    NOT(cond) filter appears once, over the targeted file group only."""
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.create_table("t", schema, sort_by=["id"])
+    cat.append(
+        spark.range(100).select(F.col("id"), F.lit("x").alias("name")), "t"
+    )
+    cat.append(
+        spark.range(100, 200).select(F.col("id"), F.lit("y").alias("name")), "t"
+    )
+    cat.delete_where(
+        spark, "t", Predicate.between("id", 0, 9), "id BETWEEN 0 AND 9", mode="mor"
+    )
+    plan = _plan(cat.read(spark, "t"))
+    # union of one filtered group (the stats-pruned target files) and
+    # the clean rest; the delete filter appears exactly once
+    assert "Union" in plan
+    assert plan.count("Filter NOT coalesce") == 1
+    assert cat.read(spark, "t").count() == 190
