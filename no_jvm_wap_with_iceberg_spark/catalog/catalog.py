@@ -1044,15 +1044,18 @@ class Catalog:
                 meta = self.load_table(table, branch)
                 for s in meta.snapshots:
                     referenced.update(f.path for f in s.added_files)
-        data_root = os.path.join(self.warehouse, "tables", table, "data")
+                    for d in s.deletes:
+                        referenced.update(d.get("key_files") or [])
         orphans = []
-        for dirpath, _dirs, names in os.walk(data_root):
-            for n in names:
-                if not n.endswith(".parquet"):
-                    continue
-                rel = os.path.relpath(os.path.join(dirpath, n), self.warehouse)
-                if rel not in referenced:
-                    orphans.append(rel)
+        for sub in ("data", "deletes"):
+            root = os.path.join(self.warehouse, "tables", table, sub)
+            for dirpath, _dirs, names in os.walk(root):
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(dirpath, n), self.warehouse)
+                    if rel not in referenced:
+                        orphans.append(rel)
         if not dry_run:
             for rel in orphans:
                 os.remove(os.path.join(self.warehouse, rel))

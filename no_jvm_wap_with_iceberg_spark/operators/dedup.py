@@ -597,6 +597,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # the change flag rides along in the update itself, so the
+        # convergence probe is a cheap scan of the checkpointed result
+        # instead of an extra labels-vs-labels join per round
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -604,18 +607,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        labels = updated.select("node", "label")
+        if updated.filter("_changed").limit(1).isEmpty():
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
