@@ -98,3 +98,26 @@ def test_mor_read_filters_only_targeted_files(spark, tmp_path):
     assert "Union" in plan
     assert plan.count("Filter NOT coalesce") == 1
     assert cat.read(spark, "t").count() == 190
+
+
+def test_plan_audit_sweep_is_clean(spark):
+    """No registered query may regress into a scale anti-pattern:
+    cartesian/nested-loop joins outside the deliberate broadcast
+    scorers, data-sized single-partition exchanges, or row-at-a-time
+    Python UDFs (tools/plan_audit.py holds the whitelists + reasons)."""
+    import tools.plan_audit as pa
+
+    from no_jvm_wap_with_iceberg_spark.plans.registry import get_queries
+
+    failures = []
+    for name, q in sorted(get_queries().items()):
+        plan = _plan(q.spark(spark, SF_DIR))
+        if "CartesianProduct" in plan and name not in pa.CROSS_OK:
+            failures.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in pa.CROSS_OK:
+            failures.append((name, "BroadcastNestedLoopJoin"))
+        if "Exchange SinglePartition" in plan and name not in pa.SINGLE_OK:
+            failures.append((name, "Exchange SinglePartition"))
+        if "BatchEvalPython" in plan:
+            failures.append((name, "row-at-a-time Python UDF"))
+    assert not failures, failures

