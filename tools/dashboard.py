@@ -28,9 +28,13 @@ def report(warehouse: str, table: str, columns: list[str]) -> list[dict]:
     for branch in cat.list_branches():
         if not cat.table_exists(table, branch):
             continue
+        try:
+            n = cat.row_count(table, branch)
+        except ValueError:
+            n = "mor-pending"  # exact count needs a scan; see row_count
         row = {
             "branch": branch,
-            "rows": cat.row_count(table, branch),
+            "rows": n,
             "snapshots": len(cat.load_table(table, branch).snapshots),
         }
         for c in columns:
