@@ -49,6 +49,8 @@ _HEAD = [
     "multimodal_resize_plan",
     "multimodal_frame_sample",
     "dedup_embedding_lsh",  # new in round 2, never driver-checked
+    "dedup_substring_spans",  # new in round 2, never driver-checked
+    "text_quality_rules",  # new in round 2, never driver-checked
 ]
 _TAIL = [
     "q6_revenue_forecast",

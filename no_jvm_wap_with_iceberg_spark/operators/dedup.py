@@ -646,3 +646,113 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(d, "doc_id", "text")
     return connected_components(pairs)
+
+
+# ----------------------------------------------------------------------
+# exact-substring dedup: duplicated token spans ACROSS documents
+# (whole-doc near-dup misses boilerplate/copied passages inside
+# otherwise-distinct documents — the training-data case where a span
+# repeated across the corpus should be down-weighted or cut)
+# ----------------------------------------------------------------------
+def substring_span_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document profile of ``k``-token spans shared with OTHER docs.
+
+    Spark-first shape: explode positions 1..n_tokens-k+1, build the
+    span by ``slice`` + ``concat_ws`` (all JVM), md5 it to a fixed-width
+    key, one shuffle on the span hash to count distinct holders, one
+    shuffle back on the doc id. At 100 TB the span-hash aggregation is
+    the only wide stage and it partial-aggregates map-side; md5 keeps
+    shuffle rows at 32 bytes + ids regardless of span text size.
+    Output: (doc_id, n_spans, n_dup_spans, dup_ratio) for EVERY doc
+    (docs shorter than ``k`` tokens report 0/0/NULL).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = docs.select(
+        F.col(id_col), F.explode(idxs).alias("_i"), toks.alias("_t")
+    ).select(
+        id_col,
+        F.md5(
+            F.encode(F.concat_ws(" ", F.slice("_t", F.col("_i"), k)), "UTF-8")
+        ).alias("_h"),
+    )
+    holders = spans.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_docs")
+    )
+    per_doc = (
+        spans.join(holders, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                (
+                    F.col("n_dup_spans").cast("decimal(18,9)")
+                    / F.col("n_spans")
+                ).cast("decimal(10,6)"),
+            )
+            .cast("double")
+            .alias("dup_ratio"),
+        )
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
+    ),
+    holders AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY h
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM sh JOIN holders ON holders.h = sh.h
+      GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN COALESCE(n_spans, 0) > 0
+                THEN CAST(CAST(CAST(n_dup_spans AS DECIMAL(18,9)) / n_spans
+                          AS DECIMAL(10,6)) AS DOUBLE)
+                ELSE NULL END AS dup_ratio
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+    """,
+    doc="exact-substring dedup: per-doc count/ratio of 8-token spans "
+    "that also appear in at least one other document (md5 span keys, "
+    "one wide stage on the span hash)",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return substring_span_profile(d)

@@ -301,3 +301,104 @@ def dedup_normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min("doc_id").alias("keep_id"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# rule-based quality gate (Gopher-style document filters): every rule
+# is evaluated with INTEGER cross-multiplication so both engines make
+# identical boundary decisions (no float-threshold ambiguity)
+# ----------------------------------------------------------------------
+_ALL_MARKERS: tuple[str, ...] = tuple(
+    sorted({m for ms in LANG_MARKERS.values() for m in ms})
+)
+
+
+def quality_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc pass/fail against four document-quality rules:
+
+    1. 5 <= word count <= 2000
+    2. 2 <= mean word length <= 12        (2*n_words <= sum_len <= 12*n_words)
+    3. symbol chars <= 20% of all chars   (5*n_symbols <= n_chars)
+    4. at least one common function word  (any language's marker set)
+
+    The filter set follows the published rule-based corpus filters
+    (word-count bounds, mean-word-length bounds, symbol ratio,
+    stop-word presence); rows keep the underlying counters so
+    downstream tuning can re-threshold without a rescan.
+    """
+    w = words(F.lower(F.col(text_col)))
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.length(text_col)
+    n_sym = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[^A-Za-z0-9 ]", "")
+    )
+    marker_arr = F.array(*[F.lit(m) for m in _ALL_MARKERS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(w), marker_arr))
+    passes = (
+        (n_words >= 5)
+        & (n_words <= 2000)
+        & (2 * n_words <= sum_len)
+        & (sum_len <= 12 * n_words)
+        & (5 * n_sym <= n_chars)
+        & (n_stop >= 1)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_len.cast("long").alias("sum_word_len"),
+        n_sym.alias("n_symbol_chars"),
+        n_stop.alias("n_stopword_types"),
+        passes.cast("int").alias("passes"),
+    )
+
+
+@register(
+    "text_quality_rules",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS t,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS n_sym
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+               AS sum_word_len,
+             n_chars,
+             n_sym,
+             len(list_intersect(list_distinct(t),
+                 ['a','and','das','de','der','die','el','est','et','ein',
+                  'en','is','ist','in','la','le','les','los','nicht','of',
+                  'que','that','the','to','un','und','y','zu',
+                  '的','是','了','在','我','有','和','不'])) AS n_stop
+      FROM feats
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           sum_word_len,
+           CAST(n_sym AS INTEGER) AS n_symbol_chars,
+           CAST(n_stop AS INTEGER) AS n_stopword_types,
+           CAST(CASE WHEN n_words >= 5 AND n_words <= 2000
+                      AND 2 * n_words <= sum_word_len
+                      AND sum_word_len <= 12 * n_words
+                      AND 5 * n_sym <= n_chars
+                      AND n_stop >= 1
+                THEN 1 ELSE 0 END AS INTEGER) AS passes
+    FROM agg
+    """,
+    doc="rule-based quality gate: word-count bounds, mean-word-length "
+    "bounds, symbol ratio, stop-word presence — all boundary decisions "
+    "integer-exact in both engines",
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return quality_rules(d, "doc_id", "text")

@@ -157,3 +157,57 @@ def test_sketch_error_bounds(spark):
         ap = approx[et]
         assert abs(ap.approx_users - ex.users) <= max(3, 0.05 * ex.users)
         assert abs(ap.approx_p50 - ex.p50) <= max(0.5, 0.05 * abs(ex.p50))
+
+
+def test_substring_span_profile_semantics(spark):
+    """Hand-built corpus: doc 1 and 2 share an 8-token span; doc 3 is
+    unique; doc 4 is too short for any span."""
+    from no_jvm_wap_with_iceberg_spark.operators.dedup import (
+        substring_span_profile,
+    )
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head1 " + shared),
+            (3, "a b c d e f g h i j"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_span_profile(df).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_spans"] == 3 and out[3]["n_dup_spans"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_ratio"] is None
+    assert abs(out[1]["dup_ratio"] - 1 / 3) < 1e-6
+
+
+def test_quality_rules_semantics_and_oracle_marker_parity(spark):
+    import re
+
+    from no_jvm_wap_with_iceberg_spark.operators.text import (
+        _ALL_MARKERS,
+        quality_rules,
+    )
+    from no_jvm_wap_with_iceberg_spark.plans.registry import get_queries
+
+    # the oracle's inline stopword list must stay identical to the
+    # Spark-side marker union — drift silently flips rule 4
+    sql = get_queries()["text_quality_rules"].oracle
+    m = re.search(r"list_intersect\(list_distinct\(t\),\s*\[(.*?)\]\)", sql, re.S)
+    sql_list = sorted(x.strip().strip("'") for x in m.group(1).replace("\n", "").split(","))
+    assert sql_list == sorted(_ALL_MARKERS)
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # passes
+            (2, "word " * 3),  # too few words
+            (3, "@#$% ^&*! @#$% ^&*! the @#$%"),  # symbol-heavy
+            (4, "qqqq wwww eeee rrrr tttt"),  # no stopword
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["passes"] for r in quality_rules(df, "doc_id", "text").collect()}
+    assert out == {1: 1, 2: 0, 3: 0, 4: 0}
