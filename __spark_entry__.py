@@ -51,6 +51,15 @@ _HEAD = [
     "dedup_embedding_lsh",  # new in round 2, never driver-checked
     "dedup_substring_spans",  # new in round 2, never driver-checked
     "text_quality_rules",  # new in round 2, never driver-checked
+    # the 7 round-1 hash-mismatch queries (oracle typing fixed in
+    # round 2) — must be re-checked, so they sit in the guaranteed slots
+    "events_json_extract",
+    "fn_array_map_suite",
+    "q12_shipmode_priority",
+    "events_anomaly_iqr",
+    "fn_json_map_suite",
+    "text_source_lang_matrix",
+    "text_bpe_token_counts",
 ]
 _TAIL = [
     "q6_revenue_forecast",
@@ -64,6 +73,9 @@ _TAIL = [
     "events_value_percentiles",
     "agg_collect_ordered",
     "histogram_order_totals",
+    "text_lang_id_confusion",
+    "dedup_normalized_fingerprints",
+    "unpivot_nation_measures",
 ]
 
 
