@@ -1061,6 +1061,42 @@ class Catalog:
                 os.remove(os.path.join(self.warehouse, rel))
         return sorted(orphans)
 
+    def gc_metadata(self, dry_run: bool = True) -> list[str]:
+        """Reclaim unreachable catalog-metadata blobs from the store.
+
+        Orphans accumulate from CAS-losing commit attempts (the commit
+        object and metadata version were written before the ref CAS
+        failed and the retry re-wrote both) and from dropped branches.
+        Reachable = every commit on any ref's parent chain, plus every
+        table-metadata version those commits pin. Run after
+        ``expire_snapshots``; safe against in-flight commits only in
+        the same maintenance window as ``remove_orphan_files``.
+        """
+        reachable_commits: set[str] = set()
+        for head in self._read_refs().values():
+            cur: str | None = head
+            while cur is not None and cur not in reachable_commits:
+                reachable_commits.add(cur)
+                cur = self._read_commit(cur).get("parent")
+        reachable_meta: set[str] = set()
+        for cid in reachable_commits:
+            reachable_meta.update(self._read_commit(cid)["tables"].values())
+        orphans = [
+            k
+            for k in self._store.list_keys("commits")
+            if k.removeprefix("commits/").removesuffix(".json")
+            not in reachable_commits
+        ]
+        orphans += [
+            k
+            for k in self._store.list_keys("tables")
+            if "/metadata/" in k and k.endswith(".json") and k not in reachable_meta
+        ]
+        if not dry_run:
+            for k in orphans:
+                self._store.delete(k)
+        return sorted(orphans)
+
     def diff(self, branch_a: str, branch_b: str) -> dict[str, Any]:
         """What differs between two refs: tables only on one side, and
         tables whose current snapshot diverges — the WAP forensic

@@ -293,3 +293,36 @@ def test_ingest_key_index_is_o1_and_idempotent(spark, warehouse):
     assert cat.has_ingest_key("k1") and not cat.has_ingest_key("k2")
     # the index is a sidecar, not a commit-log scan
     assert len(cat.log()) <= 3  # root + create + append (no stamp commits)
+
+
+def test_gc_metadata_reclaims_cas_losers_and_keeps_reachable(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 10), "t")
+    # a CAS-losing commit attempt leaves an orphaned commit + metadata
+    real_update = cat._update_refs
+    calls = {"n": 0}
+
+    def lose_once(fn, max_retries=64):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate losing the race: another append advances the ref
+            # before our CAS lands
+            cat2 = Catalog(warehouse, create=False)
+            cat2.append(_df(spark, 100, 105), "t")
+        return real_update(fn, max_retries)
+
+    cat._update_refs = lose_once
+    try:
+        cat.append(_df(spark, 10, 20), "t")
+    finally:
+        cat._update_refs = real_update
+    assert cat.read(spark, "t").count() == 25
+    orphans = cat.gc_metadata(dry_run=True)
+    assert orphans, "expected orphaned blobs from the lost CAS attempt"
+    cat.gc_metadata(dry_run=False)
+    assert cat.gc_metadata(dry_run=True) == []
+    # everything reachable still loads: all branches, all snapshots
+    assert cat.read(spark, "t").count() == 25
+    for s in cat.load_table("t").snapshots:
+        assert cat.read(spark, "t", snapshot_id=s.snapshot_id).count() >= 0

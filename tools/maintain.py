@@ -44,6 +44,9 @@ def main() -> None:
     verb = "deleted" if args.delete_orphans else "found (dry run)"
     print(f"orphans: {len(orphans)} {verb}")
 
+    meta_orphans = cat.gc_metadata(dry_run=not args.delete_orphans)
+    print(f"metadata orphans: {len(meta_orphans)} {verb}")
+
 
 if __name__ == "__main__":
     main()
