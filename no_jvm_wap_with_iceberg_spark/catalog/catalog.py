@@ -713,6 +713,34 @@ class Catalog:
             with_deletes = [(f, c) for f, c in with_deletes if f.path in keep]
         return self._df_applying_deletes(spark, meta, with_deletes)
 
+    def snapshot_as_of(
+        self, table: str, timestamp_ms: int, branch: str = MAIN
+    ) -> int | None:
+        """Latest snapshot id at-or-before ``timestamp_ms`` on the
+        branch's current chain (Iceberg ``TIMESTAMP AS OF``); None if
+        the table had no snapshot yet at that time."""
+        meta = self.load_table(table, branch)
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        cur = meta.snapshot()
+        while cur is not None:
+            if cur.timestamp_ms <= timestamp_ms:
+                return cur.snapshot_id
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        return None
+
+    def read_as_of(
+        self, spark: SparkSession, table: str, timestamp_ms: int, branch: str = MAIN
+    ) -> DataFrame:
+        """Time travel by wall clock: the table as of ``timestamp_ms``."""
+        sid = self.snapshot_as_of(table, timestamp_ms, branch)
+        if sid is None:
+            return spark.createDataFrame([], self.load_table(table, branch).spark_schema)
+        return self.read(spark, table, branch, snapshot_id=sid)
+
     def read_incremental(
         self,
         spark: SparkSession,

@@ -534,3 +534,21 @@ def test_branch_diff(spark, warehouse):
     assert d["only_in_b"] == ["t2"] and d["only_in_main"] == []
     assert d["changed"]["t"]["b"]["rows"] == 15
     assert d["changed"]["t"]["main"]["rows"] == 10
+
+
+def test_time_travel_by_timestamp(spark, warehouse):
+    import time as _time
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 10), "t")
+    t1 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    cat.append(_batch(spark, 5, start=10), "t")
+    # before any snapshot -> empty
+    assert cat.read_as_of(spark, "t", 0).count() == 0
+    # between the appends -> first snapshot only
+    assert cat.read_as_of(spark, "t", t1).count() == 10
+    # now -> everything
+    assert cat.read_as_of(spark, "t", int(_time.time() * 1000)).count() == 15
+    assert cat.snapshot_as_of("t", 0) is None

@@ -91,3 +91,31 @@ def test_manifest_carries_plan_facts(spark, warehouse):
     assert all("id" in f["column_stats"] for f in m["files"])
     ops = [s["operation"] for s in m["snapshots"]]
     assert ops == ["append", "delete"]
+
+
+def test_duckdb_view_hive_partitioned_table(spark, warehouse):
+    import duckdb
+
+    cat = Catalog(warehouse)
+    part_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("region", T.StringType()),
+        ]
+    )
+    cat.create_table("p", part_schema, partition_by=["region"])
+    cat.append(
+        spark.createDataFrame(
+            [(i, "east" if i % 2 else "west") for i in range(40)], part_schema
+        ),
+        "p",
+    )
+    con = duckdb.connect()
+    con.execute(duckdb_view_sql(cat, "p", view_name="vp"))
+    assert con.execute("SELECT COUNT(*) FROM vp").fetchone()[0] == 40
+    assert (
+        con.execute("SELECT COUNT(*) FROM vp WHERE region = 'east'").fetchone()[0]
+        == 20
+    )
+    # partition column round-trips with values, matching Spark
+    assert cat.read(spark, "p").filter("region = 'east'").count() == 20
