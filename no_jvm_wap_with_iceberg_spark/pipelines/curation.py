@@ -31,8 +31,12 @@ from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 from no_jvm_wap_with_iceberg_spark.operators.dedup import (
     connected_components,
     minhash_dedup_pairs,
+    substring_span_profile,
 )
-from no_jvm_wap_with_iceberg_spark.operators.text import quality_profile
+from no_jvm_wap_with_iceberg_spark.operators.text import (
+    quality_profile,
+    quality_rules,
+)
 from no_jvm_wap_with_iceberg_spark.wap.checks import (
     AuditContext,
     Check,
@@ -58,8 +62,10 @@ def _dedup_and_filter(
     text_col: str,
     min_words: int,
     max_words: int,
+    apply_rules: bool,
+    max_span_dup_ratio: float | None,
 ) -> tuple[DataFrame, dict[str, int]]:
-    """Exact dedup -> near-dup keep-one -> quality filter; returns the
+    """Exact dedup -> near-dup keep-one -> quality gates; returns the
     curated frame plus removal counts (all computed as DataFrame
     aggregates, no driver-side row loops)."""
     n0 = docs.count()
@@ -78,15 +84,28 @@ def _dedup_and_filter(
     near = exact.join(drop, id_col, "left_anti")
     n2 = near.count()
 
-    # quality: word-count bounds from the profile operator
-    prof = quality_profile(near, id_col, text_col).select(
-        id_col, "n_words"
-    )
+    # quality gates: word-count bounds (always), the rule-based
+    # document filter (Gopher-style, integer-exact), and optionally a
+    # cross-document duplicated-span ratio cap (substring-level dedup
+    # signal — boilerplate-heavy docs fail it even when no whole-doc
+    # near-dup fires)
+    prof = quality_profile(near, id_col, text_col).select(id_col, "n_words")
     good = (
         near.join(prof, id_col)
         .filter(F.col("n_words").between(min_words, max_words))
         .drop("n_words")
     )
+    if apply_rules:
+        passing = quality_rules(near, id_col, text_col).filter(
+            F.col("passes") == 1
+        )
+        good = good.join(passing.select(id_col), id_col, "left_semi")
+    if max_span_dup_ratio is not None:
+        spans = substring_span_profile(near, id_col, text_col)
+        ok_spans = spans.filter(
+            F.coalesce(F.col("dup_ratio"), F.lit(0.0)) <= max_span_dup_ratio
+        )
+        good = good.join(ok_spans.select(id_col), id_col, "left_semi")
     n3 = good.count()
     return good, {
         "exact": n0 - n1,
@@ -106,6 +125,8 @@ def curate_documents(
     checks: list[Check] | None = None,
     min_words: int = 5,
     max_words: int = 100_000,
+    apply_rules: bool = False,
+    max_span_dup_ratio: float | None = None,
 ) -> CurationResult:
     """Run the full curation WAP cycle; see module docstring."""
     checks = checks if checks is not None else [NotNullCheck(id_col, text_col)]
@@ -135,7 +156,13 @@ def curate_documents(
 
         # 3. curate on the branch
         curated, removed = _dedup_and_filter(
-            staged, id_col, text_col, min_words, max_words
+            staged,
+            id_col,
+            text_col,
+            min_words,
+            max_words,
+            apply_rules,
+            max_span_dup_ratio,
         )
         if cat.table_exists(curated_table, branch):
             cat.overwrite(curated, curated_table, branch)

@@ -35,3 +35,37 @@ def test_curation_pipeline_end_to_end(spark, warehouse):
     assert not res2.published and res2.failed_checks
     assert cat.row_count("documents_raw", "main") == rows_before
     assert res2.branch in cat.list_branches()  # forensic handle
+
+
+def test_curation_rule_gate_and_span_ratio(spark, warehouse):
+    """The rule gate and the duplicated-span cap drop exactly the docs
+    that fail them, on top of exact/near dedup."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.curation import curate_documents
+
+    boiler = "the shared boilerplate passage repeats one two three four five"
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),  # clean
+        (2, "@#$% ^&*! @#$% ^&*! the @#$% !!!! ???? ++++"),  # fails rules
+        (3, boiler + " unique alpha beta"),  # boilerplate-heavy
+        (4, boiler + " unique gamma delta"),  # boilerplate-heavy
+        (5, "a genuinely distinct document about the weather and tea"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = Catalog(warehouse)
+    res = curate_documents(
+        spark,
+        cat,
+        docs,
+        apply_rules=True,
+        max_span_dup_ratio=0.5,
+    )
+    assert res.published
+    kept = {
+        r["doc_id"] for r in cat.read(spark, "documents_curated").collect()
+    }
+    assert 1 in kept and 5 in kept
+    assert 2 not in kept  # symbol-heavy fails the rule gate
+    # docs 3/4 share most spans -> dup_ratio above the cap for both
+    assert 3 not in kept and 4 not in kept
+    assert res.low_quality_removed >= 3
