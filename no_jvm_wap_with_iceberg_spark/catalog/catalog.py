@@ -81,23 +81,35 @@ class Catalog:
         payload, _token = self._store.get(_REFS)
         return payload["refs"]
 
+    def _cas_update(
+        self,
+        key: str,
+        fn: Callable[[dict[str, Any] | None], dict[str, Any]],
+        max_retries: int = 64,
+    ) -> None:
+        """Generic CAS loop over one store object: ``fn`` receives the
+        freshest payload (None if absent) and returns the replacement;
+        the conditional put either lands it or ``fn`` re-runs on the
+        new state. Domain errors raised by ``fn`` propagate — only the
+        CAS race itself retries. With an object store this is a
+        conditional PUT; locally the store emulates it (flock)."""
+        for _ in range(max_retries):
+            got = self._store.get(key)
+            payload, token = (got[0], got[1]) if got else (None, None)
+            if self._store.put_if(key, fn(payload), token):
+                return
+        raise CommitConflict(f"{key}: CAS retries exhausted")
+
     def _update_refs(
         self, fn: Callable[[dict[str, str]], dict[str, str]], max_retries: int = 64
     ) -> None:
-        """CAS loop: ``fn`` validates + transforms the ref map against
-        the freshest state; the conditional put either lands it or we
-        re-run ``fn`` on the new state. Domain errors raised by ``fn``
-        (unknown branch, non-fast-forward, moved head) propagate — only
-        the CAS race itself retries. This is the whole concurrency
-        story: with an object store it is a conditional PUT, locally the
-        store emulates it (flock), and two writers can never clobber
-        each other's ref advance whatever branches they touch."""
-        for _ in range(max_retries):
-            payload, token = self._store.get(_REFS)
-            new_refs = fn(dict(payload["refs"]))
-            if self._store.put_if(_REFS, {"refs": new_refs}, token):
-                return
-        raise CommitConflict("ref-store CAS retries exhausted")
+        """Ref-map CAS: two writers can never clobber each other's ref
+        advance whatever branches they touch (see ``_cas_update``)."""
+
+        def wrap(payload: dict[str, Any] | None) -> dict[str, Any]:
+            return {"refs": fn(dict(payload["refs"]))}
+
+        self._cas_update(_REFS, wrap, max_retries)
 
     def _write_commit(self, payload: dict[str, Any]) -> None:
         payload.setdefault("timestamp_ms", int(time.time() * 1000))
@@ -117,6 +129,9 @@ class Catalog:
 
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:
         """Zero-copy: the new ref points at the source branch's commit."""
+
+        if name in self._read_tags():
+            raise ValueError(f"ref {name!r} is an immutable tag")
 
         def apply(refs: dict[str, str]) -> dict[str, str]:
             if name in refs:
@@ -893,29 +908,46 @@ class Catalog:
     # the exact state an audit or a training run consumed)
     # ------------------------------------------------------------------
     def create_tag(self, name: str, from_branch: str = MAIN) -> None:
-        """A tag is a ref that commits refuse to advance."""
-        # mark immutability first: a ref that briefly exists as a tag
-        # entry without a pointer blocks nothing; the reverse order
-        # would leave a mutable window
-        for _ in range(64):
-            got = self._store.get("tags.json")
-            tags, token = (got[0]["tags"], got[1]) if got else ([], None)
+        """A tag is a ref that commits refuse to advance.
+
+        Ordering: pre-validate, mark immutability, then create the ref
+        — a tag entry without a pointer blocks nothing, whereas the
+        reverse order would leave a mutable window. If the ref step
+        fails (name raced into existence, source branch dropped) the
+        tag entry rolls back so a failed call cannot freeze the name.
+        """
+        refs = self._read_refs()
+        if name in refs or name in self._read_tags():
+            raise ValueError(f"ref {name!r} already exists")
+        if from_branch not in refs:
+            raise KeyError(f"source branch {from_branch!r} not found")
+
+        def add_tag(payload: dict[str, Any] | None) -> dict[str, Any]:
+            tags = set(payload["tags"]) if payload else set()
             if name in tags:
                 raise ValueError(f"ref {name!r} already exists")
-            if self._store.put_if(
-                "tags.json", {"tags": sorted({*tags, name})}, token
-            ):
-                break
-        else:  # pragma: no cover - pathological contention
-            raise CommitConflict("tag CAS retries exhausted")
+            return {"tags": sorted(tags | {name})}
 
-        def apply(refs: dict[str, str]) -> dict[str, str]:
-            if name in refs:
-                raise ValueError(f"ref {name!r} already exists")
-            refs[name] = refs[from_branch]
-            return refs
+        self._cas_update("tags.json", add_tag)
+        try:
 
-        self._update_refs(apply)
+            def apply(refs: dict[str, str]) -> dict[str, str]:
+                if name in refs:
+                    raise ValueError(f"ref {name!r} already exists")
+                if from_branch not in refs:
+                    raise KeyError(f"source branch {from_branch!r} not found")
+                refs[name] = refs[from_branch]
+                return refs
+
+            self._update_refs(apply)
+        except BaseException:
+            def rm_tag(payload: dict[str, Any] | None) -> dict[str, Any]:
+                tags = set(payload["tags"]) if payload else set()
+                tags.discard(name)
+                return {"tags": sorted(tags)}
+
+            self._cas_update("tags.json", rm_tag)
+            raise
 
     def _read_tags(self) -> set[str]:
         got = self._store.get("tags.json")
@@ -932,13 +964,12 @@ class Catalog:
         return got is not None and key in got[0]["keys"]
 
     def stamp_ingest_key(self, key: str) -> None:
-        for _ in range(64):
-            got = self._store.get("ingest_keys.json")
-            keys, token = (dict(got[0]["keys"]), got[1]) if got else ({}, None)
+        def add(payload: dict[str, Any] | None) -> dict[str, Any]:
+            keys = dict(payload["keys"]) if payload else {}
             keys[key] = int(time.time() * 1000)
-            if self._store.put_if("ingest_keys.json", {"keys": keys}, token):
-                return
-        raise CommitConflict("ingest-key CAS retries exhausted")
+            return {"keys": keys}
+
+        self._cas_update("ingest_keys.json", add)
 
     # ------------------------------------------------------------------
     # table maintenance (the at-scale housekeeping Iceberg ships as
@@ -1107,19 +1138,27 @@ class Catalog:
                 reachable_commits.add(cur)
                 cur = self._read_commit(cur).get("parent")
         reachable_meta: set[str] = set()
+        known_tables: set[str] = set()
         for cid in reachable_commits:
-            reachable_meta.update(self._read_commit(cid)["tables"].values())
+            tables = self._read_commit(cid)["tables"]
+            reachable_meta.update(tables.values())
+            known_tables.update(tables)
         orphans = [
             k
             for k in self._store.list_keys("commits")
             if k.removeprefix("commits/").removesuffix(".json")
             not in reachable_commits
         ]
-        orphans += [
-            k
-            for k in self._store.list_keys("tables")
-            if "/metadata/" in k and k.endswith(".json") and k not in reachable_meta
-        ]
+        # list only the per-table metadata prefixes (a bare "tables"
+        # listing would walk every data parquet on a filesystem store);
+        # metadata of tables absent from ALL reachable history is out of
+        # listing scope by construction — a documented GC blind spot
+        for t in sorted(known_tables):
+            orphans += [
+                k
+                for k in self._store.list_keys(f"tables/{t}/metadata")
+                if k.endswith(".json") and k not in reachable_meta
+            ]
         if not dry_run:
             for k in orphans:
                 self._store.delete(k)
@@ -1132,13 +1171,19 @@ class Catalog:
         from metadata alone."""
         ta = {t: self.load_table(t, branch_a) for t in self.list_tables(branch_a)}
         tb = {t: self.load_table(t, branch_b) for t in self.list_tables(branch_b)}
+        def _rows(m: TableMetadata) -> int | None:
+            # metadata row counts over-count past pending MoR deletes;
+            # report unknown rather than wrong (scan via read() if exact
+            # numbers are needed)
+            return None if m.has_pending_deletes() else m.row_count()
+
         changed = {}
         for t in ta.keys() & tb.keys():
             a, b = ta[t], tb[t]
             if a.current_snapshot_id != b.current_snapshot_id or a.version != b.version:
                 changed[t] = {
-                    branch_a: {"snapshot": a.current_snapshot_id, "rows": a.row_count()},
-                    branch_b: {"snapshot": b.current_snapshot_id, "rows": b.row_count()},
+                    branch_a: {"snapshot": a.current_snapshot_id, "rows": _rows(a)},
+                    branch_b: {"snapshot": b.current_snapshot_id, "rows": _rows(b)},
                 }
         return {
             "only_in_" + branch_a: sorted(ta.keys() - tb.keys()),

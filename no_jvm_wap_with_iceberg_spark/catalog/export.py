@@ -79,8 +79,13 @@ def duckdb_view_sql(
                     _sql_quote(os.path.join(cat.warehouse, p))
                     for p in s.key_files
                 )
+                # match the Spark anti-join's NULL semantics: a NULL
+                # key row is never deleted, and NULLs in the delete-key
+                # set must not turn NOT IN into NULL-for-every-row
                 clauses.append(
-                    f"{s.key} NOT IN (SELECT {s.key} FROM read_parquet([{kf}]))"
+                    f"({s.key} IS NULL OR {s.key} NOT IN "
+                    f"(SELECT {s.key} FROM read_parquet([{kf}]) "
+                    f"WHERE {s.key} IS NOT NULL))"
                 )
         if clauses:
             sql += " WHERE " + " AND ".join(clauses)

@@ -252,14 +252,23 @@ def ivf_train_centroids(
     corpus costs the driver the same memory as a 100 MB one.
     Deterministic: seeded sample, seeded init.
     """
-    n = corpus.count()
-    sample = corpus.select(vec_col)
-    if n > max_train_vectors:
+    # probe with limit(cap+1): in the common under-cap case this IS the
+    # training set and no count job runs at all; only an over-cap corpus
+    # pays the count (footer-only under parquet aggregate pushdown) to
+    # derive a uniform sampling fraction, then a bounded re-collect
+    probe = corpus.select(vec_col).limit(max_train_vectors + 1).toPandas()
+    if len(probe) > max_train_vectors:
+        n = corpus.count()
         # oversample by 10% so the post-sample limit() almost always
         # has the full budget to draw from, then hard-cap
         frac = min(1.0, 1.1 * max_train_vectors / n)
-        sample = sample.sample(fraction=frac, seed=seed).limit(max_train_vectors)
-    x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+        probe = (
+            corpus.select(vec_col)
+            .sample(fraction=frac, seed=seed)
+            .limit(max_train_vectors)
+            .toPandas()
+        )
+    x = np.array(probe[vec_col].tolist(), dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]

@@ -143,10 +143,11 @@ def curate_documents(
         ctx = AuditContext(
             catalog=cat, table=raw_table, branch=branch, df=staged,
             files=meta.files(),
+            files_exact=not meta.has_pending_deletes(),
         )
         results = [c.run(ctx) for c in checks]
         failed = [r.check for r in results if not r.passed]
-        raw_rows = cat.row_count(raw_table, branch)
+        raw_rows = cat.row_count(raw_table, branch, spark=spark)
         if failed:
             return CurationResult(
                 published=False, branch=branch, raw_rows=raw_rows,
@@ -174,7 +175,7 @@ def curate_documents(
         cat.drop_branch(branch)
         return CurationResult(
             published=True, branch=branch, raw_rows=raw_rows,
-            curated_rows=cat.row_count(curated_table, "main"),
+            curated_rows=cat.row_count(curated_table, "main", spark=spark),
             exact_dups_removed=removed["exact"],
             near_dups_removed=removed["near"],
             low_quality_removed=removed["quality"],

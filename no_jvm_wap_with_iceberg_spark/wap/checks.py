@@ -43,13 +43,19 @@ class CheckResult:
 @dataclasses.dataclass
 class AuditContext:
     """Everything a check may audit: the DataFrame slice plus the
-    manifest entries behind it (for metadata-only fast paths)."""
+    manifest entries behind it (for metadata-only fast paths).
+
+    ``files_exact=False`` means the file stats over-approximate the
+    audited rows (pending merge-on-read deletes): metadata fast paths
+    must fall back to scanning ``df``, which has the deletes applied.
+    """
 
     catalog: Catalog
     table: str
     branch: str
     df: DataFrame
     files: list[FileEntry]
+    files_exact: bool = True
 
 
 class Check:
@@ -97,7 +103,9 @@ class NotNullCheck(Check):
         detail: dict[str, Any] = {}
         need_scan: list[str] = []
         for c in self.columns:
-            nulls = self._stats_nulls(ctx.files, c)
+            # stats over-approximate when MoR deletes are pending (a
+            # delete may have removed exactly the null rows) -> scan
+            nulls = self._stats_nulls(ctx.files, c) if ctx.files_exact else None
             if nulls is None:
                 need_scan.append(c)
             else:
@@ -168,7 +176,11 @@ class RowCountCheck(Check):
         self.name = f"row_count(>={min_rows}{f',<={max_rows}' if max_rows else ''})"
 
     def run(self, ctx: AuditContext) -> CheckResult:
-        n = sum(f.rows for f in ctx.files) if ctx.files is not None else ctx.df.count()
+        n = (
+            sum(f.rows for f in ctx.files)
+            if ctx.files is not None and ctx.files_exact
+            else ctx.df.count()
+        )
         ok = n >= self.min_rows and (self.max_rows is None or n <= self.max_rows)
         return CheckResult(self.name, ok, {"rows": n})
 

@@ -150,19 +150,24 @@ class WapPipeline:
         # the incremental slice or the whole table
         t2 = time.time()
         if self.incremental_audit:
+            # just-appended files are the newest in the chain, so no
+            # pending MoR delete can target them: stats are exact
             audit_files = meta.added_files_since(prev_snapshot)
             audit_df = self.catalog.read_incremental(
                 spark, self.table, branch, from_snapshot_id=prev_snapshot
             )
+            files_exact = True
         else:
             audit_files = meta.files()
             audit_df = self.catalog.read(spark, self.table, branch)
+            files_exact = not meta.has_pending_deletes()
         ctx = AuditContext(
             catalog=self.catalog,
             table=self.table,
             branch=branch,
             df=audit_df,
             files=audit_files,
+            files_exact=files_exact,
         )
         # A check that THROWS (bad SQL, missing ref table, executor
         # failure) must quarantine the batch like a failed audit, not

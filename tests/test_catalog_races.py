@@ -326,3 +326,25 @@ def test_gc_metadata_reclaims_cas_losers_and_keeps_reachable(spark, warehouse):
     assert cat.read(spark, "t").count() == 25
     for s in cat.load_table("t").snapshots:
         assert cat.read(spark, "t", snapshot_id=s.snapshot_id).count() >= 0
+
+
+def test_failed_create_tag_does_not_poison_the_name(spark, warehouse):
+    """A failed create_tag must roll its tags entry back — previously
+    create_tag('main') permanently froze main as an immutable tag."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    with pytest.raises(ValueError):
+        cat.create_tag("main")  # name already a branch
+    cat.append(_df(spark, 0, 5), "t")  # main must still accept commits
+    assert cat.row_count("t") == 5
+    with pytest.raises(KeyError):
+        cat.create_tag("v1", from_branch="nope")
+    cat.create_branch("v1")  # name not frozen by the failed attempt
+    cat.append(_df(spark, 5, 8), "t", branch="v1")
+    assert cat.row_count("t", "v1") == 8
+    # and a real tag still refuses commits + branch-name collisions
+    cat.create_tag("pin")
+    with pytest.raises(ValueError):
+        cat.append(_df(spark, 0, 1), "t", branch="pin")
+    with pytest.raises(ValueError):
+        cat.create_branch("pin")

@@ -211,3 +211,28 @@ def test_mor_delete_on_branch_isolated_until_merge(spark, warehouse):
     assert cat.read(spark, "t", branch="fix").count() == 30
     cat.merge("fix")
     assert cat.read(spark, "t").count() == 30
+
+
+def test_equality_delete_null_keys_spark_duckdb_agree(spark, warehouse):
+    """NULL-key rows survive a keyed delete in BOTH engines, and NULLs
+    in the delete-key set must not wipe the exported view."""
+    import duckdb
+
+    from no_jvm_wap_with_iceberg_spark.catalog.export import duckdb_view_sql
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    rows = [(float(i), f"r{i}") for i in range(10)] + [(None, "nullkey")]
+    df = spark.createDataFrame(
+        rows, "id double, name string"
+    ).selectExpr("CAST(id AS LONG) AS id", "name")
+    cat.append(df, "t")
+    keys = spark.createDataFrame([(0,), (1,), (None,)], "id long").select("id")
+    cat.delete_keys(keys, "t", key="id", mode="mor")
+    spark_rows = cat.read(spark, "t")
+    assert spark_rows.count() == 9  # 8 survivors + the null-key row
+    assert spark_rows.filter("id IS NULL").count() == 1
+    con = duckdb.connect()
+    con.execute(duckdb_view_sql(cat, "t", view_name="v"))
+    assert con.execute("SELECT COUNT(*) FROM v").fetchone()[0] == 9
+    assert con.execute("SELECT COUNT(*) FROM v WHERE id IS NULL").fetchone()[0] == 1
