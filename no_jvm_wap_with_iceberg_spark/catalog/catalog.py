@@ -146,6 +146,10 @@ class Catalog:
     def drop_branch(self, name: str) -> None:
         if name == MAIN:
             raise ValueError("refusing to drop 'main'")
+        if name in self._read_tags():
+            # deleting a tag's ref would both destroy the pinned state
+            # and strand the name in tags.json forever
+            raise ValueError(f"ref {name!r} is a tag; use drop_tag")
 
         def apply(refs: dict[str, str]) -> dict[str, str]:
             if name not in refs:
@@ -154,6 +158,25 @@ class Catalog:
             return refs
 
         self._update_refs(apply)
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag: the ref first (the pin disappears atomically),
+        then the immutability marker."""
+        if name not in self._read_tags():
+            raise KeyError(f"tag {name!r} not found")
+
+        def apply(refs: dict[str, str]) -> dict[str, str]:
+            refs.pop(name, None)
+            return refs
+
+        self._update_refs(apply)
+
+        def rm_tag(payload: dict[str, Any] | None) -> dict[str, Any]:
+            tags = set(payload["tags"]) if payload else set()
+            tags.discard(name)
+            return {"tags": sorted(tags)}
+
+        self._cas_update("tags.json", rm_tag)
 
     def _is_ancestor(self, maybe_ancestor: str, commit_id: str) -> bool:
         cur: str | None = commit_id
@@ -1138,22 +1161,19 @@ class Catalog:
                 reachable_commits.add(cur)
                 cur = self._read_commit(cur).get("parent")
         reachable_meta: set[str] = set()
-        known_tables: set[str] = set()
         for cid in reachable_commits:
-            tables = self._read_commit(cid)["tables"]
-            reachable_meta.update(tables.values())
-            known_tables.update(tables)
+            reachable_meta.update(self._read_commit(cid)["tables"].values())
         orphans = [
             k
             for k in self._store.list_keys("commits")
             if k.removeprefix("commits/").removesuffix(".json")
             not in reachable_commits
         ]
-        # list only the per-table metadata prefixes (a bare "tables"
-        # listing would walk every data parquet on a filesystem store);
-        # metadata of tables absent from ALL reachable history is out of
-        # listing scope by construction — a documented GC blind spot
-        for t in sorted(known_tables):
+        # enumerate table names via a delimiter listing (one cheap
+        # directory/CommonPrefixes call — NOT a walk of the data tree),
+        # so metadata of tables dropped from all reachable history is
+        # still swept; then list only each table's metadata prefix
+        for t in self._store.list_dirs("tables"):
             orphans += [
                 k
                 for k in self._store.list_keys(f"tables/{t}/metadata")

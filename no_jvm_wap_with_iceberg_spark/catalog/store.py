@@ -73,6 +73,19 @@ class RefStore(abc.ABC):
     @abc.abstractmethod
     def list_keys(self, prefix: str) -> list[str]: ...
 
+    def list_dirs(self, prefix: str) -> list[str]:
+        """Immediate child 'directory' names under ``prefix`` (the
+        object-store delimiter listing: S3 ListObjects CommonPrefixes).
+        Default derives from ``list_keys`` — backends with a cheaper
+        native listing should override."""
+        depth = len([p for p in prefix.split("/") if p])
+        out = set()
+        for k in self.list_keys(prefix):
+            parts = [p for p in k.split("/") if p]
+            if len(parts) > depth + 1:
+                out.add(parts[depth])
+        return sorted(out)
+
     @abc.abstractmethod
     def delete(self, key: str) -> None: ...
 
@@ -139,6 +152,17 @@ class LocalFSStore(RefStore):
                     os.path.relpath(os.path.join(dirpath, n), self.root)
                 )
         return sorted(out)
+
+    def list_dirs(self, prefix: str) -> list[str]:
+        # one os.listdir instead of the default full-walk derivation
+        base = self._path(prefix)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(base)
+            if not n.startswith(".") and os.path.isdir(os.path.join(base, n))
+        )
 
     def delete(self, key: str) -> None:
         try:

@@ -258,6 +258,8 @@ def ivf_train_centroids(
     # derive a uniform sampling fraction, then a bounded re-collect
     probe = corpus.select(vec_col).limit(max_train_vectors + 1).toPandas()
     if len(probe) > max_train_vectors:
+        del probe  # free the over-cap probe BEFORE the re-collect:
+        # holding both doubles peak driver memory at the default cap
         n = corpus.count()
         # oversample by 10% so the post-sample limit() almost always
         # has the full budget to draw from, then hard-cap

@@ -348,3 +348,60 @@ def test_failed_create_tag_does_not_poison_the_name(spark, warehouse):
         cat.append(_df(spark, 0, 1), "t", branch="pin")
     with pytest.raises(ValueError):
         cat.create_branch("pin")
+
+
+def test_create_tag_rollback_path_actually_rolls_back(spark, warehouse):
+    """Exercise the rollback itself: refs change between create_tag's
+    pre-validation and its ref CAS, so the failure happens AFTER the
+    tag entry is written — it must be removed again."""
+    cat = Catalog(warehouse)
+    real_update = cat._update_refs
+
+    def racing_update(fn, max_retries=64):
+        # the name appears as a branch after pre-validation passed
+        real_update(lambda refs: {**refs, "pin": refs["main"]})
+        return real_update(fn, max_retries)
+
+    cat._update_refs = racing_update
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            cat.create_tag("pin")
+    finally:
+        cat._update_refs = real_update
+    assert "pin" not in cat._read_tags(), "tag entry not rolled back"
+    # the racing branch stayed a normal mutable branch
+    cat.drop_branch("pin")
+    cat.create_tag("pin")  # name fully reusable
+    assert "pin" in cat._read_tags()
+
+
+def test_drop_branch_refuses_tags_and_drop_tag_frees_name(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 5), "t")
+    cat.create_tag("pin")
+    with pytest.raises(ValueError, match="use drop_tag"):
+        cat.drop_branch("pin")
+    assert cat.row_count("t", "pin") == 5  # pin intact
+    cat.drop_tag("pin")
+    assert "pin" not in cat.list_branches()
+    cat.create_branch("pin")  # name free and mutable again
+    cat.append(_df(spark, 5, 8), "t", branch="pin")
+    assert cat.row_count("t", "pin") == 8
+
+
+def test_gc_metadata_sweeps_dropped_table_metadata(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("gone", SCHEMA)
+    cat.append(_df(spark, 0, 5), "gone")
+    cat.drop_table("gone")
+    # make the create/append commits unreachable: the chain walks
+    # parents, so rewrite history down to just the current head
+    head = cat._read_refs()["main"]
+    commit = cat._read_commit(head)
+    commit["parent"] = None
+    cat._write_commit(commit)
+    orphans = cat.gc_metadata(dry_run=True)
+    assert any("tables/gone/metadata" in k for k in orphans), orphans
+    cat.gc_metadata(dry_run=False)
+    assert cat.gc_metadata(dry_run=True) == []
