@@ -226,3 +226,65 @@ def test_asof_forward_and_tolerance_vs_pandas(spark_h, lefts, rights, tol):
         ]
         expect = min(cand)[1] if cand else None
         assert got[(k, i)] == expect, (k, t, cand, got[(k, i)])
+
+
+@settings(**SLOW)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "del_where", "del_keys", "compact"]),
+            st.integers(0, 49),
+            st.integers(1, 15),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    mor=st.booleans(),
+)
+def test_random_delete_sequences_match_model(spark_h, tmp_path_factory, ops, mor):
+    """Random append/delete/compact sequences agree with a plain dict
+    model — MoR and CoW must be indistinguishable to readers."""
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    wh = str(tmp_path_factory.mktemp("wh"))
+    cat = Catalog(wh)
+    cat.create_table("t", schema)
+    model: dict[tuple[int, int], int] = {}  # (id, seq) -> v
+    seq = 0
+    mode = "mor" if mor else "cow"
+    for op, lo, width in ops:
+        hi = lo + width
+        if op == "append":
+            df = spark_h.range(lo, hi).select(
+                F.col("id"), F.lit(seq).cast("long").alias("v")
+            )
+            cat.append(df, "t")
+            for i in range(lo, hi):
+                model[(i, seq)] = seq
+            seq += 1
+        elif op == "del_where":
+            cat.delete_where(
+                spark_h,
+                "t",
+                Predicate.between("id", lo, hi),
+                f"id BETWEEN {lo} AND {hi}",
+                mode=mode,
+            )
+            model = {k: v for k, v in model.items() if not (lo <= k[0] <= hi)}
+        elif op == "del_keys":
+            cat.delete_keys(
+                spark_h.range(lo, hi).select("id"), "t", key="id", mode=mode
+            )
+            model = {k: v for k, v in model.items() if not (lo <= k[0] < hi)}
+        else:
+            cat.compact(spark_h, "t")
+    got = sorted(
+        (r["id"], r["v"]) for r in cat.read(spark_h, "t").collect()
+    )
+    want = sorted((i, v) for (i, _s), v in model.items())
+    assert got == want
