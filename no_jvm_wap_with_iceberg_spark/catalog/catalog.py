@@ -1143,6 +1143,35 @@ class Catalog:
                 os.remove(os.path.join(self.warehouse, rel))
         return sorted(orphans)
 
+    def cut_history(self, keep_last: int = 1000, branch: str = MAIN) -> int:
+        """Bound the commit chain: rewrite the commit ``keep_last``
+        steps behind the branch head with ``parent=None``, detaching
+        everything older. Commit ids and every ref stay untouched —
+        branches pointing at retained commits are unaffected, branches
+        still pointing into the detached prefix keep their own chains
+        (their blobs stay reachable from their refs, so ``gc_metadata``
+        leaves them alone) but can no longer fast-forward into
+        ``branch``. Returns the number of commits detached.
+
+        This is the commit-log analogue of ``expire_snapshots``:
+        long-running streaming ingest adds two commits per batch, and
+        while no hot path is O(history) (publishing walks only the
+        branch delta), unbounded chains make ``log()`` and full GC
+        walks ever slower.
+        """
+        head = self._read_refs()[branch]
+        chain: list[str] = []
+        cur: str | None = head
+        while cur is not None:
+            chain.append(cur)
+            cur = self._read_commit(cur).get("parent")
+        if len(chain) <= keep_last:
+            return 0
+        cut = self._read_commit(chain[keep_last - 1])
+        cut["parent"] = None
+        self._write_commit(cut)
+        return len(chain) - keep_last
+
     def gc_metadata(self, dry_run: bool = True) -> list[str]:
         """Reclaim unreachable catalog-metadata blobs from the store.
 

@@ -25,6 +25,7 @@ def main() -> None:
     ap.add_argument("warehouse")
     ap.add_argument("table")
     ap.add_argument("--keep-snapshots", type=int, default=3)
+    ap.add_argument("--keep-commits", type=int, default=1000)
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--delete-orphans", action="store_true")
     args = ap.parse_args()
@@ -43,6 +44,9 @@ def main() -> None:
     orphans = cat.remove_orphan_files(args.table, dry_run=not args.delete_orphans)
     verb = "deleted" if args.delete_orphans else "found (dry run)"
     print(f"orphans: {len(orphans)} {verb}")
+
+    detached = cat.cut_history(keep_last=args.keep_commits)
+    print(f"history: {detached} commits detached (keep {args.keep_commits})")
 
     meta_orphans = cat.gc_metadata(dry_run=not args.delete_orphans)
     print(f"metadata orphans: {len(meta_orphans)} {verb}")
