@@ -1,13 +1,33 @@
 from no_jvm_wap_with_iceberg_spark.catalog.catalog import Catalog, CommitConflict
-from no_jvm_wap_with_iceberg_spark.catalog.table import FileEntry, Snapshot, TableMetadata
+from no_jvm_wap_with_iceberg_spark.catalog.export import (
+    duckdb_view_sql,
+    export_manifest,
+)
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate, prune_files
+from no_jvm_wap_with_iceberg_spark.catalog.store import (
+    InMemoryStore,
+    LocalFSStore,
+    RefStore,
+)
+from no_jvm_wap_with_iceberg_spark.catalog.table import (
+    DeleteSpec,
+    FileEntry,
+    Snapshot,
+    TableMetadata,
+)
 
 __all__ = [
     "Catalog",
     "CommitConflict",
+    "DeleteSpec",
     "FileEntry",
+    "InMemoryStore",
+    "LocalFSStore",
+    "Predicate",
+    "RefStore",
     "Snapshot",
     "TableMetadata",
-    "Predicate",
+    "duckdb_view_sql",
+    "export_manifest",
     "prune_files",
 ]
