@@ -77,6 +77,8 @@ class WapPipeline:
         sort_by: list[str] | None = None,
         compact_every: int | None = None,
         compact_target_file_mb: int = 128,
+        expire_keep_last: int | None = 10,
+        batch_write_partitions: int | None = 1,
     ):
         self.catalog = catalog
         self.table = table
@@ -89,9 +91,19 @@ class WapPipeline:
         # streaming ingest writes one small file set per micro-batch;
         # compact on main after every N published appends so long-running
         # ingest never degrades reads (a best-effort optimistic commit —
-        # losing the race to a concurrent append just skips this round)
+        # losing the race to a concurrent append just skips this round),
+        # and expire old snapshots with it so per-batch metadata stays
+        # O(window), not O(all history) — without expiry a 100-batch
+        # soak showed per-batch latency growing 1.8x purely from
+        # re-serializing ever-larger snapshot metadata
         self.compact_every = compact_every
         self.compact_target_file_mb = compact_target_file_mb
+        self.expire_keep_last = expire_keep_last
+        # a micro-batch otherwise writes one file per shuffle partition
+        # (32 tiny files per 2k-row batch): coalesce the write so file
+        # count — and the per-file stats the commit carries — tracks
+        # batch size, not core count. None disables (big batch loads).
+        self.batch_write_partitions = batch_write_partitions
 
     # ------------------------------------------------------------------
     def _ensure_table(self, df: DataFrame) -> None:
@@ -143,7 +155,10 @@ class WapPipeline:
         self.catalog.create_branch(branch, MAIN)
         t1 = time.time()
         prev_snapshot = self.catalog.load_table(self.table, branch).current_snapshot_id
-        meta = self.catalog.append(batch, self.table, branch)
+        to_write = batch
+        if self.batch_write_partitions is not None:
+            to_write = batch.coalesce(self.batch_write_partitions)
+        meta = self.catalog.append(to_write, self.table, branch)
         timings["append"] = time.time() - t1
 
         # Audit: against the branch AS COMMITTED (app.py:197-203), either
@@ -248,6 +263,12 @@ class WapPipeline:
                 self.catalog.compact(
                     spark, self.table, MAIN, self.compact_target_file_mb
                 )
+                if self.expire_keep_last is not None:
+                    # squash pre-compaction history so snapshot metadata
+                    # stays proportional to the maintenance window
+                    self.catalog.expire_snapshots(
+                        self.table, MAIN, keep_last=self.expire_keep_last
+                    )
             except Exception:
                 pass  # best-effort maintenance; never fail the ingest
 

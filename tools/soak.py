@@ -63,6 +63,46 @@ def main() -> None:
         f"ratio={t4 / t1:.2f}"
     )
 
+    wap_ingest_soak(spark, n_batches=100)
+
+
+def wap_ingest_soak(spark, n_batches: int = 100, rows_per_batch: int = 2_000):
+    """Long-running streaming-ingest simulation: N full WAP cycles
+    (branch → append → audit → publish → idempotence stamp) with
+    periodic compaction, comparing early vs late per-batch latency.
+    Flat cost proves the O(1) ingest index, the bounded commit chain,
+    and compaction keeping the file count in check."""
+    import tempfile
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+    from no_jvm_wap_with_iceberg_spark.wap import NotNullCheck, WapPipeline
+
+    with tempfile.TemporaryDirectory() as wh:
+        cat = Catalog(wh)
+        pipe = WapPipeline(
+            cat, "soak_table", [NotNullCheck("my_col_1")], compact_every=20
+        )
+        batch = generate_batch(spark, n=rows_per_batch, no_null=True).cache()
+        batch.count()
+        lat: list[float] = []
+        for i in range(n_batches):
+            t0 = time.time()
+            res = pipe.run_batch(spark, batch, ingest_key=f"batch-{i}")
+            assert res.published, res
+            lat.append(time.time() - t0)
+        cat.cut_history(keep_last=50)
+        cat.gc_metadata(dry_run=False)
+        head = sum(lat[:20]) / 20
+        tail = sum(lat[-20:]) / 20
+        files = len(cat.load_table("soak_table").files())
+        print(
+            f"wap-ingest-soak: {n_batches} batches x {rows_per_batch} rows; "
+            f"first-20 avg={head:.2f}s last-20 avg={tail:.2f}s "
+            f"ratio={tail / head:.2f} live-files={files} "
+            f"commits={len(cat.log())}"
+        )
+
 
 if __name__ == "__main__":
     main()
