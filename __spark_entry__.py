@@ -51,6 +51,10 @@ _HEAD = [
     "dedup_embedding_lsh",  # new in round 2, never driver-checked
     "dedup_substring_spans",  # new in round 2, never driver-checked
     "text_quality_rules",  # new in round 2, never driver-checked
+    "corpus_decontaminate_eval",  # new in round 2, never driver-checked
+    "corpus_repetition_profile",  # new in round 2, never driver-checked
+    "corpus_stratified_sample",  # new in round 2, never driver-checked
+    "corpus_pack_sequences",  # new in round 2, never driver-checked
     # the 7 round-1 hash-mismatch queries (oracle typing fixed in
     # round 2) — must be re-checked, so they sit in the guaranteed slots
     "events_json_extract",

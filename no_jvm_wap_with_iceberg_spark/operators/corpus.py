@@ -1,0 +1,326 @@
+"""Corpus-level training-data pipeline operators.
+
+Four ops a 100 TB pretraining-data pipeline runs after per-doc quality
+and dedup (complementing operators/dedup.py and operators/text.py):
+
+- **decontamination**: drop corpus documents sharing word n-grams with
+  a held-out eval set. At scale the eval set is tiny (benchmarks are
+  MBs) while the corpus is the 100 TB side, so the plan is a broadcast
+  semi-join: explode corpus shingles once, broadcast the distinct eval
+  shingle set, aggregate hits per doc. Cost O(corpus tokens), no
+  corpus-side shuffle beyond the per-doc hit aggregation.
+- **repetition profile**: Gopher-style intra-document repetition
+  signal (fraction of duplicate word 2-grams + the hottest gram's
+  count). One shuffle keyed (doc_id, gram) — fully parallel.
+- **stratified sampling**: deterministic per-source downsampling via
+  an md5-hex threshold compare. No RNG state: the same row always
+  makes the same decision on any cluster size or retry, which is what
+  makes a 100 TB sampling job resumable and its output reproducible.
+- **sequence packing**: assign documents to fixed-size context bins
+  by cumulative token count within a shard (source). The window is
+  partitioned by shard, so packing parallelizes across shards while
+  staying byte-deterministic; no global sort.
+
+Reference parity note: the reference pipeline
+(BauplanLabs/no-jvm-wap-with-iceberg, src/serverless/app.py) stops at
+WAP quality gates; these ops extend the same documents table toward
+LLM-corpus curation, per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from no_jvm_wap_with_iceberg_spark.functions.textfn import words
+from no_jvm_wap_with_iceberg_spark.plans.registry import register
+from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+# eval-set membership: doc_id % EVAL_MOD == 0 — a deterministic stand-in
+# for "doc appears in a benchmark"; DECON_N-gram overlap marks contamination
+EVAL_MOD = 83
+DECON_N = 5
+
+# per-source sampling rates keyed by numeric source suffix % 4; thresholds
+# are floor(rate * 16^8) as fixed-width lowercase hex so a lexicographic
+# compare against md5's first 8 hex chars implements P(keep) = rate
+# identically in Spark and DuckDB (no RNG, no float boundary)
+_RATE_HEX = ["33333333", "66666666", "99999999", "cccccccc"]  # .2 .4 .6 .8
+_RATES = [0.2, 0.4, 0.6, 0.8]
+
+PACK_CONTEXT = 512  # tokens per packed context window
+
+
+def _ngrams(text, n: int):
+    """Distinct word n-grams (JVM-side; empty for docs shorter than n)."""
+    w = words(text)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + k) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ----------------------------------------------------------------------
+# library operators
+# ----------------------------------------------------------------------
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DECON_N,
+) -> DataFrame:
+    """Per-corpus-doc eval-overlap counts: (id, n_grams, n_hit) for
+    every doc sharing >= 1 word n-gram with the eval set.
+
+    Plan: corpus shingles exploded once; the eval shingle set is
+    DISTINCT'd and broadcast (benchmarks are tiny next to a 100 TB
+    corpus), so the join is a broadcast hash semi-join with no
+    corpus-side shuffle; the only exchange is the per-doc hit count.
+    """
+    sh = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_ngrams(F.col(text_col), n)).alias("_s"),
+        )
+    )
+    ev = (
+        eval_set.select(F.explode(_ngrams(F.col(text_col), n)).alias("_s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        sh.join(F.broadcast(ev), "_s")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(sizes, "_id")
+        .select(F.col("_id").alias(id_col), "n_grams", "n_hit")
+    )
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition: duplicate word-2-gram fraction and
+    the hottest gram's occurrence count (Gopher repetition filters).
+
+    Non-distinct 2-grams explode to (doc, gram) and aggregate twice —
+    one shuffle keyed (doc, gram), then a cheap per-doc rollup. All
+    counters integer; the ratio is the only float and is derived from
+    integers identically in both engines.
+    """
+    w = words(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+        .groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_gram.groupBy("_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_grams_total"),
+            F.count(F.lit(1)).alias("n_grams_distinct"),
+            F.max("_c").cast("long").alias("max_gram_count"),
+        )
+        .withColumn(
+            "dup_ratio",
+            (F.col("n_grams_total") - F.col("n_grams_distinct")).cast("double")
+            / F.col("n_grams_total"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams_total",
+            "n_grams_distinct",
+            "max_gram_count",
+            "dup_ratio",
+        )
+    )
+
+
+def stratified_keep(df: DataFrame, id_col: str, rate_bucket) -> DataFrame:
+    """Add a deterministic ``keep`` flag: md5(id) hex prefix compared
+    against the bucket's rate threshold. ``rate_bucket`` is an int
+    Column in [0, 3] selecting from the fixed rate ladder."""
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thr = F.element_at(
+        F.array(*[F.lit(h) for h in _RATE_HEX]), rate_bucket + F.lit(1)
+    )
+    return df.withColumn("_bucket", rate_bucket).withColumn(
+        "keep", (key < thr).cast("int")
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    token_count,
+    context: int = PACK_CONTEXT,
+) -> DataFrame:
+    """Assign each doc to a packing bin: cumulative token count within
+    the shard (ordered by ``order_col``), bin = floor(start / context).
+
+    The window partitions by shard, so each shard packs independently
+    in one task — deterministic, parallel across shards, no global
+    sort. A doc whose tokens straddle a boundary belongs to the bin
+    where it starts (the padding/overflow policy is the trainer's).
+    """
+    win = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = token_count.cast("long")
+    cum = F.sum(tok).over(win)
+    return df.withColumn("_tok", tok).withColumn(
+        "bin", ((cum - tok) / F.lit(context)).cast("long")
+    )
+
+
+# ----------------------------------------------------------------------
+# registered queries (driver correctness gate)
+# ----------------------------------------------------------------------
+@register(
+    "corpus_decontaminate_eval",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS s
+           FROM toks, UNNEST(range(1, len(w)-3)) AS t(i)),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh
+              WHERE doc_id % {EVAL_MOD} != 0 GROUP BY 1),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hit
+             FROM sh JOIN ev USING (s)
+             WHERE doc_id % {EVAL_MOD} != 0 GROUP BY 1)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_hit
+    FROM hits JOIN sizes USING (doc_id)
+    """,
+    doc="benchmark decontamination: corpus docs sharing any word "
+    f"{DECON_N}-gram with the deterministic eval subset "
+    f"(doc_id % {EVAL_MOD} = 0); broadcast semi-join, no corpus shuffle",
+)
+def corpus_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    out = decontaminate(corpus, ev, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+    )
+
+
+@register(
+    "corpus_repetition_profile",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    grams AS (SELECT doc_id, w[i]||' '||w[i+1] AS g
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+    per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams_total,
+           CAST(COUNT(*) AS BIGINT) AS n_grams_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_gram_count,
+           CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS dup_ratio
+    FROM per_gram GROUP BY doc_id
+    """,
+    doc="intra-document repetition (duplicate word-2-gram fraction, "
+    "hottest gram count) — Gopher-style repetition quality signal",
+)
+def corpus_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = repetition_profile(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_grams_total",
+        F.col("n_grams_distinct").cast("long").alias("n_grams_distinct"),
+        "max_gram_count",
+        "dup_ratio",
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    """
+    WITH marked AS (
+      SELECT source,
+             CAST(substr(source, 4) AS INTEGER) % 4 AS bucket,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                       (['33333333','66666666','99999999','cccccccc'])[
+                         CAST(substr(source, 4) AS INTEGER) % 4 + 1]
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents
+    )
+    SELECT source, CAST(MIN(bucket) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_sampled
+    FROM marked GROUP BY source
+    """,
+    doc="deterministic stratified downsampling: per-source keep rates "
+    "(.2/.4/.6/.8 by source-suffix bucket) decided by md5-hex "
+    "threshold compare — reproducible on any cluster size, no RNG",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring("source", 4, 10).cast("int") % 4
+    marked = stratified_keep(d, "doc_id", bucket)
+    return marked.groupBy("source").agg(
+        F.min("_bucket").cast("int").alias("bucket"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("keep").cast("long").alias("n_sampled"),
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(text,' ')) AS tok
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, doc_id, tok,
+             CAST(FLOOR(CAST(SUM(tok) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok
+                  AS DOUBLE) / {PACK_CONTEXT}) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM binned GROUP BY source, bin
+    """,
+    doc=f"sequence packing: docs -> {PACK_CONTEXT}-token context bins by "
+    "cumulative token count per source shard; parallel across shards, "
+    "no global sort",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    binned = pack_bins(
+        d, "source", "doc_id", F.size(words(F.col("text"))), PACK_CONTEXT
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").cast("long").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -1,0 +1,107 @@
+"""Corpus-pipeline operator tests: decontamination, repetition,
+stratified sampling, sequence packing — semantics plus the plan
+shapes that make them scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from no_jvm_wap_with_iceberg_spark.operators.corpus import (
+    decontaminate,
+    pack_bins,
+    repetition_profile,
+    stratified_keep,
+)
+from no_jvm_wap_with_iceberg_spark.functions.textfn import words
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    eval_set = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 5-gram "quick brown fox jumps over"
+            (10, "a quick brown fox jumps over fences daily it seems"),
+            # no 5-gram overlap
+            (11, "completely unrelated text with no shared phrases at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = decontaminate(corpus, eval_set, "doc_id", "text", n=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {10}
+    assert rows[10]["n_hit"] >= 1
+    assert rows[10]["n_grams"] == 6  # 10 words -> 6 distinct 5-grams
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    eval_set = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(2, "a b c d e g")], ["doc_id", "text"])
+    plan = (
+        decontaminate(corpus, eval_set, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # eval grams ship to corpus tasks
+
+
+def test_repetition_profile_counts(spark):
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    row = repetition_profile(df, "doc_id", "text").collect()[0]
+    # 2-grams: "a b","b a","a b","b a","a b" -> 5 total, 2 distinct, max 3
+    assert row["n_grams_total"] == 5
+    assert row["n_grams_distinct"] == 2
+    assert row["max_gram_count"] == 3
+    assert row["dup_ratio"] == pytest.approx(0.6)
+
+
+def test_stratified_keep_rate_and_nesting(spark):
+    n = 5000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    kept = {
+        b: set(
+            r["doc_id"]
+            for r in stratified_keep(df, "doc_id", F.lit(b))
+            .filter("keep = 1")
+            .collect()
+        )
+        for b in range(4)
+    }
+    rates = [0.2, 0.4, 0.6, 0.8]
+    for b, rate in enumerate(rates):
+        # md5 output is uniform: observed rate within ~4 sigma
+        assert abs(len(kept[b]) / n - rate) < 0.03
+    # thresholds are nested, so sample sets are nested (a doc kept at a
+    # lower rate is always kept at a higher one — stable downsampling)
+    assert kept[0] <= kept[1] <= kept[2] <= kept[3]
+    # determinism: same decision on recompute
+    again = set(
+        r["doc_id"]
+        for r in stratified_keep(df, "doc_id", F.lit(1))
+        .filter("keep = 1")
+        .collect()
+    )
+    assert again == kept[1]
+
+
+def test_pack_bins_matches_sequential_reference(spark):
+    rows = [
+        ("s1", i, "w " * (3 + (i * 7) % 11)) for i in range(40)
+    ] + [("s2", i, "w " * (2 + (i * 5) % 9)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = (
+        pack_bins(df, "source", "doc_id", F.size(words(F.col("text"))), 16)
+        .select("source", "doc_id", "_tok", "bin")
+        .collect()
+    )
+    # sequential reference per shard
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        cum = by_shard.get(r["source"], 0)
+        assert r["bin"] == cum // 16
+        by_shard[r["source"]] = cum + r["_tok"]
+    # bins are dense from 0 per shard
+    for src in ("s1", "s2"):
+        bins = sorted({r["bin"] for r in out if r["source"] == src})
+        assert bins == list(range(len(bins)))
