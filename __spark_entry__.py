@@ -55,6 +55,7 @@ _HEAD = [
     "corpus_repetition_profile",  # new in round 2, never driver-checked
     "corpus_stratified_sample",  # new in round 2, never driver-checked
     "corpus_pack_sequences",  # new in round 2, never driver-checked
+    "corpus_chunk_windows",  # new in round 2, never driver-checked
     # the 7 round-1 hash-mismatch queries (oracle typing fixed in
     # round 2) — must be re-checked, so they sit in the guaranteed slots
     "events_json_extract",

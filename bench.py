@@ -35,6 +35,7 @@ HEADLINE = [
     "similarity_cosine_topk",
     "asof_purchase_last_click",
     "events_sessionization",
+    "corpus_decontaminate_eval",
 ]
 
 

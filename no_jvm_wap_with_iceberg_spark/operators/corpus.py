@@ -50,6 +50,9 @@ _RATES = [0.2, 0.4, 0.6, 0.8]
 
 PACK_CONTEXT = 512  # tokens per packed context window
 
+CHUNK_TOKENS = 64  # tokens per embedding chunk
+CHUNK_STRIDE = 32  # overlap stride between consecutive chunks
+
 
 def _ngrams(text, n: int):
     """Distinct word n-grams (JVM-side; empty for docs shorter than n)."""
@@ -191,6 +194,54 @@ def pack_bins(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the unit an
+    embedding model consumes). Output: (id, chunk_id, chunk_text,
+    n_tokens), chunk_id 0-based in document order.
+
+    All JVM expressions: chunk start offsets are a ``sequence`` with
+    step ``stride``, each chunk a ``slice`` of the token array —
+    per-row work with no shuffle at all, so chunking runs at scan
+    speed on any corpus size. The last window starts at the largest
+    offset still introducing new tokens (standard sliding-window
+    cover; a doc shorter than one chunk yields exactly one chunk).
+    """
+    w = words(F.col(text_col))
+    n = F.size(w)
+    # smallest k with (k-1)*stride + chunk >= n gives last start
+    # (k-1)*stride + 1 = ceil((n-chunk)/stride)*stride + 1, clamped to
+    # 1 so a doc shorter than one chunk still yields a single chunk
+    last_start = F.greatest(
+        F.lit(1),
+        (
+            F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride) * stride
+            + 1
+        ).cast("int"),
+    )
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(w, s, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s + 1).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )
+
+
 # ----------------------------------------------------------------------
 # registered queries (driver correctness gate)
 # ----------------------------------------------------------------------
@@ -286,6 +337,37 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_bucket").cast("int").alias("bucket"),
         F.count(F.lit(1)).alias("n_total"),
         F.sum("keep").cast("long").alias("n_sampled"),
+    )
+
+
+@register(
+    "corpus_chunk_windows",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    bounds AS (
+      SELECT doc_id, w, len(w) AS n,
+             GREATEST(1, CAST(CEIL(CAST(len(w) - {CHUNK_TOKENS} AS DOUBLE)
+                / {CHUNK_STRIDE}) AS INTEGER) * {CHUNK_STRIDE} + 1) AS last_start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           array_to_string(w[s : s + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+           CAST(LEAST({CHUNK_TOKENS}, n - s + 1) AS INTEGER) AS n_tokens
+    FROM bounds, UNNEST(range(1, last_start + 1, {CHUNK_STRIDE})) AS t(s)
+    """,
+    doc=f"document chunking: overlapping {CHUNK_TOKENS}-token windows at "
+    f"stride {CHUNK_STRIDE} (the embedding-model input unit) — pure "
+    "per-row JVM expressions, zero shuffle, runs at scan speed",
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
     )
 
 

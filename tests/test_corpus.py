@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from no_jvm_wap_with_iceberg_spark.operators.corpus import (
+    chunk_documents,
     decontaminate,
     pack_bins,
     repetition_profile,
@@ -83,6 +84,31 @@ def test_stratified_keep_rate_and_nesting(spark):
         .collect()
     )
     assert again == kept[1]
+
+
+@pytest.mark.parametrize("n_words", [1, 5, 8, 9, 16, 17, 25])
+def test_chunk_documents_covers_and_overlaps(spark, n_words):
+    text = " ".join(f"t{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=8, stride=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # chunk_ids dense from 0; starts advance by the stride
+    assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+    toks = text.split(" ")
+    seen = set()
+    for c in chunks:
+        start = c["chunk_id"] * 4
+        expect = toks[start : start + 8]
+        assert c["chunk_text"].split(" ") == expect
+        assert c["n_tokens"] == len(expect)
+        seen.update(range(start, start + len(expect)))
+    # every token appears in at least one chunk; no phantom windows
+    assert seen == set(range(n_words))
+    if n_words > 8:
+        # last chunk introduces new tokens beyond the previous one
+        assert (len(chunks) - 2) * 4 + 8 < n_words
 
 
 def test_pack_bins_matches_sequential_reference(spark):
