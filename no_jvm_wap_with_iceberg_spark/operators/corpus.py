@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from no_jvm_wap_with_iceberg_spark.functions.textfn import words
+from no_jvm_wap_with_iceberg_spark.functions.textfn import gram_strings, words
 from no_jvm_wap_with_iceberg_spark.plans.registry import register
 from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
 
@@ -52,22 +52,6 @@ PACK_CONTEXT = 512  # tokens per packed context window
 
 CHUNK_TOKENS = 64  # tokens per embedding chunk
 CHUNK_STRIDE = 32  # overlap stride between consecutive chunks
-
-
-def _ngrams(text, n: int):
-    """Distinct word n-grams (JVM-side; empty for docs shorter than n)."""
-    w = words(text)
-    return F.when(
-        F.size(w) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(w, i + k) for k in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 # ----------------------------------------------------------------------
@@ -90,12 +74,13 @@ def decontaminate(
     """
     sh = (
         corpus.select(
-            F.col(id_col).alias("_id"),
-            F.explode(_ngrams(F.col(text_col), n)).alias("_s"),
+            F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_w")
         )
+        .select("_id", F.explode(gram_strings("_w", n)).alias("_s"))
     )
     ev = (
-        eval_set.select(F.explode(_ngrams(F.col(text_col), n)).alias("_s"))
+        eval_set.select(words(F.col(text_col)).alias("_w"))
+        .select(F.explode(gram_strings("_w", n)).alias("_s"))
         .distinct()
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -119,7 +104,7 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     counters integer; the ratio is the only float and is derived from
     integers identically in both engines.
     """
-    w = words(F.col(text_col))
+    w = F.col("_w")
     grams = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -128,7 +113,8 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_gram = (
-        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+        df.select(F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_w"))
+        .select("_id", F.explode(grams).alias("_g"))
         .groupBy("_id", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -212,7 +198,7 @@ def chunk_documents(
     offset still introducing new tokens (standard sliding-window
     cover; a doc shorter than one chunk yields exactly one chunk).
     """
-    w = words(F.col(text_col))
+    w = F.col("_w")
     n = F.size(w)
     # smallest k with (k-1)*stride + chunk >= n gives last start
     # (k-1)*stride + 1 = ceil((n-chunk)/stride)*stride + 1, clamped to
@@ -232,7 +218,10 @@ def chunk_documents(
             F.least(F.lit(chunk_tokens), n - s + 1).alias("n_tokens"),
         ),
     )
+    # token array staged once per row (textfn.py performance contract)
     return df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
     ).select(
         id_col,

@@ -30,8 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from no_jvm_wap_with_iceberg_spark.functions.textfn import (
-    word_shingle_hashes,
-    word_shingles,
+    gram_strings,
+    words,
 )
 from no_jvm_wap_with_iceberg_spark.plans.registry import register
 from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
@@ -58,11 +58,16 @@ def exact_dedup(df: DataFrame, cols: list[str], keep_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct shingle sets + per-doc sizes."""
+    """(id, shingle) exploded distinct shingle sets + per-doc sizes.
+
+    The token array is staged through a projection so the split runs
+    once per row — inlining it re-evaluates a copy per ``element_at``
+    reference (the textfn.py performance contract; measured 11x)."""
     return (
         df.select(
-            F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+            F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_w")
         )
+        .select("_id", gram_strings("_w", n).alias("_sh"))
         .select("_id", F.explode("_sh").alias("_s"))
     )
 
@@ -671,13 +676,16 @@ def substring_span_profile(
     Output: (doc_id, n_spans, n_dup_spans, dup_ratio) for EVERY doc
     (docs shorter than ``k`` tokens report 0/0/NULL).
     """
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
+    # token array staged once per row (textfn.py performance contract:
+    # an inline split would re-run per exploded position)
+    n = F.size(F.col("_t"))
     idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
     spans = docs.select(
-        F.col(id_col), F.explode(idxs).alias("_i"), toks.alias("_t")
+        F.col(id_col), words(F.col(text_col)).alias("_t")
+    ).select(
+        F.col(id_col), F.explode(idxs).alias("_i"), F.col("_t")
     ).select(
         id_col,
         F.md5(
