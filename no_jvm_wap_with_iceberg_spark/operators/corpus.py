@@ -72,25 +72,33 @@ def decontaminate(
     corpus), so the join is a broadcast hash semi-join with no
     corpus-side shuffle; the only exchange is the per-doc hit count.
     """
+    # per-doc gram count is row-local (size of the gram array), so it
+    # rides along the explode instead of costing a second aggregation
+    # over every exploded gram; the only wide stage left is the
+    # per-doc hit count, whose input is already filtered to hits
     sh = (
         corpus.select(
             F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_w")
         )
-        .select("_id", F.explode(gram_strings("_w", n)).alias("_s"))
+        .select("_id", gram_strings("_w", n).alias("_g"))
+        .select(
+            "_id",
+            F.size("_g").alias("_n"),
+            F.explode("_g").alias("_s"),
+        )
     )
     ev = (
         eval_set.select(words(F.col(text_col)).alias("_w"))
         .select(F.explode(gram_strings("_w", n)).alias("_s"))
         .distinct()
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
+    return (
         sh.join(F.broadcast(ev), "_s")
         .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return (
-        hits.join(sizes, "_id")
+        .agg(
+            F.max("_n").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
         .select(F.col("_id").alias(id_col), "n_grams", "n_hit")
     )
 
@@ -99,8 +107,11 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Intra-document repetition: duplicate word-2-gram fraction and
     the hottest gram's occurrence count (Gopher repetition filters).
 
-    Non-distinct 2-grams explode to (doc, gram) and aggregate twice —
-    one shuffle keyed (doc, gram), then a cheap per-doc rollup. All
+    The stats are per-document, so no cross-row grouping is needed at
+    all: sort the gram array in-row, then a single-pass ``aggregate``
+    counts the longest equal-run — ZERO shuffles; the whole profile
+    runs at scan speed on any corpus size (an explode + groupBy
+    (doc, gram) formulation would shuffle every gram occurrence). All
     counters integer; the ratio is the only float and is derived from
     integers identically in both engines.
     """
@@ -112,32 +123,42 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    per_gram = (
-        df.select(F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_w"))
-        .select("_id", F.explode(grams).alias("_g"))
-        .groupBy("_id", "_g")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    return (
-        per_gram.groupBy("_id")
-        .agg(
-            F.sum("_c").cast("long").alias("n_grams_total"),
-            F.count(F.lit(1)).alias("n_grams_distinct"),
-            F.max("_c").cast("long").alias("max_gram_count"),
+    # longest equal-run over the sorted grams: carry (prev, run, best)
+    def max_run(g):
+        return F.aggregate(
+            F.array_sort(g),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
         )
-        .withColumn(
-            "dup_ratio",
-            (F.col("n_grams_total") - F.col("n_grams_distinct")).cast("double")
-            / F.col("n_grams_total"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            "n_grams_total",
-            "n_grams_distinct",
-            "max_gram_count",
-            "dup_ratio",
-        )
-    )
+
+    # two staging projections (textfn.py contract): tokens once per
+    # row, then the gram array once per row; stats read the attribute
+    staged = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).select(F.col(id_col), grams.alias("_g"))
+    n_total = F.size("_g")
+    n_distinct = F.size(F.array_distinct("_g"))
+    return staged.select(
+        id_col,
+        n_total.cast("long").alias("n_grams_total"),
+        n_distinct.cast("long").alias("n_grams_distinct"),
+        max_run(F.col("_g")).cast("long").alias("max_gram_count"),
+        ((n_total - n_distinct).cast("double") / n_total).alias("dup_ratio"),
+    ).filter(F.col("n_grams_total") > 0)
 
 
 def stratified_keep(df: DataFrame, id_col: str, rate_bucket) -> DataFrame:
