@@ -174,6 +174,18 @@ def stratified_keep(df: DataFrame, id_col: str, rate_bucket) -> DataFrame:
     )
 
 
+def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep each row with probability ``rate``, decided by an md5-hex
+    threshold on the id — stateless, reproducible on any cluster size
+    or retry, and nested across rates (raising the rate only adds
+    rows). ``rate >= 1`` is the identity."""
+    if rate >= 1.0:
+        return df
+    thr = format(max(0, int(rate * 16**8)), "08x")
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return df.filter(key < F.lit(thr))
+
+
 def pack_bins(
     df: DataFrame,
     shard_col: str,

@@ -11,7 +11,9 @@ wrapped around the LLM-data-pipeline operators:
    branch, never the in-memory batch.
 3. **Curate** on the branch: exact dedup → near-dup clustering
    (MinHash-LSH pairs → connected components → keep min-id per
-   cluster) → heuristic quality filter (length / stopword bounds).
+   cluster) → heuristic quality filter (length / stopword bounds),
+   with opt-in gates for intra-doc repetition, eval-set
+   decontamination, and a deterministic final downsample.
 4. **Publish** the curated table and the audit verdicts atomically
    with the raw table (single catalog fast-forward — multi-table WAP
    the per-table-branch model can't express).
@@ -28,6 +30,11 @@ import dataclasses
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+from no_jvm_wap_with_iceberg_spark.operators.corpus import (
+    decontaminate,
+    deterministic_sample,
+    repetition_profile,
+)
 from no_jvm_wap_with_iceberg_spark.operators.dedup import (
     connected_components,
     minhash_dedup_pairs,
@@ -54,6 +61,8 @@ class CurationResult:
     near_dups_removed: int
     low_quality_removed: int
     failed_checks: list[str]
+    contaminated_removed: int = 0
+    sampled_out: int = 0
 
 
 def _dedup_and_filter(
@@ -64,10 +73,14 @@ def _dedup_and_filter(
     max_words: int,
     apply_rules: bool,
     max_span_dup_ratio: float | None,
+    eval_set: DataFrame | None,
+    max_dup_gram_ratio: float | None,
+    sample_rate: float | None,
 ) -> tuple[DataFrame, dict[str, int]]:
-    """Exact dedup -> near-dup keep-one -> quality gates; returns the
-    curated frame plus removal counts (all computed as DataFrame
-    aggregates, no driver-side row loops)."""
+    """Exact dedup -> near-dup keep-one -> quality gates ->
+    decontamination -> deterministic downsample; returns the curated
+    frame plus removal counts (all computed as DataFrame aggregates,
+    no driver-side row loops)."""
     n0 = docs.count()
 
     # exact: one representative per identical text (min id wins)
@@ -106,11 +119,32 @@ def _dedup_and_filter(
             F.coalesce(F.col("dup_ratio"), F.lit(0.0)) <= max_span_dup_ratio
         )
         good = good.join(ok_spans.select(id_col), id_col, "left_semi")
+    if max_dup_gram_ratio is not None:
+        # anti-join on violators (not semi-join on passers) so docs too
+        # short to have grams — absent from the profile — are kept
+        rep = repetition_profile(near, id_col, text_col)
+        too_repetitive = rep.filter(F.col("dup_ratio") > max_dup_gram_ratio)
+        good = good.join(too_repetitive.select(id_col), id_col, "left_anti")
     n3 = good.count()
+
+    # decontamination: drop anything sharing an n-gram with the
+    # held-out eval set (broadcast semi-join; eval sets are tiny)
+    if eval_set is not None:
+        hits = decontaminate(good, eval_set, id_col, text_col)
+        good = good.join(hits.select(id_col), id_col, "left_anti")
+    n4 = good.count()
+
+    # deterministic downsample last, so the rate applies to the
+    # cleaned corpus and re-runs keep the identical sample
+    if sample_rate is not None:
+        good = deterministic_sample(good, id_col, sample_rate)
+    n5 = good.count()
     return good, {
         "exact": n0 - n1,
         "near": n1 - n2,
         "quality": n2 - n3,
+        "contaminated": n3 - n4,
+        "sampled": n4 - n5,
     }
 
 
@@ -127,6 +161,9 @@ def curate_documents(
     max_words: int = 100_000,
     apply_rules: bool = False,
     max_span_dup_ratio: float | None = None,
+    eval_set: DataFrame | None = None,
+    max_dup_gram_ratio: float | None = None,
+    sample_rate: float | None = None,
 ) -> CurationResult:
     """Run the full curation WAP cycle; see module docstring."""
     checks = checks if checks is not None else [NotNullCheck(id_col, text_col)]
@@ -164,6 +201,9 @@ def curate_documents(
             max_words,
             apply_rules,
             max_span_dup_ratio,
+            eval_set,
+            max_dup_gram_ratio,
+            sample_rate,
         )
         if cat.table_exists(curated_table, branch):
             cat.overwrite(curated, curated_table, branch)
@@ -180,6 +220,8 @@ def curate_documents(
             near_dups_removed=removed["near"],
             low_quality_removed=removed["quality"],
             failed_checks=[],
+            contaminated_removed=removed["contaminated"],
+            sampled_out=removed["sampled"],
         )
 
     return cat.with_branch(_run, prefix="curate")

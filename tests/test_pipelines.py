@@ -69,3 +69,50 @@ def test_curation_rule_gate_and_span_ratio(spark, warehouse):
     # docs 3/4 share most spans -> dup_ratio above the cap for both
     assert 3 not in kept and 4 not in kept
     assert res.low_quality_removed >= 3
+
+
+def test_curation_decontaminate_repetition_and_sample(spark, warehouse):
+    """The opt-in corpus gates: repetition cap drops the looping doc,
+    eval-set decontamination drops the doc sharing a 5-gram with the
+    benchmark, and the deterministic downsample reproduces exactly."""
+    eval_doc = "canonical benchmark question about the meaning of life"
+    rows = [
+        (1, "a perfectly normal document describing tea ceremonies in depth"),
+        # contains the eval doc's 5-gram "benchmark question about the meaning"
+        (2, "students ask a benchmark question about the meaning of tests"),
+        # intra-doc loop: dup 2-gram ratio near 1
+        (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (4, "another clean and unique document mentioning rivers and stars"),
+        (5, "yet another unique document on the economics of small farms"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_set = spark.createDataFrame([(100, eval_doc)], "doc_id long, text string")
+    cat = Catalog(warehouse)
+    res = curate_documents(
+        spark,
+        cat,
+        docs,
+        eval_set=eval_set,
+        max_dup_gram_ratio=0.5,
+    )
+    assert res.published
+    kept = {r["doc_id"] for r in cat.read(spark, "documents_curated").collect()}
+    assert kept == {1, 4, 5}
+    assert res.contaminated_removed == 1
+    assert res.low_quality_removed == 1  # the repetition loop
+    assert res.sampled_out == 0
+
+    # sampling: deterministic and counted
+    cat2 = Catalog(warehouse + "_s")
+    big = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id").cast("string"),
+                 F.lit(" with enough words to pass the gates easily")).alias("text"),
+    )
+    r1 = curate_documents(spark, cat2, big, sample_rate=0.5)
+    assert r1.published and 0 < r1.sampled_out < 500
+    ids1 = {r["doc_id"] for r in cat2.read(spark, "documents_curated").collect()}
+    cat3 = Catalog(warehouse + "_s2")
+    r2 = curate_documents(spark, cat3, big, sample_rate=0.5)
+    ids2 = {r["doc_id"] for r in cat3.read(spark, "documents_curated").collect()}
+    assert ids1 == ids2  # byte-identical sample on re-run
