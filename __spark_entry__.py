@@ -56,6 +56,13 @@ _HEAD = [
     "corpus_stratified_sample",  # new in round 2, never driver-checked
     "corpus_pack_sequences",  # new in round 2, never driver-checked
     "corpus_chunk_windows",  # new in round 2, never driver-checked
+    # TPC-H subquery shapes (EXISTS / NOT EXISTS / correlated scalar
+    # aggs), new in round 2, never driver-checked
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
     # the 7 round-1 hash-mismatch queries (oracle typing fixed in
     # round 2) — must be re-checked, so they sit in the guaranteed slots
     "events_json_extract",

@@ -1264,3 +1264,217 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") <= 2)
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H subquery shapes: EXISTS / NOT EXISTS / correlated scalar aggs.
+# The reference has no subqueries at all (SURVEY §2.2: IsNull is its
+# only predicate); these queries prove the decorrelation surface a
+# migrating user gets. Each Spark plan is the DECORRELATED form
+# (aggregate-then-join) rather than a per-row subquery: at 100 TB the
+# correlated sides are one extra shuffle each, never N executions.
+# (testdata has no partsupp table, so Q2/Q11/Q16/Q20 have no
+# faithful adaptation; date predicates use l_shipdate vs o_orderdate
+# lag since there is no commit/receipt date — FIXTURES.md §B.)
+# ----------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS with a correlated inequality "
+    "(late-shipping orders by priority). Spark plan is a left-semi "
+    "join on the order key with the lag predicate as join condition — "
+    "one shuffle, no per-row subquery",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (o.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left outer join with an ON-clause filter "
+    "(kept rows with zero matches count 0), then the distribution of "
+    "per-customer order counts — two aggregations, the second over "
+    "customer-cardinality input",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated scalar AVG subquery "
+    "(small-quantity revenue). Spark plan decorrelates explicitly: "
+    "per-part thresholds aggregated once from the fact table, joined "
+    "back on the part key — the threshold comparison is exact because "
+    "l_quantity is integral (sum exact below 2^53 in both engines)",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    thresholds = li.groupBy(F.col("l_partkey").alias("_tk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("_qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("_tk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders o
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+      )
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins (the sole "
+    "late supplier in multi-supplier orders). The Spark plan replaces "
+    "both correlated self-joins with ONE per-order aggregate "
+    "(n_suppliers, n_late_suppliers) joined back to the late rows: "
+    "l1 qualifies iff the order has >=2 suppliers and exactly 1 late "
+    "one (which must then be l1's). Two shuffles on the order key "
+    "total, vs three self-join passes for the literal translation",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+        ).alias("_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery + NOT EXISTS "
+    "anti join (high-balance customers with no urgent orders; the "
+    "phone-prefix filter has no testdata analogue so the segment "
+    "column stands in). The global average is decimal-exact "
+    "(sum(decimal)/count) so the boundary comparison cannot diverge "
+    "cross-engine; the anti side is the filtered orders scan",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (dsum("c_acctbal") / F.count(F.lit(1))).alias("_thr")
+        )
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -35,6 +35,8 @@ CROSS_OK = {
     "similarity_cosine_topk",
     "dedup_embedding_cosine",
     "range_join_price_bands",  # theta join by construction
+    "q22_dormant_customers",  # scalar-subquery pattern: single-row
+    # threshold broadcast-crossed onto the customer scan
 }
 # single-partition exchanges over provably tiny inputs:
 SINGLE_OK = {
@@ -53,6 +55,8 @@ SINGLE_OK = {
     "events_anomaly_iqr",  # O(event_types) bounds
     "sketch_events_approx_stats",  # O(event_types) sketches
     "audit_profile_lineitem",  # single-row table profile
+    "q17_small_quantity_revenue",  # single-row final aggregate
+    "q22_dormant_customers",  # single-row scalar threshold aggregate
     "window_moving_avg_daily_revenue",  # window over DAILY grain after
     # pre-aggregation: O(days) rows (3.7k/decade), not O(orders)
 }
