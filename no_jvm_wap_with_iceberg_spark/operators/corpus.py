@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from no_jvm_wap_with_iceberg_spark.functions.textfn import gram_strings, words
+from no_jvm_wap_with_iceberg_spark.functions.textfn import (
+    fan_out,
+    gram_strings,
+    words,
+)
 from no_jvm_wap_with_iceberg_spark.plans.registry import register
 from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
 
@@ -75,17 +79,24 @@ def decontaminate(
     # per-doc gram count is row-local (size of the gram array), so it
     # rides along the explode instead of costing a second aggregation
     # over every exploded gram; the only wide stage left is the
-    # per-doc hit count, whose input is already filtered to hits
+    # per-doc hit count, whose input is already filtered to hits.
+    # explode_OUTER (+ post-generate null filter, same rows) because a
+    # plain explode lets InferFiltersFromGenerate infer size(_g) > 0
+    # and push the WHOLE gram-construction expression into the scan
+    # filter — below the fan_out exchange, single-task, evaluated
+    # twice more per row (measured 10.5 s vs 0.5 s at sf0.1)
     sh = (
-        corpus.select(
+        fan_out(corpus)
+        .select(
             F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_w")
         )
         .select("_id", gram_strings("_w", n).alias("_g"))
         .select(
             "_id",
             F.size("_g").alias("_n"),
-            F.explode("_g").alias("_s"),
+            F.explode_outer("_g").alias("_s"),
         )
+        .filter(F.col("_s").isNotNull())
     )
     ev = (
         eval_set.select(words(F.col(text_col)).alias("_w"))
@@ -146,10 +157,18 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
 
     # two staging projections (textfn.py contract): tokens once per
-    # row, then the gram array once per row; stats read the attribute
-    staged = df.select(
-        F.col(id_col), words(F.col(text_col)).alias("_w")
-    ).select(F.col(id_col), grams.alias("_g"))
+    # row, then the gram array once per row; stats read the attribute.
+    # The >=2-token filter runs EARLY on the cheap token count: the
+    # equivalent late filter (n_grams_total > 0) is a predicate on a
+    # computed column, and pushdown would substitute the whole gram
+    # expression into the scan filter — single-task, below fan_out
+    # (n_grams_total = size(w) - 1 when size(w) >= 2, so the two
+    # predicates keep exactly the same rows)
+    staged = (
+        fan_out(df.filter(F.size(words(F.col(text_col))) >= 2))
+        .select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col), grams.alias("_g"))
+    )
     n_total = F.size("_g")
     n_distinct = F.size(F.array_distinct("_g"))
     return staged.select(
@@ -158,7 +177,7 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_distinct.cast("long").alias("n_grams_distinct"),
         max_run(F.col("_g")).cast("long").alias("max_gram_count"),
         ((n_total - n_distinct).cast("double") / n_total).alias("dup_ratio"),
-    ).filter(F.col("n_grams_total") > 0)
+    )
 
 
 def stratified_keep(df: DataFrame, id_col: str, rate_bucket) -> DataFrame:
@@ -251,12 +270,15 @@ def chunk_documents(
             F.least(F.lit(chunk_tokens), n - s + 1).alias("n_tokens"),
         ),
     )
-    # token array staged once per row (textfn.py performance contract)
-    return df.select(
+    # token array staged once per row (textfn.py performance contract);
+    # posexplode_OUTER + null filter so the inferred non-empty check
+    # cannot push the chunk construction into the scan (see
+    # decontaminate) — chunks is never empty anyway (>= 1 window/doc)
+    return fan_out(df).select(
         F.col(id_col), words(F.col(text_col)).alias("_w")
     ).select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
-    ).select(
+        F.col(id_col), F.posexplode_outer(chunks).alias("chunk_id", "_c")
+    ).filter(F.col("chunk_id").isNotNull()).select(
         id_col,
         "chunk_id",
         F.col("_c.chunk_text").alias("chunk_text"),

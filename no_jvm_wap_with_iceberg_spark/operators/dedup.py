@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from no_jvm_wap_with_iceberg_spark.functions.textfn import (
+    fan_out,
     gram_strings,
     words,
 )
@@ -62,13 +63,18 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
     The token array is staged through a projection so the split runs
     once per row — inlining it re-evaluates a copy per ``element_at``
-    reference (the textfn.py performance contract; measured 11x)."""
+    reference (the textfn.py performance contract; measured 11x).
+    explode_OUTER + null filter rather than plain explode: the
+    inferred ``size(_sh) > 0`` filter would otherwise push the whole
+    shingle expression into the scan (see corpus.decontaminate)."""
     return (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col).alias("_id"), words(F.col(text_col)).alias("_w")
         )
         .select("_id", gram_strings("_w", n).alias("_sh"))
-        .select("_id", F.explode("_sh").alias("_s"))
+        .select("_id", F.explode_outer("_sh").alias("_s"))
+        .filter(F.col("_s").isNotNull())
     )
 
 
@@ -385,7 +391,12 @@ def embedding_near_dup_pairs(
     from no_jvm_wap_with_iceberg_spark.functions.vector import cosine_similarity
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # the probe side carries the per-pair scoring work, so it must be
+    # spread across cores even when the corpus is one input split (the
+    # broadcast side's split count is irrelevant)
+    b = fan_out(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    )
     return (
         F.broadcast(a)
         .crossJoin(b)
@@ -458,21 +469,28 @@ def embedding_near_dup_pairs_lsh(
     right plan.
     """
     from no_jvm_wap_with_iceberg_spark.functions.vector import cosine_similarity
-    from no_jvm_wap_with_iceberg_spark.operators.similarity import lsh_bucket_ids
+    from no_jvm_wap_with_iceberg_spark.operators.similarity import lsh_bucket_codes
 
-    a = lsh_bucket_ids(
-        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
-        "_va",
+    # codes computed ONCE on the compact one-row-per-vector table and
+    # cached; both self-join sides explode the cached result (the
+    # earlier two lsh_bucket_ids calls re-ran the whole bucketing
+    # kernel per side — 2x the dominant cost at any scale)
+    coded = lsh_bucket_codes(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v",
         n_tables,
         n_bits,
         dim,
+    ).cache()
+    a = coded.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.posexplode("_codes").alias("table", "bucket"),
     )
-    b = lsh_bucket_ids(
-        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
-        "_vb",
-        n_tables,
-        n_bits,
-        dim,
+    b = coded.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.posexplode("_codes").alias("table", "bucket"),
     )
     cands = (
         a.join(b, ["table", "bucket"])
@@ -682,11 +700,11 @@ def substring_span_profile(
     idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    spans = docs.select(
+    spans = fan_out(docs).select(
         F.col(id_col), words(F.col(text_col)).alias("_t")
     ).select(
-        F.col(id_col), F.explode(idxs).alias("_i"), F.col("_t")
-    ).select(
+        F.col(id_col), F.explode_outer(idxs).alias("_i"), F.col("_t")
+    ).filter(F.col("_i").isNotNull()).select(
         id_col,
         F.md5(
             F.encode(F.concat_ws(" ", F.slice("_t", F.col("_i"), k)), "UTF-8")
