@@ -29,14 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The round-1 driver gate recorded rows for exactly the first 50
 # registered queries (registration-order prefix; the absent 11 were
-# positions 50-60), so ordering is load-bearing. Priority: one fast
-# canary, then the 11 queries that have never been driver-checked
-# (pure-JVM plans first, Python-stage plans last within the block),
-# then the broad middle. The tail holds queries that were bit-exact
-# green in round 1 AND whose operator class keeps other in-prefix
-# coverage — the least is lost if the gate again stops at 50.
+# positions 50-60), so ordering is load-bearing. The first 50 slots
+# are curated by hand: one fast canary, every query that has never
+# been driver-checked (the 11 r1-absent ones, the round-2 additions),
+# the 7 round-1 hash-mismatch queries whose oracle typing was fixed,
+# then ONE representative per operator family from the r1-bit-exact
+# set so no family vanishes from the gate if it again stops at 50.
+# The tail is r1-green redundancy WITHIN families — the least is lost
+# if it is cut; rotate it into the head in later rounds.
 _HEAD = [
     "q1_pricing_summary",  # canary: green r1, sub-second
+    # --- the 11 queries absent from CORRECTNESS_r01 ---
     "asof_purchase_last_click",
     "streaming_windowed_counts",
     "events_sessionization",
@@ -48,23 +51,22 @@ _HEAD = [
     "multimodal_feature_extract",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
-    "dedup_embedding_lsh",  # new in round 2, never driver-checked
-    "dedup_substring_spans",  # new in round 2, never driver-checked
-    "text_quality_rules",  # new in round 2, never driver-checked
-    "corpus_decontaminate_eval",  # new in round 2, never driver-checked
-    "corpus_repetition_profile",  # new in round 2, never driver-checked
-    "corpus_stratified_sample",  # new in round 2, never driver-checked
-    "corpus_pack_sequences",  # new in round 2, never driver-checked
-    "corpus_chunk_windows",  # new in round 2, never driver-checked
-    # TPC-H subquery shapes (EXISTS / NOT EXISTS / correlated scalar
-    # aggs), new in round 2, never driver-checked
+    # --- new in round 2, never driver-checked ---
+    "dedup_embedding_lsh",
+    "dedup_substring_spans",
+    "text_quality_rules",
+    "corpus_decontaminate_eval",
+    "corpus_repetition_profile",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "corpus_chunk_windows",
+    # TPC-H subquery shapes (EXISTS / NOT EXISTS / correlated scalar)
     "q4_order_priority",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
-    # the 7 round-1 hash-mismatch queries (oracle typing fixed in
-    # round 2) — must be re-checked, so they sit in the guaranteed slots
+    # --- the 7 round-1 hash-mismatch queries (oracle typing fixed) ---
     "events_json_extract",
     "fn_array_map_suite",
     "q12_shipmode_priority",
@@ -72,22 +74,52 @@ _HEAD = [
     "fn_json_map_suite",
     "text_source_lang_matrix",
     "text_bpe_token_counts",
+    # --- family representatives from the r1-bit-exact set (slots
+    # 33-50): joins, dedup, text, windows, events, grouping, audit ---
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_exact_keep_first",
+    "text_quality_profile",
+    "text_corpus_token_stats",
+    "text_lang_id_confusion",
+    "window_top3_orders_per_customer",
+    "window_running_revenue",
+    "window_ranking_suite",
+    "events_hourly_rollup",
+    "events_user_funnel",
+    "agg_orders_cube",
+    "audit_profile_lineitem",
 ]
 _TAIL = [
     "q6_revenue_forecast",
+    "q7_nation_pair_volume",
     "q10_returned_items",
     "q14_promo_revenue",
+    "join_semi_anti",
+    "range_join_price_bands",
+    "topk_expensive_items",
+    "setops_customer_cohorts",
+    "subquery_parts_above_brand_avg",
+    "rollup_nation_region",
+    "pivot_orders_status_by_priority",
+    "unpivot_nation_measures",
     "window_moving_avg_daily_revenue",
     "window_event_gaps",
-    "dedup_exact_stats",
-    "text_punct_stopword_profile",
-    "text_fingerprints",
     "events_value_percentiles",
-    "agg_collect_ordered",
+    "sketch_events_approx_stats",
+    "fn_scalar_suite",
     "histogram_order_totals",
-    "text_lang_id_confusion",
+    "agg_collect_ordered",
+    "dedup_exact_stats",
+    "dedup_simhash_profile",
     "dedup_normalized_fingerprints",
-    "unpivot_nation_measures",
+    "text_fingerprints",
+    "text_punct_stopword_profile",
 ]
 
 

@@ -100,6 +100,29 @@ def test_mor_read_filters_only_targeted_files(spark, tmp_path):
     assert cat.read(spark, "t").count() == 190
 
 
+def test_gram_construction_never_runs_in_scan_filters(spark):
+    """Regression lock for the InferFiltersFromGenerate pathology: a
+    plain explode(computed_grams) lets Catalyst infer size(grams) > 0
+    and predicate pushdown substitutes the WHOLE gram expression into
+    the parquet scan's DataFilters — below any repartition, so the
+    heaviest expression runs single-task and is evaluated twice
+    (measured 10.5 s vs 0.5 s on decontamination at sf0.1). The
+    gram-exploding operators use explode_outer + a post-generate null
+    filter, which the rule skips; the scan filters must therefore
+    never contain gram construction (concat_ws) again."""
+    for name in (
+        "corpus_decontaminate_eval",
+        "corpus_repetition_profile",
+        "corpus_chunk_windows",
+        "dedup_ngram_jaccard",
+        "dedup_substring_spans",
+    ):
+        plan = _plan(get_queries()[name].spark(spark, SF_DIR))
+        for node in plan.splitlines():
+            if "FileScan" in node or "DataFilters" in node:
+                assert "concat_ws" not in node, (name, node[:200])
+
+
 def test_plan_audit_sweep_is_clean(spark):
     """No registered query may regress into a scale anti-pattern:
     cartesian/nested-loop joins outside the deliberate broadcast
