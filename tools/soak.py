@@ -63,6 +63,17 @@ def main() -> None:
         f"ratio={t4 / t1:.2f}"
     )
 
+    from no_jvm_wap_with_iceberg_spark.operators.corpus import decontaminate
+
+    ev = d.filter(F.col("doc_id") % 83 == 0)
+    decontaminate(d, ev, "doc_id", "text").count()  # warm
+    t0 = time.time(); h1 = decontaminate(d, ev, "doc_id", "text").count(); td1 = time.time() - t0
+    t0 = time.time(); h4 = decontaminate(d4, ev, "doc_id", "text").count(); td4 = time.time() - t0
+    print(
+        f"decontaminate: 1x={td1:.2f}s/{h1} hit-docs 4x={td4:.2f}s/{h4} "
+        f"ratio={td4 / td1:.2f}"
+    )
+
     wap_ingest_soak(spark, n_batches=100)
 
 
