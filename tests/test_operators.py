@@ -33,6 +33,21 @@ def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
 
 
+def test_fan_out_spreads_undersplit_inputs_only(spark):
+    """fan_out must repartition a single-split input to the core count
+    and leave an already-well-split input untouched (no gratuitous
+    shuffle on a 100 TB scan)."""
+    from no_jvm_wap_with_iceberg_spark.functions.textfn import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    assert fan_out(narrow).rdd.getNumPartitions() == par
+
+    wide = spark.range(1000).repartition(par + 4)
+    assert fan_out(wide) is wide  # identity, not just same count
+
+
 def test_exact_dedup_keeps_one_per_group(spark):
     df = spark.createDataFrame(
         [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa")], "id long, text string"
