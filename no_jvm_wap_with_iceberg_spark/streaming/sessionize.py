@@ -56,16 +56,25 @@ def sessionize(
     ``order_col`` breaks ties for events sharing a timestamp so the
     session assignment is deterministic under any partitioning.
     """
+    # an undersplit input (one file locally; never a 100 TB scan) gets
+    # an explicit keyed repartition, which then IS the window's single
+    # exchange — AQE would otherwise coalesce the tiny shuffle to 1-2
+    # partitions and serialize the per-row timestamp work
+    spark = events.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if events.rdd.getNumPartitions() < par:
+        events = events.repartition(par, user_col)
     w = W.partitionBy(user_col).orderBy(ts_col, order_col)
     # microsecond-exact gap test (cast-to-long would truncate
-    # sub-second parts and disagree with the oracle's epoch_us)
+    # sub-second parts and disagree with the oracle's epoch_us);
+    # epoch-micros staged ONCE per row — lag reads the staged value,
+    # so the NTZ->TS conversion does not run again per window frame
     gap = F.lit(gap_minutes * 60 * 1_000_000)
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731 — UTC session: NTZ->TS is identity
-    prev = F.lag(F.col(ts_col)).over(w)
-    is_new = (
-        prev.isNull() | (us(F.col(ts_col)) - us(prev) >= gap)
-    ).cast("long")
-    tagged = events.withColumn(
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))  # UTC session: NTZ->TS is identity
+    staged = events.withColumn("_us", us)
+    prev = F.lag(F.col("_us")).over(w)
+    is_new = (prev.isNull() | (F.col("_us") - prev >= gap)).cast("long")
+    tagged = staged.withColumn(
         "_sess", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
     )
     return (
