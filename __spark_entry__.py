@@ -66,6 +66,13 @@ _HEAD = [
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
+    # --- new in round 2 (late): TPC-H joins + text pipeline ops ---
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "text_pii_scrub",
+    "text_vocab_top_terms",
     # --- the 7 round-1 hash-mismatch queries (oracle typing fixed) ---
     "events_json_extract",
     "fn_array_map_suite",
@@ -77,18 +84,12 @@ _HEAD = [
     # --- family representatives from the r1-bit-exact set (slots
     # 33-50): joins, dedup, text, windows, events, grouping, audit ---
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_orders",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_exact_keep_first",
     "text_quality_profile",
-    "text_corpus_token_stats",
     "text_lang_id_confusion",
     "window_top3_orders_per_customer",
-    "window_running_revenue",
     "window_ranking_suite",
     "events_hourly_rollup",
     "events_user_funnel",
@@ -96,6 +97,12 @@ _HEAD = [
     "audit_profile_lineitem",
 ]
 _TAIL = [
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "dedup_ngram_jaccard",
+    "dedup_exact_keep_first",
+    "text_corpus_token_stats",
+    "window_running_revenue",
     "q6_revenue_forecast",
     "q7_nation_pair_volume",
     "q10_returned_items",

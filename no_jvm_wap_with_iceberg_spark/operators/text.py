@@ -402,3 +402,163 @@ def quality_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return quality_rules(d, "doc_id", "text")
+
+
+# ----------------------------------------------------------------------
+# PII scrubbing (training-data pipelines must redact before training)
+# ----------------------------------------------------------------------
+# Patterns restricted to the Java-regex / RE2 common subset (explicit
+# character classes, bounded repetition, no lookaround) so the Spark
+# plan and any RE2-based engine (DuckDB, Go services) agree exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+# Redaction order matters: emails go first (their domains would
+# otherwise leave dotted digit runs for the IP pass), then IPs, then
+# phones; the three languages are disjoint after each earlier pass.
+PII_ORDER = ("email", "ip", "phone")
+
+
+def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
+    """Count and redact PII spans in ``text_col`` — pure JVM regexes
+    at scan speed, no UDF. Adds ``n_<kind>`` counts per pattern and
+    replaces ``text_col`` with the scrubbed string (spans become
+    ``<KIND>`` placeholders), preserving all other columns."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = F.col(text_col)
+    for kind in PII_ORDER:
+        scrubbed = F.regexp_replace(
+            scrubbed, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        *counts,
+        scrubbed.alias(text_col),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    """
+    WITH laced AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                     THEN ' or 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0
+                     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS INTEGER)
+             AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+             '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+    FROM laced
+    """,
+    doc="PII redaction over a deterministically PII-laced corpus (the "
+    "synthetic documents carry none, so the query plants an email per "
+    "doc, a phone on every 3rd, an IPv4 on every 2nd — from doc_id, "
+    "reproducible in both engines). Verifies counts per kind and the "
+    "md5 of the scrubbed text so a single mis-redacted byte fails",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    laced = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            did.cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" or 555-867-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(laced, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.md5("text").alias("scrub_md5"),
+    )
+
+
+@register(
+    "text_vocab_top_terms",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+      SELECT source, word, COUNT(*) AS cnt FROM tok
+      WHERE word IS NOT NULL AND word <> ''
+      GROUP BY source, word
+    )
+    SELECT source, word, cnt, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT source, word, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, word) AS rnk
+      FROM counts
+    )
+    WHERE rnk <= 3
+    """,
+    doc="per-source vocabulary head: explode tokens, integer counts, "
+    "top-3 per source with a deterministic (count desc, word asc) "
+    "tie-break. Spark plan: one shuffle for the (source, word) count, "
+    "one for the per-source window — the explode uses explode_outer on "
+    "a pre-staged token array so gram construction never leaks into "
+    "scan filters (see functions/textfn.py)",
+)
+def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.functions.textfn import fan_out, words
+    from pyspark.sql.window import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("source", "text"))
+    tok = (
+        d.select("source", words(F.col("text")).alias("_w"))
+        .select("source", F.explode_outer("_w").alias("word"))
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+    )
+    counts = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("word"))
+    )
+    return (
+        counts.select("source", "word", "cnt", rnk.cast("int").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 TESTDATA_TABLES = (
     "region",
@@ -29,14 +30,16 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which vanilla Spark
-    rejects (PARQUET_TYPE_ILLEGAL). We read it as int64 nanos (legacy
-    conf) and rebuild a TIMESTAMP_NTZ at microsecond precision with
-    pure integer arithmetic — ``ts div 1000`` — because a double
-    division would lose precision at 1e18-nanosecond magnitudes, and
-    timestampadd over an NTZ epoch is timezone-independent (no session
-    timezone involved). DuckDB oracles mirror this exactly with
-    ``make_timestamp(epoch_ns(ts) // 1000)``.
+    ``events.ts`` has shipped as either parquet TIMESTAMP(MICROS)
+    (reads as TIMESTAMP_NTZ directly) or TIMESTAMP(NANOS), which
+    vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). For the nanos layout
+    we read it as int64 nanos (legacy conf) and rebuild a
+    TIMESTAMP_NTZ at microsecond precision with pure integer
+    arithmetic — ``ts div 1000`` — because a double division would
+    lose precision at 1e18-nanosecond magnitudes, and timestampadd
+    over an NTZ epoch is timezone-independent (no session timezone
+    involved). DuckDB oracles use ``epoch_ns(ts) // 1000`` where they
+    need epoch micros, which is exact for both layouts.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
@@ -44,15 +47,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # defensive: the calling session may not have our factory confs
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        from pyspark.sql import functions as F
+        if isinstance(df.schema["ts"].dataType, LongType):
+            from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, "
-                "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
-            ),
-        )
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

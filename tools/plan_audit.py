@@ -37,6 +37,8 @@ CROSS_OK = {
     "range_join_price_bands",  # theta join by construction
     "q22_dormant_customers",  # scalar-subquery pattern: single-row
     # threshold broadcast-crossed onto the customer scan
+    "q15_top_supplier",  # scalar MAX broadcast-crossed onto the
+    # per-supplier aggregate
 }
 # single-partition exchanges over provably tiny inputs:
 SINGLE_OK = {
@@ -59,6 +61,8 @@ SINGLE_OK = {
     "q22_dormant_customers",  # single-row scalar threshold aggregate
     "window_moving_avg_daily_revenue",  # window over DAILY grain after
     # pre-aggregation: O(days) rows (3.7k/decade), not O(orders)
+    "q15_top_supplier",  # single-row MAX over the supplier aggregate
+    "q19_discounted_revenue",  # single-row final aggregate
 }
 
 
