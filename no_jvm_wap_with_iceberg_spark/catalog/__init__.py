@@ -15,6 +15,11 @@ from no_jvm_wap_with_iceberg_spark.catalog.table import (
     Snapshot,
     TableMetadata,
 )
+from no_jvm_wap_with_iceberg_spark.catalog.zorder import (
+    column_bounds,
+    zorder_key,
+    zorder_key_py,
+)
 
 __all__ = [
     "Catalog",
@@ -27,7 +32,10 @@ __all__ = [
     "RefStore",
     "Snapshot",
     "TableMetadata",
+    "column_bounds",
     "duckdb_view_sql",
     "export_manifest",
     "prune_files",
+    "zorder_key",
+    "zorder_key_py",
 ]

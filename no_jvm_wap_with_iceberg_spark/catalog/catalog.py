@@ -394,10 +394,20 @@ class Catalog:
     # ------------------------------------------------------------------
     # write path (Spark-distributed)
     # ------------------------------------------------------------------
-    def _write_files(self, df: DataFrame, meta: TableMetadata, table: str) -> list[FileEntry]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        meta: TableMetadata,
+        table: str,
+        layout_done: bool = False,
+    ) -> list[FileEntry]:
         data_dir = new_data_dir(self.warehouse, table)
         writer = df
-        if meta.sort_by:
+        if layout_done:
+            # caller already clustered the rows (e.g. zorder rewrite);
+            # re-running the sort_by range shuffle would destroy it
+            pass
+        elif meta.sort_by:
             # range-repartition THEN sort within partitions: files get
             # disjoint (not merely tight) min/max ranges on the sort
             # key, so a point/range predicate prunes to O(1) files
@@ -1023,14 +1033,82 @@ class Catalog:
             # MoR-aware read: compaction folds pending deletes into the
             # rewrite, and the overwrite snapshot clears them
             df = self._df_applying_deletes(spark, meta, with_conds)
-            if meta.sort_by:
+            zcols = [c for c in meta.properties.get("zorder_by", "").split(",") if c]
+            if zcols:
+                # a previous zorder() established the cluster layout;
+                # compaction must preserve it, not fall back to sort_by
+                df = self._cluster_zorder(df, zcols, n_out)
+                layout_done = True
+            elif meta.sort_by:
                 df = df.repartition(n_out).sortWithinPartitions(*meta.sort_by)
+                layout_done = True
             else:
                 df = df.repartition(n_out)
-            new_files = self._write_files(df, meta, table)
+                layout_done = False
+            new_files = self._write_files(df, meta, table, layout_done=layout_done)
             return (
                 meta.with_new_snapshot(new_files, "overwrite"),
                 f"COMPACT {table} ({len(files)} -> {len(new_files)} files)",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
+    @staticmethod
+    def _cluster_zorder(df: DataFrame, cols: list[str], n_out: int) -> DataFrame:
+        """Range-cluster ``df`` into ``n_out`` write tasks on the Morton
+        key of ``cols`` (all JVM expressions; one bounded-size aggregate
+        for the global bounds, then one range shuffle)."""
+        from no_jvm_wap_with_iceberg_spark.catalog.zorder import (
+            column_bounds,
+            zorder_key,
+        )
+
+        bounds = column_bounds(df, cols)
+        return (
+            df.withColumn("_zkey", zorder_key(cols, bounds))
+            .repartitionByRange(n_out, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+
+    def zorder(
+        self,
+        spark: SparkSession,
+        table: str,
+        cols: list[str],
+        branch: str = MAIN,
+        target_file_mb: int = 128,
+        min_files: int = 1,
+    ) -> TableMetadata:
+        """Rewrite the table's live files clustered on the Morton
+        (Z-order) curve of ``cols`` so footer min/max stats prune files
+        for predicates on ANY clustered column — the same layout Delta's
+        ``OPTIMIZE ... ZORDER BY`` and Iceberg's z-order
+        ``rewrite_data_files`` produce, and the standard answer to
+        "``sort_by`` only skips on one key" at 100 TB.
+
+        Persists ``zorder_by`` in table properties so later
+        :meth:`compact` runs preserve the clustering. MoR-aware like
+        compaction (pending deletes fold into the rewrite).
+        """
+        field_names = {f.name for f in self.load_table(table, branch).spark_schema.fields}
+        missing = [c for c in cols if c not in field_names]
+        if missing:
+            raise ValueError(f"zorder columns not in table schema: {missing}")
+
+        def build(meta: TableMetadata):
+            with_conds = meta.files_with_deletes()
+            files = [f for f, _ in with_conds]
+            total_bytes = sum(f.bytes for f in files)
+            n_out = max(min_files, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+            df = self._df_applying_deletes(spark, meta, with_conds)
+            clustered = self._cluster_zorder(df, cols, n_out)
+            new_files = self._write_files(clustered, meta, table, layout_done=True)
+            new_meta = meta.with_new_snapshot(new_files, "overwrite")
+            new_meta.properties = {**new_meta.properties, "zorder_by": ",".join(cols)}
+            return (
+                new_meta,
+                f"ZORDER {table} BY ({', '.join(cols)})",
             )
 
         return self._optimistic_commit(table, branch, build)
