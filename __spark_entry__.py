@@ -27,76 +27,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
-# The round-1 driver gate recorded rows for exactly the first 50
-# registered queries (registration-order prefix; the absent 11 were
-# positions 50-60), so ordering is load-bearing. The first 50 slots
-# are curated by hand: one fast canary, every query that has never
-# been driver-checked (the 11 r1-absent ones, the round-2 additions),
-# the 7 round-1 hash-mismatch queries whose oracle typing was fixed,
-# then ONE representative per operator family from the r1-bit-exact
-# set so no family vanishes from the gate if it again stops at 50.
-# The tail is r1-green redundancy WITHIN families — the least is lost
-# if it is cut; rotate it into the head in later rounds.
+# The driver gate records exactly the first 50 registered queries
+# (confirmed in r1 AND r2), so ordering is load-bearing and the head
+# is curated by hand each round. Round-3 rotation (VERDICT r2 #3):
+# the 30 queries that were only ever checked in round 1 (and never
+# after round 2's catalog/oracle changes) move INTO the head, plus
+# the round-2 red (events_sessionization, hash fix this round), plus
+# re-checks of every query that reads events through the
+# sources/registry.py ts path changed this round, plus anything new
+# in round 3. The tail is the r2-bit-exact redundancy — the least is
+# lost if the gate again stops at 50.
 _HEAD = [
-    "q1_pricing_summary",  # canary: green r1, sub-second
-    # --- the 11 queries absent from CORRECTNESS_r01 ---
-    "asof_purchase_last_click",
-    "streaming_windowed_counts",
+    "q1_pricing_summary",  # canary: green r1+r2, sub-second
+    # --- the round-2 red, re-checked after the epoch-micros fix ---
     "events_sessionization",
-    "similarity_cosine_topk",
-    "similarity_label_centroid_stats",
-    "similarity_ann_lsh_topk",
-    "similarity_ann_ivf_topk",
-    "multimodal_payload_stats",
-    "multimodal_feature_extract",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    # --- new in round 2, never driver-checked ---
-    "dedup_embedding_lsh",
-    "dedup_substring_spans",
-    "text_quality_rules",
-    "corpus_decontaminate_eval",
-    "corpus_repetition_profile",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_chunk_windows",
-    # TPC-H subquery shapes (EXISTS / NOT EXISTS / correlated scalar)
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    # --- new in round 2 (late): TPC-H joins + text pipeline ops ---
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q19_discounted_revenue",
-    "text_pii_scrub",
-    "text_vocab_top_terms",
-    # --- the 7 round-1 hash-mismatch queries (oracle typing fixed) ---
-    "events_json_extract",
-    "fn_array_map_suite",
-    "q12_shipmode_priority",
-    "events_anomaly_iqr",
-    "fn_json_map_suite",
-    "text_source_lang_matrix",
-    "text_bpe_token_counts",
-    # --- family representatives from the r1-bit-exact set (slots
-    # 33-50): joins, dedup, text, windows, events, grouping, audit ---
-    "q3_shipping_priority",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "text_quality_profile",
-    "text_lang_id_confusion",
-    "window_top3_orders_per_customer",
-    "window_ranking_suite",
-    "events_hourly_rollup",
-    "events_user_funnel",
-    "agg_orders_cube",
-    "audit_profile_lineitem",
-]
-_TAIL = [
+    # --- the 30 r1-only queries, never checked since the round-2
+    # catalog/oracle changes (VERDICT r2 gap #1) ---
     "q5_local_supplier_volume",
     "q18_large_orders",
     "dedup_ngram_jaccard",
@@ -127,6 +73,60 @@ _TAIL = [
     "dedup_normalized_fingerprints",
     "text_fingerprints",
     "text_punct_stopword_profile",
+    # --- events-family re-checks: these read through the registry
+    # ts normalization touched this round ---
+    "streaming_windowed_counts",
+    "events_hourly_rollup",
+    "asof_purchase_last_click",
+    "events_json_extract",
+    "events_anomaly_iqr",
+    "events_user_funnel",
+    # --- dedup_components re-check (large-star/small-star rewrite) ---
+    "dedup_components",
+    # --- new in round 3 (appended below as they land) ---
+]
+_TAIL = [
+    "similarity_cosine_topk",
+    "similarity_label_centroid_stats",
+    "similarity_ann_lsh_topk",
+    "similarity_ann_ivf_topk",
+    "multimodal_payload_stats",
+    "multimodal_feature_extract",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "dedup_embedding_lsh",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_substring_spans",
+    "text_quality_rules",
+    "text_quality_profile",
+    "text_lang_id_confusion",
+    "text_pii_scrub",
+    "text_vocab_top_terms",
+    "text_source_lang_matrix",
+    "text_bpe_token_counts",
+    "corpus_decontaminate_eval",
+    "corpus_repetition_profile",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "corpus_chunk_windows",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "fn_array_map_suite",
+    "fn_json_map_suite",
+    "window_top3_orders_per_customer",
+    "window_ranking_suite",
+    "agg_orders_cube",
+    "audit_profile_lineitem",
 ]
 
 

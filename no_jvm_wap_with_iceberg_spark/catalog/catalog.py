@@ -936,6 +936,37 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
+    def set_properties(
+        self, table: str, branch: str = MAIN, **props: str | None
+    ) -> TableMetadata:
+        """Set/unset table properties (Iceberg's ALTER TABLE SET
+        TBLPROPERTIES). ``None`` removes a key — e.g.
+        ``set_properties(t, zorder_by=None)`` clears a stale clustering
+        choice so compaction falls back to ``sort_by``."""
+
+        def build(meta: TableMetadata):
+            new_props = dict(meta.properties)
+            for k, v in props.items():
+                if v is None:
+                    new_props.pop(k, None)
+                else:
+                    new_props[k] = str(v)
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=meta.schema_json,
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=meta.sort_by,
+                    properties=new_props,
+                ),
+                f"SET TBLPROPERTIES {table} ({', '.join(props)})",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
     # ------------------------------------------------------------------
     # tags: immutable named refs (Nessie has them; useful for pinning
     # the exact state an audit or a training run consumed)
@@ -1014,6 +1045,7 @@ class Catalog:
         table: str,
         branch: str = MAIN,
         target_file_mb: int = 128,
+        min_files: int = 1,
     ) -> TableMetadata:
         """Rewrite the table's live files into ~``target_file_mb`` files
         (small-file compaction). Contents are unchanged — the commit is
@@ -1029,18 +1061,35 @@ class Catalog:
             with_conds = meta.files_with_deletes()
             files = [f for f, _ in with_conds]
             total_bytes = sum(f.bytes for f in files)
-            n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+            n_out = max(
+                min_files, 1, -(-total_bytes // (target_file_mb * 1024 * 1024))
+            )
             # MoR-aware read: compaction folds pending deletes into the
             # rewrite, and the overwrite snapshot clears them
             df = self._df_applying_deletes(spark, meta, with_conds)
-            zcols = [c for c in meta.properties.get("zorder_by", "").split(",") if c]
+            # a stale zorder_by property (column since dropped/renamed)
+            # must not wedge every future compaction: cluster only on
+            # the columns that still exist, falling back to sort_by
+            field_names = {f.name for f in meta.spark_schema.fields}
+            zcols = [
+                c
+                for c in meta.properties.get("zorder_by", "").split(",")
+                if c and c in field_names
+            ]
+            sort_by = [c for c in meta.sort_by if c in field_names]
             if zcols:
                 # a previous zorder() established the cluster layout;
                 # compaction must preserve it, not fall back to sort_by
                 df = self._cluster_zorder(df, zcols, n_out)
                 layout_done = True
-            elif meta.sort_by:
-                df = df.repartition(n_out).sortWithinPartitions(*meta.sort_by)
+            elif sort_by:
+                # range-repartition, NOT round-robin: compacted files
+                # must keep disjoint sort-key ranges or every point
+                # predicate reads every compacted file (pruning dies
+                # silently while results stay correct)
+                df = df.repartitionByRange(
+                    n_out, *sort_by
+                ).sortWithinPartitions(*sort_by)
                 layout_done = True
             else:
                 df = df.repartition(n_out)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 TESTDATA_TABLES = (
     "region",
@@ -54,6 +54,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.expr(
                     "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(df.schema["ts"].dataType, TimestampType):
+            # a TIMESTAMP(MICROS) file with isAdjustedToUTC=true reads
+            # as session-TZ TimestampType; pin it to the instant's UTC
+            # wall clock as NTZ so year()/window results cannot drift
+            # with the session timezone (the DuckDB oracle is epoch-
+            # based and would diverge silently otherwise)
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts), "
                     "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
                 ),
             )

@@ -192,14 +192,31 @@ def sessionize_stream(
       FROM tagged
     )
     SELECT user_id, session_seq,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_ns(MIN(ts)) // 1000 AS session_start,
+           epoch_ns(MAX(ts)) // 1000 AS session_end,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM sess GROUP BY user_id, session_seq
     """,
     doc="30-min-gap sessionization (batch window plan; the streaming "
     "applyInPandasWithState twin is tested for parity in "
-    "tests/test_streaming.py)",
+    "tests/test_streaming.py). Session bounds are emitted as epoch-micros "
+    "BIGINT per the cross-engine determinism rule (NOTES.md): a raw "
+    "MIN(ts)/MAX(ts) on a TIMESTAMP(NANOS)-layout events file keeps "
+    "sub-microsecond digits in DuckDB that Spark's micros rebuild "
+    "(sources/registry.py) cannot carry; epoch_ns // 1000 is exact for "
+    "both the micros and nanos layouts.",
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize(load_table(spark, sf_dir, "events"))
+    s = sessionize(load_table(spark, sf_dir, "events"))
+    # session TZ is UTC (session.py) so the NTZ->TS cast is the identity
+    return s.select(
+        "user_id",
+        "session_seq",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end"),
+        "n_events",
+        "total_value",
+    )

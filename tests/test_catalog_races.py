@@ -87,8 +87,8 @@ def test_upsert_does_not_drop_concurrent_append(spark, warehouse):
     real_write = cat._write_files
     raced = {"done": False}
 
-    def racing_write(df, meta, table):
-        files = real_write(df, meta, table)
+    def racing_write(df, meta, table, **kw):
+        files = real_write(df, meta, table, **kw)
         if not raced["done"]:
             raced["done"] = True
             # another writer lands an append while our upsert is mid-write
@@ -115,8 +115,8 @@ def test_compact_does_not_drop_concurrent_append(spark, warehouse):
     real_write = cat._write_files
     raced = {"done": False}
 
-    def racing_write(df, meta, table):
-        files = real_write(df, meta, table)
+    def racing_write(df, meta, table, **kw):
+        files = real_write(df, meta, table, **kw)
         if not raced["done"]:
             raced["done"] = True
             cat.append(_df(spark, 500, 510, name="concurrent"), "t")

@@ -153,11 +153,56 @@ def test_compact_preserves_zorder_layout(spark, warehouse):
     # post-zorder appends arrive unclustered...
     cat.append(_grid(spark).withColumn("id", F.col("id") + 100 * 100), "grid")
 
-    meta = cat.compact(spark, "grid", target_file_mb=1)
+    meta = cat.compact(spark, "grid", target_file_mb=1, min_files=8)
     assert meta.properties.get("zorder_by") == "x,y"
     assert cat.row_count("grid") == 2 * 100 * 100
     files = meta.files()
-    if len(files) >= 4:
-        for col in ("x", "y"):
-            kept = prune_files(files, [Predicate.eq(col, 3)])
-            assert len(kept) < len(files), col
+    assert len(files) >= 4  # min_files forced a real multi-file layout
+    for col in ("x", "y"):
+        kept = prune_files(files, [Predicate.eq(col, 3)])
+        assert len(kept) < len(files), col
+
+
+def test_compact_preserves_sort_by_range_layout(spark, warehouse):
+    """Compaction on a sort_by table must range-repartition, not
+    round-robin: otherwise every compacted file spans the full key
+    range and point-predicate pruning silently dies (ADVICE r2)."""
+    cat = Catalog(warehouse)
+    cat.create_table("sorted_grid", SCHEMA, sort_by=["x"])
+    cat.append(_grid(spark), "sorted_grid")
+    cat.append(_grid(spark).withColumn("id", F.col("id") + 100 * 100), "sorted_grid")
+
+    meta = cat.compact(spark, "sorted_grid", target_file_mb=1, min_files=8)
+    files = meta.files()
+    assert len(files) >= 4
+    assert cat.row_count("sorted_grid") == 2 * 100 * 100
+    # disjoint x ranges: an x point predicate prunes to O(1) files
+    kept = prune_files(files, [Predicate.eq("x", 3)])
+    assert len(kept) <= max(1, len(files) // 4), (len(kept), len(files))
+    # and the pruned read stays correct
+    df = cat.read(spark, "sorted_grid", predicates=[Predicate.eq("x", 3)])
+    assert df.filter(F.col("x") == 3).count() == 2 * 100
+
+
+def test_compact_ignores_stale_zorder_property(spark, warehouse):
+    """A zorder_by naming columns that no longer exist must not wedge
+    compaction forever (ADVICE r2): cluster on surviving columns, or
+    fall back to sort_by."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA, sort_by=["x"])
+    cat.append(_grid(spark), "t")
+    # a legacy/external writer left zorder_by naming a column this
+    # schema does not have
+    cat.set_properties("t", zorder_by="x,gone_col")
+    meta = cat.compact(spark, "t", target_file_mb=1, min_files=4)
+    assert cat.row_count("t") == 100 * 100
+    files = meta.files()
+    # clustering used the surviving column; x still prunes
+    kept = prune_files(files, [Predicate.eq("x", 3)])
+    assert len(kept) < len(files)
+    # a fully-stale property (no surviving columns) falls back to
+    # sort_by instead of raising, and can be cleared via the API
+    cat.set_properties("t", zorder_by="gone_col")
+    cat.compact(spark, "t", target_file_mb=1, min_files=4)
+    cat.set_properties("t", zorder_by=None)
+    assert "zorder_by" not in cat.load_table("t").properties
