@@ -84,6 +84,7 @@ _HEAD = [
     # --- dedup_components re-check (large-star/small-star rewrite) ---
     "dedup_components",
     # --- new in round 3 (appended below as they land) ---
+    "merge_orders_cdc",
 ]
 _TAIL = [
     "similarity_cosine_topk",

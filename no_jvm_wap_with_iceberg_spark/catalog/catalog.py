@@ -628,6 +628,135 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
+    def _files_overlapping_keys(
+        self,
+        meta: TableMetadata,
+        key: str,
+        kdf: DataFrame,
+    ) -> list[tuple[FileEntry, tuple[DeleteSpec, ...]]] | None:
+        """Live files whose stats/blooms say they MAY hold any of the
+        incoming keys (None = empty/all-null key set). Shared pruning
+        for upsert/delete_keys/merge: key-range min/max first, then
+        bloom probes with the exact key set when it is small."""
+        from pyspark.sql import functions as F
+
+        from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
+        from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
+
+        lo, hi = (_norm(v) for v in kdf.agg(F.min(key), F.max(key)).first())
+        if lo is None:
+            return None
+        with_conds = meta.files_with_deletes()
+        sample = kdf.limit(10_001).collect()
+        keys = [r[0] for r in sample] if len(sample) <= 10_000 else None
+        affected: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
+        for f, specs in with_conds:
+            st = f.columns.get(key, {})
+            mn, mx = st.get("min"), st.get("max")
+            try:
+                overlaps = not (
+                    mn is not None and mx is not None and (mx < lo or mn > hi)
+                )
+            except TypeError:
+                overlaps = True
+            if overlaps and keys is not None and key in f.blooms:
+                overlaps = any(bloom_may_contain(f.blooms[key], k) for k in keys)
+            if overlaps:
+                affected.append((f, specs))
+        return affected
+
+    def _write_key_files(self, kdf: DataFrame, table: str) -> list[str]:
+        """Persist a distinct key set as Iceberg-style equality-delete
+        parquet files; returns warehouse-relative paths."""
+        delete_dir = os.path.join(
+            self.warehouse, "tables", table, "deletes", uuid.uuid4().hex[:12]
+        )
+        kdf.write.mode("overwrite").parquet(delete_dir)
+        return sorted(
+            os.path.relpath(os.path.join(delete_dir, n), self.warehouse)
+            for n in os.listdir(delete_dir)
+            if n.endswith(".parquet")
+        )
+
+    def merge_rows(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str,
+        branch: str = MAIN,
+        delete_col: str | None = None,
+        max_retries: int = 3,
+    ) -> TableMetadata:
+        """MERGE by key, merge-on-read — the update-heavy-table answer
+        the reference leaves unimplemented (``pyiceberg_patch_nessie.py
+        :230-264`` raises) and :meth:`upsert` only covers copy-on-write.
+
+        Semantics (Iceberg ``MERGE INTO`` over a source keyed by
+        ``key``):
+
+        - matched keys are UPDATED: an equality-delete masks the old
+          row wherever it lives, the new row arrives in this commit's
+          insert files;
+        - unmatched keys are INSERTED (same insert files);
+        - rows where ``delete_col`` (optional boolean) is true are
+          DELETED: they join the equality-delete key set but are not
+          re-inserted.
+
+        One commit carries both the delete spec and the insert files.
+        Cost is O(incoming batch) — the insert files plus one small
+        key-set parquet — independent of table size, vs :meth:`upsert`
+        which rewrites every file overlapping the key range. The read
+        path anti-joins ONLY the stats/bloom-pruned target files
+        against the key set (broadcast, no shuffle); :meth:`compact`
+        later folds pending deletes into a clean rewrite.
+
+        Insert files and the key-set file are written ONCE before the
+        commit loop; a CAS conflict retries only the metadata build
+        (re-pruning delete targets against the fresh file list, so a
+        concurrently-appended file holding a matched key is masked
+        too).
+        """
+        from pyspark.sql import functions as F
+
+        meta0 = self.load_table(table, branch)
+        if delete_col is not None:
+            dels = df.filter(F.col(delete_col) == F.lit(True))
+            ups = df.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+            kdf = (
+                ups.select(key).unionByName(dels.select(key)).distinct()
+            )
+        else:
+            ups = df
+            kdf = df.select(key).distinct()
+        ups = self._align_schema(ups, meta0)
+        new_files = self._write_files(ups, meta0, table)
+        key_files = self._write_key_files(kdf, table)
+
+        def build(meta: TableMetadata):
+            affected = self._files_overlapping_keys(meta, key, kdf)
+            if not affected and sum(f.rows for f in new_files) == 0:
+                return None, ""  # empty batch touching nothing
+            deletes = (
+                [
+                    {
+                        "key": key,
+                        "key_files": key_files,
+                        "targets": [f.path for f, _ in affected],
+                    }
+                ]
+                if affected
+                else []
+            )
+            return (
+                meta.with_new_snapshot(new_files, "merge", deletes=deletes),
+                f"MERGE {table} ON {key} "
+                f"(+{len(new_files)} files, {len(deletes)} delete specs)",
+            )
+
+        return self._optimistic_commit(table, branch, build, max_retries=max_retries)
+
     def delete_keys(
         self,
         keys_df: DataFrame,
@@ -650,46 +779,16 @@ class Catalog:
         """
         from pyspark.sql import functions as F
 
-        from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
-        from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
-
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be cow|mor, got {mode!r}")
         kdf = keys_df.select(key).distinct()
 
         def build(meta: TableMetadata):
-            lo, hi = (_norm(v) for v in kdf.agg(F.min(key), F.max(key)).first())
-            if lo is None:
-                return None, ""  # empty / all-null key set
-            with_conds = meta.files_with_deletes()
-            sample = kdf.limit(10_001).collect()
-            keys = [r[0] for r in sample] if len(sample) <= 10_000 else None
-            affected: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
-            for f, specs in with_conds:
-                st = f.columns.get(key, {})
-                mn, mx = st.get("min"), st.get("max")
-                try:
-                    overlaps = not (
-                        mn is not None and mx is not None and (mx < lo or mn > hi)
-                    )
-                except TypeError:
-                    overlaps = True
-                if overlaps and keys is not None and key in f.blooms:
-                    overlaps = any(bloom_may_contain(f.blooms[key], k) for k in keys)
-                if overlaps:
-                    affected.append((f, specs))
+            affected = self._files_overlapping_keys(meta, key, kdf)
             if not affected:
-                return None, ""
+                return None, ""  # empty key set or nothing overlaps
             if mode == "mor":
-                delete_dir = os.path.join(
-                    self.warehouse, "tables", table, "deletes", uuid.uuid4().hex[:12]
-                )
-                kdf.write.mode("overwrite").parquet(delete_dir)
-                key_files = sorted(
-                    os.path.relpath(os.path.join(delete_dir, n), self.warehouse)
-                    for n in os.listdir(delete_dir)
-                    if n.endswith(".parquet")
-                )
+                key_files = self._write_key_files(kdf, table)
                 return (
                     meta.with_new_snapshot(
                         [],

@@ -1,0 +1,103 @@
+"""Registered queries that exercise the CATALOG write path end-to-end.
+
+Most registry queries are pure scans over the driver testdata; these
+run a real write -> merge -> read cycle through ``Catalog`` inside the
+query so the driver's DuckDB oracle gate covers the merge-on-read
+MERGE semantics too (the reference leaves MERGE unimplemented —
+``pyiceberg_patch_nessie.py:230-264`` raises).
+
+The CDC batch is derived deterministically from the ``orders`` table
+itself (modulo predicates on ``o_orderkey``), so the oracle can
+reconstruct the merged state with plain SQL set operations over the
+same parquet input.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from no_jvm_wap_with_iceberg_spark.plans.registry import register
+from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+
+@register(
+    "merge_orders_cdc",
+    """
+    WITH up AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 13 != 6
+    ),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus,
+             o_totalprice * CAST(0.5 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 6),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+      UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM up
+      UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="CDC MERGE cycle through the catalog: updates (+10% price on "
+    "o_orderkey%7=3), inserts (shifted keys for o_orderkey%97=0), "
+    "deletes (o_orderkey%13=6) land in ONE merge-on-read commit "
+    "(Catalog.merge: equality-delete spec + insert files); the result "
+    "is read back through the MoR-applying scan and aggregated. The "
+    "oracle reconstructs the merged state with SQL set ops over the "
+    "same parquet. At 100 TB the commit cost is O(batch): no "
+    "pre-existing file is rewritten (asserted in tests/test_merge.py).",
+)
+def merge_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(tempfile.mkdtemp(prefix="merge_cdc_"))
+    cat.create_table_from_df(orders, "orders_cdc")
+
+    key = F.col("o_orderkey")
+    updates = (
+        orders.filter((key % 7 == 3) & (key % 13 != 6))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("_deleted", F.lit(False))
+    )
+    inserts = (
+        orders.filter(key % 97 == 0)
+        .withColumn("o_orderkey", key + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.5)
+        .withColumn("_deleted", F.lit(False))
+    )
+    deletes = orders.filter(key % 13 == 6).withColumn("_deleted", F.lit(True))
+    cdc = updates.unionByName(inserts).unionByName(deletes)
+    cat.merge_rows(cdc, "orders_cdc", key="o_orderkey", delete_col="_deleted")
+
+    merged = cat.read(spark, "orders_cdc")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        # DECIMAL(18,4), not (18,2): the derived prices (*1.1, *0.5)
+        # carry 3 decimal digits, and rounding AT the last retained
+        # digit diverges across engines (Spark rounds the shortest
+        # repr, DuckDB the exact binary expansion); one digit of
+        # headroom makes both produce the same decimal
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

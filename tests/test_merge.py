@@ -1,0 +1,174 @@
+"""Merge-on-read MERGE: insert/update/delete in one O(batch) commit.
+
+The reference leaves MERGE unimplemented
+(``pyiceberg_patch_nessie.py:230-264`` raises); ``upsert`` covers the
+copy-on-write path. ``Catalog.merge`` is the update-heavy-100 TB
+answer: equality-deletes mask matched keys in pruned target files, the
+incoming rows arrive as normal insert files, and both travel in ONE
+snapshot — commit cost independent of table size.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+from no_jvm_wap_with_iceberg_spark.catalog.export import duckdb_view_sql
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _df(spark, lo, hi, name="x"):
+    return spark.range(lo, hi).select(F.col("id"), F.lit(name).alias("name"))
+
+
+def test_merge_insert_update_delete_branches(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 100, "old"), "t")
+
+    batch = spark.createDataFrame(
+        [
+            (5, "updated", False),   # matched -> update
+            (7, "updated", False),   # matched -> update
+            (200, "inserted", False),  # unmatched -> insert
+            (9, None, True),         # matched -> delete
+            (300, None, True),       # unmatched delete -> no-op
+        ],
+        T.StructType(
+            SCHEMA.fields + [T.StructField("_deleted", T.BooleanType())]
+        ),
+    )
+    cat.merge_rows(batch, "t", key="id", delete_col="_deleted")
+
+    out = {r.id: r.name for r in cat.read(spark, "t").collect()}
+    assert len(out) == 100  # 100 - 1 deleted + 1 inserted
+    assert out[5] == "updated" and out[7] == "updated"
+    assert out[200] == "inserted"
+    assert 9 not in out
+    assert out[0] == "old" and out[99] == "old"
+
+
+def test_merge_without_delete_col_is_pure_upsert(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 50, "old"), "t")
+    cat.merge_rows(_df(spark, 40, 60, "new"), "t", key="id")
+    out = {r.id: r.name for r in cat.read(spark, "t").collect()}
+    assert len(out) == 60
+    assert all(out[i] == "old" for i in range(40))
+    assert all(out[i] == "new" for i in range(40, 60))
+
+
+def test_merge_commit_is_metadata_plus_batch_only(spark, warehouse):
+    """The whole point vs COW upsert: the pre-existing file set is
+    untouched — no data file is rewritten or removed."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 1000), "t")
+    before = {f.path for f in cat.load_table("t").files()}
+
+    cat.merge_rows(_df(spark, 500, 505, "new"), "t", key="id")
+    meta = cat.load_table("t")
+    snap = meta.snapshot()
+    assert snap.operation == "merge"
+    assert not snap.removed_paths  # nothing rewritten
+    after = {f.path for f in meta.files()}
+    assert before <= after  # old files all still live
+    # the delete spec targets only stats-overlapping files
+    assert len(snap.deletes) == 1
+    assert set(snap.deletes[0]["targets"]) <= before
+
+
+def test_merge_chain_last_writer_wins(spark, warehouse):
+    """Consecutive merges on the same key: each newer merge masks the
+    previous merge's insert file too."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 10, "v0"), "t")
+    cat.merge_rows(_df(spark, 5, 6, "v1"), "t", key="id")
+    cat.merge_rows(_df(spark, 5, 6, "v2"), "t", key="id")
+    out = cat.read(spark, "t")
+    assert out.count() == 10
+    assert out.filter("id = 5").collect()[0]["name"] == "v2"
+
+
+def test_merge_time_travel_and_row_count_guard(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    m0 = cat.append(_df(spark, 0, 10, "old"), "t")
+    cat.merge_rows(_df(spark, 0, 1, "new"), "t", key="id")
+    # old snapshot still sees the pre-merge row
+    old = cat.read(spark, "t", snapshot_id=m0.current_snapshot_id)
+    assert old.filter("id = 0").collect()[0]["name"] == "old"
+    # metadata-only row_count must refuse while deletes are pending
+    with pytest.raises(ValueError, match="pending MoR deletes"):
+        cat.row_count("t")
+    assert cat.row_count("t", spark=spark) == 10
+
+
+def test_compact_folds_merge_deletes(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 100, "old"), "t")
+    cat.merge_rows(_df(spark, 10, 20, "new"), "t", key="id")
+    cat.compact(spark, "t")
+    meta = cat.load_table("t")
+    assert not meta.has_pending_deletes()
+    assert cat.row_count("t") == 100  # metadata-only again post-compact
+    out = {r.id: r.name for r in cat.read(spark, "t").collect()}
+    assert out[15] == "new" and out[5] == "old"
+
+
+def test_merge_does_not_drop_concurrent_append(spark, warehouse):
+    """A concurrent append lands between merge's file write and its
+    commit; the retry must re-prune delete targets against the fresh
+    file list so a matched key in the NEW file is masked too."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 50, "old"), "t")
+    real_update = cat._update_refs
+    raced = {"done": False}
+
+    def racing_update(fn, max_retries=64):
+        if not raced["done"]:
+            raced["done"] = True
+            # concurrent writer appends rows INCLUDING a matched key
+            cat2 = Catalog(warehouse, create=False)
+            cat2.append(_df(spark, 5, 6, "concurrent"), "t")
+            cat2.append(_df(spark, 500, 510, "concurrent"), "t")
+        return real_update(fn, max_retries)
+
+    cat._update_refs = racing_update
+    try:
+        cat.merge_rows(_df(spark, 5, 6, "merged"), "t", key="id")
+    finally:
+        cat._update_refs = real_update
+
+    out = cat.read(spark, "t")
+    rows = {(r.id, r.name) for r in out.collect()}
+    assert out.count() == 60  # 50 + 10 concurrent; id=5 single version
+    assert (5, "merged") in rows and (5, "old") not in rows
+    assert (5, "concurrent") not in rows  # masked by re-pruned targets
+    assert (505, "concurrent") in rows
+
+
+def test_duckdb_export_reads_merged_table(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 20, "old"), "t")
+    batch = spark.createDataFrame(
+        [(3, "updated", False), (100, "inserted", False), (7, None, True)],
+        T.StructType(SCHEMA.fields + [T.StructField("_d", T.BooleanType())]),
+    )
+    cat.merge_rows(batch, "t", key="id", delete_col="_d")
+    con = duckdb.connect()
+    con.execute(duckdb_view_sql(cat, "t", view_name="v"))
+    got = dict(con.execute("SELECT id, name FROM v ORDER BY id").fetchall())
+    assert len(got) == 20  # 20 - 1 + 1
+    assert got[3] == "updated" and got[100] == "inserted" and 7 not in got
