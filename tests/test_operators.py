@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from no_jvm_wap_with_iceberg_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     exact_jaccard_pairs,
     minhash_dedup_pairs,
@@ -226,3 +227,60 @@ def test_quality_rules_semantics_and_oracle_marker_parity(spark):
     )
     out = {r["doc_id"]: r["passes"] for r in quality_rules(df, "doc_id", "text").collect()}
     assert out == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def _py_components(pairs):
+    """Reference union-find for small fixtures."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 200-node chain: per-round min-label propagation needs 199
+    rounds (and silently returned WRONG labels under the old
+    max_iters=20 cap); large-star/small-star contracts paths
+    geometrically and must land well under the cap."""
+    n = 200
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    out = connected_components(pairs, stats=stats)
+    rows = {r.doc_id: r.component_id for r in out.collect()}
+    assert rows == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12, stats
+
+
+def test_connected_components_matches_union_find_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(df).collect()
+    }
+    ref = _py_components(pairs)
+    # same node set, and component ids are the component minimum
+    assert got == ref
+
+
+def test_connected_components_cliques_and_pairs(spark):
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 20)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.component_id for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
