@@ -85,6 +85,12 @@ _HEAD = [
     "dedup_components",
     # --- new in round 3 (appended below as they land) ---
     "merge_orders_cdc",
+    "wap_audit_gate",
+    "catalog_time_travel",
+    "catalog_incremental_read",
+    "dedup_cluster_representatives",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
 ]
 _TAIL = [
     "similarity_cosine_topk",

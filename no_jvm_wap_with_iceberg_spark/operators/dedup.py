@@ -699,13 +699,97 @@ def connected_components(
     FROM reach GROUP BY src
     """,
     doc="near-dup clustering: connected components over the verified "
-    "pair graph (iterative min-label propagation; keep-one-per-group "
-    "follows as min(doc_id) == component_id)",
+    "pair graph (large-star/small-star contraction, O(log diameter) "
+    "rounds; keep-one-per-group follows as min(doc_id) == "
+    "component_id)",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(d, "doc_id", "text")
     return connected_components(pairs)
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Resolve each near-dup cluster to ONE canonical document: the
+    highest-``quality_col`` member (ties -> lowest id). Output one row
+    per component: (component_id, keep_doc_id, n_members, n_purged).
+
+    The last step of the dedup pipeline — pairs -> components ->
+    keep/purge decision. Components are tiny relative to the corpus
+    (only docs with at least one near-dup edge appear), so the join
+    back to the docs table broadcasts the component map and the
+    per-component window shuffles only the clustered minority.
+    """
+    from pyspark.sql.window import Window as W
+
+    member_quality = components.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    rk = F.row_number().over(
+        W.partitionBy("component_id").orderBy(
+            F.col(quality_col).desc(), F.col(id_col)
+        )
+    )
+    return (
+        member_quality.withColumn("_rk", rk)
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("_rk") == 1, F.col(id_col))).alias(
+                "keep_doc_id"
+            ),
+            (F.count(F.lit(1)) - 1).alias("n_purged"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_representatives",
+    f"""
+    WITH RECURSIVE pairs AS (
+      {_EXACT_JACCARD_ORACLE}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS keep_doc_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_purged
+    FROM ranked GROUP BY component_id
+    """,
+    doc="end-to-end near-dup resolution: MinHash+LSH pairs -> "
+    "connected components -> one canonical doc per cluster (longest "
+    "text wins, ties to the lowest doc_id) with purge counts — the "
+    "decision artifact a 100 TB dedup pass feeds back into curation",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text")
+    comps = connected_components(pairs)
+    return cluster_representatives(d, comps)
 
 
 # ----------------------------------------------------------------------

@@ -562,3 +562,134 @@ def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("source", "word", "cnt", rnk.cast("int").alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    t2 AS (SELECT source, word FROM tok
+           WHERE word IS NOT NULL AND word <> ''),
+    tf AS (SELECT source, word, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+    df AS (SELECT word, CAST(COUNT(DISTINCT source) AS BIGINT) AS df
+           FROM t2 GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n FROM t2),
+    scored AS (
+      SELECT tf.source, tf.word, tf.tf, df.df,
+             CAST(tf.tf * ln((SELECT n FROM n) / df.df) AS DECIMAL(18,4))
+               AS score_dec
+      FROM tf JOIN df USING (word)
+    )
+    SELECT source, word, CAST(tf AS BIGINT) AS tf, df,
+           CAST(score_dec AS DOUBLE) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT source, word, tf, df, score_dec,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score_dec DESC, word) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+    doc="per-source TF-IDF head: tf * ln(N_sources/df), top-3 per "
+    "source. The float score is staged through DECIMAL(18,4) BEFORE "
+    "ranking in BOTH engines: ln() differs across engines in the last "
+    "ulp (measured: 3.7%% of values), so ranking raw doubles could "
+    "order algebraically-equal scores differently; the decimal stage "
+    "collapses ulp noise ahead of the comparator and the emitted "
+    "score. Spark plan: two shuffles (tf agg, source window) plus a "
+    "broadcast df join — same shape as text_vocab_top_terms.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from no_jvm_wap_with_iceberg_spark.functions.textfn import fan_out, words
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("source", "text"))
+    tok = (
+        d.select("source", words(F.col("text")).alias("_w"))
+        .select("source", F.explode_outer("_w").alias("word"))
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+    )
+    n_sources = tok.select("source").distinct().count()  # bounded scalar
+    tf = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("word").agg(
+        F.countDistinct("source").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "word").withColumn(
+        "score_dec",
+        (
+            F.col("tf")
+            * F.log(F.lit(float(n_sources)) / F.col("df"))
+        ).cast("decimal(18,4)"),
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("score_dec").desc(), F.col("word"))
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "source",
+            "word",
+            "tf",
+            "df",
+            F.col("score_dec").cast("double").alias("tfidf"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    t2 AS (SELECT doc_id, word FROM tok
+           WHERE word IS NOT NULL AND word <> ''),
+    freq AS (SELECT word, COUNT(*) AS c FROM t2 GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_logprob
+    FROM t2 JOIN freq USING (word)
+    GROUP BY doc_id
+    """,
+    doc="unigram language-model quality proxy: each doc scored by the "
+    "sum of corpus-unigram log-probabilities of its tokens (the "
+    "KenLM-style filter signal, computed from the corpus itself). "
+    "Per-token ln(p) is staged through DECIMAL(18,6) before the "
+    "per-doc sum in BOTH engines: cross-engine ln() ulp noise plus "
+    "order-dependent double addition would otherwise break the hash. "
+    "Spark plan: token counts (one shuffle), broadcast join of the "
+    "frequency table (vocab-sized), one per-doc aggregation; at "
+    "100 TB the frequency table is the only broadcast state.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.functions.textfn import fan_out, words
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    tok = (
+        d.select("doc_id", words(F.col("text")).alias("_w"))
+        .select("doc_id", F.explode_outer("_w").alias("word"))
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = float(
+        freq.agg(F.sum("c").cast("double")).first()[0]
+    )  # bounded scalar (one double)
+    scored = tok.join(F.broadcast(freq), "word").withColumn(
+        "_lp",
+        F.log(F.col("c").cast("double") / F.lit(total)).cast("decimal(18,6)"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_lp").cast("double").alias("sum_logprob"),
+    )

@@ -101,3 +101,130 @@ def merge_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "wap_audit_gate",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS main_rows,
+           CAST((SELECT COUNT(*) FROM orders)
+                + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                AS BIGINT) AS branch_rows,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)
+                AS BIGINT) AS branch_null_custkeys,
+           CAST(1 AS BIGINT) AS published_batches,
+           CAST(1 AS BIGINT) AS quarantined_batches
+    """,
+    doc="The reference's ENTIRE engine as one gate-checked query: a "
+    "clean batch publishes through the write-audit-publish loop, a "
+    "batch with injected NULL o_custkey fails the NotNull audit and "
+    "stays quarantined on its branch. Outputs are metadata-only "
+    "(row_count/null_count from file stats — zero Spark jobs after "
+    "the writes); the oracle recomputes them arithmetically from the "
+    "same orders input. Reference: src/serverless/app.py:182-315.",
+)
+def wap_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.wap import NotNullCheck, WapPipeline
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(tempfile.mkdtemp(prefix="wap_gate_"))
+    pipe = WapPipeline(cat, "orders_wap", [NotNullCheck("o_custkey")])
+
+    clean = pipe.run_batch(spark, orders)
+    dirty_batch = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    dirty = pipe.run_batch(spark, dirty_batch)
+    assert clean.published and not dirty.published
+
+    main_rows = cat.row_count("orders_wap")
+    branch_rows = cat.row_count("orders_wap", dirty.branch)
+    branch_nulls = cat.null_count("orders_wap", "o_custkey", dirty.branch)
+    return spark.createDataFrame(
+        [(main_rows, branch_rows, branch_nulls, 1, 1)],
+        "main_rows long, branch_rows long, branch_null_custkeys long, "
+        "published_batches long, quarantined_batches long",
+    )
+
+
+@register(
+    "catalog_time_travel",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS s1_rows,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders WHERE o_orderkey % 2 = 0) AS s1_total,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS s2_rows,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders) AS s2_total
+    """,
+    doc="Snapshot time travel through the catalog: two appends, then "
+    "the SAME branch read at snapshot 1 and at head — the older "
+    "snapshot must still see exactly the first batch after the second "
+    "lands (Iceberg VERSION AS OF; reference has snapshots but no "
+    "travel API). Oracle recomputes both states from orders.",
+)
+def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(tempfile.mkdtemp(prefix="time_travel_"))
+    m1 = cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "orders_tt"
+    )
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "orders_tt")
+
+    def agg(df, prefix):
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{prefix}_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias(f"{prefix}_total"),
+        )
+
+    s1 = agg(
+        cat.read(spark, "orders_tt", snapshot_id=m1.current_snapshot_id), "s1"
+    )
+    s2 = agg(cat.read(spark, "orders_tt"), "s2")
+    return s1.crossJoin(s2)
+
+
+@register(
+    "catalog_incremental_read",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS new_total
+    FROM orders WHERE o_orderkey % 2 = 1
+    GROUP BY o_orderstatus
+    """,
+    doc="Incremental (CDC-style) read: after two appends, reading "
+    "'files added since snapshot 1' must surface exactly the second "
+    "batch — the scale fix for the reference's full-rescan audit "
+    "(SURVEY 7.1 step 9): the audit cost tracks the batch, not the "
+    "table. Oracle recomputes the second batch from orders.",
+)
+def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(tempfile.mkdtemp(prefix="incr_read_"))
+    m1 = cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "orders_incr"
+    )
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "orders_incr")
+    inc = cat.read_incremental(
+        spark, "orders_incr", from_snapshot_id=m1.current_snapshot_id
+    )
+    return inc.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("new_total"),
+    )

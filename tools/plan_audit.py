@@ -39,6 +39,8 @@ CROSS_OK = {
     # threshold broadcast-crossed onto the customer scan
     "q15_top_supplier",  # scalar MAX broadcast-crossed onto the
     # per-supplier aggregate
+    "catalog_time_travel",  # crossJoin of two SINGLE-ROW snapshot
+    # aggregates (s1 x s2 summary row)
 }
 # single-partition exchanges over provably tiny inputs:
 SINGLE_OK = {
@@ -63,6 +65,7 @@ SINGLE_OK = {
     # pre-aggregation: O(days) rows (3.7k/decade), not O(orders)
     "q15_top_supplier",  # single-row MAX over the supplier aggregate
     "q19_discounted_revenue",  # single-row final aggregate
+    "catalog_time_travel",  # two single-row snapshot summaries crossed
 }
 
 
