@@ -91,6 +91,8 @@ _HEAD = [
     "dedup_cluster_representatives",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
+    "catalog_schema_evolution",
+    "catalog_mor_delete_read",
 ]
 _TAIL = [
     "similarity_cosine_topk",

@@ -228,3 +228,92 @@ def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("new_total"),
     )
+
+
+@register(
+    "catalog_schema_evolution",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (o_orderkey % 4 = 1) AS BIGINT)
+             AS n_with_note,
+           CAST(COUNT(*) FILTER (o_orderkey % 4 != 1) AS BIGINT)
+             AS n_null_note,
+           CAST(6 * COUNT(*) FILTER (o_orderkey % 4 = 1) AS BIGINT)
+             AS note_chars
+    FROM orders
+    """,
+    doc="lazy schema evolution through the catalog: add a column "
+    "AFTER the first append (metadata-only — no rewrite), then append "
+    "a second batch carrying it; the read must null-fill the old "
+    "files and surface the new column from the new ones (Iceberg "
+    "lazy widening; the reference raises NotImplementedError). "
+    "Oracle recomputes the counts arithmetically from orders.",
+)
+def catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(tempfile.mkdtemp(prefix="schema_evo_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 4 != 1), "orders_evo"
+    )
+    cat.add_column("orders_evo", "o_clerk_note", "string")
+    cat.append(
+        orders.filter(F.col("o_orderkey") % 4 == 1).withColumn(
+            "o_clerk_note", F.lit("batch2")
+        ),
+        "orders_evo",
+    )
+    out = cat.read(spark, "orders_evo")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_clerk_note").alias("n_with_note"),
+        F.sum(
+            F.when(F.col("o_clerk_note").isNull(), 1).otherwise(0)
+        ).alias("n_null_note"),
+        F.sum(F.coalesce(F.length("o_clerk_note"), F.lit(0))).alias(
+            "note_chars"
+        ),
+    )
+
+
+@register(
+    "catalog_mor_delete_read",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE NOT (l_quantity < 10)
+    GROUP BY l_returnflag
+    """,
+    doc="merge-on-read predicate DELETE through the catalog: the "
+    "commit is metadata-only (condition + target files); the read "
+    "path applies NOT(condition) inside the scan of exactly the "
+    "target files. Cheapest possible delete for a 100 TB table; "
+    "compact() folds it away later. Oracle applies the same "
+    "predicate to the raw lineitem input.",
+)
+def catalog_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mor_del_"))
+    cat.create_table_from_df(li, "lineitem_mor")
+    cat.delete_where(
+        spark,
+        "lineitem_mor",
+        [Predicate("lt", "l_quantity", 10)],
+        "l_quantity < 10",
+        mode="mor",
+    )
+    out = cat.read(spark, "lineitem_mor")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
