@@ -93,6 +93,8 @@ _HEAD = [
     "text_unigram_logprob",
     "catalog_schema_evolution",
     "catalog_mor_delete_read",
+    "embedding_quantize_int8",
+    "dedup_source_matrix",
 ]
 _TAIL = [
     "similarity_cosine_topk",

@@ -903,3 +903,41 @@ def substring_span_profile(
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return substring_span_profile(d)
+
+
+@register(
+    "dedup_source_matrix",
+    f"""
+    WITH pairs AS (
+      {_EXACT_JACCARD_ORACLE}
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    doc="cross-source contamination matrix: near-dup pair counts by "
+    "(source, source) — the curation signal for which ingest feeds "
+    "duplicate each other (mirror sites, scraped re-posts). Source "
+    "pair is normalized LEAST/GREATEST so the matrix is triangular. "
+    "Plan: the LSH pair generation dominates; the source lookup is "
+    "two broadcast joins of the tiny doc->source map.",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text")
+    src = d.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -422,3 +422,65 @@ def ann_ivf_topk(
 def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_topk(e, e.filter(F.col("vec_id") < 10))
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(u.v AS DOUBLE) AS v
+      FROM embeddings, UNNEST(embedding) AS u(v)
+    ),
+    m AS (SELECT vec_id, MAX(ABS(v)) AS m FROM x GROUP BY 1),
+    q AS (
+      SELECT x.vec_id, v, m,
+             CASE WHEN m = 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR(v / m * 127 + 0.5) AS INTEGER), 127)
+             END AS q
+      FROM x JOIN m USING (vec_id)
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(MAX(m) AS DOUBLE) AS maxabs,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(ABS(v - q * m / 127) AS DECIMAL(18,9)))
+                AS DOUBLE) AS recon_err
+    FROM q GROUP BY vec_id
+    """,
+    doc="symmetric int8 vector quantization (the ANN-at-scale "
+    "compression step: 4x smaller vectors, SIMD int8 dot products): "
+    "per-vector maxabs scale, q = clamp(round(v/m*127)), plus exact "
+    "reconstruction-error stats. floor(x+0.5) instead of round() "
+    "because round() half-way behavior differs across engines while "
+    "floor of identical doubles cannot; the per-element error is "
+    "staged through DECIMAL(18,9) so the per-vector sum is "
+    "order-independent. Plan: one posexplode, two shuffles on vec_id "
+    "(scale agg, final agg) — at 100 TB this is a scan-shaped pass.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("_pos", "_f")
+    ).select("vec_id", F.col("_f").cast("double").alias("v"))
+    m = x.groupBy("vec_id").agg(F.max(F.abs(F.col("v"))).alias("m"))
+    q = x.join(m, "vec_id").withColumn(
+        "q",
+        F.when(F.col("m") == 0, F.lit(0)).otherwise(
+            F.least(
+                F.floor(F.col("v") / F.col("m") * 127 + 0.5).cast("int"),
+                F.lit(127),
+            )
+        ),
+    )
+    return q.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("m").cast("double").alias("maxabs"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+        F.sum(
+            F.abs(F.col("v") - F.col("q") * F.col("m") / 127).cast(
+                "decimal(18,9)"
+            )
+        )
+        .cast("double")
+        .alias("recon_err"),
+    )

@@ -172,3 +172,26 @@ def test_duckdb_export_reads_merged_table(spark, warehouse):
     got = dict(con.execute("SELECT id, name FROM v ORDER BY id").fetchall())
     assert len(got) == 20  # 20 - 1 + 1
     assert got[3] == "updated" and got[100] == "inserted" and 7 not in got
+
+
+def test_merge_survives_expire_and_orphan_cleanup(spark, warehouse):
+    """The equality-delete key files are referenced state: snapshot
+    expiry must carry the pending delete, and orphan cleanup must not
+    reap a key file a live merge snapshot still points at."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 30, "old"), "t")
+    cat.append(_df(spark, 30, 60, "old"), "t")
+    cat.merge_rows(_df(spark, 10, 12, "new"), "t", key="id")
+
+    cat.expire_snapshots("t", keep_last=1)
+    orphans = cat.remove_orphan_files("t", dry_run=False)
+    out = {r.id: r.name for r in cat.read(spark, "t").collect()}
+    assert len(out) == 60
+    assert out[10] == "new" and out[11] == "new" and out[0] == "old"
+    # after compaction the key files become orphans and ARE reclaimed
+    cat.compact(spark, "t")
+    cat.expire_snapshots("t", keep_last=1)
+    reclaimed = cat.remove_orphan_files("t", dry_run=False)
+    assert any("deletes/" in p for p in reclaimed), reclaimed
+    assert {r.id: r.name for r in cat.read(spark, "t").collect()} == out

@@ -66,6 +66,7 @@ SINGLE_OK = {
     "q15_top_supplier",  # single-row MAX over the supplier aggregate
     "q19_discounted_revenue",  # single-row final aggregate
     "catalog_time_travel",  # two single-row snapshot summaries crossed
+    "catalog_schema_evolution",  # single-row final table summary
 }
 
 
