@@ -195,3 +195,29 @@ def test_merge_survives_expire_and_orphan_cleanup(spark, warehouse):
     reclaimed = cat.remove_orphan_files("t", dry_run=False)
     assert any("deletes/" in p for p in reclaimed), reclaimed
     assert {r.id: r.name for r in cat.read(spark, "t").collect()} == out
+
+
+def test_merge_heavy_read_plan_depth_is_bounded(spark, warehouse):
+    """30 pending merges must NOT chain 30 anti-joins: same-key delete
+    sets union into ONE broadcast anti-join per scan group, so plan
+    depth is O(distinct key columns), not O(merge history)."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 100, "v0"), "t")
+    for i in range(1, 31):
+        cat.merge_rows(_df(spark, i, i + 1, f"v{i}"), "t", key="id")
+
+    out = cat.read(spark, "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # seq-gated read: constant join count — the path->seq attach, the
+    # key-file seq attach, and ONE key-mask join for the whole table,
+    # however many merges are pending
+    n_joins = plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert n_joins <= 3, plan[:2000]
+    rows = {r.id: r.name for r in out.collect()}
+    assert len(rows) == 100
+    assert rows[0] == "v0"
+    for i in range(1, 31):
+        assert rows[i] == f"v{i}", (i, rows[i])

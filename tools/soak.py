@@ -75,6 +75,64 @@ def main() -> None:
     )
 
     wap_ingest_soak(spark, n_batches=100)
+    merge_soak(spark)
+
+
+def merge_soak(spark, n_merges: int = 50, base_rows: int = 500_000):
+    """Update-heavy-table simulation: N merge-on-read MERGE commits
+    against a half-million-row base, periodic compaction, early-vs-late
+    commit latency plus read latency at three delete depths. Flat
+    commit cost proves O(batch) commits; the read probes prove the
+    same-key anti-join union keeps read amplification bounded until
+    compaction folds the pending deletes."""
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        cat = Catalog(wh)
+        cat.create_table("m", schema)
+        cat.append(
+            spark.range(base_rows).select(
+                F.col("id"), F.lit("base").alias("v")
+            ),
+            "m",
+        )
+
+        def read_time():
+            t0 = time.time()
+            n = cat.read(spark, "m").count()
+            return time.time() - t0, n
+
+        r0, _ = read_time()
+        lat: list[float] = []
+        for i in range(n_merges):
+            batch = spark.range(i * 100, i * 100 + 150).select(
+                F.col("id"), F.lit(f"m{i}").alias("v")
+            )
+            t0 = time.time()
+            cat.merge_rows(batch, "m", key="id")
+            lat.append(time.time() - t0)
+        r50, n50 = read_time()
+        t0 = time.time()
+        cat.compact(spark, "m")
+        t_compact = time.time() - t0
+        rc, nc = read_time()
+        head = sum(lat[:10]) / 10
+        tail = sum(lat[-10:]) / 10
+        print(
+            f"merge-soak: {n_merges} merges on {base_rows} rows; "
+            f"commit first-10 avg={head:.2f}s last-10 avg={tail:.2f}s "
+            f"ratio={tail / head:.2f}; read 0-deletes={r0:.2f}s "
+            f"50-deletes={r50:.2f}s post-compact={rc:.2f}s "
+            f"(compact={t_compact:.2f}s); rows {n50}=={nc}"
+        )
+        assert n50 == nc
 
 
 def wap_ingest_soak(spark, n_batches: int = 100, rows_per_batch: int = 2_000):
