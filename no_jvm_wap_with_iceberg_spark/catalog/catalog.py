@@ -919,17 +919,82 @@ class Catalog:
         )
 
     def _df_for_files(
-        self, spark: SparkSession, meta: TableMetadata, files: list[FileEntry]
+        self,
+        spark: SparkSession,
+        meta: TableMetadata,
+        files: list[FileEntry],
+        with_path: bool = False,
     ) -> DataFrame:
+        """Scan the given files with the table schema. ``with_path``
+        keeps a ``__mor_path`` column (absolute file path, scheme
+        stripped) for the MoR read path — derived here because the
+        partitioned branch consumes ``_metadata`` itself and it is not
+        available past the first projection."""
+        from pyspark.sql import functions as F
+
         schema = meta.spark_schema
         if not files:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            return (
+                df.withColumn("__mor_path", F.lit(None).cast("string"))
+                if with_path
+                else df
+            )
         paths = [os.path.join(self.warehouse, f.path) for f in files]
-        reader = spark.read.schema(schema)
         if meta.partition_by:
-            # hive-partitioned layout: partition values come from paths
-            reader = reader.option("basePath", os.path.join(self.warehouse, "tables", meta.table, "data"))
-        return reader.parquet(*paths)
+            # hive-partitioned layout: partition values live in paths,
+            # but directory INFERENCE (basePath) breaks as soon as live
+            # files span more than one per-commit data dir
+            # (CONFLICTING_DIRECTORY_STRUCTURES). The manifest already
+            # parsed each file's partition values at commit time
+            # (FileEntry.partition), so attach them with the same
+            # broadcast file-path join the MoR read path uses — one
+            # scan, no discovery, any number of data dirs.
+            from urllib.parse import unquote
+
+            from pyspark.sql import types as T
+
+            pcols = list(meta.partition_by)
+            data_schema = T.StructType(
+                [f for f in schema.fields if f.name not in pcols]
+            )
+
+            def pval(raw: str | None):
+                if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                return unquote(raw)
+
+            pframe = spark.createDataFrame(
+                [
+                    tuple(
+                        [os.path.join(self.warehouse, f.path)]
+                        + [pval(f.partition.get(c)) for c in pcols]
+                    )
+                    for f in files
+                ],
+                ", ".join(["__pf_path string"] + [f"{c} string" for c in pcols]),
+            )
+            df = (
+                spark.read.schema(data_schema)
+                .parquet(*paths)
+                .withColumn(
+                    "__pf_path",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                )
+                .join(F.broadcast(pframe), "__pf_path")
+            )
+            types = {f.name: f.dataType for f in schema.fields}
+            cols = [F.col(f.name).cast(types[f.name]) for f in schema.fields]
+            if with_path:
+                cols.append(F.col("__pf_path").alias("__mor_path"))
+            return df.select(*cols)
+        df = spark.read.schema(schema).parquet(*paths)
+        if with_path:
+            df = df.withColumn(
+                "__mor_path",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+            )
+        return df
 
     def _df_applying_deletes(
         self,
@@ -990,17 +1055,15 @@ class Catalog:
             for sp in specs:
                 active[sp] = spec_seq[sp]
 
-        df = self._df_for_files(spark, meta, files)
+        df = self._df_for_files(spark, meta, files, with_path=True)
         path_seq = spark.createDataFrame(
             [
                 (os.path.join(self.warehouse, f.path), add_seq[f.path])
                 for f in files
             ],
-            "_path string, _seq long",
+            "__mor_path string, __mor_seq long",
         )
-        df = df.withColumn(
-            "_path", F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
-        ).join(F.broadcast(path_seq), "_path")
+        df = df.join(F.broadcast(path_seq), "__mor_path")
 
         key_paths: dict[str, dict[str, int]] = {}  # key col -> path -> seq
         for sp, seq in active.items():
@@ -1008,7 +1071,7 @@ class Catalog:
                 df = df.filter(
                     ~(
                         F.coalesce(F.expr(sp.condition), F.lit(False))
-                        & (F.lit(seq) > F.col("_seq"))
+                        & (F.lit(seq) > F.col("__mor_seq"))
                     )
                 )
             else:
@@ -1022,7 +1085,7 @@ class Catalog:
             # file_path attach — 50 pending merges = 50 tiny files in
             # one relation, not 50 separate scans
             kseq = spark.createDataFrame(
-                list(paths.items()), "_kpath string, _del_seq long"
+                list(paths.items()), "__mor_kpath string, __mor_dseq long"
             )
             keys = (
                 spark.read.parquet(*paths.keys())
@@ -1030,15 +1093,15 @@ class Catalog:
                     F.col(key),
                     F.regexp_replace(
                         F.col("_metadata.file_path"), "^file:", ""
-                    ).alias("_kpath"),
+                    ).alias("__mor_kpath"),
                 )
-                .join(F.broadcast(kseq), "_kpath")
+                .join(F.broadcast(kseq), "__mor_kpath")
                 .groupBy(key)
-                .agg(F.max("_del_seq").alias("_mds"))
+                .agg(F.max("__mor_dseq").alias("__mor_mds"))
             )
             df = df.join(F.broadcast(keys), key, "left").filter(
-                F.col("_mds").isNull() | (F.col("_mds") <= F.col("_seq"))
-            ).drop("_mds")
+                F.col("__mor_mds").isNull() | (F.col("__mor_mds") <= F.col("__mor_seq"))
+            ).drop("__mor_mds")
         # joins reorder columns; restore the table schema order
         return df.select(*[f.name for f in meta.spark_schema.fields])
 

@@ -221,3 +221,32 @@ def test_merge_heavy_read_plan_depth_is_bounded(spark, warehouse):
     assert rows[0] == "v0"
     for i in range(1, 31):
         assert rows[i] == f"v{i}", (i, rows[i])
+
+
+def test_merge_on_partitioned_table(spark, warehouse):
+    """The seq-gated read path must survive hive partitioning (partition
+    values come from paths) and user columns that look like helpers."""
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("_seq", T.StringType()),  # hostile name
+            T.StructField("part", T.StringType()),
+        ]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("p", sch, partition_by=["part"])
+    base = spark.range(0, 40).select(
+        F.col("id"),
+        F.lit("x").alias("_seq"),
+        (F.col("id") % 2 == 0).cast("string").alias("part"),
+    )
+    cat.append(base, "p")
+    upd = spark.createDataFrame(
+        [(3, "updated", "false"), (100, "inserted", "true")], sch
+    )
+    cat.merge_rows(upd, "p", key="id")
+    out = {r.id: (r._seq, r.part) for r in cat.read(spark, "p").collect()}
+    assert len(out) == 41
+    assert out[3] == ("updated", "false")
+    assert out[100] == ("inserted", "true")
+    assert out[2] == ("x", "true")

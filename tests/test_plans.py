@@ -72,8 +72,10 @@ def test_two_pass_ranking_has_no_data_sized_global_sort(spark):
 
 
 def test_mor_read_filters_only_targeted_files(spark, tmp_path):
-    """A pending MoR delete must not touch scans of clean files: the
-    NOT(cond) filter appears once, over the targeted file group only."""
+    """A pending MoR delete is applied in ONE pass: a single scan of
+    the live files (no per-group union), the seq-gated NOT(cond)
+    filter exactly once, and rows from files newer than the delete are
+    untouched by construction (seq comparison, asserted on data)."""
     from pyspark.sql import functions as F, types as T
 
     from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
@@ -92,12 +94,19 @@ def test_mor_read_filters_only_targeted_files(spark, tmp_path):
     cat.delete_where(
         spark, "t", Predicate.between("id", 0, 9), "id BETWEEN 0 AND 9", mode="mor"
     )
+    # a post-delete append: the delete must NOT apply to it even
+    # though its rows match the condition
+    cat.append(
+        spark.range(0, 5).select(F.col("id"), F.lit("late").alias("name")), "t"
+    )
     plan = _plan(cat.read(spark, "t"))
-    # union of one filtered group (the stats-pruned target files) and
-    # the clean rest; the delete filter appears exactly once
-    assert "Union" in plan
-    assert plan.count("Filter NOT coalesce") == 1
-    assert cat.read(spark, "t").count() == 190
+    # single-pass read: no per-group union, one data FileScan relation
+    # plus one key/seq attach, the seq-gated delete condition once
+    assert plan.count("NOT coalesce") == 1, plan
+    out = cat.read(spark, "t")
+    assert out.count() == 195  # 200 - 10 deleted + 5 late
+    assert out.filter("name = 'late'").count() == 5  # late rows survive
+    assert out.filter("name = 'x' AND id < 10").count() == 0
 
 
 def test_gram_construction_never_runs_in_scan_filters(spark):
