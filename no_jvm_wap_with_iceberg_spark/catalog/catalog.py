@@ -45,6 +45,21 @@ _ROOT = "root"  # the empty initial commit
 _REFS = "refs.json"
 
 
+def _file_path_col():
+    """``_metadata.file_path`` normalized to the raw absolute path.
+
+    The column is URI-encoded (space -> %20, %% -> %%25, UTF-8 %%xx)
+    while Python-side paths are raw; basenames are NOT a usable key
+    because a partitioned write emits the SAME part-file name into
+    every partition directory it touches. Literal '+' is protected
+    before url_decode (URLDecoder would turn it into a space — URI
+    path encoding never uses '+' for spaces)."""
+    from pyspark.sql import functions as F
+
+    raw = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+    return F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+
+
 class CommitConflict(RuntimeError):
     """Another writer advanced the ref between our read and our commit."""
 
@@ -870,7 +885,9 @@ class Catalog:
         if predicates:
             keep = {f.path for f in prune_files([f for f, _ in with_deletes], predicates)}
             with_deletes = [(f, c) for f, c in with_deletes if f.path in keep]
-        return self._df_applying_deletes(spark, meta, with_deletes)
+        return self._df_applying_deletes(
+            spark, meta, with_deletes, snapshot_id=snapshot_id
+        )
 
     def snapshot_as_of(
         self, table: str, timestamp_ms: int, branch: str = MAIN
@@ -926,10 +943,16 @@ class Catalog:
         with_path: bool = False,
     ) -> DataFrame:
         """Scan the given files with the table schema. ``with_path``
-        keeps a ``__mor_path`` column (absolute file path, scheme
-        stripped) for the MoR read path — derived here because the
-        partitioned branch consumes ``_metadata`` itself and it is not
-        available past the first projection."""
+        keeps a ``__mor_path`` column (the file NAME) for the MoR read
+        path — derived here because the partitioned branch consumes
+        ``_metadata`` itself and it is not available past the first
+        projection.
+
+        File-identity joins compare the url-decoded
+        ``_metadata.file_path`` (see ``_file_path_col``) against the
+        raw Python-side path — NOT basenames: a partitioned write
+        emits the same part-file name into every partition dir, so
+        basenames collide within one commit."""
         from pyspark.sql import functions as F
 
         schema = meta.spark_schema
@@ -977,10 +1000,7 @@ class Catalog:
             df = (
                 spark.read.schema(data_schema)
                 .parquet(*paths)
-                .withColumn(
-                    "__pf_path",
-                    F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
-                )
+                .withColumn("__pf_path", _file_path_col())
                 .join(F.broadcast(pframe), "__pf_path")
             )
             types = {f.name: f.dataType for f in schema.fields}
@@ -990,10 +1010,7 @@ class Catalog:
             return df.select(*cols)
         df = spark.read.schema(schema).parquet(*paths)
         if with_path:
-            df = df.withColumn(
-                "__mor_path",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
-            )
+            df = df.withColumn("__mor_path", _file_path_col())
         return df
 
     def _df_applying_deletes(
@@ -1001,6 +1018,7 @@ class Catalog:
         spark: SparkSession,
         meta: TableMetadata,
         files_with_conds: list[tuple[FileEntry, tuple[DeleteSpec, ...]]],
+        snapshot_id: int | None = None,
     ) -> DataFrame:
         """Scan files applying their pending merge-on-read deletes.
 
@@ -1037,19 +1055,38 @@ class Catalog:
         if all(not specs for _, specs in files_with_conds):
             return self._df_for_files(spark, meta, files)
 
-        # commit seq per live file: the NEWEST snapshot that added the
-        # path (expire re-adds carried files in its synthetic base)
+        # seq maps are built over the chain OF THE REQUESTED SNAPSHOT,
+        # not the whole log: a delete committed after the read snapshot
+        # (or an identical delete re-issued later) must not gate this
+        # read — walking all snapshots would collapse duplicate specs
+        # to an out-of-scope newer seq and wrongly delete rows that
+        # were appended between the two commits (time-travel bug).
+        by_id = {sn.snapshot_id: sn for sn in meta.snapshots}
+        chain: list[TableSnapshot] = []
+        cur = meta.snapshot(snapshot_id)
+        while cur is not None:
+            chain.append(cur)
+            if cur.operation == "overwrite":
+                break
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        chain.sort(key=lambda sn: sn.snapshot_id)
+        # commit seq per live file: the NEWEST chain snapshot that
+        # added the path (expire re-adds carried files in its
+        # synthetic base snapshots)
         add_seq: dict[str, int] = {}
-        for s in sorted(meta.snapshots, key=lambda s: s.snapshot_id):
-            for f in s.added_files:
-                add_seq[f.path] = s.snapshot_id
-        # commit seq per distinct spec (same walk; identical specs
-        # collapse to the newest seq, which gates a superset of what
-        # the duplicates gate together — equivalent)
         spec_seq: dict[DeleteSpec, int] = {}
-        for s in sorted(meta.snapshots, key=lambda s: s.snapshot_id):
-            for d in s.deletes:
-                spec_seq[DeleteSpec.from_json(d)] = s.snapshot_id
+        for sn in chain:
+            for f in sn.added_files:
+                add_seq[f.path] = sn.snapshot_id
+            # identical in-chain specs collapse to the newest seq,
+            # which gates a superset of what the duplicates gate
+            # together — equivalent at this snapshot
+            for d in sn.deletes:
+                spec_seq[DeleteSpec.from_json(d)] = sn.snapshot_id
         active: dict[DeleteSpec, int] = {}
         for _, specs in files_with_conds:
             for sp in specs:
@@ -1077,24 +1114,24 @@ class Catalog:
             else:
                 paths = key_paths.setdefault(sp.key, {})
                 for p in sp.key_files:
-                    ap = os.path.join(self.warehouse, p)
-                    paths[ap] = max(paths.get(ap, 0), seq)
+                    paths[p] = max(paths.get(p, 0), seq)
         for key, paths in key_paths.items():
             # ONE scan of every pending key file for this key column;
             # each key row gets its delete's commit seq via the same
             # file_path attach — 50 pending merges = 50 tiny files in
             # one relation, not 50 separate scans
             kseq = spark.createDataFrame(
-                list(paths.items()), "__mor_kpath string, __mor_dseq long"
+                [
+                    (os.path.join(self.warehouse, p), q)
+                    for p, q in paths.items()
+                ],
+                "__mor_kpath string, __mor_dseq long",
             )
             keys = (
-                spark.read.parquet(*paths.keys())
-                .select(
-                    F.col(key),
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:", ""
-                    ).alias("__mor_kpath"),
+                spark.read.parquet(
+                    *[os.path.join(self.warehouse, p) for p in paths]
                 )
+                .select(F.col(key), _file_path_col().alias("__mor_kpath"))
                 .join(F.broadcast(kseq), "__mor_kpath")
                 .groupBy(key)
                 .agg(F.max("__mor_dseq").alias("__mor_mds"))
@@ -1127,7 +1164,7 @@ class Catalog:
                     "or compact() first"
                 )
             return self._df_applying_deletes(
-                spark, meta, meta.files_with_deletes(snapshot_id)
+                spark, meta, meta.files_with_deletes(snapshot_id), snapshot_id=snapshot_id
             ).count()
         return meta.row_count(snapshot_id)
 
@@ -1425,45 +1462,102 @@ class Catalog:
             # An 'overwrite' cutoff already carries the full live file set —
             # everything beneath it is pure history and vanishes. A plain
             # 'append' cutoff still depends on its ancestry, so the expired
-            # prefix is squashed into a synthetic base overwrite snapshot.
+            # prefix is squashed — ERA-PRESERVING: pending MoR deletes in
+            # the prefix must keep their ordering relative to the files
+            # added before/after them (the seq-gated read compares commit
+            # ids, and a post-delete append collapsed BELOW the delete
+            # would be silently re-deleted). The prefix becomes an
+            # alternating chain: one squashed add snapshot per era
+            # between pending deletes, then the delete commit at its
+            # original id. Bounded by #pending-delete commits + 1.
             if cutoff.operation != "overwrite" and cutoff.parent_snapshot_id:
-                # carry unapplied MoR deletes of the expired prefix —
-                # squashing to raw files would silently resurrect the
-                # deleted rows. A delete only applies to files in OLDER
-                # snapshots, so the carrier sits above the base.
-                carried: dict[DeleteSpec, list[str]] = {}
-                for f, specs in meta.files_with_deletes(cutoff.parent_snapshot_id):
-                    for s in specs:
-                        carried.setdefault(s, []).append(f.path)
-                base_id = (
-                    min(s.snapshot_id for s in snaps) - 1
-                    if carried
-                    else cutoff.parent_snapshot_id
-                )
-                new_snaps.append(
-                    TableSnapshot(
-                        snapshot_id=base_id,
-                        parent_snapshot_id=None,
-                        timestamp_ms=cutoff.timestamp_ms,
-                        operation="overwrite",
-                        added_files=meta.files(cutoff.parent_snapshot_id),
-                        summary={"expired-history": len(snaps) - keep_last},
+                base_cut = cutoff.parent_snapshot_id
+                live = meta.files_with_deletes(base_cut)
+                # original add-era per live path (chain of base_cut)
+                by_id = {s.snapshot_id: s for s in meta.snapshots}
+                chain = []
+                cur = meta.snapshot(base_cut)
+                while cur is not None:
+                    chain.append(cur)
+                    if cur.operation == "overwrite":
+                        break
+                    cur = (
+                        by_id.get(cur.parent_snapshot_id)
+                        if cur.parent_snapshot_id is not None
+                        else None
                     )
-                )
-                if carried:
+                chain.sort(key=lambda s: s.snapshot_id)
+                add_seq: dict[str, int] = {}
+                for s in chain:
+                    for f in s.added_files:
+                        add_seq[f.path] = s.snapshot_id
+                # pending delete COMMITS (those whose specs still apply
+                # to >=1 live file), at their original ids
+                pending_specs = {sp for _f, specs in live for sp in specs}
+                delete_commits = [
+                    (s.snapshot_id, [d for d in s.deletes
+                                     if DeleteSpec.from_json(d) in pending_specs])
+                    for s in chain
+                    if any(DeleteSpec.from_json(d) in pending_specs
+                           for d in s.deletes)
+                ]
+                d_ids = [i for i, _ in delete_commits]
+                d_set = set(d_ids)
+                # partition live files into eras STRICTLY between
+                # delete commits; files added BY a delete-carrying
+                # commit (a merge: insert files + equality delete in
+                # one snapshot) stay in that commit's own part — they
+                # must sit at the delete's id, not below it (a
+                # separate era would need the same id and the chain
+                # would cycle) and not above (later deletes gate them)
+                own: dict[int, list[FileEntry]] = {}
+                eras: list[list[FileEntry]] = [[] for _ in range(len(d_ids) + 1)]
+                for f, _specs in live:
+                    seq = add_seq[f.path]
+                    if seq in d_set:
+                        own.setdefault(seq, []).append(f)
+                    else:
+                        k = sum(1 for d in d_ids if d < seq)
+                        eras[k].append(f)
+                # emit: era_0, d_1(+its own files), era_1, d_2, ...;
+                # the TOP synthetic takes id base_cut so kept[0]'s
+                # parent pointer still resolves; era ids use the era's
+                # newest original add id (strictly inside the delete
+                # interval, so every gating relation is preserved and
+                # no id collides with a delete commit's)
+                parts: list[tuple[int, str, list[FileEntry], list[dict]]] = []
+                for k, era in enumerate(eras):
+                    if era:
+                        era_id = max(add_seq[f.path] for f in era)
+                        parts.append((era_id, "append", era, []))
+                    if k < len(d_ids):
+                        parts.append(
+                            (
+                                d_ids[k],
+                                "merge" if own.get(d_ids[k]) else "delete",
+                                own.get(d_ids[k], []),
+                                delete_commits[k][1],
+                            )
+                        )
+                if not parts:
+                    parts.append((base_cut, "overwrite", [], []))
+                # force the top id to base_cut (it is >= every part id
+                # and above every pending delete by construction)
+                parts[-1] = (base_cut, *parts[-1][1:])
+                prev_id = None
+                for pid, op, era_files, dels in parts:
                     new_snaps.append(
                         TableSnapshot(
-                            snapshot_id=cutoff.parent_snapshot_id,
-                            parent_snapshot_id=base_id,
+                            snapshot_id=pid,
+                            parent_snapshot_id=prev_id,
                             timestamp_ms=cutoff.timestamp_ms,
-                            operation="delete",
-                            added_files=[],
-                            deletes=[
-                                {**s.to_json(), "targets": paths}
-                                for s, paths in carried.items()
-                            ],
+                            operation="overwrite" if prev_id is None else op,
+                            added_files=era_files,
+                            summary={"expired-history": len(snaps) - keep_last},
+                            deletes=dels,
                         )
                     )
+                    prev_id = pid
             new_snaps.extend(kept)
             return (
                 TableMetadata(

@@ -923,8 +923,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(source, source) — the curation signal for which ingest feeds "
     "duplicate each other (mirror sites, scraped re-posts). Source "
     "pair is normalized LEAST/GREATEST so the matrix is triangular. "
-    "Plan: the LSH pair generation dominates; the source lookup is "
-    "two broadcast joins of the tiny doc->source map.",
+    "Plan: the LSH pair generation dominates; the pair set (small by "
+    "construction) joins against the corpus-sized doc->source map — "
+    "AQE broadcasts the PAIR side; broadcasting the doc map would be "
+    "an O(corpus) driver payload at 100 TB.",
 )
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -933,8 +935,8 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
     b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
     return (
-        pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .groupBy(
             F.least("_sa", "_sb").alias("source_a"),
             F.greatest("_sa", "_sb").alias("source_b"),

@@ -235,7 +235,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            COUNT(DISTINCT vec_id) AS n_vectors,
-           CAST(SUM(CAST(val AS DECIMAL(20,9))) AS DOUBLE) AS component_sum,
+           CAST(SUM(CAST(val AS DECIMAL(20,6))) AS DOUBLE) AS component_sum,
            CAST(MIN(val) AS DOUBLE) AS min_component,
            CAST(MAX(val) AS DOUBLE) AS max_component
     FROM flat GROUP BY label
@@ -249,7 +249,14 @@ def similarity_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return flat.groupBy("label").agg(
         F.countDistinct("vec_id").alias("n_vectors"),
-        F.sum(F.col("val").cast("decimal(20,9)")).cast("double").alias("component_sum"),
+        # DECIMAL(20,6), NOT finer: DuckDB casts double->decimal by
+        # multiplying by 10^scale in double arithmetic (±1e-16
+        # relative noise) while Spark goes through the exact shortest
+        # repr — the flip probability per value is (1e-16*|v|)/step,
+        # so a FINER scale makes divergence MORE likely (measured:
+        # scale 9 flipped 1 addend in 200k at sf0.1, scale 12 flipped
+        # 3 labels). At scale 6 the noise is 10 orders below the step.
+        F.sum(F.col("val").cast("decimal(20,6)")).cast("double").alias("component_sum"),
         F.min("val").cast("double").alias("min_component"),
         F.max("val").cast("double").alias("max_component"),
     )

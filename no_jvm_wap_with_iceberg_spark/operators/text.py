@@ -613,9 +613,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode_outer("_w").alias("word"))
         .filter(F.col("word").isNotNull() & (F.col("word") != ""))
     )
-    n_sources = tok.select("source").distinct().count()  # bounded scalar
+    # ONE corpus tokenization pass: df and N both derive from the
+    # already-aggregated tf relation (vocab x sources sized, its
+    # shuffle output is reused across these jobs) instead of
+    # re-exploding the corpus per aggregate
     tf = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("word").agg(
+    n_sources = tf.select("source").distinct().count()  # bounded scalar
+    df_ = tf.groupBy("word").agg(
         F.countDistinct("source").alias("df")
     )
     scored = tf.join(F.broadcast(df_), "word").withColumn(

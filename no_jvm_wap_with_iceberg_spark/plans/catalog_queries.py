@@ -14,12 +14,32 @@ same parquet input.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from no_jvm_wap_with_iceberg_spark.plans.registry import register
 from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+_TMP_WAREHOUSES: list[str] = []
+
+
+def _tmp_warehouse(prefix: str) -> str:
+    """Temp warehouse that outlives the query function (the returned
+    DataFrame is lazy — files must survive until the caller collects)
+    but is reclaimed at interpreter exit, so repeated gate/bench runs
+    in one process cannot accumulate unbounded /tmp state."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_WAREHOUSES.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_tmp_warehouses() -> None:
+    for d in _TMP_WAREHOUSES:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(
@@ -67,7 +87,7 @@ def merge_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 
     orders = load_table(spark, sf_dir, "orders")
-    cat = Catalog(tempfile.mkdtemp(prefix="merge_cdc_"))
+    cat = Catalog(_tmp_warehouse("merge_cdc_"))
     cat.create_table_from_df(orders, "orders_cdc")
 
     key = F.col("o_orderkey")
@@ -129,7 +149,7 @@ def wap_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_jvm_wap_with_iceberg_spark.wap import NotNullCheck, WapPipeline
 
     orders = load_table(spark, sf_dir, "orders")
-    cat = Catalog(tempfile.mkdtemp(prefix="wap_gate_"))
+    cat = Catalog(_tmp_warehouse("wap_gate_"))
     pipe = WapPipeline(cat, "orders_wap", [NotNullCheck("o_custkey")])
 
     clean = pipe.run_batch(spark, orders)
@@ -173,7 +193,7 @@ def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 
     orders = load_table(spark, sf_dir, "orders")
-    cat = Catalog(tempfile.mkdtemp(prefix="time_travel_"))
+    cat = Catalog(_tmp_warehouse("time_travel_"))
     m1 = cat.create_table_from_df(
         orders.filter(F.col("o_orderkey") % 2 == 0), "orders_tt"
     )
@@ -214,7 +234,7 @@ def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 
     orders = load_table(spark, sf_dir, "orders")
-    cat = Catalog(tempfile.mkdtemp(prefix="incr_read_"))
+    cat = Catalog(_tmp_warehouse("incr_read_"))
     m1 = cat.create_table_from_df(
         orders.filter(F.col("o_orderkey") % 2 == 0), "orders_incr"
     )
@@ -253,7 +273,7 @@ def catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 
     orders = load_table(spark, sf_dir, "orders")
-    cat = Catalog(tempfile.mkdtemp(prefix="schema_evo_"))
+    cat = Catalog(_tmp_warehouse("schema_evo_"))
     cat.create_table_from_df(
         orders.filter(F.col("o_orderkey") % 4 != 1), "orders_evo"
     )
@@ -301,7 +321,7 @@ def catalog_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    cat = Catalog(tempfile.mkdtemp(prefix="mor_del_"))
+    cat = Catalog(_tmp_warehouse("mor_del_"))
     cat.create_table_from_df(li, "lineitem_mor")
     cat.delete_where(
         spark,

@@ -1012,6 +1012,13 @@ def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*sort_cols))
         )
+        # materialize ONCE: the range partitioner samples boundaries,
+        # and the offsets aggregation + the final join would otherwise
+        # recompute `local` with independently-sampled (different)
+        # boundaries — offsets then disagree with pids and global
+        # ranks collide (observed at sf0.1: 14689 distinct ranks for
+        # 14999 rows)
+        .localCheckpoint(eager=True)
     )
     # pass 2: per-range counts -> prefix-sum offsets + grand total.
     # One row per range; the only unpartitioned window runs over those

@@ -209,14 +209,16 @@ def sessionize_stream(
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sessionize(load_table(spark, sf_dir, "events"))
-    # session TZ is UTC (session.py) so the NTZ->TS cast is the identity
+    # NTZ -> epoch-micros via timestampdiff against an NTZ epoch: NO
+    # session-timezone dependency (a cast-to-timestamp + unix_micros
+    # round-trip is the identity only under TZ=UTC, and the driver's
+    # session may not carry our factory confs)
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {})"
     return s.select(
         "user_id",
         "session_seq",
-        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
-            "session_start"
-        ),
-        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end"),
+        F.expr(us.format("session_start")).alias("session_start"),
+        F.expr(us.format("session_end")).alias("session_end"),
         "n_events",
         "total_value",
     )

@@ -250,3 +250,121 @@ def test_merge_on_partitioned_table(spark, warehouse):
     assert out[3] == ("updated", "false")
     assert out[100] == ("inserted", "true")
     assert out[2] == ("x", "true")
+
+
+def test_duckdb_export_partitioned_multi_dir_merge(spark, warehouse):
+    """DuckDB views must survive a partitioned table whose live files
+    span several per-commit data dirs plus a pending merge."""
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("p", sch, partition_by=["part"])
+    for b in range(2):
+        cat.append(
+            spark.range(b * 10, b * 10 + 10).select(
+                F.col("id"),
+                F.lit(f"b{b}").alias("v"),
+                (F.col("id") % 2).cast("string").alias("part"),
+            ),
+            "p",
+        )
+    cat.merge_rows(spark.createDataFrame([(5, "upd", "1")], sch), "p", key="id")
+    con = duckdb.connect()
+    con.execute(duckdb_view_sql(cat, "p", view_name="v"))
+    assert con.execute("SELECT COUNT(*), COUNT(DISTINCT part) FROM v").fetchone() == (20, 2)
+    assert con.execute("SELECT v FROM v WHERE id = 5").fetchall() == [("upd",)]
+    # and Spark sees the same
+    assert cat.read(spark, "p").count() == 20
+
+
+def test_expire_preserves_delete_ordering(spark, warehouse):
+    """Review repro: a MoR delete followed by appends, then expire —
+    the post-delete rows must NOT be re-deleted by the carried delete
+    (the old flat base+carrier squash collapsed them below it)."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Predicate
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 20, "old"), "t")
+    cat.delete_where(
+        spark, "t", [Predicate("lt", "id", 10)], "id < 10", mode="mor"
+    )
+    cat.append(_df(spark, 0, 5, "late"), "t")
+    cat.append(_df(spark, 100, 110, "tail"), "t")
+    before = {(r.id, r.name) for r in cat.read(spark, "t").collect()}
+    cat.expire_snapshots("t", keep_last=1)
+    after = {(r.id, r.name) for r in cat.read(spark, "t").collect()}
+    assert after == before
+    assert sum(1 for _, n in after if n == "late") == 5
+    assert len(after) == 25  # 20 - 10 + 5 + 10
+
+
+def test_expire_preserves_merge_insert_rows(spark, warehouse):
+    """Review repro: merge -> append -> expire must not mask the
+    merge's own insert rows below its equality delete."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 10, "old"), "t")
+    cat.merge_rows(_df(spark, 5, 6, "merged"), "t", key="id")
+    cat.append(_df(spark, 20, 25, "tail"), "t")
+    cat.expire_snapshots("t", keep_last=1)
+    out = {r.id: r.name for r in cat.read(spark, "t").collect()}
+    assert len(out) == 15
+    assert out[5] == "merged"
+    assert out[20] == "tail" and out[0] == "old"
+
+
+def test_special_char_warehouse_and_partition_values(spark, tmp_path):
+    """Review repro: URI-special characters in the warehouse path or a
+    partition value made every file-identity join match nothing (read
+    silently returned 0 rows). Basename joins are encoding-stable."""
+    wh = str(tmp_path / "ware house")  # space -> %20 in _metadata paths
+    cat = Catalog(wh)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 20, "old"), "t")
+    cat.merge_rows(_df(spark, 3, 4, "new"), "t", key="id")
+    out = {r.id: r.name for r in cat.read(spark, "t").collect()}
+    assert len(out) == 20 and out[3] == "new"
+
+    psch = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+    cat.create_table("p", psch, partition_by=["part"])
+    cat.append(
+        spark.createDataFrame([(1, "a b%c"), (2, "plain")], psch), "p"
+    )
+    cat.append(spark.createDataFrame([(3, "a b%c")], psch), "p")
+    rows = {(r.id, r.part) for r in cat.read(spark, "p").collect()}
+    assert rows == {(1, "a b%c"), (2, "plain"), (3, "a b%c")}
+
+
+def test_time_travel_between_duplicate_deletes(spark, warehouse):
+    """Review repro: the same condition delete issued twice — a
+    time-travel read BETWEEN the two commits must not apply the newer
+    one (spec maps are chain-scoped now)."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Predicate
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 20, "old"), "t")
+    cat.delete_where(
+        spark, "t", [Predicate("lt", "id", 10)], "id < 10", mode="mor"
+    )
+    mid = cat.append(_df(spark, 0, 5, "mid"), "t")
+    cat.delete_where(
+        spark, "t", [Predicate("lt", "id", 10)], "id < 10", mode="mor"
+    )
+    # between the deletes: 'mid' rows alive
+    between = cat.read(spark, "t", snapshot_id=mid.current_snapshot_id)
+    assert between.count() == 15
+    assert between.filter("name = 'mid'").count() == 5
+    # at head: second delete removed them again
+    assert cat.read(spark, "t").count() == 10

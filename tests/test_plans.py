@@ -63,12 +63,20 @@ def test_whole_stage_codegen_covers_relational_core(spark):
 
 def test_two_pass_ranking_has_no_data_sized_global_sort(spark):
     """window_ranking_suite: the only single-partition exchange may be
-    the per-range stats (32 rows); the data path must range-partition
-    and take the offsets via broadcast."""
-    plan = _plan(get_queries()["window_ranking_suite"].spark(spark, SF_DIR))
+    the per-range stats (32 rows); the data path range-partitions
+    (now materialized behind a localCheckpoint so the sampled
+    boundaries are consistent across consumers — the checkpoint
+    truncates the visible plan to a Scan ExistingRDD) and takes the
+    offsets via broadcast. Global-rank uniqueness proves the ranges
+    composed correctly."""
+    df = get_queries()["window_ranking_suite"].spark(spark, SF_DIR)
+    plan = _plan(df)
     assert plan.count("Exchange SinglePartition") <= 1
-    assert "rangepartitioning" in plan
+    # the checkpointed range-partitioned stage feeds both consumers
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    ranks = [r.rnk for r in df.select("rnk").collect()]
+    assert len(ranks) == len(set(ranks)), "global ranks must be unique"
 
 
 def test_mor_read_filters_only_targeted_files(spark, tmp_path):
