@@ -134,7 +134,15 @@ def build_blooms_distributed(
     )
     out: dict[str, dict[str, str]] = {}
     for r in partials:
-        path = r["f"].removeprefix("file://")
+        # input_file_name() is URI-encoded (space -> %20 etc.) while
+        # the manifest keys are raw paths; unquote (which leaves
+        # literal '+' alone, unlike unquote_plus) or blooms silently
+        # never attach under a warehouse path with URI-special
+        # characters — same bug class as the read path's
+        # _file_path_col
+        from urllib.parse import unquote
+
+        path = unquote(r["f"].removeprefix("file://"))
         per_file = out.setdefault(path, {})
         per_file[r["c"]] = (
             merge_blooms(per_file[r["c"]], r["b"]) if r["c"] in per_file else r["b"]

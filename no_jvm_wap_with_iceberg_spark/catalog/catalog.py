@@ -943,10 +943,10 @@ class Catalog:
         with_path: bool = False,
     ) -> DataFrame:
         """Scan the given files with the table schema. ``with_path``
-        keeps a ``__mor_path`` column (the file NAME) for the MoR read
-        path — derived here because the partitioned branch consumes
-        ``_metadata`` itself and it is not available past the first
-        projection.
+        keeps a ``__mor_path`` column (the url-decoded absolute file
+        path) for the MoR read path — derived here because the
+        partitioned branch consumes ``_metadata`` itself and it is
+        not available past the first projection.
 
         File-identity joins compare the url-decoded
         ``_metadata.file_path`` (see ``_file_path_col``) against the
@@ -1061,19 +1061,7 @@ class Catalog:
         # read — walking all snapshots would collapse duplicate specs
         # to an out-of-scope newer seq and wrongly delete rows that
         # were appended between the two commits (time-travel bug).
-        by_id = {sn.snapshot_id: sn for sn in meta.snapshots}
-        chain: list[TableSnapshot] = []
-        cur = meta.snapshot(snapshot_id)
-        while cur is not None:
-            chain.append(cur)
-            if cur.operation == "overwrite":
-                break
-            cur = (
-                by_id.get(cur.parent_snapshot_id)
-                if cur.parent_snapshot_id is not None
-                else None
-            )
-        chain.sort(key=lambda sn: sn.snapshot_id)
+        chain = sorted(meta.chain(snapshot_id), key=lambda sn: sn.snapshot_id)
         # commit seq per live file: the NEWEST chain snapshot that
         # added the path (expire re-adds carried files in its
         # synthetic base snapshots)
@@ -1474,19 +1462,9 @@ class Catalog:
                 base_cut = cutoff.parent_snapshot_id
                 live = meta.files_with_deletes(base_cut)
                 # original add-era per live path (chain of base_cut)
-                by_id = {s.snapshot_id: s for s in meta.snapshots}
-                chain = []
-                cur = meta.snapshot(base_cut)
-                while cur is not None:
-                    chain.append(cur)
-                    if cur.operation == "overwrite":
-                        break
-                    cur = (
-                        by_id.get(cur.parent_snapshot_id)
-                        if cur.parent_snapshot_id is not None
-                        else None
-                    )
-                chain.sort(key=lambda s: s.snapshot_id)
+                chain = sorted(
+                    meta.chain(base_cut), key=lambda s: s.snapshot_id
+                )
                 add_seq: dict[str, int] = {}
                 for s in chain:
                     for f in s.added_files:

@@ -286,14 +286,17 @@ class TableMetadata:
                 return s
         raise KeyError(f"snapshot {sid} not found in table {self.table!r}")
 
-    def files(self, snapshot_id: int | None = None) -> list[FileEntry]:
-        """All live data files at a snapshot (walk the parent chain)."""
+    def chain(self, snapshot_id: int | None = None) -> list["Snapshot"]:
+        """The parent chain of a snapshot, NEWEST FIRST, stopping at
+        (and including) the first 'overwrite' — the single source of
+        truth for which snapshots contribute to a read: files(),
+        files_with_deletes(), the seq-gated MoR read path, and
+        snapshot expiry all walk exactly this chain."""
         by_id = {s.snapshot_id: s for s in self.snapshots}
-        out: list[FileEntry] = []
+        out: list[Snapshot] = []
         cur = self.snapshot(snapshot_id)
-        chain: list[Snapshot] = []
         while cur is not None:
-            chain.append(cur)
+            out.append(cur)
             if cur.operation == "overwrite":
                 break  # overwrite replaces everything beneath it
             cur = (
@@ -301,6 +304,12 @@ class TableMetadata:
                 if cur.parent_snapshot_id is not None
                 else None
             )
+        return out
+
+    def files(self, snapshot_id: int | None = None) -> list[FileEntry]:
+        """All live data files at a snapshot (walk the parent chain)."""
+        chain = self.chain(snapshot_id)
+        out: list[FileEntry] = []
         removed: set[str] = set()
         for s in chain:  # newest-first: removals mask older adds only
             out.extend(f for f in s.added_files if f.path not in removed)
@@ -315,18 +324,7 @@ class TableMetadata:
         apply to it — those committed AFTER the file (newer in the
         chain) naming it as a target. Rows appended after a delete are
         never re-deleted by it."""
-        by_id = {s.snapshot_id: s for s in self.snapshots}
-        cur = self.snapshot(snapshot_id)
-        chain: list[Snapshot] = []
-        while cur is not None:
-            chain.append(cur)
-            if cur.operation == "overwrite":
-                break
-            cur = (
-                by_id.get(cur.parent_snapshot_id)
-                if cur.parent_snapshot_id is not None
-                else None
-            )
+        chain = self.chain(snapshot_id)
         removed: set[str] = set()
         out: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
         pending: list[dict[str, Any]] = []  # deletes newer than current snapshot

@@ -942,8 +942,8 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            COUNT(*) AS n,
            CAST(SUM(len(embedding)) AS BIGINT) AS total_elems,
-           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) AS first_sum,
-           CAST(SUM(CAST(CAST(list_max(embedding) AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) AS max_sum,
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE) AS first_sum,
+           CAST(SUM(CAST(CAST(list_max(embedding) AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE) AS max_sum,
            CAST(SUM(CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END) AS BIGINT) AS first_gt_second
     FROM embeddings GROUP BY label
     """,
@@ -957,10 +957,10 @@ def fn_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(emb)).alias("total_elems"),
-        F.sum(F.element_at(emb, 1).cast("double").cast("decimal(20,9)"))
+        F.sum(F.element_at(emb, 1).cast("double").cast("decimal(20,6)"))
         .cast("double")
         .alias("first_sum"),
-        F.sum(F.array_max(emb).cast("double").cast("decimal(20,9)"))
+        F.sum(F.array_max(emb).cast("double").cast("decimal(20,6)"))
         .cast("double")
         .alias("max_sum"),
         F.sum(

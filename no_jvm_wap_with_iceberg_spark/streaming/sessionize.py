@@ -70,7 +70,15 @@ def sessionize(
     # epoch-micros staged ONCE per row — lag reads the staged value,
     # so the NTZ->TS conversion does not run again per window frame
     gap = F.lit(gap_minutes * 60 * 1_000_000)
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))  # UTC session: NTZ->TS is identity
+    # NTZ -> epoch-micros via timestampdiff against an NTZ epoch: NO
+    # session-timezone dependency. A cast-to-timestamp + unix_micros
+    # round-trip is only the identity under TZ=UTC — under a DST
+    # timezone the spring-forward hour would shrink a >30-min true gap
+    # below the threshold and silently merge two sessions.
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"{ts_col})"
+    )
     staged = events.withColumn("_us", us)
     prev = F.lag(F.col("_us")).over(w)
     is_new = (prev.isNull() | (F.col("_us") - prev >= gap)).cast("long")

@@ -322,7 +322,10 @@ def test_expire_preserves_merge_insert_rows(spark, warehouse):
 def test_special_char_warehouse_and_partition_values(spark, tmp_path):
     """Review repro: URI-special characters in the warehouse path or a
     partition value made every file-identity join match nothing (read
-    silently returned 0 rows). Basename joins are encoding-stable."""
+    silently returned 0 rows). The joins compare the url-decoded
+    _metadata path against the raw Python path (NOT basenames — a
+    partitioned write repeats the same part-file name per partition
+    dir)."""
     wh = str(tmp_path / "ware house")  # space -> %20 in _metadata paths
     cat = Catalog(wh)
     cat.create_table("t", SCHEMA)
@@ -344,6 +347,13 @@ def test_special_char_warehouse_and_partition_values(spark, tmp_path):
     cat.append(spark.createDataFrame([(3, "a b%c")], psch), "p")
     rows = {(r.id, r.part) for r in cat.read(spark, "p").collect()}
     assert rows == {(1, "a b%c"), (2, "plain"), (3, "a b%c")}
+
+    # blooms must still attach (executor partials key by URI-encoded
+    # input_file_name; the merge must decode before matching)
+    cat.create_table("b", SCHEMA, bloom_cols=["name"])
+    cat.append(_df(spark, 0, 50, "val"), "b")
+    bfiles = [f for f in cat.load_table("b").files() if "name" in f.blooms]
+    assert bfiles, "blooms did not attach under a special-char warehouse"
 
 
 def test_time_travel_between_duplicate_deletes(spark, warehouse):
