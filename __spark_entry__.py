@@ -97,6 +97,10 @@ _HEAD = [
     "dedup_source_matrix",
 ]
 _TAIL = [
+    # new in round 3 AFTER the head filled — rotate into the round-4
+    # head first (never driver-checked)
+    "catalog_files_metadata",
+    "catalog_snapshots_metadata",
     "similarity_cosine_topk",
     "similarity_label_centroid_stats",
     "similarity_ann_lsh_topk",

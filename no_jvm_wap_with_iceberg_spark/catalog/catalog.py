@@ -1204,6 +1204,75 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
+    def metadata_df(
+        self,
+        spark: SparkSession,
+        table: str,
+        kind: str = "files",
+        branch: str = MAIN,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Iceberg-style metadata tables as DataFrames — the
+        ``table$files`` / ``table$snapshots`` / ``table$history``
+        introspection surface (Iceberg SELECT * FROM t.files etc.).
+        All driver-side O(metadata) — no Spark job reads data files.
+
+        - ``files``: one row per LIVE data file (path, rows, bytes,
+          partition values, pending-delete count).
+        - ``snapshots``: one row per snapshot on the requested chain.
+        - ``history``: one row per catalog commit on the branch.
+        """
+        meta = self.load_table(table, branch)
+        if kind == "files":
+            rows = [
+                (
+                    f.path,
+                    f.rows,
+                    f.bytes,
+                    json.dumps(f.partition, sort_keys=True),
+                    len(specs),
+                )
+                for f, specs in meta.files_with_deletes(snapshot_id)
+            ]
+            return spark.createDataFrame(
+                rows,
+                "path string, rows long, bytes long, partition string, "
+                "n_pending_deletes int",
+            )
+        if kind == "snapshots":
+            rows = [
+                (
+                    s.snapshot_id,
+                    s.parent_snapshot_id,
+                    s.operation,
+                    s.timestamp_ms,
+                    len(s.added_files),
+                    sum(f.rows for f in s.added_files),
+                    len(s.removed_paths),
+                    len(s.deletes),
+                )
+                for s in sorted(
+                    meta.chain(snapshot_id), key=lambda s: s.snapshot_id
+                )
+            ]
+            return spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_snapshot_id long, operation string, "
+                "timestamp_ms long, added_files int, added_rows long, "
+                "removed_files int, n_deletes int",
+            )
+        if kind == "history":
+            rows = [
+                (c["id"], c.get("parent"), c.get("message", ""), c["timestamp_ms"])
+                for c in self.log(branch)
+            ]
+            return spark.createDataFrame(
+                rows,
+                "commit_id string, parent_id string, message string, "
+                "timestamp_ms long",
+            )
+        raise ValueError(f"kind must be files|snapshots|history, got {kind!r}")
+
     def set_properties(
         self, table: str, branch: str = MAIN, **props: str | None
     ) -> TableMetadata:

@@ -337,3 +337,83 @@ def catalog_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@register(
+    "catalog_files_metadata",
+    """
+    SELECT CAST(4 AS INTEGER) AS n_files,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS total_rows,
+           (SELECT CAST(MIN(o_totalprice) AS DOUBLE) FROM orders)
+             AS min_price,
+           (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders)
+             AS max_price,
+           CAST(0 AS BIGINT) AS pending_deletes
+    """,
+    doc="Iceberg-style files metadata table (SELECT FROM t$files): "
+    "per-file manifest rows aggregated driver-side with ZERO data "
+    "scans — file count, row totals, and column-stat min/max all come "
+    "from commit metadata. The table is written with a fixed "
+    "repartition(4) so the file count is deterministic; the oracle "
+    "recomputes the totals from the raw input.",
+)
+def catalog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("files_meta_"))
+    cat.create_table_from_df(
+        orders.repartition(4, "o_orderkey"), "orders_meta"
+    )
+    files = cat.metadata_df(spark, "orders_meta", "files")
+    meta = cat.load_table("orders_meta")
+    stats = [f.columns.get("o_totalprice", {}) for f in meta.files()]
+    lo = min(s["min"] for s in stats if s.get("min") is not None)
+    hi = max(s["max"] for s in stats if s.get("max") is not None)
+    return files.agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("rows").alias("total_rows"),
+        F.lit(float(lo)).alias("min_price"),
+        F.lit(float(hi)).alias("max_price"),
+        F.sum("n_pending_deletes").cast("bigint").alias("pending_deletes"),
+    )
+
+
+@register(
+    "catalog_snapshots_metadata",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'append',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+            AS BIGINT), CAST(0 AS INTEGER)),
+      (CAST(2 AS BIGINT), 'append',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1)
+            AS BIGINT), CAST(0 AS INTEGER)),
+      (CAST(3 AS BIGINT), 'delete', CAST(0 AS BIGINT),
+       CAST(1 AS INTEGER))
+    ) AS t(snapshot_id, operation, added_rows, n_deletes)
+    """,
+    doc="Iceberg-style snapshots metadata table: the commit chain "
+    "(two appends + one metadata-only MoR delete) surfaced as rows — "
+    "operation, added-row counts from the manifest, pending-delete "
+    "counts. The oracle is the literal expected log with row counts "
+    "recomputed from the input.",
+)
+def catalog_snapshots_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("snaps_meta_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "orders_log"
+    )
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "orders_log")
+    cat.delete_where(
+        spark,
+        "orders_log",
+        [Predicate("lt", "o_orderkey", 100)],
+        "o_orderkey < 100",
+        mode="mor",
+    )
+    snaps = cat.metadata_df(spark, "orders_log", "snapshots")
+    return snaps.select("snapshot_id", "operation", "added_rows", "n_deletes")

@@ -552,3 +552,36 @@ def test_time_travel_by_timestamp(spark, warehouse):
     # now -> everything
     assert cat.read_as_of(spark, "t", int(_time.time() * 1000)).count() == 15
     assert cat.snapshot_as_of("t", 0) is None
+
+
+def test_metadata_tables_surface(spark, warehouse):
+    """Iceberg-style t$files / t$snapshots / t$history introspection:
+    driver-side metadata rows, no data scan."""
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("t", sch)
+    cat.append(
+        spark.range(10).select(F.col("id"), F.lit("a").alias("v")).coalesce(1),
+        "t",
+    )
+    cat.merge_rows(
+        spark.createDataFrame([(1, "b")], sch), "t", key="id"
+    )
+    files = cat.metadata_df(spark, "t", "files").collect()
+    assert sum(r.rows for r in files) == 11  # 10 base + 1 insert
+    assert any(r.n_pending_deletes > 0 for r in files)
+    snaps = {r.snapshot_id: r for r in cat.metadata_df(spark, "t", "snapshots").collect()}
+    assert snaps[1].operation == "append" and snaps[1].added_rows == 10
+    assert snaps[2].operation == "merge" and snaps[2].n_deletes == 1
+    hist = cat.metadata_df(spark, "t", "history").collect()
+    assert any("MERGE" in r.message for r in hist)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kind"):
+        cat.metadata_df(spark, "t", "nope")
