@@ -101,6 +101,7 @@ _TAIL = [
     # head first (never driver-checked)
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
+    "catalog_rollback_read",
     "similarity_cosine_topk",
     "similarity_label_centroid_stats",
     "similarity_ann_lsh_topk",

@@ -1204,6 +1204,37 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
+    def rollback(
+        self, table: str, snapshot_id: int, branch: str = MAIN
+    ) -> TableMetadata:
+        """Point the table back at an existing snapshot (Iceberg's
+        ``rollback_to_snapshot`` / ``set_current_snapshot``): pure
+        metadata — no files move, newer snapshots stay in the log (so
+        a rollback can itself be undone) until ``expire_snapshots``
+        reclaims them. The bad-publish escape hatch the WAP forensics
+        story needs.
+        """
+
+        def build(meta: TableMetadata):
+            meta.snapshot(snapshot_id)  # raises KeyError if unknown
+            if meta.current_snapshot_id == snapshot_id:
+                return None, ""
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=meta.schema_json,
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=meta.sort_by,
+                    properties=meta.properties,
+                ),
+                f"ROLLBACK {table} to snapshot {snapshot_id}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
     def metadata_df(
         self,
         spark: SparkSession,

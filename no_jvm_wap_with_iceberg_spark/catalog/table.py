@@ -386,7 +386,12 @@ class TableMetadata:
         removed_paths: list[str] | None = None,
         deletes: list[dict[str, Any]] | None = None,
     ) -> "TableMetadata":
-        sid = (self.current_snapshot_id or 0) + 1
+        # max over ALL snapshots, not current+1: after a rollback the
+        # current snapshot is an ancestor and current+1 would collide
+        # with a live newer snapshot id
+        sid = max(
+            [s.snapshot_id for s in self.snapshots] or [0]
+        ) + 1
         snap = Snapshot(
             snapshot_id=sid,
             parent_snapshot_id=self.current_snapshot_id,

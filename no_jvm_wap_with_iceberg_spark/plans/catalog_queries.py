@@ -417,3 +417,42 @@ def catalog_snapshots_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snaps = cat.metadata_df(spark, "orders_log", "snapshots")
     return snaps.select("snapshot_id", "operation", "added_rows", "n_deletes")
+
+
+@register(
+    "catalog_rollback_read",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(COUNT(*) FILTER (o_orderkey % 2 = 1) AS BIGINT)
+             AS odd_rows
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    doc="snapshot rollback (Iceberg rollback_to_snapshot): after a "
+    "second append, rolling back to snapshot 1 must read EXACTLY the "
+    "first batch — metadata-only, the newer snapshot stays undoable. "
+    "The bad-publish escape hatch for the WAP loop. Oracle recomputes "
+    "the first batch from orders (odd_rows = 0 proves the second "
+    "batch is really gone).",
+)
+def catalog_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("rollback_"))
+    m1 = cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "orders_rb"
+    )
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "orders_rb")
+    cat.rollback("orders_rb", m1.current_snapshot_id)
+    out = cat.read(spark, "orders_rb")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(
+            F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0)
+        ).alias("odd_rows"),
+    )

@@ -585,3 +585,41 @@ def test_metadata_tables_surface(spark, warehouse):
 
     with _pytest.raises(ValueError, match="kind"):
         cat.metadata_df(spark, "t", "nope")
+
+
+def test_rollback_and_rollforward(spark, warehouse):
+    """rollback points the table at an ancestor (metadata-only); newer
+    snapshots survive so the rollback itself can be undone; a write
+    after rollback must NOT collide with the surviving snapshot ids."""
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("t", sch)
+    m1 = cat.append(spark.range(10).select(F.col("id"), F.lit("a").alias("v")), "t")
+    m2 = cat.append(spark.range(10, 20).select(F.col("id"), F.lit("b").alias("v")), "t")
+    cat.rollback("t", m1.current_snapshot_id)
+    assert cat.row_count("t") == 10  # back at snapshot 1
+    # roll forward again (undo): snapshot 2 still in the log
+    cat.rollback("t", m2.current_snapshot_id)
+    assert cat.row_count("t") == 20
+    # rollback then write: new snapshot id must not collide with 2
+    cat.rollback("t", m1.current_snapshot_id)
+    m3 = cat.append(
+        spark.range(100, 105).select(F.col("id"), F.lit("c").alias("v")), "t"
+    )
+    assert m3.current_snapshot_id not in (
+        m1.current_snapshot_id,
+        m2.current_snapshot_id,
+    )
+    out = {r.v for r in cat.read(spark, "t").collect()}
+    assert out == {"a", "c"}  # snapshot-2 rows not in the new lineage
+    assert cat.row_count("t") == 15
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        cat.rollback("t", 999)

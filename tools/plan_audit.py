@@ -67,6 +67,8 @@ SINGLE_OK = {
     "q19_discounted_revenue",  # single-row final aggregate
     "catalog_time_travel",  # two single-row snapshot summaries crossed
     "catalog_schema_evolution",  # single-row final table summary
+    "catalog_files_metadata",  # aggregate over O(files) manifest rows
+    "catalog_rollback_read",  # single-row final table summary
 }
 
 
