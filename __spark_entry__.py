@@ -102,6 +102,7 @@ _TAIL = [
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",
+    "embedding_kmeans_clusters",
     "similarity_cosine_topk",
     "similarity_label_centroid_stats",
     "similarity_ann_lsh_topk",

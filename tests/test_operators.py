@@ -284,3 +284,63 @@ def test_connected_components_cliques_and_pairs(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r.doc_id: r.component_id for r in connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+# ----------------------------------------------------------------------
+# k-means (operators/clustering.py)
+# ----------------------------------------------------------------------
+def test_kmeans_separates_obvious_blobs(spark):
+    from no_jvm_wap_with_iceberg_spark.operators.clustering import kmeans_assign
+
+    # two well-separated blobs in 4d; seeds (ids 0 and 1) land one in
+    # each blob, so even one assignment round must split them cleanly
+    blob_a = [[0.0 + i * 0.01] * 4 for i in range(10)]
+    blob_b = [[5.0 + i * 0.01] * 4 for i in range(10)]
+    rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+    rows[1] = (1, blob_b[0])  # make id 1 (a seed) a blob-b member
+    rows[10] = (10, blob_a[1])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(df, k=2, iters=2).collect()
+    }
+    a_ids = {i for i, v in rows if v[0] < 2.5}
+    b_ids = {i for i, v in rows if v[0] >= 2.5}
+    assert {got[i] for i in a_ids} == {0}
+    assert {got[i] for i in b_ids} == {1}
+
+
+def test_kmeans_deterministic_across_runs_and_layouts(spark, embeddings):
+    from no_jvm_wap_with_iceberg_spark.operators.clustering import kmeans_assign
+
+    r1 = {
+        r.vec_id: (r.cluster, r.cluster_size)
+        for r in kmeans_assign(embeddings, k=4, iters=2).collect()
+    }
+    # different physical layout: repartitioned input, same result
+    r2 = {
+        r.vec_id: (r.cluster, r.cluster_size)
+        for r in kmeans_assign(
+            embeddings.repartition(7), k=4, iters=2
+        ).collect()
+    }
+    assert r1 == r2
+    assert len(r1) == embeddings.count()
+
+
+def test_kmeans_drops_emptied_cluster(spark):
+    from no_jvm_wap_with_iceberg_spark.operators.clustering import kmeans_assign
+
+    # seed id 2 starts far from everything; after the update it keeps
+    # only itself -> still a singleton cluster (never NULL/crash). A
+    # cluster that catches nothing simply vanishes from the output.
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [100.0, 100.0])] + [
+        (i, [0.5, 0.5]) for i in range(3, 20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=3, iters=3).collect()
+    got = {r.vec_id: r.cluster for r in out}
+    assert got[2] == 2  # the far point stays its own cluster
+    assert set(got) == {r[0] for r in rows}
+    sizes = {r.cluster: r.cluster_size for r in out}
+    assert sizes[2] == 1
