@@ -103,6 +103,8 @@ _TAIL = [
     "catalog_snapshots_metadata",
     "catalog_rollback_read",
     "embedding_kmeans_clusters",
+    "corpus_train_val_split",
+    "text_bigram_logprob",
     "similarity_cosine_topk",
     "similarity_label_centroid_stats",
     "similarity_ann_lsh_topk",

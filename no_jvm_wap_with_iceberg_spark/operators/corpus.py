@@ -450,3 +450,72 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train_frac: float = 0.9,
+    val_frac: float = 0.05,
+) -> DataFrame:
+    """Attach a deterministic ``split`` column (train/val/test) by
+    md5-hex threshold on the id — the standard held-out split for a
+    training corpus, computed statelessly per row.
+
+    Properties a 100 TB pipeline needs and RNG-based splits lack:
+    reproducible on any cluster size/retry/engine, stable under
+    re-partitioning, and NESTED — growing ``train_frac`` only moves
+    rows out of val/test, never reshuffles existing membership.
+    Zero shuffle: pure per-row JVM expressions at scan speed.
+    """
+    t_train = format(max(0, int(train_frac * 16**8)), "08x")
+    t_val = format(max(0, int((train_frac + val_frac) * 16**8)), "08x")
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return df.withColumn(
+        "split",
+        F.when(key < F.lit(t_train), F.lit("train"))
+        .when(key < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+@register(
+    "corpus_train_val_split",
+    """
+    WITH s AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS tok,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'f3333333' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY source, split
+    """,
+    doc="deterministic 90/5/5 train/val/test split by md5-hex "
+    "threshold on doc_id (thresholds e6666666/f3333333 = the exact "
+    "hex images of .90/.95): per-(source,split) doc and token "
+    "tallies. Stateless and nested; one aggregation shuffle keyed "
+    "by (source,split).",
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    s = train_val_test_split(d, "doc_id", 0.9, 0.05).select(
+        "source",
+        "split",
+        "doc_id",
+        F.size(words(F.col("text"))).alias("_tok"),
+    )
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

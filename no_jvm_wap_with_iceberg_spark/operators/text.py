@@ -697,3 +697,85 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("_lp").cast("double").alias("sum_logprob"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bigram
+      FROM tok, UNNEST(range(1, len(w))) AS t(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    f2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+    f1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_logprob
+    FROM bg JOIN f2 USING (bigram) JOIN f1 USING (w1)
+    GROUP BY doc_id
+    """,
+    doc="bigram LM fluency score: sum of ln P(w_i | w_{i-1}) with MLE "
+    "conditionals estimated from the corpus itself (the next step up "
+    "from text_unigram_logprob in the KenLM-style quality ladder — "
+    "repetitive machine-generated text scores near 0, incoherent "
+    "token soup scores very negative). Per-pair ln() staged through "
+    "DECIMAL(18,6) before the per-doc sum in both engines. Spark "
+    "plan: the staged token array yields in-row bigrams via zip_with "
+    "over two slices (no self-join on token position); bigram and "
+    "prefix frequency tables are vocab-sized broadcasts; the only "
+    "wide stages are the two frequency counts and the per-doc sum.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.functions.textfn import fan_out, words
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # stage tokens once (textfn.py contract: never reference split()
+    # at multiple expression sites), then build in-row bigram strings
+    w = F.col("_w")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        d.select("doc_id", words(F.col("text")).alias("_w"))
+        .select("doc_id", pairs.alias("_p"))
+        .select("doc_id", F.explode_outer("_p").alias("_b"))
+        .filter(
+            F.col("_b").isNotNull()
+            & (F.col("_b.w1") != "")
+            & (F.col("_b.w2") != "")
+        )
+        .select(
+            "doc_id",
+            F.col("_b.w1").alias("w1"),
+            F.concat_ws(" ", "_b.w1", "_b.w2").alias("bigram"),
+        )
+    )
+    f2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    f1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(F.broadcast(f2), "bigram")
+        .join(F.broadcast(f1), "w1")
+        .withColumn(
+            "_lp",
+            F.log(F.col("c2").cast("double") / F.col("c1").cast("double")).cast(
+                "decimal(18,6)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_lp").cast("double").alias("sum_logprob"),
+    )

@@ -131,3 +131,35 @@ def test_pack_bins_matches_sequential_reference(spark):
     for src in ("s1", "s2"):
         bins = sorted({r["bin"] for r in out if r["source"] == src})
         assert bins == list(range(len(bins)))
+
+
+def test_train_val_test_split_nested_and_exhaustive(spark):
+    from no_jvm_wap_with_iceberg_spark.operators.corpus import (
+        train_val_test_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {
+        r.doc_id: r.split
+        for r in train_val_test_split(df, "doc_id", 0.9, 0.05).collect()
+    }
+    assert set(s1.values()) == {"train", "val", "test"}
+    assert len(s1) == 2000
+    n_train = sum(1 for v in s1.values() if v == "train")
+    assert 0.85 < n_train / 2000 < 0.95  # md5 uniformity at n=2000
+    # nested: growing train only promotes, never demotes
+    s2 = {
+        r.doc_id: r.split
+        for r in train_val_test_split(df, "doc_id", 0.95, 0.025).collect()
+    }
+    for k, v in s1.items():
+        if v == "train":
+            assert s2[k] == "train"
+    # deterministic across physical layouts
+    s3 = {
+        r.doc_id: r.split
+        for r in train_val_test_split(
+            df.repartition(13), "doc_id", 0.9, 0.05
+        ).collect()
+    }
+    assert s1 == s3

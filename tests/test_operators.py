@@ -344,3 +344,32 @@ def test_kmeans_drops_emptied_cluster(spark):
     assert set(got) == {r[0] for r in rows}
     sizes = {r.cluster: r.cluster_size for r in out}
     assert sizes[2] == 1
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    """A doc made of one repeated bigram scores ln(1)=0-ish per pair;
+    a doc of unique transitions scores strictly lower per pair."""
+    from no_jvm_wap_with_iceberg_spark.plans.registry import get_queries
+    import math
+
+    rows = [
+        (1, "a b a b a b a b", "s"),
+        # prefix 'x' fans out to y/z/w -> P(.|x) < 1, so the doc scores
+        # strictly negative (unique-bigram docs score 0 under MLE:
+        # every c2 == c1 == 1)
+        (2, "x y x z x y x w", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.createOrReplaceTempView("_bigram_probe")
+    # reuse the registered plan by pointing it at a temp parquet dir
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = get_queries()["text_bigram_logprob"].spark(spark, d)
+        got = {r.doc_id: (r.n_bigrams, r.sum_logprob) for r in out.collect()}
+    assert got[1][0] == 7 and got[2][0] == 7
+    # doc1 transitions: P(b|a)=1 except last 'a b' context... all 'a'->'b'
+    # and 'b'->'a' are the only transitions: each P=c2/c1 with c2==c1
+    assert math.isclose(got[1][1], 0.0, abs_tol=1e-9)
+    assert got[2][1] < got[1][1] - 1.0
