@@ -373,3 +373,63 @@ def test_bigram_logprob_orders_fluency(spark):
     # and 'b'->'a' are the only transitions: each P=c2/c1 with c2==c1
     assert math.isclose(got[1][1], 0.0, abs_tol=1e-9)
     assert got[2][1] < got[1][1] - 1.0
+
+
+def test_logreg_learns_separable_labels(spark):
+    from no_jvm_wap_with_iceberg_spark.operators.classify import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    # cleanly separable on x1 with margin; x2 is noise
+    rows = [(i, 1 if i % 2 == 0 else 0) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, y, (2.0 if y else -2.0) + (i % 7) * 0.1, (i % 5) * 0.3)
+         for i, y in rows],
+        "id long, y int, x1 double, x2 double",
+    )
+    w = logreg_fit(df, "y", ["x1", "x2"], iters=8, lr=0.5)
+    assert w[1] > 0.5  # positive weight on the separating feature
+    out = {
+        r["id"]: r["predicted"]
+        for r in logreg_score(df, w, ["x1", "x2"]).collect()
+    }
+    acc = sum(out[i] == y for i, y in rows) / len(rows)
+    assert acc >= 0.95
+
+
+def test_logreg_deterministic_across_runs_and_layouts(spark):
+    from no_jvm_wap_with_iceberg_spark.operators.classify import logreg_fit
+
+    df = spark.createDataFrame(
+        [(i, i % 3 == 0 and 1 or 0, i * 0.01, (i % 11) * 0.2)
+         for i in range(300)],
+        "id long, y int, x1 double, x2 double",
+    )
+    w1 = logreg_fit(df, "y", ["x1", "x2"], iters=3, lr=0.5)
+    w2 = logreg_fit(df.repartition(7), "y", ["x1", "x2"], iters=3, lr=0.5)
+    assert w1 == w2  # bit-identical regardless of partitioning
+
+
+def test_logreg_gradient_matches_single_node_replay(spark):
+    """The distributed gradient equals a sequential replay of the same
+    quantized schedule (decimal sums are exact, so partitioning can't
+    change the result)."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from no_jvm_wap_with_iceberg_spark.operators.classify import logreg_fit
+
+    data = [(i, 1 if (i * 7) % 13 < 6 else 0, (i % 9) * 0.25)
+            for i in range(120)]
+    df = spark.createDataFrame(data, "id long, y int, x1 double")
+    got = logreg_fit(df, "y", ["x1"], iters=1, lr=0.5)
+
+    # sequential replay: w=0 -> p = round6(sigmoid(0)) = 0.5 exactly
+    q = lambda v: Decimal(repr(v)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    g0 = sum(q(0.5 - y) for _, y, _ in data)
+    g1 = sum(q((0.5 - y) * x) for _, y, x in data)
+    n = len(data)
+    want = [0.0 - 0.5 * (float(g0) / n), 0.0 - 0.5 * (float(g1) / n)]
+    assert got == want
