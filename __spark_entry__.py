@@ -99,6 +99,8 @@ _HEAD = [
 _TAIL = [
     # new in round 3 AFTER the head filled — rotate into the round-4
     # head first (never driver-checked)
+    "text_quality_logreg",
+    "catalog_hidden_partitioning",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

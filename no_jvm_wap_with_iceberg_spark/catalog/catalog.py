@@ -369,6 +369,17 @@ class Catalog:
                 return False
             raise ValueError(f"table {table!r} already exists on {branch!r}")
         schema_json = schema.jsonValue() if hasattr(schema, "jsonValue") else schema
+        if partition_by:
+            from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+                parse_partition_spec,
+                validate_spec,
+            )
+            from pyspark.sql import types as _T
+
+            validate_spec(
+                parse_partition_spec(partition_by),
+                _T.StructType.fromJson(schema_json),
+            )
         meta = TableMetadata(
             table=table,
             schema_json=schema_json,
@@ -431,9 +442,29 @@ class Catalog:
             writer = writer.repartitionByRange(
                 *meta.sort_by
             ).sortWithinPartitions(*meta.sort_by)
+        pfields = meta.partition_fields
+        derived = [f for f in pfields if f.transform != "identity"]
+        if derived:
+            # hidden partitioning: derive the transform value per row
+            # (executor-side, pure JVM exprs); partitionBy drops the
+            # derived column from the data files, so the source column
+            # stays in-file and the derived value lives only in the
+            # directory name + manifest
+            from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+                partition_expr,
+            )
+
+            types = {
+                f.name: f.dataType.typeName()
+                for f in meta.spark_schema.fields
+            }
+            for fld in derived:
+                writer = writer.withColumn(
+                    fld.name, partition_expr(fld, types[fld.source])
+                )
         w = writer.write.mode("append")
-        if meta.partition_by:
-            w = w.partitionBy(*meta.partition_by)
+        if pfields:
+            w = w.partitionBy(*[f.name for f in pfields])
         w.parquet(data_dir)
         bloom_cols = [
             c for c in meta.properties.get("bloom_cols", "").split(",") if c
@@ -611,7 +642,9 @@ class Catalog:
 
         def build(meta: TableMetadata):
             with_conds = meta.files_with_deletes()
-            affected_raw = prune_files([f for f, _ in with_conds], predicates)
+            affected_raw = prune_files(
+                [f for f, _ in with_conds], predicates, meta.partition_fields
+            )
             if not affected_raw:
                 return None, ""
             if mode == "mor":
@@ -883,7 +916,14 @@ class Catalog:
         meta = self.load_table(table, branch)
         with_deletes = meta.files_with_deletes(snapshot_id)
         if predicates:
-            keep = {f.path for f in prune_files([f for f, _ in with_deletes], predicates)}
+            keep = {
+                f.path
+                for f in prune_files(
+                    [f for f, _ in with_deletes],
+                    predicates,
+                    meta.partition_fields,
+                )
+            }
             with_deletes = [(f, c) for f, c in with_deletes if f.path in keep]
         return self._df_applying_deletes(
             spark, meta, with_deletes, snapshot_id=snapshot_id
@@ -964,6 +1004,15 @@ class Catalog:
                 else df
             )
         paths = [os.path.join(self.warehouse, f.path) for f in files]
+        if meta.partition_by and not meta.identity_partition_cols:
+            # hidden-transform-only partitioning: data files carry the
+            # full user schema (the derived value lives in the dir
+            # name alone) — a plain multi-path scan is exact, no
+            # partition attach needed
+            df = spark.read.schema(schema).parquet(*paths)
+            if with_path:
+                df = df.withColumn("__mor_path", _file_path_col())
+            return df
         if meta.partition_by:
             # hive-partitioned layout: partition values live in paths,
             # but directory INFERENCE (basePath) breaks as soon as live
@@ -977,7 +1026,9 @@ class Catalog:
 
             from pyspark.sql import types as T
 
-            pcols = list(meta.partition_by)
+            # mixed specs: only identity values need re-attaching;
+            # hidden-transform values never join the user schema
+            pcols = meta.identity_partition_cols
             data_schema = T.StructType(
                 [f for f in schema.fields if f.name not in pcols]
             )

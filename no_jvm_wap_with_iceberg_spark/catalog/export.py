@@ -58,7 +58,16 @@ def duckdb_view_sql(
             os.path.join(cat.warehouse, f.path)
         )
     name = view_name or f"{table}_{branch}"
-    hive = ", hive_partitioning = true" if meta.partition_by else ""
+    # hive_partitioning only when identity values must come back as
+    # columns; hidden-transform values live in dir names but are NOT
+    # part of the user schema, so they are EXCLUDEd (derived-only
+    # tables carry the full schema in-file and need no hive mode)
+    identity = meta.identity_partition_cols
+    derived = [
+        f.name for f in meta.partition_fields if f.transform != "identity"
+    ]
+    hive = ", hive_partitioning = true" if identity else ""
+    star = f"* EXCLUDE ({', '.join(derived)})" if identity and derived else "*"
     if not groups:
         cols = ", ".join(
             f"NULL AS {f['name']}" for f in meta.schema_json["fields"]
@@ -69,7 +78,7 @@ def duckdb_view_sql(
         groups.items(), key=lambda kv: sorted(kv[1])
     ):
         file_list = ", ".join(_sql_quote(p) for p in sorted(paths))
-        sql = f"SELECT * FROM read_parquet([{file_list}]{hive})"
+        sql = f"SELECT {star} FROM read_parquet([{file_list}]{hive})"
         clauses = []
         for s in specs:
             if s.condition is not None:

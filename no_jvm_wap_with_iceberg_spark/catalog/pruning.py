@@ -102,19 +102,49 @@ def _file_may_match(f: FileEntry, p: Predicate) -> bool:
 
 
 def prune_files(
-    files: Iterable[FileEntry], predicates: Iterable[Predicate]
+    files: Iterable[FileEntry],
+    predicates: Iterable[Predicate],
+    partition_fields: list | None = None,
 ) -> list[FileEntry]:
-    """Keep only files that may contain rows matching ALL predicates."""
+    """Keep only files that may contain rows matching ALL predicates.
+
+    ``partition_fields`` (parsed :class:`..transforms.PartitionField`
+    entries) enables hidden-partition pruning: a predicate on the
+    SOURCE column maps through the transform and compares exactly
+    against each file's partition value — ``ts >= X`` prunes a
+    ``day(ts)``-partitioned table without the query ever naming the
+    derived value.
+    """
+    from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+        partition_may_match,
+    )
+
     preds = list(predicates)
+    by_source: dict[str, list] = {}
+    for fld in partition_fields or []:
+        by_source.setdefault(fld.source, []).append(fld)
     out = []
     for f in files:
-        # partition-value pruning first (exact, not just stats)
         keep = True
         for p in preds:
-            if p.op == "eq" and p.column in f.partition:
+            # legacy identity check for manifests written before
+            # transform support (partition key == raw column name)
+            if (
+                p.op == "eq"
+                and p.column in f.partition
+                and p.column not in by_source
+            ):
                 if f.partition[p.column] != str(p.value):
                     keep = False
                     break
+            for fld in by_source.get(p.column, ()):
+                if fld.name in f.partition and not partition_may_match(
+                    fld, f.partition[fld.name], p.op, p.value
+                ):
+                    keep = False
+                    break
+            if not keep:
+                break
         if keep and all(_file_may_match(f, p) for p in preds):
             out.append(f)
     return out

@@ -276,6 +276,26 @@ class TableMetadata:
     def spark_schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
 
+    @property
+    def partition_fields(self):
+        """Parsed partition spec (identity + hidden transforms) — see
+        :mod:`.transforms`."""
+        from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+            parse_partition_spec,
+        )
+
+        return parse_partition_spec(self.partition_by)
+
+    @property
+    def identity_partition_cols(self) -> list[str]:
+        """Source columns partitioned by identity: these are dropped
+        from data files by the hive layout and re-attached at read.
+        Transform-derived values are hidden — never part of the user
+        schema, never attached."""
+        return [
+            f.source for f in self.partition_fields if f.transform == "identity"
+        ]
+
     # -- snapshot resolution -------------------------------------------
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id

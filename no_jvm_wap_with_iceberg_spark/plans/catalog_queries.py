@@ -456,3 +456,62 @@ def catalog_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0)
         ).alias("odd_rows"),
     )
+
+
+@register(
+    "catalog_hidden_partitioning",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      AND user_id = 41
+    GROUP BY event_type
+    """,
+    doc="Iceberg-style hidden partitioning end-to-end: events land in "
+    "a table partitioned by day(ts) + bucket(8, user_id) (transform "
+    "values derived executor-side, never part of the user schema); "
+    "the read maps the ts range and user_id equality through the "
+    "transforms and prunes whole partition directories before Spark "
+    "sees a path (catalog/transforms.py). The oracle is the plain "
+    "filter over the same rows — hidden partitioning must never "
+    "change query results, only IO. Pruning factor is asserted in "
+    "tests/test_partition_transforms.py.",
+)
+def catalog_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    events = load_table(spark, sf_dir, "events")
+    cat = Catalog(_tmp_warehouse("hidden_part_"))
+    cat.create_table(
+        "ev",
+        events.schema,
+        partition_by=["day(ts)", "bucket(8, user_id)"],
+    )
+    cat.append(events, "ev")
+
+    import datetime as _dt
+
+    lo, hi = _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 15)
+    pruned = cat.read(
+        spark,
+        "ev",
+        predicates=[
+            Predicate("ge", "ts", lo),
+            Predicate("lt", "ts", hi),
+            Predicate("eq", "user_id", 41),
+        ],
+    )
+    kept = pruned.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        & (F.col("user_id") == 41)
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
