@@ -101,6 +101,7 @@ _TAIL = [
     # head first (never driver-checked)
     "text_quality_logreg",
     "catalog_hidden_partitioning",
+    "streaming_dedup_slots",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

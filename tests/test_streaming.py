@@ -231,3 +231,36 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == expected and expected
+
+
+def test_dedup_within_watermark_stream_batch_parity(spark, tmp_path):
+    """dedup_within_watermark: the BOUNDED-state dedup
+    (dropDuplicatesWithinWatermark) drops cross-micro-batch
+    re-deliveries inside the watermark, and its streaming result
+    matches the batch degenerate form on slot-level aggregates."""
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+    from no_jvm_wap_with_iceberg_spark.streaming.ingest import (
+        dedup_within_watermark,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(400)
+    src = str(tmp_path / "wdup_src")
+    events.write.parquet(src)  # first delivery
+    events.write.mode("append").parquet(src)  # duplicate delivery
+    batch_df = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="1 day")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wdedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM wdedup_stream"
+    ).collect()[0]
+    want = dedup_within_watermark(batch_df, ["event_id"]).count()
+    assert got.c == got.d == want == 400
