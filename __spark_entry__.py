@@ -102,6 +102,7 @@ _TAIL = [
     "text_quality_logreg",
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",
+    "embedding_pq_codes",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

@@ -491,3 +491,216 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("recon_err"),
     )
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ)
+# ----------------------------------------------------------------------
+def _pq_dist_udf(cmats: np.ndarray):
+    """Arrow-batched per-subspace squared-L2 distances to every
+    codebook entry: returns a flat ``array<double>`` of M*k values
+    per row (subspace-major). One numpy kernel per batch — the
+    codebooks (M x k x sub doubles, bounded state) ship in the
+    closure, i.e. broadcast."""
+    mats = np.ascontiguousarray(cmats, dtype=np.float64)
+    n_sub, k, sub_dim = mats.shape
+    dim = n_sub * sub_dim
+
+    @F.pandas_udf("array<double>")
+    def _d(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        x = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None
+                else np.full(dim, np.inf)
+                for v in vs
+            ]
+        )
+        out = np.empty((len(x), n_sub * k))
+        for m in range(n_sub):
+            xm = x[:, m * sub_dim : (m + 1) * sub_dim]
+            out[:, m * k : (m + 1) * k] = (
+                (xm[:, None, :] - mats[m][None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series(list(out))
+
+    return _d
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    k: int = 8,
+) -> DataFrame:
+    """Product-quantize vectors: ``(id, code_0..code_{M-1}, q_err)``.
+
+    The ANN-at-scale compression step beyond int8
+    (:func:`embedding_quantize_int8`): M sub-codebooks of k entries
+    turn a D-dim float vector into M small codes (here 64 dims ->
+    4 bytes, 64x), and asymmetric-distance search scans codes with
+    per-query lookup tables instead of touching floats.
+
+    Spark-first shape: codebooks are bounded state broadcast in the
+    UDF closure; encoding is MAP-ONLY (one Arrow kernel per batch +
+    JVM argmin); nothing shuffles until the caller aggregates. A
+    100 TB corpus encodes at scan speed.
+
+    Determinism (same rules as :mod:`.clustering`): codebooks are the
+    k lowest-id vectors' sub-slices (no RNG; iterative refinement is
+    proven separately by ``embedding_kmeans_clusters``); distances
+    quantize to DECIMAL(20,6) BEFORE the argmin, ties break toward
+    the lower code; ``q_err`` sums the per-subspace quantized minima
+    through exact decimal arithmetic so partitioning cannot reorder
+    a float sum.
+    """
+    corpus = fan_out(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    )
+    seeds = (
+        corpus.filter(F.col(id_col) < k)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .collect()
+    )  # bounded: k rows
+    seeds.sort(key=lambda r: r[id_col])
+    ids = [int(r[id_col]) for r in seeds]
+    full = np.array([r["_v"] for r in seeds], dtype=np.float64)
+    dim = full.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    cmats = full.reshape(len(ids), n_sub, sub).transpose(1, 0, 2)
+
+    udf = _pq_dist_udf(cmats)
+    id_arr = F.array(*[F.lit(int(c)) for c in ids])
+    out = corpus.select(
+        F.col(id_col),
+        udf(F.col(vec_col).cast("array<double>")).alias("_kd"),
+    ).select(
+        id_col,
+        F.transform("_kd", lambda d: d.cast("decimal(20,6)")).alias("_qd"),
+    )
+    cols = [F.col(id_col)]
+    err = None
+    for m in range(n_sub):
+        sub_arr = F.slice("_qd", m * k + 1, k)
+        pos = F.array_position(sub_arr, F.array_min(sub_arr)).cast("int")
+        cols.append(
+            F.element_at(id_arr, pos).cast("int").alias(f"code_{m}")
+        )
+        # already exact at scale 6 (came through the decimal cast), so
+        # the cross-subspace sum is exact decimal arithmetic
+        e = F.array_min(sub_arr)
+        err = e if err is None else err + e
+    cols.append(err.cast("double").alias("q_err"))
+    return out.select(*cols)
+
+
+@register(
+    "embedding_pq_codes",
+    """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sub AS (
+      SELECT vec_id, CAST((ord - 1) // 16 AS INT) AS m,
+             (ord - 1) % 16 AS p, val
+      FROM flat
+    ),
+    seeds AS (SELECT vec_id AS code, m, p, val FROM sub WHERE vec_id < 8),
+    d AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(CAST(SUM((s.val - c.val) * (s.val - c.val))
+                       AS DECIMAL(20,6)) AS DOUBLE) AS dist
+      FROM sub s JOIN seeds c ON s.m = c.m AND s.p = c.p
+      GROUP BY 1, 2, 3
+    ),
+    a AS (
+      SELECT vec_id, m, code, dist FROM (
+        SELECT vec_id, m, code, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN code END) AS INT) AS code_0,
+           CAST(MAX(CASE WHEN m = 1 THEN code END) AS INT) AS code_1,
+           CAST(MAX(CASE WHEN m = 2 THEN code END) AS INT) AS code_2,
+           CAST(MAX(CASE WHEN m = 3 THEN code END) AS INT) AS code_3,
+           CAST(SUM(CAST(dist AS DECIMAL(20,6))) AS DOUBLE) AS q_err
+    FROM a GROUP BY vec_id
+    """,
+    doc="product quantization: 64-dim vectors -> 4 sub-codes from "
+    "8-entry seed codebooks (lowest-id slices; iterative codebook "
+    "refinement is proven bit-exact separately by "
+    "embedding_kmeans_clusters) + exact quantization error. The "
+    "oracle replays the identical encode in SQL. Plan: codebooks "
+    "broadcast in the UDF closure, encoding map-only at scan speed "
+    "(one numpy kernel per Arrow batch, JVM decimal argmin), zero "
+    "shuffles before the output.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(e, "vec_id", "embedding", n_sub=4, k=8)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    cmats: np.ndarray,
+    code_ids: list[int],
+    query_vecs: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Per query: precompute the M x k table of squared distances from
+    the query's sub-slices to every codebook entry (driver-side numpy
+    on bounded state), then score each corpus row as the SUM of M map
+    lookups on its codes — pure JVM expressions, no floats touched,
+    no Python in the scan. Each query is one map-only pass +
+    ``TakeOrderedAndProject`` (per-partition top-k, driver merge of
+    k-sized heads); the query set is small and effectively broadcast
+    as plan literals. Returns ``(query_id, id_col, adc_dist, rank)``.
+
+    This is the search half of :func:`pq_encode` — at 100 TB the
+    scan touches 4 bytes/vector instead of 256, the classic PQ trade
+    (approximate by construction: exactness of the ENCODE side is
+    oracle-checked by ``embedding_pq_codes``; the table-lookup
+    mechanics are asserted against a numpy reference in
+    tests/test_operators.py).
+    """
+    mats = np.ascontiguousarray(cmats, dtype=np.float64)
+    n_sub, kk, sub_dim = mats.shape
+    outs = []
+    for qid, qv in query_vecs:
+        q = np.asarray(qv, dtype=np.float64).reshape(n_sub, sub_dim)
+        table = ((q[:, None, :] - mats) ** 2).sum(axis=2)  # (M, k)
+        dist = None
+        for m in range(n_sub):
+            lut = F.map_from_arrays(
+                F.array(*[F.lit(int(c)) for c in code_ids]),
+                F.array(*[F.lit(float(v)) for v in table[m]]),
+            )
+            term = F.element_at(lut, F.col(f"code_{m}"))
+            dist = term if dist is None else dist + term
+        outs.append(
+            codes.select(
+                F.lit(int(qid)).alias("query_id"),
+                F.col(id_col),
+                dist.alias("adc_dist"),
+            )
+            .orderBy("adc_dist", id_col)  # unique tie-break key
+            .limit(k)
+        )
+    from functools import reduce
+
+    ranked = reduce(lambda a, b: a.unionByName(b), outs)
+    w = W.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return ranked.withColumn("rank", F.row_number().over(w))

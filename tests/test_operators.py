@@ -433,3 +433,80 @@ def test_logreg_gradient_matches_single_node_replay(spark):
     n = len(data)
     want = [0.0 - 0.5 * (float(g0) / n), 0.0 - 0.5 * (float(g1) / n)]
     assert got == want
+
+
+def test_pq_encode_roundtrip_and_determinism(spark, embeddings):
+    from no_jvm_wap_with_iceberg_spark.operators.similarity import pq_encode
+
+    out = pq_encode(embeddings, "vec_id", "embedding", n_sub=4, k=8)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == embeddings.filter("embedding is not null").count()
+    # codes are valid seed ids; seeds encode to themselves with 0 err
+    for vid, r in rows.items():
+        for m in range(4):
+            assert 0 <= r[f"code_{m}"] < 8
+        if vid < 8:
+            assert all(r[f"code_{m}"] == vid for m in range(4))
+            assert r["q_err"] == 0.0
+    again = {
+        r["vec_id"]: tuple(r)
+        for r in pq_encode(
+            embeddings.repartition(7), "vec_id", "embedding", n_sub=4, k=8
+        ).collect()
+    }
+    assert {v: tuple(r) for v, r in rows.items()} == again
+
+
+def test_pq_adc_matches_numpy_reference(spark, embeddings):
+    import numpy as np
+
+    from no_jvm_wap_with_iceberg_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    seeds = sorted(
+        embeddings.filter("vec_id < 8")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = [r["vec_id"] for r in seeds]
+    full = np.array([r["v"] for r in seeds])
+    cmats = full.reshape(8, 4, 16).transpose(1, 0, 2)
+
+    codes = pq_encode(embeddings, "vec_id", "embedding", n_sub=4, k=8)
+    qs = [
+        (r["vec_id"], r["v"])
+        for r in embeddings.filter("vec_id IN (100, 101)")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    got = pq_adc_topk(codes, cmats, ids, qs, k=5).collect()
+    assert {r["query_id"] for r in got} == {100, 101}
+
+    # numpy replay: same codes, same tables, same ranking
+    code_rows = {
+        r["vec_id"]: [r[f"code_{m}"] for m in range(4)]
+        for r in codes.collect()
+    }
+    for qid, qv in qs:
+        q = np.asarray(qv).reshape(4, 16)
+        table = ((q[:, None, :] - cmats) ** 2).sum(axis=2)
+        ref = sorted(
+            (
+                sum(table[m][c] for m, c in enumerate(cs)),
+                vid,
+            )
+            for vid, cs in code_rows.items()
+        )[:5]
+        mine = sorted(
+            (r["adc_dist"], r["vec_id"])
+            for r in got
+            if r["query_id"] == qid
+        )
+        assert [v for _, v in mine] == [v for _, v in ref]
+        # a query whose vector IS in the corpus finds a 0-ish self hit
+        for d, v in mine:
+            if v == qid:
+                assert d == min(x for x, _ in ref)
