@@ -103,6 +103,7 @@ _TAIL = [
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",
     "embedding_pq_codes",
+    "text_bpe_merge_candidates",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

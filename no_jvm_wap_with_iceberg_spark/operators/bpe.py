@@ -1,0 +1,207 @@
+"""Distributed BPE vocabulary induction (merge-pair training).
+
+The reference has no tokenizer surface (its scope ends at the WAP
+loop — ``/root/reference`` ``src/wap_flow.py``); this is the LLM-
+corpus layer one step past counting tokens with a FIXED vocabulary
+(``operators/text.py`` ``text_bpe_token_counts``): LEARN the merge
+table from the corpus, the way production tokenizers are trained.
+
+Spark-first shape (the classic BPE-on-word-frequencies optimization,
+distributed):
+
+- **Train on the vocabulary, not the corpus.** One corpus pass builds
+  ``(word, freq)``; every merge round then touches only DISTINCT
+  words — at 100 TB the corpus is petabyte-scale but the vocab is
+  ~10M rows, and the per-round cost is O(vocab), not O(corpus).
+- **Each round is one pair-keyed shuffle + a k=1 TakeOrdered.** Pair
+  counts partial-aggregate map-side; the argmax pair reaches the
+  driver as one row. No driver-side counting.
+- **Merges apply via one Arrow-batched kernel** over the symbol
+  arrays (greedy left-to-right within each word — inherently
+  sequential per word, trivially parallel across words), and the
+  vocab is localCheckpoint'ed per round so lineage stays O(1), same
+  discipline as ``operators/dedup.py`` connected components.
+
+Determinism: the winning pair is ``max count, then lexicographically
+smallest (a, b)`` — a total order, so any cluster size and any
+partitioning produce the identical merge sequence (asserted against
+a sequential pure-Python reference in tests/test_operators.py).
+The registered query covers the round-1 pair statistics bit-exactly
+in SQL; the iterative trainer is API + pytest (greedy within-word
+remerging is not expressible in portable SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from no_jvm_wap_with_iceberg_spark.functions.textfn import fan_out
+from no_jvm_wap_with_iceberg_spark.plans.registry import register
+from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(w, freq)`` over whitespace words — the one corpus-sized
+    pass. explode_outer + null filter per the inferred-filter rule
+    (NOTES.md): a plain explode of the computed split would push the
+    split expression into the scan filter."""
+    words = docs.select(
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w").isNotNull() & (F.col("w") != ""))
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _adjacent_pairs(syms_col: str):
+    """``array<struct<a,b>>`` of adjacent symbol pairs — JVM zip_with
+    over two slices (per-row staging over short arrays; the dense-math
+    interpreted-HOF hazard does not apply)."""
+    n = F.size(syms_col)
+    return F.zip_with(
+        F.slice(syms_col, 1, n - 1),
+        F.slice(syms_col, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, cnt) summed over word frequencies: one pair-keyed
+    shuffle, map-side combined."""
+    pairs = vocab.select(
+        "freq", F.explode_outer(_adjacent_pairs("syms")).alias("p")
+    ).filter(F.col("p").isNotNull())
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").alias("cnt")
+    )
+
+
+def _merge_udf(a: str, b: str):
+    """Greedy left-to-right (a,b) -> ab within each symbol array —
+    Arrow-batched; sequential per word, parallel across words."""
+
+    @F.pandas_udf("array<string>")
+    def _m(col: pd.Series) -> pd.Series:
+        ab = a + b
+
+        def mm(s):
+            if s is None:
+                return s
+            out, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return col.map(mm)
+
+    return _m
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns ``[(a, b, count), ...]``
+    in training order. Stops early when the best pair's count drops
+    below ``min_count``."""
+    vocab = fan_out(
+        word_freqs(docs, text_col).select(
+            F.split("w", "").alias("syms"), "freq"
+        )
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "a", "b")  # total order: ties lex
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["cnt"]) < min_count:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, c))
+        vocab = vocab.withColumn(
+            "syms", _merge_udf(a, b)(F.col("syms"))
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table to a corpus: per-word char split,
+    then the merges in training order. Map-only (one Arrow kernel per
+    merge application chain); at 100 TB this is a scan-shaped pass."""
+    staged = docs.withColumn("_words", F.split(F.col(text_col), " "))
+
+    @F.pandas_udf("array<string>")
+    def _seg(words: pd.Series) -> pd.Series:
+        table = [(a, b, a + b) for a, b, _ in merges]
+
+        def seg_word(w):
+            s = list(w)
+            for a, b, ab in table:
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == a and s[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
+
+        def seg_row(ws):
+            if ws is None:
+                return []
+            return [t for w in ws if w for t in seg_word(w)]
+
+        return words.map(seg_row)
+
+    return staged.withColumn(out_col, _seg(F.col("_words"))).drop("_words")
+
+
+@register(
+    "text_bpe_merge_candidates",
+    """
+    WITH words AS (
+      SELECT w, CAST(SUM(1) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w IS NOT NULL AND w != '' GROUP BY w
+    ),
+    syms AS (SELECT freq, string_split(w, '') AS s FROM words),
+    pairs AS (
+      SELECT s[ord] AS a, s[ord + 1] AS b, freq
+      FROM (SELECT freq, s, generate_subscripts(s, 1) AS ord FROM syms)
+      WHERE ord < len(s)
+    )
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+    doc="round-1 of BPE vocabulary induction, bit-exact: adjacent "
+    "char-pair counts over the word-frequency table (train on the "
+    "vocab, not the corpus), top-20 merge candidates with the "
+    "count-then-lexicographic total order the trainer uses. The "
+    "full iterative trainer (bpe_train) repeats exactly this round "
+    "on re-merged symbols — greedy within-word remerging is not "
+    "portable SQL, so later rounds are verified against a "
+    "sequential reference in tests/test_operators.py.",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = fan_out(
+        word_freqs(docs).select(F.split("w", "").alias("syms"), "freq")
+    )
+    return _pair_counts(vocab).orderBy(F.desc("cnt"), "a", "b").limit(20)

@@ -510,3 +510,89 @@ def test_pq_adc_matches_numpy_reference(spark, embeddings):
         for d, v in mine:
             if v == qid:
                 assert d == min(x for x, _ in ref)
+
+
+def _bpe_reference(texts, n_merges, min_count=2):
+    """Sequential pure-Python BPE with the trainer's exact tie-break
+    (max count, then lexicographically smallest pair)."""
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        if c < min_count:
+            break
+        merges.append((a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_sequential_reference(spark, documents):
+    from no_jvm_wap_with_iceberg_spark.operators.bpe import bpe_train
+
+    texts = [r["text"] for r in documents.select("text").collect()]
+    want = _bpe_reference(texts, 8)
+    got = bpe_train(documents, n_merges=8)
+    assert got == want
+    # determinism across partitioning
+    got2 = bpe_train(documents.repartition(9), n_merges=8)
+    assert got2 == want
+
+
+def test_bpe_segment_applies_merges_greedily(spark):
+    from no_jvm_wap_with_iceberg_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaab aab"), (2, "aaab aaab aab ab")], "id long, text string"
+    )
+    merges = bpe_train(df, n_merges=2, min_count=1)
+    # most frequent pair is (a,a) -> aa, then greedy remerge
+    assert merges[0][:2] == ("a", "a")
+    out = {
+        r["id"]: r["bpe_tokens"]
+        for r in bpe_segment(df, merges).collect()
+    }
+    # replay sequentially
+    texts = {1: "aaab aab", 2: "aaab aaab aab ab"}
+    for i, t in texts.items():
+        syms = []
+        for w in t.split(" "):
+            s = list(w)
+            for a, b, _ in merges:
+                o, j = [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                        o.append(a + b)
+                        j += 2
+                    else:
+                        o.append(s[j])
+                        j += 1
+                s = o
+            syms.extend(s)
+        assert out[i] == syms
