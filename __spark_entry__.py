@@ -104,6 +104,7 @@ _TAIL = [
     "streaming_dedup_slots",
     "embedding_pq_codes",
     "text_bpe_merge_candidates",
+    "catalog_partition_evolution",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

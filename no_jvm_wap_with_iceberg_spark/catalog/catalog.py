@@ -643,7 +643,7 @@ class Catalog:
         def build(meta: TableMetadata):
             with_conds = meta.files_with_deletes()
             affected_raw = prune_files(
-                [f for f, _ in with_conds], predicates, meta.partition_fields
+                [f for f, _ in with_conds], predicates, meta.all_partition_fields
             )
             if not affected_raw:
                 return None, ""
@@ -921,7 +921,7 @@ class Catalog:
                 for f in prune_files(
                     [f for f, _ in with_deletes],
                     predicates,
-                    meta.partition_fields,
+                    meta.all_partition_fields,
                 )
             }
             with_deletes = [(f, c) for f, c in with_deletes if f.path in keep]
@@ -1382,6 +1382,65 @@ class Catalog:
                     properties=new_props,
                 ),
                 f"SET TBLPROPERTIES {table} ({', '.join(props)})",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
+    def evolve_partition_spec(
+        self, table: str, partition_by: list[str], branch: str = MAIN
+    ) -> TableMetadata:
+        """Change the table's partition spec for FUTURE writes
+        (Iceberg partition evolution): existing files keep their old
+        layout and keep pruning on the fields their manifest entries
+        carry (``prune_files`` checks per-file partition keys, so a
+        mixed-era file set prunes each file against the spec it was
+        written under); new files land under the new spec.
+
+        Identity fields must be preserved: the hive layout drops
+        identity columns from data files, so removing (or adding) an
+        identity field would orphan column data in old (or new)
+        files. Transform (hidden) fields add/remove freely — their
+        source columns always stay in-file.
+        """
+        from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+            parse_partition_spec,
+            validate_spec,
+        )
+
+        def build(meta: TableMetadata):
+            new_fields = parse_partition_spec(partition_by)
+            validate_spec(new_fields, meta.spark_schema)
+            old_ident = set(meta.identity_partition_cols)
+            new_ident = {
+                f.source for f in new_fields if f.transform == "identity"
+            }
+            if old_ident != new_ident:
+                raise ValueError(
+                    "partition evolution cannot change identity fields "
+                    f"(old {sorted(old_ident)} vs new {sorted(new_ident)}): "
+                    "identity columns live in directory names, not data "
+                    "files; only hidden-transform fields evolve freely"
+                )
+            new_props = dict(meta.properties)
+            if meta.partition_by and meta.partition_by != list(partition_by):
+                past = json.loads(
+                    new_props.get("past_partition_specs", "[]")
+                )
+                if meta.partition_by not in past:
+                    past.append(meta.partition_by)
+                new_props["past_partition_specs"] = json.dumps(past)
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=meta.schema_json,
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=list(partition_by),
+                    sort_by=meta.sort_by,
+                    properties=new_props,
+                ),
+                f"ALTER TABLE {table} PARTITION BY ({', '.join(partition_by)})",
             )
 
         return self._optimistic_commit(table, branch, build)

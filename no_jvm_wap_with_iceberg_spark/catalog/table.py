@@ -287,6 +287,30 @@ class TableMetadata:
         return parse_partition_spec(self.partition_by)
 
     @property
+    def all_partition_fields(self):
+        """Current spec plus every spec the table EVER wrote under
+        (partition evolution history rides in the
+        ``past_partition_specs`` property) — the set pruning should
+        consider: each file prunes only on the keys its own manifest
+        entry carries, so retired fields still prune old-era files
+        and never misfire on new ones."""
+        import json as _json
+
+        from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+            parse_partition_spec,
+        )
+
+        fields = list(self.partition_fields)
+        seen = {f.name for f in fields}
+        past = _json.loads(self.properties.get("past_partition_specs", "[]"))
+        for spec in past:
+            for f in parse_partition_spec(spec):
+                if f.name not in seen:
+                    seen.add(f.name)
+                    fields.append(f)
+        return fields
+
+    @property
     def identity_partition_cols(self) -> list[str]:
         """Source columns partitioned by identity: these are dropped
         from data files by the hive layout and re-attached at read.

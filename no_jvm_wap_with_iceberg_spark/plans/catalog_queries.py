@@ -515,3 +515,46 @@ def catalog_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@register(
+    "catalog_partition_evolution",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE user_id = 41
+    GROUP BY event_type
+    """,
+    doc="Iceberg partition evolution end-to-end: half the events land "
+    "under day(ts), the spec then evolves to bucket(8, user_id), the "
+    "rest land under the new layout, and a user_id predicate prunes "
+    "era-2 files by bucket dir while era-1 files prune only by "
+    "column stats — each file against the spec it was written under "
+    "(metadata keeps the spec history in past_partition_specs). "
+    "Results must equal the plain filter over the same rows.",
+)
+def catalog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    events = load_table(spark, sf_dir, "events")
+    cat = Catalog(_tmp_warehouse("part_evo_"))
+    cat.create_table("ev", events.schema, partition_by=["day(ts)"])
+    cat.append(events.filter(F.col("event_id") % 2 == 0), "ev")
+    cat.evolve_partition_spec("ev", ["bucket(8, user_id)"])
+    cat.append(events.filter(F.col("event_id") % 2 == 1), "ev")
+
+    pruned = cat.read(
+        spark, "ev", predicates=[Predicate("eq", "user_id", 41)]
+    )
+    return (
+        pruned.filter(F.col("user_id") == 41)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )

@@ -311,3 +311,68 @@ def test_wap_pipeline_with_hidden_partitioning(spark, warehouse):
     assert {f.partition["ts_day"] for f in meta.files()} == {
         f"2024-01-0{d}" for d in range(1, 6)
     }
+
+
+# ----------------------------------------------------------------------
+# partition evolution
+# ----------------------------------------------------------------------
+def test_partition_evolution_mixed_eras(spark, warehouse):
+    cat = Catalog(warehouse)
+    df = _events_df(spark)
+    cat.create_table("ev", df.schema, partition_by=["day(ts)"])
+    cat.append(df.filter("event_id < 100"), "ev")  # era 1: day dirs
+    cat.evolve_partition_spec("ev", ["bucket(4, user)"])
+    cat.append(df.filter("event_id >= 100"), "ev")  # era 2: bucket dirs
+
+    meta = cat.load_table("ev")
+    files = meta.files()
+    era1 = [f for f in files if "ts_day" in f.partition]
+    era2 = [f for f in files if "user_bucket4" in f.partition]
+    assert era1 and era2 and len(era1) + len(era2) == len(files)
+
+    # read unions both eras losslessly
+    back = cat.read(spark, "ev")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+    # pruning applies each file's own era: a ts predicate prunes era-1
+    # files by day dir and keeps every era-2 file (no ts_day key);
+    # stats may tighten further, so assert against per-file stats-free
+    # partition behavior via the historical field set
+    fields = meta.all_partition_fields
+    assert {f.name for f in fields} == {"user_bucket4", "ts_day"}
+    kept = prune_files(files, [Predicate("eq", "user", "u1")], fields)
+    want_bucket = str(zlib.crc32(b"u1") % 4)
+    for f in kept:
+        if "user_bucket4" in f.partition:
+            assert f.partition["user_bucket4"] == want_bucket
+
+
+def test_partition_evolution_rejects_identity_change(spark, warehouse):
+    cat = Catalog(warehouse)
+    df = _events_df(spark)
+    cat.create_table("ev", df.schema, partition_by=["user", "day(ts)"])
+    with pytest.raises(ValueError, match="identity"):
+        cat.evolve_partition_spec("ev", ["day(ts)"])
+    with pytest.raises(ValueError, match="identity"):
+        cat.evolve_partition_spec("ev", ["user", "event_id", "day(ts)"])
+    # transform-only changes are fine even alongside identity fields
+    cat.evolve_partition_spec("ev", ["user", "hour(ts)"])
+    assert cat.load_table("ev").partition_by == ["user", "hour(ts)"]
+
+
+def test_partition_evolution_compact_migrates_layout(spark, warehouse):
+    cat = Catalog(warehouse)
+    df = _events_df(spark)
+    cat.create_table("ev", df.schema, partition_by=["day(ts)"])
+    cat.append(df.filter("event_id % 2 = 0"), "ev")
+    cat.evolve_partition_spec("ev", ["bucket(4, user)"])
+    cat.append(df.filter("event_id % 2 = 1"), "ev")
+    cat.compact(spark, "ev", min_files=2)
+    meta = cat.load_table("ev")
+    # compaction rewrites everything under the CURRENT spec
+    assert all("user_bucket4" in f.partition for f in meta.files())
+    assert sorted(map(tuple, cat.read(spark, "ev").collect())) == sorted(
+        map(tuple, df.collect())
+    )
