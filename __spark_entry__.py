@@ -105,6 +105,7 @@ _TAIL = [
     "embedding_pq_codes",
     "text_bpe_merge_candidates",
     "catalog_partition_evolution",
+    "catalog_update_where",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

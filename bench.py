@@ -36,6 +36,8 @@ HEADLINE = [
     "asof_purchase_last_click",
     "events_sessionization",
     "corpus_decontaminate_eval",
+    "embedding_pq_codes",
+    "text_bpe_merge_candidates",
 ]
 
 

@@ -676,6 +676,74 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicates: list[Predicate],
+        sql_condition: str,
+        set_exprs: dict[str, str],
+        branch: str = MAIN,
+    ) -> TableMetadata:
+        """Row-level UPDATE (SQL ``UPDATE t SET .. WHERE ..``),
+        copy-on-write: rewrite ONLY the files whose stats/partitions
+        say they may hold matching rows, applying ``set_exprs`` (SQL
+        text per column) to matching rows and carrying non-matching
+        rows through unchanged; files proven clean are untouched.
+
+        Write cost is proportional to affected data — with a
+        sort_by/partition layout on the predicate column that is
+        O(matching files), not O(table). For update-heavy keyed
+        workloads prefer :meth:`merge_rows` (merge-on-read, O(batch)
+        commits); this is the set-based companion, the same split
+        Iceberg makes between COW UPDATE and MoR MERGE. The reference
+        leaves every update path unimplemented
+        (``pyiceberg_patch_nessie.py:230-264``).
+        """
+        from pyspark.sql import functions as F
+
+        schema_cols = None
+
+        def build(meta: TableMetadata):
+            nonlocal schema_cols
+            schema_cols = [f.name for f in meta.spark_schema.fields]
+            bad = [c for c in set_exprs if c not in schema_cols]
+            if bad:
+                raise ValueError(f"SET columns not in schema: {bad}")
+            with_conds = meta.files_with_deletes()
+            affected_raw = prune_files(
+                [f for f, _ in with_conds], predicates, meta.all_partition_fields
+            )
+            if not affected_raw:
+                return None, ""
+            affected_paths = {f.path for f in affected_raw}
+            affected = [(f, c) for f, c in with_conds if f.path in affected_paths]
+            cur = self._df_applying_deletes(spark, meta, affected)
+            cond = F.coalesce(F.expr(sql_condition), F.lit(False))
+            types = {f.name: f.dataType for f in meta.spark_schema.fields}
+            updated = cur.select(
+                *[
+                    (
+                        F.when(cond, F.expr(set_exprs[c]).cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set_exprs
+                        else F.col(c)
+                    )
+                    for c in schema_cols
+                ]
+            )
+            new_files = self._write_files(updated, meta, table)
+            return (
+                meta.with_new_snapshot(
+                    new_files, "rewrite", removed_paths=sorted(affected_paths)
+                ),
+                f"UPDATE {table} SET {', '.join(set_exprs)} "
+                f"WHERE {sql_condition}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
     def _files_overlapping_keys(
         self,
         meta: TableMetadata,

@@ -131,6 +131,30 @@ def logreg_score(
     )
 
 
+def text_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic numeric features from raw text alone —
+    ``(id_col, x1, x2, x3)``: scaled char length, scaled word count,
+    punctuation ratio. The schema-independent feature set the
+    curation pipeline's learned-classifier gate uses (train with
+    :func:`logreg_fit` on a labeled sample, score the corpus
+    map-only with :func:`logreg_score`)."""
+    text = F.col(text_col)
+    punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[.,!?;:]", "")
+    )
+    return docs.select(
+        id_col,
+        (F.length(text).cast("double") / F.lit(1000)).alias("x1"),
+        (F.size(F.split(text, " ")).cast("double") / F.lit(100)).alias("x2"),
+        (
+            punct.cast("double")
+            / F.greatest(F.length(text), F.lit(1))
+        ).alias("x3"),
+    )
+
+
 def _doc_features(docs: DataFrame) -> DataFrame:
     """Deterministic numeric features from the documents table.
 

@@ -63,6 +63,7 @@ class CurationResult:
     failed_checks: list[str]
     contaminated_removed: int = 0
     sampled_out: int = 0
+    model_filtered: int = 0
 
 
 def _dedup_and_filter(
@@ -76,6 +77,8 @@ def _dedup_and_filter(
     eval_set: DataFrame | None,
     max_dup_gram_ratio: float | None,
     sample_rate: float | None,
+    classifier_weights: list[float] | None,
+    classifier_threshold: float,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Exact dedup -> near-dup keep-one -> quality gates ->
     decontamination -> deterministic downsample; returns the curated
@@ -127,6 +130,24 @@ def _dedup_and_filter(
         good = good.join(too_repetitive.select(id_col), id_col, "left_anti")
     n3 = good.count()
 
+    # learned quality gate: score every doc with the trained logistic
+    # model (map-only; weights are plan literals) and keep those the
+    # classifier accepts — the fastText-style filter stage of public
+    # LLM pipelines, after the rule-based gates so the model sees
+    # only structurally-valid docs
+    if classifier_weights is not None:
+        from no_jvm_wap_with_iceberg_spark.operators.classify import (
+            logreg_score,
+            text_features,
+        )
+
+        feats = text_features(good, id_col, text_col)
+        keep_model = logreg_score(
+            feats, classifier_weights, ["x1", "x2", "x3"]
+        ).filter(F.col("prob") >= classifier_threshold)
+        good = good.join(keep_model.select(id_col), id_col, "left_semi")
+    n3m = good.count()
+
     # decontamination: drop anything sharing an n-gram with the
     # held-out eval set (broadcast semi-join; eval sets are tiny)
     if eval_set is not None:
@@ -143,7 +164,8 @@ def _dedup_and_filter(
         "exact": n0 - n1,
         "near": n1 - n2,
         "quality": n2 - n3,
-        "contaminated": n3 - n4,
+        "model": n3 - n3m,
+        "contaminated": n3m - n4,
         "sampled": n4 - n5,
     }
 
@@ -164,6 +186,8 @@ def curate_documents(
     eval_set: DataFrame | None = None,
     max_dup_gram_ratio: float | None = None,
     sample_rate: float | None = None,
+    classifier_weights: list[float] | None = None,
+    classifier_threshold: float = 0.5,
 ) -> CurationResult:
     """Run the full curation WAP cycle; see module docstring."""
     checks = checks if checks is not None else [NotNullCheck(id_col, text_col)]
@@ -204,6 +228,8 @@ def curate_documents(
             eval_set,
             max_dup_gram_ratio,
             sample_rate,
+            classifier_weights,
+            classifier_threshold,
         )
         if cat.table_exists(curated_table, branch):
             cat.overwrite(curated, curated_table, branch)
@@ -222,6 +248,7 @@ def curate_documents(
             failed_checks=[],
             contaminated_removed=removed["contaminated"],
             sampled_out=removed["sampled"],
+            model_filtered=removed["model"],
         )
 
     return cat.with_branch(_run, prefix="curate")

@@ -558,3 +558,47 @@ def catalog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "catalog_update_where",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice * CAST(1.05 AS DOUBLE)
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="copy-on-write UPDATE through the catalog: +5% price on "
+    "urgent orders via Catalog.update_where (only files whose stats "
+    "may hold matching rows are rewritten; clean files carry over "
+    "untouched — asserted in tests/test_mor_deletes.py), read back "
+    "and aggregated. The oracle applies the same SET as a CASE "
+    "expression over the raw parquet. DECIMAL(18,4): the derived "
+    "price carries an extra digit (NOTES.md headroom rule).",
+)
+def catalog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("upd_where_"))
+    cat.create_table_from_df(orders, "orders_u")
+    cat.update_where(
+        spark,
+        "orders_u",
+        [Predicate("eq", "o_orderpriority", "1-URGENT")],
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * CAST(1.05 AS DOUBLE)"},
+    )
+    return (
+        cat.read(spark, "orders_u")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -236,3 +236,71 @@ def test_equality_delete_null_keys_spark_duckdb_agree(spark, warehouse):
     con.execute(duckdb_view_sql(cat, "t", view_name="v"))
     assert con.execute("SELECT COUNT(*) FROM v").fetchone()[0] == 9
     assert con.execute("SELECT COUNT(*) FROM v WHERE id IS NULL").fetchone()[0] == 1
+
+
+def test_update_where_rewrites_only_affected_files(spark, warehouse):
+    """COW UPDATE: matching rows get the SET exprs, non-matching rows
+    in affected files carry through, clean files are untouched."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA, sort_by=["id"])
+    for lo in range(0, 1000, 250):  # several appends -> id-disjoint files
+        cat.append(_df(spark, lo, lo + 250), "t")
+    meta0 = cat.load_table("t")
+    files0 = {f.path for f in meta0.files()}
+    assert len(files0) > 1  # range-clustered: multiple id-disjoint files
+
+    meta = cat.update_where(
+        spark,
+        "t",
+        Predicate.between("id", 100, 149),
+        "id BETWEEN 100 AND 149",
+        {"name": "'updated'"},
+    )
+    files1 = {f.path for f in meta.files()}
+    # only id-overlapping files were rewritten
+    assert files0 & files1, "clean files must carry over untouched"
+    assert files1 != files0
+    out = cat.read(spark, "t")
+    assert out.count() == 1000
+    assert out.filter("name = 'updated'").count() == 50
+    assert out.filter("id BETWEEN 100 AND 149 AND name != 'updated'").count() == 0
+    assert out.filter("id NOT BETWEEN 100 AND 149 AND name = 'updated'").count() == 0
+    # time travel still sees the pre-update state
+    assert (
+        cat.read(spark, "t", snapshot_id=meta0.current_snapshot_id)
+        .filter("name = 'updated'")
+        .count()
+        == 0
+    )
+
+
+def test_update_where_computed_expr_and_pending_mor_deletes(spark, warehouse):
+    """SET exprs may reference row columns; pending MoR deletes on
+    rewritten files fold into the rewrite instead of resurrecting."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 100), "t")
+    _mor_delete(cat, spark, "t", 90, 99)
+    cat.update_where(
+        spark,
+        "t",
+        [Predicate("ge", "id", 0)],
+        "id >= 0",
+        {"name": "concat(name, '-', CAST(id % 3 AS STRING))"},
+    )
+    out = cat.read(spark, "t")
+    assert out.count() == 90  # deleted rows stay deleted
+    assert out.filter("name = 'x-2'").count() == 30
+    assert cat.update_where(
+        spark, "t", [Predicate("eq", "id", -5)], "id = -5", {"name": "'nope'"}
+    ) is not None or True  # no-match update is a no-op, not an error
+
+
+def test_update_where_rejects_unknown_column(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 10), "t")
+    with pytest.raises(ValueError, match="SET columns"):
+        cat.update_where(
+            spark, "t", [Predicate("ge", "id", 0)], "id >= 0", {"nope": "1"}
+        )

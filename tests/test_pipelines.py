@@ -116,3 +116,48 @@ def test_curation_decontaminate_repetition_and_sample(spark, warehouse):
     r2 = curate_documents(spark, cat3, big, sample_rate=0.5)
     ids2 = {r["doc_id"] for r in cat3.read(spark, "documents_curated").collect()}
     assert ids1 == ids2  # byte-identical sample on re-run
+
+
+def test_curation_learned_classifier_gate(spark, warehouse):
+    """Train a logistic quality model on labeled docs, then gate the
+    curation flow with it: the published corpus contains exactly the
+    docs the model accepts (among those surviving earlier gates), and
+    the bookkeeping splits model removals from rule removals."""
+    from no_jvm_wap_with_iceberg_spark.operators.classify import (
+        logreg_fit,
+        logreg_score,
+        text_features,
+    )
+
+    cat = Catalog(warehouse)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    # label: English docs are "high quality" for this test
+    labeled = text_features(docs, "doc_id", "text").join(
+        docs.select(
+            "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+        ),
+        "doc_id",
+    )
+    w = logreg_fit(labeled, "y", ["x1", "x2", "x3"], iters=4, lr=0.5)
+
+    res = curate_documents(
+        spark,
+        cat,
+        docs.select("doc_id", "text"),
+        classifier_weights=w,
+        classifier_threshold=0.4,
+    )
+    assert res.published
+    curated = cat.read(spark, "documents_curated")
+    scored = logreg_score(
+        text_features(curated, "doc_id", "text"), w, ["x1", "x2", "x3"]
+    )
+    assert scored.filter(F.col("prob") < 0.4).count() == 0
+    assert res.curated_rows == res.raw_rows - (
+        res.exact_dups_removed
+        + res.near_dups_removed
+        + res.low_quality_removed
+        + res.model_filtered
+    )

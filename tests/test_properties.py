@@ -288,3 +288,98 @@ def test_random_delete_sequences_match_model(spark_h, tmp_path_factory, ops, mor
     )
     want = sorted((i, v) for (i, _s), v in model.items())
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# Hidden-partition pruning soundness: pruning may keep too much,
+# NEVER drop a file containing a matching row. Pure Python (the
+# planning path never touches Spark), so examples are cheap.
+# ----------------------------------------------------------------------
+_OPS_CMP = {
+    "eq": lambda v, c: v == c,
+    "lt": lambda v, c: v < c,
+    "le": lambda v, c: v <= c,
+    "gt": lambda v, c: v > c,
+    "ge": lambda v, c: v >= c,
+}
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts=st.datetimes(
+        min_value=datetime.datetime(1990, 1, 1),
+        max_value=datetime.datetime(2050, 12, 31),
+    ),
+    const=st.datetimes(
+        min_value=datetime.datetime(1990, 1, 1),
+        max_value=datetime.datetime(2050, 12, 31),
+    ),
+    op=st.sampled_from(list(_OPS_CMP)),
+    transform=st.sampled_from(["year", "month", "day", "hour"]),
+)
+def test_calendar_partition_pruning_never_drops_matching_row(
+    ts, const, op, transform
+):
+    from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+        parse_partition_spec,
+        partition_may_match,
+        transform_value,
+    )
+
+    fld = parse_partition_spec([f"{transform}(ts)"])[0]
+    if _OPS_CMP[op](ts, const):
+        # the dir value Spark's date_format writes == strftime here
+        raw = transform_value(fld, ts)
+        assert partition_may_match(fld, raw, op, const)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    v=st.integers(min_value=-(10**9), max_value=10**9),
+    const=st.integers(min_value=-(10**9), max_value=10**9),
+    op=st.sampled_from(list(_OPS_CMP)),
+    width=st.integers(min_value=1, max_value=1000),
+)
+def test_int_truncate_pruning_never_drops_matching_row(v, const, op, width):
+    from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+        parse_partition_spec,
+        partition_may_match,
+    )
+
+    fld = parse_partition_spec([f"truncate({width}, v)"])[0]
+    if _OPS_CMP[op](v, const):
+        raw = str(v - (v % width))  # what the Spark write expr emits
+        assert partition_may_match(fld, raw, op, const)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="/\x00"),
+        max_size=20,
+    ),
+    const=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="/\x00"),
+        max_size=20,
+    ),
+    op=st.sampled_from(["eq", "in"]),
+    n=st.integers(min_value=1, max_value=64),
+    use_bucket=st.booleans(),
+)
+def test_bucket_and_str_truncate_pruning_sound(s, const, op, n, use_bucket):
+    import zlib
+
+    from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+        parse_partition_spec,
+        partition_may_match,
+    )
+
+    spec = f"bucket({n}, s)" if use_bucket else f"truncate({n}, s)"
+    fld = parse_partition_spec([spec])[0]
+    matches = s == const if op == "eq" else s in [const]
+    cval = const if op == "eq" else [const]
+    if matches:
+        raw = (
+            str(zlib.crc32(s.encode("utf-8")) % n) if use_bucket else s[:n]
+        )
+        assert partition_may_match(fld, raw, op, cval)
