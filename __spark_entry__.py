@@ -106,6 +106,7 @@ _TAIL = [
     "text_bpe_merge_candidates",
     "catalog_partition_evolution",
     "catalog_update_where",
+    "catalog_changelog",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

@@ -605,7 +605,10 @@ class Catalog:
                 return None, ""  # empty batch: no-op commit elision
             return (
                 meta.with_new_snapshot(
-                    new_files, "rewrite", removed_paths=[f.path for f in affected]
+                    new_files,
+                    "rewrite",
+                    removed_paths=[f.path for f in affected],
+                    extra_summary={"cdc": "unsupported"},
                 ),
                 f"UPSERT {table} ({len(affected)} files rewritten)",
             )
@@ -669,7 +672,10 @@ class Catalog:
             new_files = self._write_files(keep, meta, table)
             return (
                 meta.with_new_snapshot(
-                    new_files, "rewrite", removed_paths=sorted(affected_paths)
+                    new_files,
+                    "rewrite",
+                    removed_paths=sorted(affected_paths),
+                    extra_summary={"cdc": "delete", "condition": sql_condition},
                 ),
                 f"DELETE FROM {table} WHERE {sql_condition}",
             )
@@ -736,7 +742,14 @@ class Catalog:
             new_files = self._write_files(updated, meta, table)
             return (
                 meta.with_new_snapshot(
-                    new_files, "rewrite", removed_paths=sorted(affected_paths)
+                    new_files,
+                    "rewrite",
+                    removed_paths=sorted(affected_paths),
+                    extra_summary={
+                        "cdc": "update",
+                        "condition": sql_condition,
+                        "set": json.dumps(set_exprs),
+                    },
                 ),
                 f"UPDATE {table} SET {', '.join(set_exprs)} "
                 f"WHERE {sql_condition}",
@@ -935,11 +948,19 @@ class Catalog:
                 kdf.sparkSession, meta, affected
             ).join(F.broadcast(kdf), key, "left_anti")
             new_files = self._write_files(keep, meta, table)
+            # persist the key set even in cow mode: the change feed
+            # replays "which rows did this commit delete" from it
+            key_paths = self._write_key_files(kdf, table)
             return (
                 meta.with_new_snapshot(
                     new_files,
                     "rewrite",
                     removed_paths=[f.path for f, _ in affected],
+                    extra_summary={
+                        "cdc": "delete_keys",
+                        "key": key,
+                        "key_files": json.dumps(key_paths),
+                    },
                 ),
                 f"DELETE KEYS FROM {table} ON {key}",
             )
@@ -1042,6 +1063,189 @@ class Catalog:
         return self._df_applying_deletes(
             spark, meta, [(f, conds.get(f.path, ())) for f in files]
         )
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        branch: str = MAIN,
+    ) -> DataFrame:
+        """Change data feed (Iceberg/Delta CDF): every row the table
+        gained or lost between two snapshots, as the user schema plus
+        ``_change_type`` ('insert' | 'delete') and ``_snapshot_id``.
+        Updates appear as delete+insert pairs under the committing
+        snapshot — the standard CDC representation, and exactly what
+        :meth:`merge_rows` consumes on the way in, so two tables can
+        be chained engine-to-engine through their feeds.
+
+        Reconstruction is metadata-driven: appends replay their added
+        files; MoR deletes / merges replay their recorded condition or
+        key set against the PARENT-visible state of their target
+        files; copy-on-write deletes/updates replay the condition (and
+        SET exprs) their commits recorded against the removed files
+        (still on disk until snapshot expiry). Compaction/z-order
+        commits are tagged ``cdc: none`` and yield nothing — layout is
+        not change. ``upsert`` rewrites predate per-commit CDC tags
+        and raise (use :meth:`merge_rows` for CDC-readable updates).
+
+        At 100 TB each span element touches only the files that
+        commit touched — cost is O(changed data), never O(table).
+        """
+        from pyspark.sql import functions as F
+
+        meta = self.load_table(table, branch)
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        if to_snapshot_id is None:
+            to_snapshot_id = meta.current_snapshot_id
+        span: list = []
+        cur = by_id.get(to_snapshot_id)
+        while cur is not None and cur.snapshot_id != from_snapshot_id:
+            span.append(cur)
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if cur is None and from_snapshot_id is not None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id} (expired or different branch era)"
+            )
+        span.reverse()  # chronological
+
+        schema = meta.spark_schema
+        cols = [f.name for f in schema.fields]
+        types = {f.name: f.dataType for f in schema.fields}
+
+        def tag(df: DataFrame, change: str, sid: int) -> DataFrame:
+            return df.select(*cols).select(
+                *cols,
+                F.lit(change).alias("_change_type"),
+                F.lit(sid).alias("_snapshot_id"),
+            )
+
+        def parent_rows(s, paths: list[str]) -> DataFrame:
+            """Rows of the given files as visible at s's PARENT."""
+            want = set(paths)
+            visible = [
+                (f, c)
+                for f, c in meta.files_with_deletes(s.parent_snapshot_id)
+                if f.path in want
+            ]
+            return self._df_applying_deletes(spark, meta, visible)
+
+        def spec_deletes(s) -> list[DataFrame]:
+            out = []
+            for spec in s.deletes:
+                base = parent_rows(s, spec.get("targets") or [])
+                if spec.get("condition") is not None:
+                    out.append(
+                        base.filter(
+                            F.coalesce(
+                                F.expr(spec["condition"]), F.lit(False)
+                            )
+                        )
+                    )
+                else:
+                    kdf = spark.read.parquet(
+                        *[
+                            os.path.join(self.warehouse, p)
+                            for p in spec["key_files"]
+                        ]
+                    ).distinct()
+                    out.append(
+                        base.join(F.broadcast(kdf), spec["key"], "left_semi")
+                    )
+            return out
+
+        parts: list[DataFrame] = []
+        for s in span:
+            cdc = s.summary.get("cdc")
+            if cdc == "none":
+                continue
+            if cdc == "unsupported" or (s.operation == "rewrite" and not cdc):
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} ({s.operation}) carries no "
+                    "CDC record; use merge_rows/delete_where/update_where "
+                    "for change-feed-readable mutations"
+                )
+            sid = s.snapshot_id
+            if s.operation == "append":
+                parts.append(
+                    tag(self._df_for_files(spark, meta, s.added_files), "insert", sid)
+                )
+            elif s.operation == "overwrite":
+                parts.append(
+                    tag(
+                        self._df_applying_deletes(
+                            spark,
+                            meta,
+                            meta.files_with_deletes(s.parent_snapshot_id),
+                        ),
+                        "delete",
+                        sid,
+                    )
+                )
+                parts.append(
+                    tag(self._df_for_files(spark, meta, s.added_files), "insert", sid)
+                )
+            elif s.operation == "delete":  # merge-on-read
+                for d in spec_deletes(s):
+                    parts.append(tag(d, "delete", sid))
+            elif s.operation == "merge":
+                for d in spec_deletes(s):
+                    parts.append(tag(d, "delete", sid))
+                parts.append(
+                    tag(self._df_for_files(spark, meta, s.added_files), "insert", sid)
+                )
+            elif s.operation == "rewrite":
+                pre = parent_rows(s, s.removed_paths)
+                cond = F.coalesce(
+                    F.expr(s.summary.get("condition", "false")), F.lit(False)
+                )
+                if cdc == "delete":
+                    parts.append(tag(pre.filter(cond), "delete", sid))
+                elif cdc == "delete_keys":
+                    kdf = spark.read.parquet(
+                        *[
+                            os.path.join(self.warehouse, p)
+                            for p in json.loads(s.summary["key_files"])
+                        ]
+                    ).distinct()
+                    parts.append(
+                        tag(
+                            pre.join(
+                                F.broadcast(kdf), s.summary["key"], "left_semi"
+                            ),
+                            "delete",
+                            sid,
+                        )
+                    )
+                elif cdc == "update":
+                    matched = pre.filter(cond)
+                    parts.append(tag(matched, "delete", sid))
+                    set_exprs = json.loads(s.summary["set"])
+                    post = matched.select(
+                        *[
+                            (
+                                F.expr(set_exprs[c]).cast(types[c]).alias(c)
+                                if c in set_exprs
+                                else F.col(c)
+                            )
+                            for c in cols
+                        ]
+                    )
+                    parts.append(tag(post, "insert", sid))
+
+        if not parts:
+            empty = spark.createDataFrame([], schema)
+            return tag(empty, "insert", -1).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _df_for_files(
         self,
@@ -1642,7 +1846,9 @@ class Catalog:
                 layout_done = False
             new_files = self._write_files(df, meta, table, layout_done=layout_done)
             return (
-                meta.with_new_snapshot(new_files, "overwrite"),
+                meta.with_new_snapshot(
+                    new_files, "overwrite", extra_summary={"cdc": "none"}
+                ),
                 f"COMPACT {table} ({len(files)} -> {len(new_files)} files)",
             )
 
@@ -1699,7 +1905,9 @@ class Catalog:
             df = self._df_applying_deletes(spark, meta, with_conds)
             clustered = self._cluster_zorder(df, cols, n_out)
             new_files = self._write_files(clustered, meta, table, layout_done=True)
-            new_meta = meta.with_new_snapshot(new_files, "overwrite")
+            new_meta = meta.with_new_snapshot(
+                new_files, "overwrite", extra_summary={"cdc": "none"}
+            )
             new_meta.properties = {**new_meta.properties, "zorder_by": ",".join(cols)}
             return (
                 new_meta,

@@ -429,6 +429,7 @@ class TableMetadata:
         operation: str = "append",
         removed_paths: list[str] | None = None,
         deletes: list[dict[str, Any]] | None = None,
+        extra_summary: dict[str, Any] | None = None,
     ) -> "TableMetadata":
         # max over ALL snapshots, not current+1: after a rollback the
         # current snapshot is an ancestor and current+1 would collide
@@ -447,6 +448,7 @@ class TableMetadata:
                 "added-rows": sum(f.rows for f in added),
                 "removed-files": len(removed_paths or []),
                 "mor-deletes": len(deletes or []),
+                **(extra_summary or {}),
             },
             removed_paths=removed_paths or [],
             deletes=deletes or [],

@@ -602,3 +602,72 @@ def catalog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "catalog_changelog",
+    """
+    WITH half2 AS (
+      SELECT * FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    visible AS (SELECT * FROM orders),
+    del13 AS (SELECT * FROM visible WHERE o_orderkey % 13 = 6),
+    upd AS (
+      SELECT * FROM visible
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 != 6
+    ),
+    feed AS (
+      SELECT 'insert' AS _change_type, o_orderkey, o_totalprice FROM half2
+      UNION ALL
+      SELECT 'delete', o_orderkey, o_totalprice FROM del13
+      UNION ALL
+      SELECT 'delete', o_orderkey, o_totalprice FROM upd
+      UNION ALL
+      SELECT 'insert', o_orderkey,
+             o_totalprice * CAST(1.05 AS DOUBLE) FROM upd
+    )
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM feed GROUP BY _change_type
+    """,
+    doc="change data feed end-to-end: even orders seed the table, odd "
+    "orders append, a MoR condition delete and a COW update commit, "
+    "then read_changes replays the whole span from the seed snapshot "
+    "as insert/delete rows (updates = delete+insert pairs). The "
+    "oracle reconstructs the identical feed with SQL set ops. Each "
+    "span element touches only the files its commit touched — "
+    "O(changed data), never O(table).",
+)
+def catalog_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("changelog_"))
+    cat.create_table("o", orders.schema)
+    m0 = cat.append(orders.filter(F.col("o_orderkey") % 2 == 0), "o")
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "o")
+    cat.delete_where(
+        spark,
+        "o",
+        [],  # modulo predicates do not prune; row filter is exact
+        "o_orderkey % 13 = 6",
+        mode="mor",
+    )
+    cat.update_where(
+        spark,
+        "o",
+        [Predicate("eq", "o_orderpriority", "1-URGENT")],
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * CAST(1.05 AS DOUBLE)"},
+    )
+    feed = cat.read_changes(spark, "o", m0.current_snapshot_id)
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -1,0 +1,145 @@
+"""Change data feed (read_changes): metadata-driven CDC out.
+
+Invariant: replaying the feed against the from-snapshot state must
+reproduce the to-snapshot state exactly (inserts added, deletes
+removed), for every mutation kind that records CDC metadata.
+"""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _df(spark, lo, hi, name="x"):
+    return spark.range(lo, hi).select(F.col("id"), F.lit(name).alias("name"))
+
+
+def _state(cat, spark, table, sid=None):
+    return {
+        (r["id"], r["name"])
+        for r in cat.read(spark, table, snapshot_id=sid).collect()
+    }
+
+
+def _replay(cat, spark, table, from_sid, to_sid=None):
+    base = _state(cat, spark, table, from_sid)
+    changes = cat.read_changes(spark, table, from_sid, to_sid).collect()
+    for r in sorted(changes, key=lambda r: r["_snapshot_id"]):
+        key = (r["id"], r["name"])
+        if r["_change_type"] == "insert":
+            base.add(key)
+        else:
+            base.discard(key)
+    return base
+
+
+def test_feed_replays_append_mor_delete_and_cow_update(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    m0 = cat.append(_df(spark, 0, 100), "t")
+    cat.append(_df(spark, 100, 150, "y"), "t")
+    cat.delete_where(
+        spark, "t", Predicate.between("id", 10, 19),
+        "id BETWEEN 10 AND 19", mode="mor",
+    )
+    cat.update_where(
+        spark, "t", Predicate.between("id", 40, 44),
+        "id BETWEEN 40 AND 44", {"name": "'upd'"},
+    )
+    m4 = cat.delete_where(
+        spark, "t", Predicate.between("id", 120, 129),
+        "id BETWEEN 120 AND 129", mode="cow",
+    )
+    assert _replay(cat, spark, "t", m0.current_snapshot_id) == _state(
+        cat, spark, "t"
+    )
+    # per-kind accounting
+    ch = cat.read_changes(spark, "t", m0.current_snapshot_id).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r["_snapshot_id"], r["_change_type"]), 0)
+        by[(r["_snapshot_id"], r["_change_type"])] += 1
+    sids = sorted({s for s, _ in by})
+    assert by[(sids[0], "insert")] == 50  # the append
+    assert by[(sids[1], "delete")] == 10  # MoR delete
+    assert by[(sids[2], "delete")] == 5  # update pre-image
+    assert by[(sids[2], "insert")] == 5  # update post-image
+    assert by[(sids[3], "delete")] == 10  # cow delete
+    assert m4.current_snapshot_id == sids[3]
+
+
+def test_feed_replays_merge_and_delete_keys(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    m0 = cat.append(_df(spark, 0, 100), "t")
+    cdc = (
+        spark.range(90, 120)
+        .select(F.col("id"), F.lit("m").alias("name"))
+        .withColumn("_del", F.col("id") < 95)
+    )
+    cat.merge_rows(cdc, "t", key="id", delete_col="_del")
+    keys = spark.createDataFrame([(5,), (6,), (7,)], "id long")
+    cat.delete_keys(keys, "t", "id", mode="cow")
+    assert _replay(cat, spark, "t", m0.current_snapshot_id) == _state(
+        cat, spark, "t"
+    )
+    ch = cat.read_changes(spark, "t", m0.current_snapshot_id)
+    kinds = {
+        (r["_change_type"],): 0 for r in ch.collect()
+    }  # smoke: both kinds present
+    assert {k[0] for k in kinds} == {"insert", "delete"}
+
+
+def test_feed_skips_compaction_and_rejects_upsert(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    m0 = cat.append(_df(spark, 0, 50), "t")
+    cat.append(_df(spark, 50, 100), "t")
+    cat.compact(spark, "t", min_files=1)
+    # compaction contributes nothing to the feed
+    ch = cat.read_changes(spark, "t", m0.current_snapshot_id)
+    assert ch.filter("_change_type = 'delete'").count() == 0
+    assert ch.count() == 50
+    assert _replay(cat, spark, "t", m0.current_snapshot_id) == _state(
+        cat, spark, "t"
+    )
+    # upsert rewrites carry no per-commit CDC record -> explicit error
+    cat.upsert(_df(spark, 10, 20, "up"), "t", key="id")
+    with pytest.raises(ValueError, match="CDC"):
+        cat.read_changes(spark, "t", m0.current_snapshot_id).collect()
+
+
+def test_feed_overwrite_and_empty_span(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    m0 = cat.append(_df(spark, 0, 30), "t")
+    cat.overwrite(_df(spark, 100, 110, "new"), "t")
+    ch = cat.read_changes(spark, "t", m0.current_snapshot_id)
+    assert ch.filter("_change_type = 'delete'").count() == 30
+    assert ch.filter("_change_type = 'insert'").count() == 10
+    assert _replay(cat, spark, "t", m0.current_snapshot_id) == _state(
+        cat, spark, "t"
+    )
+    # empty span
+    m = cat.load_table("t")
+    empty = cat.read_changes(
+        spark, "t", m.current_snapshot_id, m.current_snapshot_id
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["id", "name", "_change_type", "_snapshot_id"]
+
+
+def test_feed_unknown_ancestor_raises(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 10), "t")
+    with pytest.raises(ValueError, match="ancestor"):
+        cat.read_changes(spark, "t", 999999)
