@@ -1507,6 +1507,22 @@ class Catalog:
             schema = meta.spark_schema
             if name in schema.fieldNames():
                 raise ValueError(f"column {name!r} already exists on {table!r}")
+            dropped = [
+                c
+                for c in meta.properties.get("dropped_columns", "").split(",")
+                if c
+            ]
+            if name in dropped:
+                # name-based column mapping: re-adding a dropped name
+                # would silently resurrect the old files' values (the
+                # zombie-column hazard Iceberg's field ids exist to
+                # prevent); require a fresh name instead
+                raise ValueError(
+                    f"column name {name!r} was previously dropped from "
+                    f"{table!r}; old data files still carry it, so "
+                    "re-adding the name would resurrect stale values. "
+                    "Use a new column name."
+                )
             new_schema = T.StructType(
                 schema.fields
                 + [T.StructField(name, T._parse_datatype_string(data_type), True)]
@@ -1523,6 +1539,90 @@ class Catalog:
                     properties=meta.properties,
                 ),
                 f"ADD COLUMN {table}.{name}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
+    def drop_column(
+        self, table: str, name: str, branch: str = MAIN
+    ) -> TableMetadata:
+        """Drop a column (metadata-only — no data rewrite).
+
+        The read path supplies the reduced schema to the Parquet
+        reader, which simply never materializes the dropped column
+        from old files (column pruning makes this free); time-travel
+        reads at pre-drop snapshots use the CURRENT schema, matching
+        Iceberg's schema-follows-table semantics. Refused when the
+        column is load-bearing: a partition-spec source (current or
+        historical), a sort/z-order key, or referenced by a pending
+        merge-on-read delete (whose stored SQL would no longer
+        resolve — compact first to fold deletes).
+
+        RENAME is deliberately absent: this format maps columns by
+        NAME; renaming without rewriting every file needs the field-id
+        indirection Iceberg carries in its schema, which is exactly
+        the complexity this JSON format trades away. ``add_column`` +
+        backfill + ``drop_column`` is the supported path.
+        """
+        import re
+
+        def build(meta: TableMetadata):
+            from pyspark.sql import types as T
+
+            schema = meta.spark_schema
+            if name not in schema.fieldNames():
+                raise KeyError(f"column {name!r} not found on {table!r}")
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            sources = {f.source for f in meta.all_partition_fields}
+            zcols = [
+                c
+                for c in meta.properties.get("zorder_by", "").split(",")
+                if c
+            ]
+            if name in sources or name in meta.sort_by or name in zcols:
+                raise ValueError(
+                    f"column {name!r} is a partition/sort/z-order key; "
+                    "evolve the spec first"
+                )
+            word = re.compile(rf"\b{re.escape(name)}\b")
+            for f, specs in meta.files_with_deletes():
+                for spec in specs:
+                    ref = spec.condition or spec.key or ""
+                    if word.search(ref):
+                        raise ValueError(
+                            f"column {name!r} is referenced by a pending "
+                            "merge-on-read delete; compact() first"
+                        )
+            new_schema = T.StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+            props = dict(meta.properties)
+            blooms = [
+                c
+                for c in props.get("bloom_cols", "").split(",")
+                if c and c != name
+            ]
+            if "bloom_cols" in props:
+                props["bloom_cols"] = ",".join(blooms)
+            seen_drops = [
+                c for c in props.get("dropped_columns", "").split(",") if c
+            ]
+            if name not in seen_drops:
+                seen_drops.append(name)
+            props["dropped_columns"] = ",".join(seen_drops)
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=new_schema.jsonValue(),
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=meta.sort_by,
+                    properties=props,
+                ),
+                f"DROP COLUMN {table}.{name}",
             )
 
         return self._optimistic_commit(table, branch, build)

@@ -623,3 +623,52 @@ def test_rollback_and_rollforward(spark, warehouse):
 
     with _pytest.raises(KeyError):
         cat.rollback("t", 999)
+
+
+def test_schema_evolution_drop_column(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.createDataFrame(
+            [(1, "a", 0.5), (2, "b", 0.7)], "id long, s string, score double"
+        ),
+        "t",
+    )
+    cat.drop_column("t", "score")
+    out = cat.read(spark, "t")
+    assert out.columns == ["id", "s"]
+    assert {tuple(r) for r in out.collect()} == {(1, "a"), (2, "b")}
+    # appends now align to the reduced schema
+    cat.append(spark.createDataFrame([(3, "c")], "id long, s string"), "t")
+    assert cat.read(spark, "t").count() == 3
+    # re-adding the dropped NAME is refused (name-based mapping would
+    # resurrect the old files' values); a fresh name reads clean
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="resurrect"):
+        cat.add_column("t", "score", "double")
+    cat.add_column("t", "score_v2", "double")
+    assert {r.score_v2 for r in cat.read(spark, "t").collect()} == {None}
+
+
+def test_drop_column_guards(spark, warehouse):
+    import pytest as _pytest
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    cat = Catalog(warehouse)
+    df = spark.createDataFrame(
+        [(1, "a", 0.5)], "id long, s string, score double"
+    )
+    cat.create_table("t", df.schema, sort_by=["id"])
+    cat.append(df, "t")
+    with _pytest.raises(ValueError, match="partition/sort"):
+        cat.drop_column("t", "id")
+    cat.delete_where(spark, "t", [], "score > 0.9", mode="mor")
+    with _pytest.raises(ValueError, match="pending"):
+        cat.drop_column("t", "score")
+    cat.compact(spark, "t")  # folds the delete
+    cat.drop_column("t", "score")
+    assert cat.read(spark, "t").columns == ["id", "s"]
+    with _pytest.raises(KeyError):
+        cat.drop_column("t", "nope")
