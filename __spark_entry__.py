@@ -107,6 +107,7 @@ _TAIL = [
     "catalog_partition_evolution",
     "catalog_update_where",
     "catalog_changelog",
+    "dedup_pq_buckets",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

@@ -190,18 +190,30 @@ def transform_value(fld: PartitionField, v: Any) -> Any:
     raise AssertionError(fld.transform)
 
 
-def parse_partition_value(fld: PartitionField, raw: str | None) -> Any:
+def parse_partition_value(
+    fld: PartitionField, raw: str | None, like: Any = None
+) -> Any:
     """Parse a hive directory value back to the transform's domain so
-    it compares correctly against :func:`transform_value` output."""
+    it compares correctly against :func:`transform_value` output.
+
+    ``like`` is a sample transformed predicate constant: for
+    ``truncate`` the directory string alone is ambiguous (an INT
+    column writes ``v - v%W`` digits, but a STRING column's prefix
+    can ALSO look numeric — ``truncate(1)`` of ``"0"`` is ``"0"``),
+    so the predicate side's type decides. Guessing int from the raw
+    string pruned matching files for numeric-looking string columns
+    (caught by the hypothesis soundness property)."""
     if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
     if fld.transform == "bucket":
         return int(raw)
     if fld.transform == "truncate":
-        try:
-            return int(raw)
-        except ValueError:
-            return raw
+        if isinstance(like, int):
+            try:
+                return int(raw)
+            except ValueError:
+                return raw  # mismatched domain -> TypeError -> keep
+        return raw
     if fld.transform == "identity":
         return raw
     return raw  # calendar strings compare lexicographically by design
@@ -257,7 +269,8 @@ def partition_may_match(
     if mapped is None:
         return True
     mop, mval = mapped
-    pv = parse_partition_value(fld, raw)
+    sample = mval[0] if isinstance(mval, list) and mval else mval
+    pv = parse_partition_value(fld, raw, like=sample)
     if mop == "is_null":
         return pv is None
     if mop == "not_null":

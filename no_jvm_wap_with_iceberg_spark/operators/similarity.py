@@ -704,3 +704,68 @@ def pq_adc_topk(
     ranked = reduce(lambda a, b: a.unionByName(b), outs)
     w = W.partitionBy("query_id").orderBy("adc_dist", id_col)
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "dedup_pq_buckets",
+    """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sub AS (
+      SELECT vec_id, CAST((ord - 1) // 16 AS INT) AS m,
+             (ord - 1) % 16 AS p, val
+      FROM flat
+    ),
+    seeds AS (SELECT vec_id AS code, m, p, val FROM sub WHERE vec_id < 8),
+    d AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(CAST(SUM((s.val - c.val) * (s.val - c.val))
+                       AS DECIMAL(20,6)) AS DOUBLE) AS dist
+      FROM sub s JOIN seeds c ON s.m = c.m AND s.p = c.p
+      GROUP BY 1, 2, 3
+    ),
+    a AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id,
+             CAST(MAX(CASE WHEN m = 0 THEN code END) AS INT) AS code_0,
+             CAST(MAX(CASE WHEN m = 1 THEN code END) AS INT) AS code_1,
+             CAST(MAX(CASE WHEN m = 2 THEN code END) AS INT) AS code_2,
+             CAST(MAX(CASE WHEN m = 3 THEN code END) AS INT) AS code_3
+      FROM a GROUP BY vec_id
+    )
+    SELECT code_0, code_1, code_2, code_3,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(vec_id) AS BIGINT) AS keep_vec_id,
+           CAST(SUM(vec_id) AS BIGINT) AS member_sum
+    FROM codes GROUP BY 1, 2, 3, 4 HAVING COUNT(*) > 1
+    """,
+    doc="semantic dedup candidates via PQ buckets: vectors sharing "
+    "all 4 sub-codes land in one bucket (keep lowest id, the same "
+    "keep-first convention as exact dedup); the coarse stage of "
+    "embedding dedup at 100 TB — encode map-only, then ONE shuffle "
+    "on the 4-byte code tuple instead of any pairwise work; exact "
+    "verification over bucket members is dedup_embedding_lsh's "
+    "verify stage. Oracle replays the encode + bucket in SQL.",
+)
+def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(e, "vec_id", "embedding", n_sub=4, k=8)
+    return (
+        codes.groupBy("code_0", "code_1", "code_2", "code_3")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("keep_vec_id"),
+            F.sum("vec_id").alias("member_sum"),
+        )
+        .filter(F.col("n_vectors") > 1)
+    )
