@@ -182,3 +182,44 @@ def streaming_dedup_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_slots"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
     )
+
+
+def follow_changes(
+    spark: SparkSession,
+    cat,
+    table: str,
+    cursor: int | None,
+    branch: str = "main",
+):
+    """Incremental change-feed consumption: returns ``(feed_df,
+    new_cursor)`` where the feed covers every commit after ``cursor``
+    (a snapshot id; None = from table creation, i.e. the full current
+    state as inserts) and ``new_cursor`` resumes after them.
+
+    The poll-loop shape of a downstream CDC consumer: persist the
+    cursor with your output (the same transactional-cursor pattern as
+    ``stream_wap``'s ingest keys) and each call costs O(changed
+    data) — `Catalog.read_changes` replays only the files the new
+    commits touched. An unchanged table returns an empty frame and
+    the same cursor.
+    """
+    meta = cat.load_table(table, branch)
+    head = meta.current_snapshot_id
+    if cursor is None:
+        # initial load: current state as one insert batch
+        df = cat.read(spark, table, branch)
+        feed = df.select(
+            *df.columns,
+            F.lit("insert").alias("_change_type"),
+            F.lit(head if head is not None else -1).alias("_snapshot_id"),
+        )
+        return feed, head
+    if head == cursor:
+        empty = cat.read(spark, table, branch).limit(0)
+        feed = empty.select(
+            *empty.columns,
+            F.lit("insert").alias("_change_type"),
+            F.lit(-1).alias("_snapshot_id"),
+        ).limit(0)
+        return feed, cursor
+    return cat.read_changes(spark, table, cursor, head, branch), head

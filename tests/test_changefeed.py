@@ -143,3 +143,36 @@ def test_feed_unknown_ancestor_raises(spark, warehouse):
     cat.append(_df(spark, 0, 10), "t")
     with pytest.raises(ValueError, match="ancestor"):
         cat.read_changes(spark, "t", 999999)
+
+
+def test_follow_changes_cursor_loop(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.streaming.ingest import follow_changes
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 20), "t")
+
+    # initial load: full state as inserts
+    feed, cur = follow_changes(spark, cat, "t", None)
+    assert feed.count() == 20
+    assert feed.filter("_change_type = 'insert'").count() == 20
+
+    # no new commits -> empty feed, cursor unchanged
+    feed2, cur2 = follow_changes(spark, cat, "t", cur)
+    assert feed2.count() == 0 and cur2 == cur
+    assert feed2.columns == ["id", "name", "_change_type", "_snapshot_id"]
+
+    # a mutation batch -> exactly its delta, new cursor
+    cat.append(_df(spark, 20, 30, "y"), "t")
+    cat.delete_where(
+        spark, "t", Predicate.between("id", 0, 4), "id BETWEEN 0 AND 4",
+        mode="mor",
+    )
+    feed3, cur3 = follow_changes(spark, cat, "t", cur)
+    assert cur3 != cur
+    assert feed3.filter("_change_type = 'insert'").count() == 10
+    assert feed3.filter("_change_type = 'delete'").count() == 5
+    # replay across the whole history reproduces the state
+    assert _replay(cat, spark, "t", None if False else cur) == _state(
+        cat, spark, "t"
+    )
