@@ -108,6 +108,7 @@ _TAIL = [
     "catalog_update_where",
     "catalog_changelog",
     "dedup_pq_buckets",
+    "window_frame_suite",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

@@ -1711,3 +1711,84 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "window_frame_suite",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                       o_orderdate) AS day
+      FROM orders WHERE o_custkey < 100
+    )
+    SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY day
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_30d,
+           CAST(ntile(4) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY day, o_orderkey) AS INT) AS quartile,
+           CAST(first_value(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY day, o_orderkey) AS DOUBLE) AS first_price,
+           CAST(last_value(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY day, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS DOUBLE)
+             AS last_price,
+           CAST(nth_value(o_totalprice, 2) OVER (
+                  PARTITION BY o_custkey ORDER BY day, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS DOUBLE)
+             AS second_price
+    FROM o
+    """,
+    doc="window FRAME coverage beyond the running/moving/rank suites: "
+    "a value-based RANGE frame (30-day trailing revenue over integer "
+    "epoch-days — rows sharing an order value share the frame, so no "
+    "tie-break is needed for determinism), ntile quartiles and "
+    "first/last/nth_value over full-partition ROWS frames (unique "
+    "(day, orderkey) tie-break). One exchange on o_custkey serves "
+    "every window; sums stage through DECIMAL(18,2).",
+)
+def window_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day"),
+        )
+    )
+    w_range = (
+        W.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    )
+    w_ord = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    w_full = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_range)
+        .cast("double")
+        .alias("sum_30d"),
+        F.ntile(4).over(w_ord).cast("int").alias("quartile"),
+        F.first("o_totalprice").over(w_ord).cast("double").alias(
+            "first_price"
+        ),
+        F.last("o_totalprice").over(w_full).cast("double").alias(
+            "last_price"
+        ),
+        F.nth_value("o_totalprice", 2).over(w_full).cast("double").alias(
+            "second_price"
+        ),
+    )
