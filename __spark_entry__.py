@@ -109,6 +109,7 @@ _TAIL = [
     "catalog_changelog",
     "dedup_pq_buckets",
     "window_frame_suite",
+    "agg_stats_moments",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

@@ -1792,3 +1792,73 @@ def window_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_price"
         ),
     )
+
+
+@register(
+    "agg_stats_moments",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / CAST(n AS DOUBLE) AS mean_qty,
+           (CAST(n AS DOUBLE) * sxx - sx * sx)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+             AS var_qty,
+           sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+             AS stddev_qty,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+             AS corr_qty_price
+    FROM m
+    """,
+    doc="statistical aggregates the deterministic way: stddev/var/"
+    "corr are NOT cross-engine stable as built-ins (parallel merge "
+    "formulas vs sequential accumulation differ in the last ulp), so "
+    "they are computed from EXACT decimal moment sums (2-decimal "
+    "inputs make scale-4 products exact — zero rounding) followed by "
+    "an identical double expression tree in both engines. The moment "
+    "sums partial-aggregate map-side: one shuffle of 5 decimals per "
+    "group regardless of data size — the same shape the classifier "
+    "and k-means training use.",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    dec = "decimal(38,4)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    var = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) / (nd * (nd - 1))
+    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / nd).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        corr.alias("corr_qty_price"),
+    )
