@@ -173,5 +173,50 @@ def wap_ingest_soak(spark, n_batches: int = 100, rows_per_batch: int = 2_000):
         )
 
 
+def changefeed_soak(spark, sizes=(100_000, 400_000), batch=5_000):
+    """O(changed data) evidence for read_changes: the SAME mutation
+    batch (one append + one MoR delete) against bases of different
+    sizes must cost the feed roughly the same — the feed touches the
+    files the commits touched, never the table."""
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    for base_rows in sizes:
+        with tempfile.TemporaryDirectory() as wh:
+            cat = Catalog(wh)
+            cat.create_table("t", schema)
+            m0 = cat.append(
+                spark.range(base_rows).select(
+                    F.col("id"), F.lit("base").alias("v")
+                ),
+                "t",
+            )
+            cat.append(
+                spark.range(base_rows, base_rows + batch).select(
+                    F.col("id"), F.lit("new").alias("v")
+                ),
+                "t",
+            )
+            cat.delete_where(
+                spark, "t", [],
+                f"id < {batch // 2}", mode="mor",
+            )
+            t0 = time.time()
+            n = cat.read_changes(
+                spark, "t", m0.current_snapshot_id
+            ).count()
+            dt = time.time() - t0
+            print(
+                f"changefeed-soak: base={base_rows} rows, feed of "
+                f"{n} change rows in {dt:.2f}s"
+            )
+
+
 if __name__ == "__main__":
     main()
