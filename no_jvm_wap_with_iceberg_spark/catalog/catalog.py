@@ -227,6 +227,49 @@ class Catalog:
 
         self._update_refs(apply)
 
+    def preview_publish(
+        self,
+        spark: SparkSession,
+        table: str,
+        branch: str,
+        base_branch: str = MAIN,
+    ) -> DataFrame:
+        """What publishing ``branch`` would change on ``base_branch``:
+        the change feed from the base's current table snapshot to the
+        branch's — every row the publish would add or remove, BEFORE
+        the fast-forward happens. The review surface the WAP audit
+        story was missing: audits assert predicates, this shows the
+        delta itself (row-exact, O(changed data)).
+
+        Requires the base's snapshot to be an ancestor of the
+        branch's (the same fast-forward precondition ``merge``
+        enforces — when it raises here, the merge would conflict
+        anyway). A table absent on the base previews as its full
+        branch state (all inserts).
+        """
+        branch_meta = self.load_table(table, branch)
+        if not self.table_exists(table, base_branch):
+            df = self.read(spark, table, branch)
+            from pyspark.sql import functions as F
+
+            return df.select(
+                *df.columns,
+                F.lit("insert").alias("_change_type"),
+                F.lit(
+                    branch_meta.current_snapshot_id
+                    if branch_meta.current_snapshot_id is not None
+                    else -1
+                ).alias("_snapshot_id"),
+            )
+        base_meta = self.load_table(table, base_branch)
+        return self.read_changes(
+            spark,
+            table,
+            base_meta.current_snapshot_id,
+            branch_meta.current_snapshot_id,
+            branch,
+        )
+
     def log(self, branch: str = MAIN) -> list[dict[str, Any]]:
         """Commit log (newest first) for a branch."""
         out = []

@@ -176,3 +176,29 @@ def test_follow_changes_cursor_loop(spark, warehouse):
     assert _replay(cat, spark, "t", None if False else cur) == _state(
         cat, spark, "t"
     )
+
+
+def test_preview_publish_shows_branch_delta(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 50), "t")
+    cat.create_branch("stage")
+    cat.append(_df(spark, 50, 60, "y"), "t", "stage")
+    cat.delete_where(
+        spark, "t", Predicate.between("id", 0, 4), "id BETWEEN 0 AND 4",
+        mode="mor", branch="stage",
+    )
+    prev = cat.preview_publish(spark, "t", "stage")
+    assert prev.filter("_change_type = 'insert'").count() == 10
+    assert prev.filter("_change_type = 'delete'").count() == 5
+    # main untouched until the actual publish
+    assert cat.read(spark, "t").count() == 50
+    cat.merge("stage")
+    assert cat.read(spark, "t").count() == 55
+    # a table new on the branch previews as all inserts
+    cat.create_branch("stage2")
+    cat.create_table("t2", SCHEMA, "stage2")
+    cat.append(_df(spark, 0, 7), "t2", "stage2")
+    prev2 = cat.preview_publish(spark, "t2", "stage2")
+    assert prev2.count() == 7
+    assert {r["_change_type"] for r in prev2.collect()} == {"insert"}
