@@ -110,6 +110,8 @@ _TAIL = [
     "dedup_pq_buckets",
     "window_frame_suite",
     "agg_stats_moments",
+    "sketch_error_bounds_gate",
+    "similarity_ann_recall_gate",
     "catalog_files_metadata",
     "catalog_snapshots_metadata",
     "catalog_rollback_read",

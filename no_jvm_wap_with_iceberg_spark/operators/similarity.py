@@ -769,3 +769,42 @@ def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_vectors") > 1)
     )
+
+
+@register(
+    "similarity_ann_recall_gate",
+    """
+    SELECT 'lsh' AS method, true AS recall_ok
+    UNION ALL
+    SELECT 'ivf', true
+    """,
+    doc="assertion-gate companion to the two rows-only ANN queries: "
+    "Spark computes approximate AND brute-force top-5 for the same "
+    "20 queries, measures recall in-plan (a count ratio over the "
+    "joined result sets), and emits one boolean per method asserting "
+    "recall >= 0.5 (the bound pytest enforces at sf0.001); the "
+    "oracle states both must be true. An ANN recall regression now "
+    "fails the driver hash gate instead of hiding behind a rows-only "
+    "row count.",
+)
+def similarity_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(e, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def recall_ok(approx: DataFrame, method: str) -> DataFrame:
+        hit = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        total = exact.count()
+        return spark.createDataFrame(
+            [(method, bool(hit >= 0.5 * total))], "method string, recall_ok boolean"
+        )
+
+    lsh = recall_ok(ann_lsh_topk(e, queries, k=5), "lsh")
+    ivf = recall_ok(ann_ivf_topk(e, queries, k=5), "ivf")
+    return lsh.unionByName(ivf)

@@ -1862,3 +1862,55 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var).alias("stddev_qty"),
         corr.alias("corr_qty_price"),
     )
+
+
+@register(
+    "sketch_error_bounds_gate",
+    """
+    SELECT event_type,
+           true AS users_within_1pct,
+           true AS p50_within_band,
+           true AS p99_within_band
+    FROM events GROUP BY event_type
+    """,
+    doc="assertion-gate companion to sketch_events_approx_stats "
+    "(which is rows-only by construction): Spark computes BOTH the "
+    "sketch and the exact answer, emits per-group booleans asserting "
+    "the sketch landed inside its documented error envelope (HLL "
+    "rsd=1% -> +-5 sigma; approx_percentile accuracy=10k -> the "
+    "returned value's exact rank within n/1000 of the target), and "
+    "the oracle states those booleans must all be true. A sketch "
+    "regression now fails the driver hash gate instead of hiding "
+    "behind a rows-only check.",
+)
+def sketch_error_bounds_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("au"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("p99"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("eu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # exact rank of the sketch's percentile answers
+    ranked = ev.join(approx.select("event_type", "p50", "p99"), "event_type")
+    ranks = ranked.groupBy("event_type").agg(
+        F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("r50"),
+        F.sum((F.col("value") <= F.col("p99")).cast("long")).alias("r99"),
+    )
+    j = approx.join(exact, "event_type").join(ranks, "event_type")
+    n = F.col("n").cast("double")
+    return j.select(
+        "event_type",
+        (F.abs(F.col("au") - F.col("eu")) <= F.col("eu") * 0.05).alias(
+            "users_within_1pct"
+        ),
+        (
+            F.abs(F.col("r50") - n * 0.5) <= F.greatest(n / 1000, F.lit(1.0))
+        ).alias("p50_within_band"),
+        (
+            F.abs(F.col("r99") - n * 0.99) <= F.greatest(n / 1000, F.lit(1.0))
+        ).alias("p99_within_band"),
+    )
