@@ -613,12 +613,16 @@ class Catalog:
                 # point updates on scattered keys rewrite just the files
                 # that truly hold those keys
                 keys = None
-                if any(key in f.blooms for f in files):
+                # pre-rename files key stats/blooms under the old name
+                names = [key] + list(meta.rename_history.get(key, ()))
+                if any(n in f.blooms for f in files for n in names):
                     sample = d.select(key).distinct().limit(10_001).collect()
                     if len(sample) <= 10_000:
                         keys = [r[0] for r in sample]
                 for f in files:
-                    st = f.columns.get(key, {})
+                    st = next(
+                        (f.columns[n] for n in names if n in f.columns), {}
+                    )
                     mn, mx = st.get("min"), st.get("max")
                     try:
                         overlaps = not (
@@ -626,9 +630,10 @@ class Catalog:
                         )
                     except TypeError:
                         overlaps = True  # incomparable stats -> conservative
-                    if overlaps and keys is not None and key in f.blooms:
+                    bname = next((n for n in names if n in f.blooms), None)
+                    if overlaps and keys is not None and bname is not None:
                         overlaps = any(
-                            bloom_may_contain(f.blooms[key], k) for k in keys
+                            bloom_may_contain(f.blooms[bname], k) for k in keys
                         )
                     if overlaps:
                         affected.append(f)
@@ -689,7 +694,10 @@ class Catalog:
         def build(meta: TableMetadata):
             with_conds = meta.files_with_deletes()
             affected_raw = prune_files(
-                [f for f, _ in with_conds], predicates, meta.all_partition_fields
+                [f for f, _ in with_conds],
+                predicates,
+                meta.all_partition_fields,
+                name_history=meta.rename_history,
             )
             if not affected_raw:
                 return None, ""
@@ -761,7 +769,10 @@ class Catalog:
                 raise ValueError(f"SET columns not in schema: {bad}")
             with_conds = meta.files_with_deletes()
             affected_raw = prune_files(
-                [f for f, _ in with_conds], predicates, meta.all_partition_fields
+                [f for f, _ in with_conds],
+                predicates,
+                meta.all_partition_fields,
+                name_history=meta.rename_history,
             )
             if not affected_raw:
                 return None, ""
@@ -821,9 +832,11 @@ class Catalog:
         with_conds = meta.files_with_deletes()
         sample = kdf.limit(10_001).collect()
         keys = [r[0] for r in sample] if len(sample) <= 10_000 else None
+        # pre-rename files key their stats/blooms under the old name
+        names = [key] + list(meta.rename_history.get(key, ()))
         affected: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
         for f, specs in with_conds:
-            st = f.columns.get(key, {})
+            st = next((f.columns[n] for n in names if n in f.columns), {})
             mn, mx = st.get("min"), st.get("max")
             try:
                 overlaps = not (
@@ -831,8 +844,11 @@ class Catalog:
                 )
             except TypeError:
                 overlaps = True
-            if overlaps and keys is not None and key in f.blooms:
-                overlaps = any(bloom_may_contain(f.blooms[key], k) for k in keys)
+            bname = next((n for n in names if n in f.blooms), None)
+            if overlaps and keys is not None and bname is not None:
+                overlaps = any(
+                    bloom_may_contain(f.blooms[bname], k) for k in keys
+                )
             if overlaps:
                 affected.append((f, specs))
         return affected
@@ -1054,6 +1070,7 @@ class Catalog:
                     [f for f, _ in with_deletes],
                     predicates,
                     meta.all_partition_fields,
+                    name_history=meta.rename_history,
                 )
             }
             with_deletes = [(f, c) for f, c in with_deletes if f.path in keep]
@@ -1161,6 +1178,19 @@ class Catalog:
         schema = meta.spark_schema
         cols = [f.name for f in schema.fields]
         types = {f.name: f.dataType for f in schema.fields}
+        hist = meta.rename_history
+        old_to_new = {o: c for c, olds in hist.items() for o in olds}
+
+        def with_hist(df: DataFrame) -> DataFrame:
+            """Expose historical column names as aliases of their
+            current columns, so conditions / SET exprs recorded before
+            a later ``rename_column`` still resolve during replay (no
+            collision risk: renamed-away names are barred from reuse).
+            ``tag``'s ``select(*cols)`` drops the aliases again."""
+            for cur, olds in hist.items():
+                for o in olds:
+                    df = df.withColumn(o, F.col(cur))
+            return df
 
         def tag(df: DataFrame, change: str, sid: int) -> DataFrame:
             return df.select(*cols).select(
@@ -1182,7 +1212,7 @@ class Catalog:
         def spec_deletes(s) -> list[DataFrame]:
             out = []
             for spec in s.deletes:
-                base = parent_rows(s, spec.get("targets") or [])
+                base = with_hist(parent_rows(s, spec.get("targets") or []))
                 if spec.get("condition") is not None:
                     out.append(
                         base.filter(
@@ -1244,7 +1274,7 @@ class Catalog:
                     tag(self._df_for_files(spark, meta, s.added_files), "insert", sid)
                 )
             elif s.operation == "rewrite":
-                pre = parent_rows(s, s.removed_paths)
+                pre = with_hist(parent_rows(s, s.removed_paths))
                 cond = F.coalesce(
                     F.expr(s.summary.get("condition", "false")), F.lit(False)
                 )
@@ -1269,7 +1299,10 @@ class Catalog:
                 elif cdc == "update":
                     matched = pre.filter(cond)
                     parts.append(tag(matched, "delete", sid))
-                    set_exprs = json.loads(s.summary["set"])
+                    set_exprs = {
+                        old_to_new.get(k, k): v
+                        for k, v in json.loads(s.summary["set"]).items()
+                    }
                     post = matched.select(
                         *[
                             (
@@ -1307,10 +1340,45 @@ class Catalog:
         ``_metadata.file_path`` (see ``_file_path_col``) against the
         raw Python-side path — NOT basenames: a partitioned write
         emits the same part-file name into every partition dir, so
-        basenames collide within one commit."""
+        basenames collide within one commit.
+
+        After ``rename_column`` the scan schema carries BOTH the
+        current and the historical names (typed alike; parquet yields
+        NULL for whichever a file lacks — no extra IO) and the output
+        projects ``coalesce(current, old, older...)`` — one scan for
+        any mix of pre/post-rename files."""
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         schema = meta.spark_schema
+        hist = meta.rename_history
+
+        def scan_schema(base: T.StructType) -> T.StructType:
+            if not hist:
+                return base
+            extra = [
+                T.StructField(o, f.dataType, True)
+                for f in base.fields
+                for o in hist.get(f.name, ())
+            ]
+            return T.StructType(list(base.fields) + extra)
+
+        def fold(f: T.StructField):
+            olds = hist.get(f.name, ())
+            if not olds:
+                return F.col(f.name)
+            return F.coalesce(F.col(f.name), *[F.col(o) for o in olds]).alias(
+                f.name
+            )
+
+        def unrename(df: DataFrame, base: T.StructType) -> DataFrame:
+            if not hist:
+                return df
+            keep = [c for c in df.columns if c == "__mor_path"]
+            return df.select(
+                *[fold(f) for f in base.fields], *[F.col(c) for c in keep]
+            )
+
         if not files:
             df = spark.createDataFrame([], schema)
             return (
@@ -1324,10 +1392,10 @@ class Catalog:
             # full user schema (the derived value lives in the dir
             # name alone) — a plain multi-path scan is exact, no
             # partition attach needed
-            df = spark.read.schema(schema).parquet(*paths)
+            df = spark.read.schema(scan_schema(schema)).parquet(*paths)
             if with_path:
                 df = df.withColumn("__mor_path", _file_path_col())
-            return df
+            return unrename(df, schema)
         if meta.partition_by:
             # hive-partitioned layout: partition values live in paths,
             # but directory INFERENCE (basePath) breaks as soon as live
@@ -1344,8 +1412,8 @@ class Catalog:
             # mixed specs: only identity values need re-attaching;
             # hidden-transform values never join the user schema
             pcols = meta.identity_partition_cols
-            data_schema = T.StructType(
-                [f for f in schema.fields if f.name not in pcols]
+            data_schema = scan_schema(
+                T.StructType([f for f in schema.fields if f.name not in pcols])
             )
 
             def pval(raw: str | None):
@@ -1369,15 +1437,22 @@ class Catalog:
                 .withColumn("__pf_path", _file_path_col())
                 .join(F.broadcast(pframe), "__pf_path")
             )
-            types = {f.name: f.dataType for f in schema.fields}
-            cols = [F.col(f.name).cast(types[f.name]) for f in schema.fields]
+            cols = []
+            for f in schema.fields:
+                olds = hist.get(f.name, ())
+                expr = (
+                    F.coalesce(F.col(f.name), *[F.col(o) for o in olds])
+                    if olds
+                    else F.col(f.name)
+                )
+                cols.append(expr.cast(f.dataType).alias(f.name))
             if with_path:
                 cols.append(F.col("__pf_path").alias("__mor_path"))
             return df.select(*cols)
-        df = spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(scan_schema(schema)).parquet(*paths)
         if with_path:
             df = df.withColumn("__mor_path", _file_path_col())
-        return df
+        return unrename(df, schema)
 
     def _df_applying_deletes(
         self,
@@ -1666,6 +1741,114 @@ class Catalog:
                     properties=props,
                 ),
                 f"DROP COLUMN {table}.{name}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
+    def rename_column(
+        self, table: str, old: str, new: str, branch: str = MAIN
+    ) -> TableMetadata:
+        """Rename a column (metadata-only — no data rewrite).
+
+        This format maps columns by NAME, so old data files keep the
+        historical name forever; instead of Iceberg's field-id
+        indirection, the commit records the ``old -> new`` pair in the
+        ``renamed_columns`` property and the read path scans BOTH
+        names (parquet fills the one a file lacks with NULLs — free)
+        and emits ``coalesce(new, old)`` — still one scan, any mix of
+        pre/post-rename files, chained renames fold
+        (:meth:`TableMetadata.rename_history`). Stats/bloom pruning
+        falls back through the historical names, so old files keep
+        pruning on predicates over the new name. Compaction rewrites
+        files under the current schema, so the indirection retires
+        with the old files.
+
+        Refused when ``old`` is load-bearing the same way
+        :meth:`drop_column` refuses: a partition-spec source, a
+        sort/z-order key, or referenced by a pending merge-on-read
+        delete (its stored SQL would silently stop matching). Both
+        the old name and any previously-dropped name are barred from
+        reuse (zombie-column hazard: files still carry their values).
+
+        Reference scope: schema evolution raises NotImplementedError
+        there (``pyiceberg_patch_nessie.py:230-264``); Iceberg-on-
+        Spark has RENAME native via field ids.
+        """
+        import re
+
+        def build(meta: TableMetadata):
+            from pyspark.sql import types as T
+
+            schema = meta.spark_schema
+            if old not in schema.fieldNames():
+                raise KeyError(f"column {old!r} not found on {table!r}")
+            if new in schema.fieldNames():
+                raise ValueError(f"column {new!r} already exists on {table!r}")
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+                raise ValueError(f"invalid column name {new!r}")
+            dropped = [
+                c for c in meta.properties.get("dropped_columns", "").split(",") if c
+            ]
+            if new in dropped:
+                raise ValueError(
+                    f"column name {new!r} was previously dropped or renamed "
+                    f"away on {table!r}; old data files still carry it, so "
+                    "reusing the name would resurrect stale values. Use a "
+                    "fresh name."
+                )
+            sources = {f.source for f in meta.all_partition_fields}
+            zcols = [c for c in meta.properties.get("zorder_by", "").split(",") if c]
+            if old in sources or old in meta.sort_by or old in zcols:
+                raise ValueError(
+                    f"column {old!r} is a partition/sort/z-order key; "
+                    "evolve the spec first"
+                )
+            word = re.compile(rf"\b{re.escape(old)}\b")
+            for _f, specs in meta.files_with_deletes():
+                for spec in specs:
+                    ref = spec.condition or spec.key or ""
+                    if word.search(ref):
+                        raise ValueError(
+                            f"column {old!r} is referenced by a pending "
+                            "merge-on-read delete; compact() first"
+                        )
+            new_schema = T.StructType(
+                [
+                    T.StructField(new, f.dataType, f.nullable, f.metadata)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            props = dict(meta.properties)
+            pairs = json.loads(props.get("renamed_columns", "[]"))
+            pairs.append([old, new])
+            props["renamed_columns"] = json.dumps(pairs)
+            seen_drops = [
+                c for c in props.get("dropped_columns", "").split(",") if c
+            ]
+            if old not in seen_drops:
+                seen_drops.append(old)
+            props["dropped_columns"] = ",".join(seen_drops)
+            blooms = [
+                c for c in props.get("bloom_cols", "").split(",") if c
+            ]
+            if old in blooms:
+                props["bloom_cols"] = ",".join(
+                    new if c == old else c for c in blooms
+                )
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=new_schema.jsonValue(),
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=meta.sort_by,
+                    properties=props,
+                ),
+                f"RENAME COLUMN {table}.{old} -> {new}",
             )
 
         return self._optimistic_commit(table, branch, build)

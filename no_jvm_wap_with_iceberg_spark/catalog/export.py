@@ -52,11 +52,9 @@ def duckdb_view_sql(
     delete API stores the row filter as SQL text).
     """
     meta = cat.load_table(table, branch)
-    groups: dict[tuple[str, ...], list[str]] = {}
+    groups: dict[tuple[str, ...], list] = {}
     for f, conds in meta.files_with_deletes(snapshot_id):
-        groups.setdefault(conds, []).append(
-            os.path.join(cat.warehouse, f.path)
-        )
+        groups.setdefault(conds, []).append(f)
     name = view_name or f"{table}_{branch}"
     # hive_partitioning only when identity values must come back as
     # columns; hidden-transform values live in dir names but are NOT
@@ -73,12 +71,53 @@ def duckdb_view_sql(
             f"NULL AS {f['name']}" for f in meta.schema_json["fields"]
         )
         return f"CREATE OR REPLACE VIEW {name} AS SELECT {cols} WHERE 1 = 0"
+    hist = meta.rename_history
+    field_names = [f["name"] for f in meta.schema_json["fields"]]
     selects = []
-    for specs, paths in sorted(
-        groups.items(), key=lambda kv: sorted(kv[1])
+    for specs, entries in sorted(
+        groups.items(), key=lambda kv: sorted(e.path for e in kv[1])
     ):
+        paths = [os.path.join(cat.warehouse, e.path) for e in entries]
+        # top-level column names this group's files actually carry
+        # (footer stats key leaf paths — `embedding.list.element` —
+        # so match on the first path segment)
+        per_file = [{k.split(".")[0] for k in e.columns} for e in entries]
+        present = set().union(*per_file)
+        # schema-era mapping: files written before an add/drop/rename
+        # don't match the current schema, so `SELECT *` would either
+        # error (mixed schemas in one read_parquet) or surface stale
+        # names. When every file matches the current schema, keep the
+        # plain star (cheapest, proven); otherwise project explicitly
+        # over a union_by_name read: current name, else
+        # COALESCE(historical names), else NULL (added later).
+        known = set(field_names) | set(identity) | set(derived)
+        uniform = not hist and all(
+            all(f in pf or f in identity for f in field_names)
+            and all(p in known for p in pf)  # dropped cols = extra
+            for pf in per_file  # EVERY file must match the schema
+        )
+        if uniform:
+            proj, union = star, ""
+        else:
+            items = []
+            for f in field_names:
+                if f in identity:
+                    items.append(f)
+                    continue
+                carried = [
+                    c for c in [f] + list(hist.get(f, ())) if c in present
+                ]
+                if not carried:
+                    items.append(f"NULL AS {f}")
+                elif carried == [f]:
+                    items.append(f)
+                elif len(carried) == 1:
+                    items.append(f"{carried[0]} AS {f}")
+                else:
+                    items.append(f"COALESCE({', '.join(carried)}) AS {f}")
+            proj, union = ", ".join(items), ", union_by_name = true"
         file_list = ", ".join(_sql_quote(p) for p in sorted(paths))
-        sql = f"SELECT {star} FROM read_parquet([{file_list}]{hive})"
+        sql = f"SELECT {proj} FROM read_parquet([{file_list}]{hive}{union})"
         clauses = []
         for s in specs:
             if s.condition is not None:

@@ -64,14 +64,23 @@ def _norm(v: Any) -> Any:
     return v
 
 
-def _file_may_match(f: FileEntry, p: Predicate) -> bool:
-    """Conservative: True unless stats PROVE no row can match."""
-    if p.op == "eq" and p.column in f.blooms:
+def _file_may_match(
+    f: FileEntry, p: Predicate, name_history: dict[str, list[str]] | None = None
+) -> bool:
+    """Conservative: True unless stats PROVE no row can match.
+
+    ``name_history`` maps a current column name to its historical
+    names (after ``rename_column``); a file written before the rename
+    keys its stats/blooms under the old name, so the lookup falls back
+    through the chain — old files keep pruning on the new name."""
+    names = [p.column] + list((name_history or {}).get(p.column, ()))
+    bloom_name = next((n for n in names if n in f.blooms), None)
+    if p.op == "eq" and bloom_name is not None:
         from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
 
-        if not bloom_may_contain(f.blooms[p.column], p.value):
+        if not bloom_may_contain(f.blooms[bloom_name], p.value):
             return False  # bloom proves absence; min/max can only agree
-    st = f.columns.get(p.column)
+    st = next((f.columns[n] for n in names if n in f.columns), None)
     if st is None:
         return True  # no stats -> cannot prune
     nulls, mn, mx = st.get("nulls"), st.get("min"), st.get("max")
@@ -105,6 +114,7 @@ def prune_files(
     files: Iterable[FileEntry],
     predicates: Iterable[Predicate],
     partition_fields: list | None = None,
+    name_history: dict[str, list[str]] | None = None,
 ) -> list[FileEntry]:
     """Keep only files that may contain rows matching ALL predicates.
 
@@ -145,6 +155,6 @@ def prune_files(
                     break
             if not keep:
                 break
-        if keep and all(_file_may_match(f, p) for p in preds):
+        if keep and all(_file_may_match(f, p, name_history) for p in preds):
             out.append(f)
     return out

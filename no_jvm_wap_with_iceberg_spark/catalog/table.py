@@ -311,6 +311,27 @@ class TableMetadata:
         return fields
 
     @property
+    def rename_history(self) -> dict[str, list[str]]:
+        """current column name -> historical names, newest first.
+
+        ``rename_column`` appends ``[old, new]`` pairs (commit order)
+        to the ``renamed_columns`` property; this folds chains, so
+        after ``a -> b -> c`` the map is ``{"c": ["b", "a"]}``. Data
+        files written before a rename still carry the historical name
+        — the read path coalesces through the chain, and stats/bloom
+        lookups fall back through it. Entries whose current name was
+        later dropped are filtered out (the dropped guard keeps the
+        names unreusable either way)."""
+        import json as _json
+
+        pairs = _json.loads(self.properties.get("renamed_columns", "[]"))
+        hist: dict[str, list[str]] = {}
+        for old, new in pairs:
+            hist[new] = [old] + hist.pop(old, [])
+        live = set(self.spark_schema.fieldNames())
+        return {k: v for k, v in hist.items() if k in live}
+
+    @property
     def identity_partition_cols(self) -> list[str]:
         """Source columns partitioned by identity: these are dropped
         from data files by the hive layout and re-attached at read.
@@ -414,9 +435,10 @@ class TableMetadata:
 
     def null_count(self, column: str, snapshot_id: int | None = None) -> int | None:
         """Exact null count from file stats, or None if any file lacks them."""
+        names = [column] + list(self.rename_history.get(column, ()))
         total = 0
         for f in self.files(snapshot_id):
-            st = f.columns.get(column)
+            st = next((f.columns[n] for n in names if n in f.columns), None)
             if st is None or st.get("nulls") is None:
                 return None
             total += st["nulls"]

@@ -671,3 +671,66 @@ def catalog_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "catalog_rename_column",
+    """
+    WITH renamed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+      FROM orders
+    ),
+    survivors AS (
+      SELECT * FROM renamed WHERE NOT coalesce(price < 1000, false)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM survivors GROUP BY o_orderstatus
+    """,
+    doc="column RENAME through the catalog: even orders seed the "
+    "table, o_totalprice is renamed to price (metadata-only — the "
+    "seed files keep the old name forever), odd orders append under "
+    "the NEW name, then a merge-on-read delete filters on the renamed "
+    "column. The read coalesces both names in ONE scan (no per-era "
+    "split), stats pruning falls back through the rename history, and "
+    "the aggregate must be identical to renaming in plain SQL. "
+    "Iceberg does this with field ids; here a rename-history name "
+    "mapping (tests/test_rename.py). The reference's schema evolution "
+    "raises NotImplementedError (pyiceberg_patch_nessie.py:230-264).",
+)
+def catalog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("rename_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "orders_rn"
+    )
+    cat.rename_column("orders_rn", "o_totalprice", "price")
+    cat.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+        "orders_rn",
+    )
+    cat.delete_where(
+        spark,
+        "orders_rn",
+        [Predicate("lt", "price", 1000)],
+        "price < 1000",
+        mode="mor",
+    )
+    out = cat.read(spark, "orders_rn")
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
