@@ -100,6 +100,7 @@ _TAIL = [
     # new in round 3 AFTER the head filled — rotate into the round-4
     # head first (never driver-checked)
     "catalog_rename_column",
+    "streaming_merge_apply",
     "text_quality_logreg",
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",

@@ -734,3 +734,95 @@ def catalog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "streaming_merge_apply",
+    """
+    WITH up AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(1.2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 2 AND o_orderkey % 17 != 4
+    ),
+    ins AS (
+      SELECT o_orderkey + 20000000 AS o_orderkey,
+             'S' AS o_orderstatus,
+             o_totalprice * CAST(0.25 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0
+    ),
+    del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 17 = 4),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+      UNION ALL SELECT * FROM up
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="streaming CDC apply end-to-end: a CDC batch (updates on "
+    "o_orderkey%5=2, shifted-key inserts for %89=0, tombstones for "
+    "%17=4) lands as a parquet file; an availableNow file-source "
+    "stream applies it through Catalog.merge_rows in foreachBatch "
+    "(one merge-on-read commit per micro-batch, checkpoint + ingest "
+    "keys for exactly-once state). The oracle reconstructs the merged "
+    "state with SQL set ops over the same orders input. The streaming "
+    "machinery is real — readStream, checkpoint, trigger — not a "
+    "batch stand-in.",
+)
+def streaming_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.streaming.ingest import stream_merge
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = _tmp_warehouse("stream_merge_")
+    cat = Catalog(os.path.join(base, "wh"))
+    cat.create_table_from_df(orders, "orders_sm")
+
+    key = F.col("o_orderkey")
+    cdc = (
+        orders.filter((key % 5 == 2) & (key % 17 != 4))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.2)
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            orders.filter(key % 89 == 0)
+            .withColumn("o_orderkey", key + 20_000_000)
+            .withColumn("o_orderstatus", F.lit("S"))
+            .withColumn("o_totalprice", F.col("o_totalprice") * 0.25)
+            .withColumn("_deleted", F.lit(False))
+        )
+        .unionByName(
+            orders.filter(key % 17 == 4).withColumn("_deleted", F.lit(True))
+        )
+    )
+    landing = os.path.join(base, "landing")
+    cdc.coalesce(1).write.mode("overwrite").parquet(landing)
+
+    q = stream_merge(
+        spark,
+        landing,
+        cat,
+        "orders_sm",
+        key="o_orderkey",
+        schema=cdc.schema,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        delete_col="_deleted",
+    )
+    q.awaitTermination()
+
+    out = cat.read(spark, "orders_sm")
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )

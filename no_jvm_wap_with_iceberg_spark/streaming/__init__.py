@@ -1,4 +1,7 @@
 from no_jvm_wap_with_iceberg_spark.streaming.ingest import (
+    dedup_within_watermark,
+    follow_changes,
+    stream_merge,
     stream_wap,
     windowed_event_counts,
 )
@@ -8,8 +11,11 @@ from no_jvm_wap_with_iceberg_spark.streaming.sessionize import (
 )
 
 __all__ = [
+    "dedup_within_watermark",
+    "follow_changes",
     "sessionize",
     "sessionize_stream",
+    "stream_merge",
     "stream_wap",
     "windowed_event_counts",
 ]

@@ -63,6 +63,70 @@ def stream_wap(
     return writer.start()
 
 
+def stream_merge(
+    spark: SparkSession,
+    landing_dir: str,
+    cat,
+    table: str,
+    key: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    delete_col: str | None = None,
+    branch: str = "main",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming CDC apply: land CDC batches (upserts + optional
+    ``delete_col`` tombstones) as parquet files and MERGE each
+    micro-batch into a catalog table via :meth:`Catalog.merge_rows` —
+    the streaming front door for an update-heavy table (a Kafka/Debezium
+    consumer in production; the file source stands in for the queue the
+    same way it stands in for S3 events in :func:`stream_wap`).
+
+    Delivery is exactly-once at the STATE level by two layers:
+
+    - the checkpoint makes micro-batch ids stable across restarts, and
+      an ingest key per (table, batch) skips a batch whose merge
+      already committed (crash between commit and checkpoint ack);
+    - even a replayed merge converges: MERGE by key masks every older
+      row holding an incoming key — including rows the first attempt
+      inserted — and re-inserts the same rows, so applying a batch
+      twice yields byte-identical table state (asserted in
+      tests/test_streaming.py).
+
+    Ordering: within one stream the file source processes micro-batches
+    sequentially, so CDC batches apply in arrival order;
+    ``maxFilesPerTrigger=1`` forces one landed file per merge commit
+    when per-file ordering matters.
+
+    At 100 TB each micro-batch costs O(batch) — merge-on-read commit,
+    no table rewrite — with :meth:`Catalog.compact` folding pending
+    deletes on its own cadence.
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_dir)
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        ingest_key = f"stream-merge-{table}-{branch}-{batch_id}"
+        if df.isEmpty() or cat.has_ingest_key(ingest_key):
+            return
+        cat.merge_rows(df, table, key=key, branch=branch, delete_col=delete_col)
+        cat.stamp_ingest_key(ingest_key)
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -264,3 +264,70 @@ def test_dedup_within_watermark_stream_batch_parity(spark, tmp_path):
     ).collect()[0]
     want = dedup_within_watermark(batch_df, ["event_id"]).count()
     assert got.c == got.d == want == 400
+
+
+def test_stream_merge_cdc_apply(spark, warehouse, tmp_path):
+    """CDC batches land as files; stream_merge applies each as one
+    merge-on-read commit, in arrival order; a checkpoint restart
+    re-applies nothing; a replayed merge converges to the same state."""
+    import os
+    import time
+
+    from no_jvm_wap_with_iceberg_spark.streaming.ingest import stream_merge
+
+    cat = Catalog(warehouse)
+    seed = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(20)],
+        "id long, name string, score double",
+    )
+    cat.create_table_from_df(seed, "t")
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    schema = "id long, name string, score double, _del boolean"
+    # batch A: update ids 0-4, insert 100; batch B (later mtime):
+    # re-update ids 0-2 (must win over A) and delete id 3
+    a = spark.createDataFrame(
+        [(i, f"a{i}", -1.0, False) for i in range(5)] + [(100, "new", 9.0, False)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [(i, f"b{i}", -2.0, False) for i in range(3)] + [(3, "x", 0.0, True)],
+        schema,
+    )
+    a.coalesce(1).write.parquet(os.path.join(landing, "a"))
+    time.sleep(1.1)  # file-source orders micro-batches by mtime
+    b.coalesce(1).write.parquet(os.path.join(landing, "b"))
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_merge(
+        spark, landing, cat, "t", key="id", schema=a.schema,
+        checkpoint_dir=ckpt, delete_col="_del", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    def state():
+        return {(r.id, r.name, r.score) for r in cat.read(spark, "t").collect()}
+
+    expect = (
+        {(i, f"b{i}", -2.0) for i in range(3)}  # B wins over A
+        | {(4, "a4", -1.0)}  # A's update, untouched by B
+        | {(i, f"v{i}", float(i)) for i in range(5, 20)}  # never touched
+        | {(100, "new", 9.0)}  # A's insert; id 3 deleted by B
+    )
+    assert state() == expect
+    n_snaps = len(cat.load_table("t").snapshots)
+
+    # restart on the same checkpoint: no new files -> no new commits
+    q2 = stream_merge(
+        spark, landing, cat, "t", key="id", schema=a.schema,
+        checkpoint_dir=ckpt, delete_col="_del",
+    )
+    q2.awaitTermination(60)
+    assert state() == expect
+    assert len(cat.load_table("t").snapshots) == n_snaps
+
+    # replayed merge (crash after commit, before checkpoint ack):
+    # applying the LAST batch again converges to identical state
+    cat.merge_rows(b, "t", key="id", delete_col="_del")
+    assert state() == expect
