@@ -101,6 +101,8 @@ _TAIL = [
     # head first (never driver-checked)
     "catalog_rename_column",
     "streaming_merge_apply",
+    "embedding_pca_covariance",
+    "embedding_pca_project_gate",
     "text_quality_logreg",
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",

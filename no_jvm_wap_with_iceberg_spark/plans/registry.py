@@ -59,6 +59,7 @@ def get_queries() -> dict[str, Query]:
     import no_jvm_wap_with_iceberg_spark.operators.text  # noqa: F401
     import no_jvm_wap_with_iceberg_spark.operators.similarity  # noqa: F401
     import no_jvm_wap_with_iceberg_spark.operators.clustering  # noqa: F401
+    import no_jvm_wap_with_iceberg_spark.operators.pca  # noqa: F401
     import no_jvm_wap_with_iceberg_spark.operators.classify  # noqa: F401
     import no_jvm_wap_with_iceberg_spark.operators.bpe  # noqa: F401
     import no_jvm_wap_with_iceberg_spark.operators.multimodal  # noqa: F401

@@ -596,3 +596,45 @@ def test_bpe_segment_applies_merges_greedily(spark):
                 s = o
             syms.extend(s)
         assert out[i] == syms
+
+
+def test_pca_fit_partition_invariant_and_correct(spark):
+    """The fixed-point moment quantization makes the fitted basis
+    BIT-identical on any partitioning, and the model agrees with a
+    plain numpy PCA on the collected data."""
+    import numpy as np
+
+    from no_jvm_wap_with_iceberg_spark.operators.pca import (
+        pca_fit,
+        pca_transform,
+    )
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    m1 = pca_fit(e, k=4)
+    m2 = pca_fit(e.repartition(13), k=4)
+    assert np.array_equal(m1.mean, m2.mean)
+    assert np.array_equal(m1.components, m2.components)
+    assert np.array_equal(m1.eigenvalues, m2.eigenvalues)
+
+    # vs numpy reference on the same data (quantization bounds the gap)
+    x = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in e.select("embedding").collect()]
+    )
+    np.testing.assert_allclose(m1.mean, x.mean(axis=0), atol=2e-6)
+    cov = np.cov(x, rowvar=False, bias=True)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    np.testing.assert_allclose(m1.eigenvalues, ev, rtol=1e-3, atol=1e-6)
+    # sign convention: largest-|coord| entry of each component positive
+    for row in m1.components:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+    # transform matches the closed form for the first row
+    first = pca_transform(e.limit(1), m1).select("pca").first()[0]
+    np.testing.assert_allclose(
+        np.asarray(first),
+        (np.asarray(e.first()["embedding"], dtype=np.float64) - m1.mean)
+        @ m1.components.T,
+        rtol=1e-12,
+    )
