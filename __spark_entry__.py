@@ -103,6 +103,7 @@ _TAIL = [
     "streaming_merge_apply",
     "embedding_pca_covariance",
     "embedding_pca_project_gate",
+    "catalog_incremental_agg",
     "text_quality_logreg",
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",

@@ -875,6 +875,7 @@ class Catalog:
         delete_col: str | None = None,
         max_retries: int = 3,
         write_partitions: int | None = 1,
+        set_properties: dict[str, str] | None = None,
     ) -> TableMetadata:
         """MERGE by key, merge-on-read — the update-heavy-table answer
         the reference leaves unimplemented (``pyiceberg_patch_nessie.py
@@ -912,6 +913,13 @@ class Catalog:
         12x read amplification from file opens alone). Set None for
         large backfill batches where write parallelism matters, or a
         higher count to target a file size.
+
+        ``set_properties`` rides table-property updates IN the merge
+        commit (one CAS): a consumer can persist its source cursor
+        atomically with the rows it derived from it — the
+        transactional-cursor pattern :class:`..pipelines.incremental.
+        IncrementalAggregate` builds on (a crash can never leave rows
+        applied but the cursor behind, or vice versa).
         """
         from pyspark.sql import functions as F
 
@@ -949,8 +957,11 @@ class Catalog:
                 if affected
                 else []
             )
+            m2 = meta.with_new_snapshot(new_files, "merge", deletes=deletes)
+            if set_properties:
+                m2.properties = {**m2.properties, **set_properties}
             return (
-                meta.with_new_snapshot(new_files, "merge", deletes=deletes),
+                m2,
                 f"MERGE {table} ON {key} "
                 f"(+{len(new_files)} files, {len(deletes)} delete specs)",
             )

@@ -826,3 +826,72 @@ def streaming_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "catalog_incremental_agg",
+    """
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % 19 != 7
+      UNION ALL
+      SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey,
+             o_orderstatus, o_totalprice * CAST(2.0 AS DOUBLE)
+               AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM live GROUP BY o_orderstatus
+    """,
+    doc="incrementally-maintained aggregate table (materialized "
+    "view): seed half of orders, init the by-status aggregate, then "
+    "append the other half, MoR-delete o_orderkey%19=7, and "
+    "merge-insert doubled-price rows for %101=0 — THREE refreshes, "
+    "each folding only the change feed since its cursor (cost "
+    "O(changed data), cursor rides in the merge commit — crash-"
+    "atomic). The oracle recomputes the aggregate from the final "
+    "source state directly: incremental must be BIT-identical to "
+    "recompute (decimal-staged sums). The reference recomputes its "
+    "audit aggregates from scratch every cycle (app.py:217-246).",
+)
+def catalog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines import IncrementalAggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("incr_agg_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "src"
+    )
+    agg = IncrementalAggregate(
+        cat,
+        "src",
+        "by_status",
+        key="o_orderstatus",
+        sum_cols={"total_price": "o_totalprice"},
+    )
+    agg.init(spark)
+
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "src")
+    agg.refresh(spark)
+    cat.delete_where(
+        spark, "src", [], "o_orderkey % 19 = 7", mode="mor"
+    )
+    agg.refresh(spark)
+    ins = (
+        orders.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 30_000_000)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+    )
+    cat.merge_rows(ins, "src", key="o_orderkey")
+    agg.refresh(spark)
+
+    out = cat.read(spark, "by_status")
+    return out.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("total_price").cast("double").alias("total_price"),
+    )

@@ -161,3 +161,72 @@ def test_curation_learned_classifier_gate(spark, warehouse):
         + res.low_quality_removed
         + res.model_filtered
     )
+
+
+def test_incremental_aggregate_tracks_recompute(spark, warehouse):
+    """Incremental refresh must be BIT-identical to a from-scratch
+    recompute after every mutation kind, tombstone emptied groups,
+    advance the cursor atomically with the merge, and no-op on an
+    unchanged source."""
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines import IncrementalAggregate
+
+    cat = Catalog(warehouse)
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(30)]
+    src = spark.createDataFrame(rows, "id long, grp string, v double")
+    cat.create_table_from_df(src.filter("id < 20"), "src")
+
+    agg = IncrementalAggregate(
+        cat, "src", "dst", key="grp", sum_cols={"sv": "v"}
+    )
+    agg.init(spark)
+
+    def recompute():
+        return {
+            (r.grp, r.n_rows, float(r.sv))
+            for r in cat.read(spark, "src")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"),
+            )
+            .collect()
+        }
+
+    def state():
+        return {
+            (r.grp, r.n_rows, float(r.sv))
+            for r in cat.read(spark, "dst").collect()
+        }
+
+    assert state() == recompute()
+
+    cat.append(src.filter("id >= 20"), "src")  # append
+    cur1 = agg.refresh(spark)
+    assert state() == recompute()
+    # cursor rode the merge commit
+    props = cat.load_table("dst").properties
+    assert props["incr_src_cursor"] == str(cur1)
+
+    # unchanged source: refresh is a no-op, same cursor
+    n_snaps = len(cat.load_table("dst").snapshots)
+    assert agg.refresh(spark) == cur1
+    assert len(cat.load_table("dst").snapshots) == n_snaps
+
+    cat.delete_where(spark, "src", [], "id % 4 = 1", mode="mor")  # MoR delete
+    agg.refresh(spark)
+    assert state() == recompute()
+
+    cat.update_where(  # COW update changes a group's sum
+        spark, "src", [], "id % 5 = 0", {"v": "v + 100.0"}
+    )
+    agg.refresh(spark)
+    assert state() == recompute()
+
+    # empty an entire group -> its aggregate row must disappear
+    cat.delete_where(spark, "src", [], "grp = 'g2'", mode="mor")
+    agg.refresh(spark)
+    assert state() == recompute()
+    assert not any(g == "g2" for g, _, _ in state())
