@@ -1864,6 +1864,46 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
+    def set_sort_order(
+        self, table: str, sort_by: list[str], branch: str = MAIN
+    ) -> TableMetadata:
+        """Sort-order evolution (Iceberg ``ALTER TABLE WRITE ORDERED
+        BY``): metadata-only. FUTURE writes range-cluster on the new
+        keys (``_write_files`` consults ``meta.sort_by``); existing
+        files keep their old layout — their stats still prune on the
+        old keys — and the next :meth:`compact` re-clusters the whole
+        table under the new order. An empty list clears the order.
+
+        This is the "evolve the spec first" escape hatch
+        :meth:`rename_column` / :meth:`drop_column` point at for sort
+        keys (partition keys have :meth:`evolve_partition_spec`).
+        """
+
+        def build(meta: TableMetadata):
+            names = set(meta.spark_schema.fieldNames())
+            missing = [c for c in sort_by if c not in names]
+            if missing:
+                raise KeyError(
+                    f"sort columns {missing} not in {table!r} schema"
+                )
+            if list(meta.sort_by) == list(sort_by):
+                return None, ""
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=meta.schema_json,
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=list(sort_by),
+                    properties=meta.properties,
+                ),
+                f"SET SORT ORDER {table} ({', '.join(sort_by) or 'none'})",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
     def rollback(
         self, table: str, snapshot_id: int, branch: str = MAIN
     ) -> TableMetadata:

@@ -122,6 +122,11 @@ class IncrementalAggregate:
                 for name, expr in self.sum_cols.items()
             ],
         )
+        # the delta feeds THREE consumers (key-hint collect, the
+        # semi-join probe, the merge input); materialize it once so the
+        # change-feed lineage — several joins over the touched files —
+        # is not replayed per consumer. O(touched groups) rows.
+        delta = delta.localCheckpoint(eager=True)
 
         # current totals for the AFFECTED groups only: broadcast the
         # delta key set as a semi-join, with a stats/bloom IN-hint when

@@ -273,3 +273,36 @@ def test_export_survives_add_and_drop(spark, warehouse):
     cols = [d[0] for d in con.execute("SELECT * FROM v2 LIMIT 1").description]
     assert cols == ["id", "name", "note"]
     assert con.execute("SELECT COUNT(*) FROM v2").fetchone()[0] == 11
+
+
+def test_set_sort_order_evolves_then_rename(spark, warehouse):
+    """Sort-order evolution: new writes cluster on the new key, compact
+    re-clusters old files, and a former sort key becomes renameable."""
+    cat = Catalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000, float(i)) for i in range(4000)],
+        "a long, b long, v double",
+    )
+    cat.create_table_from_df(df, "t", sort_by=["a"])
+    with pytest.raises(ValueError, match="partition/sort/z-order"):
+        cat.rename_column("t", "a", "a2")
+
+    with pytest.raises(KeyError):
+        cat.set_sort_order("t", ["nope"])
+    cat.set_sort_order("t", ["b"])
+    assert cat.load_table("t").sort_by == ["b"]
+
+    # compact under the new order: files become disjoint in b, so a
+    # range predicate on b prunes
+    cat.compact(spark, "t", target_file_mb=1, min_files=4)
+    meta = cat.load_table("t")
+    files = meta.files()
+    assert len(files) >= 4  # forced multi-file so the prune check bites
+    pruned = prune_files(files, [Predicate("ge", "b", 990)])
+    assert len(pruned) < len(files)
+    # the former sort key is now renameable; reads still correct
+    cat.rename_column("t", "a", "a2")
+    got = cat.read(spark, "t").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("a2").alias("s")
+    ).first()
+    assert (got.n, got.s) == (4000, sum(range(4000)))

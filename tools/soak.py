@@ -76,6 +76,8 @@ def main() -> None:
 
     wap_ingest_soak(spark, n_batches=100)
     merge_soak(spark)
+    changefeed_soak(spark)
+    incremental_agg_soak(spark)
 
 
 def merge_soak(spark, n_merges: int = 50, base_rows: int = 500_000):
@@ -215,6 +217,66 @@ def changefeed_soak(spark, sizes=(100_000, 400_000), batch=5_000):
             print(
                 f"changefeed-soak: base={base_rows} rows, feed of "
                 f"{n} change rows in {dt:.2f}s"
+            )
+
+
+def incremental_agg_soak(spark, sizes=(100_000, 1_600_000), batch=5_000):
+    """Materialized-view maintenance evidence: the SAME change batch
+    against bases of different sizes. Both strategies MATERIALIZE the
+    result (a real refresh commits the new aggregate state):
+    incremental folds the feed + affected groups and merges — cost
+    tracks the batch; full recompute scans the whole source and
+    overwrites — cost tracks the base. The crossover is why 100 TB
+    pipelines cannot schedule recomputes."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines import IncrementalAggregate
+
+    def src_rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.col("id") % 50).cast("string").alias("grp"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+
+    for base_rows in sizes:
+        with tempfile.TemporaryDirectory() as wh:
+            cat = Catalog(wh)
+            cat.create_table_from_df(src_rows(0, base_rows), "s")
+            agg = IncrementalAggregate(
+                cat, "s", "a", key="grp", sum_cols={"sv": "v"}
+            )
+            agg.init(spark)
+            # warm one full cycle (JIT + python-worker startup for the
+            # merge machinery), then time a second identical cycle
+            cat.append(src_rows(base_rows, base_rows + batch), "s")
+            agg.refresh(spark)
+            cat.append(
+                src_rows(base_rows + batch, base_rows + 2 * batch), "s"
+            )
+            t0 = time.time()
+            agg.refresh(spark)
+            t_inc = time.time() - t0
+
+            def recompute_materialize():
+                full = cat.read(spark, "s").groupBy("grp").agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"),
+                )
+                cat.overwrite(full, "a2") if cat.table_exists("a2") \
+                    else cat.create_table_from_df(full, "a2")
+
+            recompute_materialize()  # warm
+            t0 = time.time()
+            recompute_materialize()
+            t_full = time.time() - t0
+            print(
+                f"incr-agg-soak: base={base_rows} rows, "
+                f"incremental refresh of {batch}-row change={t_inc:.2f}s "
+                f"vs full recompute+overwrite={t_full:.2f}s"
             )
 
 
