@@ -104,6 +104,7 @@ _TAIL = [
     "embedding_pca_covariance",
     "embedding_pca_project_gate",
     "catalog_incremental_agg",
+    "merge_lineitem_composite",
     "text_quality_logreg",
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",

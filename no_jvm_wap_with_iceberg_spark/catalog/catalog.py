@@ -814,40 +814,69 @@ class Catalog:
     def _files_overlapping_keys(
         self,
         meta: TableMetadata,
-        key: str,
+        key_cols: list[str],
         kdf: DataFrame,
     ) -> list[tuple[FileEntry, tuple[DeleteSpec, ...]]] | None:
         """Live files whose stats/blooms say they MAY hold any of the
         incoming keys (None = empty/all-null key set). Shared pruning
-        for upsert/delete_keys/merge: key-range min/max first, then
-        bloom probes with the exact key set when it is small."""
+        for upsert/delete_keys/merge: per-column key-range min/max
+        first (a composite key can only live in a file whose range
+        covers EVERY component), then bloom probes with the exact key
+        tuples when the set is small — a tuple may be present only if
+        every component's bloom admits its value."""
         from pyspark.sql import functions as F
 
         from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
         from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
 
-        lo, hi = (_norm(v) for v in kdf.agg(F.min(key), F.max(key)).first())
-        if lo is None:
+        bounds_row = kdf.agg(
+            *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
+            *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
+        ).first()
+        k = len(key_cols)
+        bounds = [
+            (_norm(bounds_row[i]), _norm(bounds_row[k + i])) for i in range(k)
+        ]
+        if all(lo is None for lo, _ in bounds):
             return None
         with_conds = meta.files_with_deletes()
         sample = kdf.limit(10_001).collect()
-        keys = [r[0] for r in sample] if len(sample) <= 10_000 else None
+        keys = (
+            [tuple(r) for r in sample] if len(sample) <= 10_000 else None
+        )
         # pre-rename files key their stats/blooms under the old name
-        names = [key] + list(meta.rename_history.get(key, ()))
+        names_per_col = [
+            [c] + list(meta.rename_history.get(c, ())) for c in key_cols
+        ]
         affected: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
         for f, specs in with_conds:
-            st = next((f.columns[n] for n in names if n in f.columns), {})
-            mn, mx = st.get("min"), st.get("max")
-            try:
-                overlaps = not (
-                    mn is not None and mx is not None and (mx < lo or mn > hi)
+            overlaps = True
+            for (lo, hi), names in zip(bounds, names_per_col):
+                if lo is None:
+                    continue  # all-null component: no range evidence
+                st = next(
+                    (f.columns[n] for n in names if n in f.columns), {}
                 )
-            except TypeError:
-                overlaps = True
-            bname = next((n for n in names if n in f.blooms), None)
-            if overlaps and keys is not None and bname is not None:
+                mn, mx = st.get("min"), st.get("max")
+                try:
+                    if mn is not None and mx is not None and (mx < lo or mn > hi):
+                        overlaps = False
+                        break
+                except TypeError:
+                    pass  # incomparable stats -> conservative
+            bnames = [
+                next((n for n in names if n in f.blooms), None)
+                for names in names_per_col
+            ]
+            if overlaps and keys is not None and any(bnames):
                 overlaps = any(
-                    bloom_may_contain(f.blooms[bname], k) for k in keys
+                    all(
+                        b is None
+                        or t[i] is None
+                        or bloom_may_contain(f.blooms[b], t[i])
+                        for i, b in enumerate(bnames)
+                    )
+                    for t in keys
                 )
             if overlaps:
                 affected.append((f, specs))
@@ -870,7 +899,7 @@ class Catalog:
         self,
         df: DataFrame,
         table: str,
-        key: str,
+        key: str | list[str],
         branch: str = MAIN,
         delete_col: str | None = None,
         max_retries: int = 3,
@@ -882,7 +911,8 @@ class Catalog:
         :230-264`` raises) and :meth:`upsert` only covers copy-on-write.
 
         Semantics (Iceberg ``MERGE INTO`` over a source keyed by
-        ``key``):
+        ``key`` — a single column or a composite column LIST, the same
+        shape Iceberg's equality-delete field-id lists cover):
 
         - matched keys are UPDATED: an equality-delete masks the old
           row wherever it lives, the new row arrives in this commit's
@@ -924,17 +954,23 @@ class Catalog:
         from pyspark.sql import functions as F
 
         meta0 = self.load_table(table, branch)
+        # composite keys: normalize to a column list; specs store the
+        # comma-joined form (DeleteSpec.key_cols splits it back)
+        key_cols = [key] if isinstance(key, str) else list(key)
+        key = ",".join(key_cols)
         if delete_col is not None:
             dels = df.filter(F.col(delete_col) == F.lit(True))
             ups = df.filter(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
             ).drop(delete_col)
             kdf = (
-                ups.select(key).unionByName(dels.select(key)).distinct()
+                ups.select(*key_cols)
+                .unionByName(dels.select(*key_cols))
+                .distinct()
             )
         else:
             ups = df
-            kdf = df.select(key).distinct()
+            kdf = df.select(*key_cols).distinct()
         ups = self._align_schema(ups, meta0)
         if write_partitions is not None:
             ups = ups.coalesce(write_partitions)
@@ -943,7 +979,7 @@ class Catalog:
         key_files = self._write_key_files(kdf, table)
 
         def build(meta: TableMetadata):
-            affected = self._files_overlapping_keys(meta, key, kdf)
+            affected = self._files_overlapping_keys(meta, key_cols, kdf)
             if not affected and sum(f.rows for f in new_files) == 0:
                 return None, ""  # empty batch touching nothing
             deletes = (
@@ -972,7 +1008,7 @@ class Catalog:
         self,
         keys_df: DataFrame,
         table: str,
-        key: str,
+        key: str | list[str],
         branch: str = MAIN,
         mode: str = "mor",
     ) -> TableMetadata:
@@ -992,10 +1028,12 @@ class Catalog:
 
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be cow|mor, got {mode!r}")
-        kdf = keys_df.select(key).distinct()
+        key_cols = [key] if isinstance(key, str) else list(key)
+        key = ",".join(key_cols)
+        kdf = keys_df.select(*key_cols).distinct()
 
         def build(meta: TableMetadata):
-            affected = self._files_overlapping_keys(meta, key, kdf)
+            affected = self._files_overlapping_keys(meta, key_cols, kdf)
             if not affected:
                 return None, ""  # empty key set or nothing overlaps
             if mode == "mor":
@@ -1016,7 +1054,7 @@ class Catalog:
                 )
             keep = self._df_applying_deletes(
                 kdf.sparkSession, meta, affected
-            ).join(F.broadcast(kdf), key, "left_anti")
+            ).join(F.broadcast(kdf), key_cols, "left_anti")
             new_files = self._write_files(keep, meta, table)
             # persist the key set even in cow mode: the change feed
             # replays "which rows did this commit delete" from it
@@ -1240,7 +1278,11 @@ class Catalog:
                         ]
                     ).distinct()
                     out.append(
-                        base.join(F.broadcast(kdf), spec["key"], "left_semi")
+                        base.join(
+                            F.broadcast(kdf),
+                            spec["key"].split(","),
+                            "left_semi",
+                        )
                     )
             return out
 
@@ -1301,7 +1343,9 @@ class Catalog:
                     parts.append(
                         tag(
                             pre.join(
-                                F.broadcast(kdf), s.summary["key"], "left_semi"
+                                F.broadcast(kdf),
+                                s.summary["key"].split(","),
+                                "left_semi",
                             ),
                             "delete",
                             sid,
@@ -1542,7 +1586,7 @@ class Catalog:
         )
         df = df.join(F.broadcast(path_seq), "__mor_path")
 
-        key_paths: dict[str, dict[str, int]] = {}  # key col -> path -> seq
+        key_paths: dict[str, dict[str, int]] = {}  # key spec -> path -> seq
         for sp, seq in active.items():
             if sp.condition is not None:
                 df = df.filter(
@@ -1556,10 +1600,12 @@ class Catalog:
                 for p in sp.key_files:
                     paths[p] = max(paths.get(p, 0), seq)
         for key, paths in key_paths.items():
-            # ONE scan of every pending key file for this key column;
-            # each key row gets its delete's commit seq via the same
-            # file_path attach — 50 pending merges = 50 tiny files in
-            # one relation, not 50 separate scans
+            # ONE scan of every pending key file for this key spec
+            # (single OR composite column set); each key row gets its
+            # delete's commit seq via the same file_path attach — 50
+            # pending merges = 50 tiny files in one relation, not 50
+            # separate scans
+            key_cols = key.split(",")
             kseq = spark.createDataFrame(
                 [
                     (os.path.join(self.warehouse, p), q)
@@ -1571,12 +1617,12 @@ class Catalog:
                 spark.read.parquet(
                     *[os.path.join(self.warehouse, p) for p in paths]
                 )
-                .select(F.col(key), _file_path_col().alias("__mor_kpath"))
+                .select(*key_cols, _file_path_col().alias("__mor_kpath"))
                 .join(F.broadcast(kseq), "__mor_kpath")
-                .groupBy(key)
+                .groupBy(*key_cols)
                 .agg(F.max("__mor_dseq").alias("__mor_mds"))
             )
-            df = df.join(F.broadcast(keys), key, "left").filter(
+            df = df.join(F.broadcast(keys), key_cols, "left").filter(
                 F.col("__mor_mds").isNull() | (F.col("__mor_mds") <= F.col("__mor_seq"))
             ).drop("__mor_mds")
         # joins reorder columns; restore the table schema order

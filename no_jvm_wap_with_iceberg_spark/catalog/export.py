@@ -117,23 +117,49 @@ def duckdb_view_sql(
                     items.append(f"COALESCE({', '.join(carried)}) AS {f}")
             proj, union = ", ".join(items), ", union_by_name = true"
         file_list = ", ".join(_sql_quote(p) for p in sorted(paths))
-        sql = f"SELECT {proj} FROM read_parquet([{file_list}]{hive}{union})"
+        # composite equality deletes need a correlated NOT EXISTS
+        # (DuckDB's IN-subquery is single-column only), which needs an
+        # alias on the outer relation; added only when used so the
+        # proven single-key SQL shape stays untouched
+        alias = (
+            " __t"
+            if any(
+                s.condition is None and len(s.key_cols) > 1 for s in specs
+            )
+            else ""
+        )
+        sql = (
+            f"SELECT {proj} FROM read_parquet([{file_list}]{hive}{union})"
+            f"{alias}"
+        )
         clauses = []
         for s in specs:
             if s.condition is not None:
                 clauses.append(f"NOT coalesce(({s.condition}), false)")
-            else:
-                kf = ", ".join(
-                    _sql_quote(os.path.join(cat.warehouse, p))
-                    for p in s.key_files
-                )
-                # match the Spark anti-join's NULL semantics: a NULL
-                # key row is never deleted, and NULLs in the delete-key
-                # set must not turn NOT IN into NULL-for-every-row
+                continue
+            kf = ", ".join(
+                _sql_quote(os.path.join(cat.warehouse, p))
+                for p in s.key_files
+            )
+            # match the Spark anti-join's NULL semantics: a row with
+            # ANY null key component is never deleted, and
+            # NULL-component tuples in the delete-key set must not
+            # turn NOT IN into NULL-for-every-row
+            cols = s.key_cols
+            if len(cols) == 1:
                 clauses.append(
                     f"({s.key} IS NULL OR {s.key} NOT IN "
                     f"(SELECT {s.key} FROM read_parquet([{kf}]) "
                     f"WHERE {s.key} IS NOT NULL))"
+                )
+            else:
+                # tuple-level anti-join: = is null-rejecting, so rows
+                # or key tuples with null components never match —
+                # identical to Spark's composite equi-join semantics
+                on = " AND ".join(f"__d.{c} = __t.{c}" for c in cols)
+                clauses.append(
+                    f"NOT EXISTS (SELECT 1 FROM read_parquet([{kf}]) "
+                    f"__d WHERE {on})"
                 )
         if clauses:
             sql += " WHERE " + " AND ".join(clauses)

@@ -185,7 +185,10 @@ class DeleteSpec:
       path keeps rows where it is not proven true.
     - **equality delete**: ``key`` + ``key_files`` (parquet holding the
       deleted key values — Iceberg equality-delete files); the read
-      path anti-joins targets against the key set.
+      path anti-joins targets against the key set. ``key`` is a
+      comma-joined column list (single column = no comma) — Iceberg
+      equality deletes carry a field-id LIST for the same reason;
+      column names are identifier-validated so the join is unambiguous.
 
     Frozen/hashable so the read path can group files by their exact
     applicable-delete set.
@@ -194,6 +197,10 @@ class DeleteSpec:
     condition: str | None = None
     key: str | None = None
     key_files: tuple[str, ...] = ()
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.key.split(",") if self.key else []
 
     def to_json(self) -> dict[str, Any]:
         if self.condition is not None:

@@ -50,7 +50,9 @@ class IncrementalAggregate:
     FROM src GROUP BY key`` — maintained incrementally.
 
     ``sum_cols`` maps output column name -> source SQL expression.
-    ``key`` is a single source column (the merge key of ``dst``).
+    ``key`` is the grouping/merge key of ``dst`` — one source column
+    or a composite list (``merge_rows`` supports both); the key-IN
+    file-skipping hint applies to the first component.
     """
 
     def __init__(
@@ -58,20 +60,20 @@ class IncrementalAggregate:
         cat: Catalog,
         src_table: str,
         dst_table: str,
-        key: str,
+        key: str | list[str],
         sum_cols: dict[str, str],
         branch: str = "main",
     ):
         self.cat = cat
         self.src = src_table
         self.dst = dst_table
-        self.key = key
+        self.keys = [key] if isinstance(key, str) else list(key)
         self.sum_cols = dict(sum_cols)
         self.branch = branch
 
     # -- helpers --------------------------------------------------------
     def _aggregate(self, rows: DataFrame) -> DataFrame:
-        return rows.groupBy(self.key).agg(
+        return rows.groupBy(*self.keys).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[
                 F.sum(F.expr(expr).cast(_SUM_TYPE)).alias(name)
@@ -115,7 +117,7 @@ class IncrementalAggregate:
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
-        delta = feed.groupBy(self.key).agg(
+        delta = feed.groupBy(*self.keys).agg(
             F.sum(sign).alias("__dn"),
             *[
                 F.sum(F.expr(expr).cast(_SUM_TYPE) * sign).alias(f"__d_{name}")
@@ -131,22 +133,24 @@ class IncrementalAggregate:
         # current totals for the AFFECTED groups only: broadcast the
         # delta key set as a semi-join, with a stats/bloom IN-hint when
         # it is small enough to collect (file skipping on 100 TB dst)
-        keys_sample = delta.select(self.key).limit(_KEY_HINT_CAP + 1).collect()
+        keys_sample = (
+            delta.select(*self.keys).limit(_KEY_HINT_CAP + 1).collect()
+        )
         hint = (
-            [Predicate("in", self.key, [r[0] for r in keys_sample])]
+            [Predicate("in", self.keys[0], [r[0] for r in keys_sample])]
             if len(keys_sample) <= _KEY_HINT_CAP
             else None
         )
         cur = self.cat.read(spark, self.dst, self.branch, predicates=hint).join(
-            F.broadcast(delta.select(self.key)), self.key, "left_semi"
+            F.broadcast(delta.select(*self.keys)), self.keys, "left_semi"
         )
 
-        merged = cur.join(delta, self.key, "full")
+        merged = cur.join(delta, self.keys, "full")
         new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
             F.col("__dn"), F.lit(0)
         )
         cdc = merged.select(
-            self.key,
+            *self.keys,
             new_n.alias("n_rows"),
             *[
                 (
@@ -166,7 +170,7 @@ class IncrementalAggregate:
         self.cat.merge_rows(
             cdc,
             self.dst,
-            key=self.key,
+            key=self.keys,
             branch=self.branch,
             delete_col="__gone",
             set_properties={_CURSOR_PROP: str(head)},

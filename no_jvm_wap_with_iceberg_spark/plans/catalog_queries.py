@@ -895,3 +895,91 @@ def catalog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("total_price").cast("double").alias("total_price"),
     )
+
+
+@register(
+    "merge_lineitem_composite",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem
+    ),
+    up AS (
+      SELECT l_orderkey, l_linenumber, l_quantity + 5 AS l_quantity,
+             l_returnflag
+      FROM src
+      WHERE (l_orderkey + l_linenumber) % 9 = 2
+        AND (l_orderkey * 7 + l_linenumber) % 23 != 3
+    ),
+    del AS (
+      SELECT l_orderkey, l_linenumber FROM src
+      WHERE (l_orderkey * 7 + l_linenumber) % 23 = 3
+    ),
+    ins AS (
+      SELECT l_orderkey + 50000000 AS l_orderkey, l_linenumber,
+             CAST(1 AS BIGINT) AS l_quantity, 'Z' AS l_returnflag
+      FROM src WHERE l_orderkey % 211 = 0 AND l_linenumber = 1
+    ),
+    merged AS (
+      SELECT s.* FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM up u
+                        WHERE u.l_orderkey = s.l_orderkey
+                          AND u.l_linenumber = s.l_linenumber)
+        AND NOT EXISTS (SELECT 1 FROM del d
+                        WHERE d.l_orderkey = s.l_orderkey
+                          AND d.l_linenumber = s.l_linenumber)
+      UNION ALL SELECT * FROM up
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(SUM(l_orderkey % 97) AS BIGINT) AS key_digest
+    FROM merged GROUP BY l_returnflag
+    """,
+    doc="composite-key MERGE through the catalog: lineitem's natural "
+    "key is (l_orderkey, l_linenumber), and the CDC batch updates / "
+    "deletes / inserts at TUPLE grain — one merge-on-read commit "
+    "whose equality-delete key file carries both columns; the read "
+    "anti-joins on the full tuple, so sibling lines of the same order "
+    "never collateral-delete. Per-column min/max + per-tuple bloom "
+    "probes prune the target files. Iceberg equality deletes carry a "
+    "field-id list for exactly this; the reference has no MERGE at "
+    "all. Oracle reconstructs the merged state with row-value set "
+    "ops. (DuckDB allows multi-column NOT IN on materialized CTEs; "
+    "the export view uses NOT EXISTS for its file-level form.)",
+)
+def merge_lineitem_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    cat = Catalog(_tmp_warehouse("merge_comp_"))
+    cat.create_table_from_df(li, "li_comp")
+
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    upd = (
+        li.filter(((ok + ln) % 9 == 2) & ((ok * 7 + ln) % 23 != 3))
+        .withColumn("l_quantity", F.col("l_quantity") + 5)
+        .withColumn("_del", F.lit(False))
+    )
+    dels = li.filter((ok * 7 + ln) % 23 == 3).withColumn("_del", F.lit(True))
+    ins = (
+        li.filter((ok % 211 == 0) & (ln == 1))
+        .withColumn("l_orderkey", ok + 50_000_000)
+        .withColumn("l_quantity", F.lit(1).cast("long"))
+        .withColumn("l_returnflag", F.lit("Z"))
+        .withColumn("_del", F.lit(False))
+    )
+    cdc = upd.unionByName(ins).unionByName(dels)
+    cat.merge_rows(
+        cdc, "li_comp", key=["l_orderkey", "l_linenumber"], delete_col="_del"
+    )
+
+    out = cat.read(spark, "li_comp")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.col("l_orderkey") % 97).alias("key_digest"),
+    )

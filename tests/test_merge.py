@@ -378,3 +378,122 @@ def test_time_travel_between_duplicate_deletes(spark, warehouse):
     assert between.filter("name = 'mid'").count() == 5
     # at head: second delete removed them again
     assert cat.read(spark, "t").count() == 10
+
+
+def test_merge_rows_composite_key(spark, warehouse):
+    """Composite-key MERGE: equality deletes mask on the full tuple —
+    rows sharing one component must not collateral-delete; seq-gating,
+    export, and change-feed replay all honor the tuple."""
+    import duckdb
+
+    from no_jvm_wap_with_iceberg_spark.catalog.export import duckdb_view_sql
+
+    cat = Catalog(warehouse)
+    base = spark.createDataFrame(
+        [(o, l, f"v{o}.{l}") for o in range(5) for l in range(3)],
+        "okey long, line long, v string",
+    )
+    m0 = cat.create_table_from_df(base, "t")
+
+    cdc = spark.createDataFrame(
+        [
+            (0, 0, "UP", False),   # update one line of order 0
+            (9, 9, "NEW", False),  # brand-new tuple
+            (1, 2, "x", True),     # delete one line of order 1
+        ],
+        "okey long, line long, v string, _del boolean",
+    )
+    cat.merge_rows(cdc, "t", key=["okey", "line"], delete_col="_del")
+
+    got = {(r.okey, r.line, r.v) for r in cat.read(spark, "t").collect()}
+    expect = (
+        {(o, l, f"v{o}.{l}") for o in range(5) for l in range(3)}
+        - {(0, 0, "v0.0"), (1, 2, "v1.2")}
+    ) | {(0, 0, "UP"), (9, 9, "NEW")}
+    assert got == expect
+    # other lines of orders 0/1 survived (no single-component masking)
+    assert (0, 1, "v0.1") in got and (1, 1, "v1.1") in got
+
+    # a row appended AFTER the merge with a deleted tuple is not gated
+    cat.append(
+        spark.createDataFrame([(1, 2, "again")], "okey long, line long, v string"),
+        "t",
+    )
+    assert (1, 2, "again") in {
+        (r.okey, r.line, r.v) for r in cat.read(spark, "t").collect()
+    }
+
+    # DuckDB export applies the composite equality delete identically
+    con = duckdb.connect()
+    con.execute(duckdb_view_sql(cat, "t"))
+    ext = set(con.execute("SELECT okey, line, v FROM t_main").fetchall())
+    assert ext == expect | {(1, 2, "again")}
+
+    # change feed replays the merge as tuple-level delete+insert
+    feed = cat.read_changes(spark, "t", m0.current_snapshot_id)
+    rows = {(r._change_type, r.okey, r.line, r.v) for r in feed.collect()}
+    assert ("delete", 0, 0, "v0.0") in rows and ("delete", 1, 2, "v1.2") in rows
+    assert ("insert", 0, 0, "UP") in rows and ("insert", 9, 9, "NEW") in rows
+
+
+def test_delete_keys_composite(spark, warehouse):
+    cat = Catalog(warehouse)
+    base = spark.createDataFrame(
+        [(o, l, o * 10 + l) for o in range(4) for l in range(4)],
+        "okey long, line long, val long",
+    )
+    cat.create_table_from_df(base, "t")
+    kdf = spark.createDataFrame(
+        [(0, 1), (2, 3)], "okey long, line long"
+    )
+    for mode in ("mor", "cow"):
+        pass  # exercised below (mor first, then fold and re-delete cow)
+    cat.delete_keys(kdf, "t", key=["okey", "line"], mode="mor")
+    got = {(r.okey, r.line) for r in cat.read(spark, "t").collect()}
+    assert (0, 1) not in got and (2, 3) not in got
+    assert (0, 3) in got and (2, 1) in got and len(got) == 14
+    # cow mode on a second tuple set, after compacting the first away
+    cat.compact(spark, "t", min_files=1)
+    cat.delete_keys(
+        spark.createDataFrame([(1, 1)], "okey long, line long"),
+        "t",
+        key=["okey", "line"],
+        mode="cow",
+    )
+    got = {(r.okey, r.line) for r in cat.read(spark, "t").collect()}
+    assert (1, 1) not in got and len(got) == 13
+
+
+def test_incremental_aggregate_composite_key(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.pipelines import IncrementalAggregate
+
+    cat = Catalog(warehouse)
+    src = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"g{i % 3}", float(i)) for i in range(40)],
+        "id long, src string, grp string, v double",
+    )
+    cat.create_table_from_df(src.filter("id < 30"), "s")
+    agg = IncrementalAggregate(
+        cat, "s", "a", key=["src", "grp"], sum_cols={"sv": "v"}
+    )
+    agg.init(spark)
+    cat.append(src.filter("id >= 30"), "s")
+    cat.delete_where(spark, "s", [], "id % 7 = 0", mode="mor")
+    agg.refresh(spark)
+    got = {
+        (r.src, r.grp, r.n_rows, float(r.sv))
+        for r in cat.read(spark, "a").collect()
+    }
+    want = {
+        (r.src, r.grp, r.n_rows, float(r.sv))
+        for r in cat.read(spark, "s")
+        .groupBy("src", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"),
+        )
+        .collect()
+    }
+    assert got == want
