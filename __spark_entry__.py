@@ -105,6 +105,7 @@ _TAIL = [
     "embedding_pca_project_gate",
     "catalog_incremental_agg",
     "merge_lineitem_composite",
+    "events_continuous_aggregate",
     "text_quality_logreg",
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",

@@ -983,3 +983,76 @@ def merge_lineitem_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("sum_qty"),
         F.sum(F.col("l_orderkey") % 97).alias("key_digest"),
     )
+
+
+@register(
+    "events_continuous_aggregate",
+    """
+    WITH live AS (
+      SELECT epoch_ns(ts) // 3600000000000 AS hour_slot, event_type, value
+      FROM events
+      WHERE event_id % 5 != 2 OR event_id % 2 = 0
+    )
+    SELECT hour_slot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM live GROUP BY hour_slot, event_type
+    ORDER BY hour_slot, event_type
+    """,
+    doc="continuous aggregate (TimescaleDB-style) as a composition of "
+    "existing primitives: an hourly-by-type rollup table maintained "
+    "INCREMENTALLY over the events stream — seed with even event_ids, "
+    "append the odd ones, MoR-delete a slice (late-data retraction), "
+    "refresh after each; only the touched (hour, type) groups are "
+    "re-read, the cursor rides in the merge commit, and the composite "
+    "(hour_slot, event_type) key exercises tuple-grain equality "
+    "deletes. The oracle recomputes the rollup from the final source "
+    "state: incremental == recompute, bit-exact. Timestamps emit as "
+    "epoch-hour BIGINT per the determinism rules.",
+)
+def events_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines import IncrementalAggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        # NTZ -> epoch-hours via timestampdiff against an NTZ epoch:
+        # no session-TZ dependence (the sessionize idiom)
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+                "cast(ts as timestamp_ntz))"
+            )
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("hour_slot"),
+        "event_type",
+        "value",
+    )
+    cat = Catalog(_tmp_warehouse("cont_agg_"))
+    cat.create_table_from_df(ev.filter(F.col("event_id") % 2 == 0), "ev")
+    agg = IncrementalAggregate(
+        cat,
+        "ev",
+        "hourly",
+        key=["hour_slot", "event_type"],
+        sum_cols={"total_value": "value"},
+    )
+    agg.init(spark)
+    cat.append(ev.filter(F.col("event_id") % 2 == 1), "ev")
+    agg.refresh(spark)
+    # late-data retraction: drop a slice, the rollup must follow
+    cat.delete_where(
+        spark, "ev", [], "event_id % 5 = 2 AND event_id % 2 = 1", mode="mor"
+    )
+    agg.refresh(spark)
+
+    out = cat.read(spark, "hourly")
+    return out.select(
+        "hour_slot",
+        "event_type",
+        "n_rows",
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("hour_slot", "event_type")
