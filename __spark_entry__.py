@@ -106,6 +106,7 @@ _TAIL = [
     "catalog_incremental_agg",
     "merge_lineitem_composite",
     "events_continuous_aggregate",
+    "streaming_source_rollup",
     "text_quality_logreg",
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",

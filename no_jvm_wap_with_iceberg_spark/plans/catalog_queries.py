@@ -1056,3 +1056,69 @@ def events_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("hour_slot", "event_type")
+
+
+@register(
+    "streaming_source_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT _sid) AS BIGINT) AS n_commits
+    FROM (
+      SELECT event_type, value,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS _sid
+      FROM events
+    ) GROUP BY event_type
+    """,
+    doc="the catalog commit log as a REAL Structured Streaming source "
+    "(PySpark 4 Python Data Source API): two appends land in a table, "
+    "then readStream.format('wap_changefeed') drains them — offsets "
+    "are snapshot ids, one input partition per (file, commit), "
+    "executors emit Arrow batches via pyarrow — into a per-type "
+    "rollup. n_commits asserts rows arrived tagged with BOTH commit "
+    "ids. The oracle reconstructs the same rollup (and commit "
+    "cardinality) from the raw events. Append-only by design; "
+    "row-level changes route through read_changes (enforced, "
+    "tests/test_streaming.py).",
+)
+def streaming_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        register_changefeed_source,
+    )
+
+    register_changefeed_source(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = _tmp_warehouse("stream_src_")
+    cat = Catalog(os.path.join(base, "wh"))
+    cat.create_table_from_df(ev.filter(F.col("event_id") % 2 == 0), "ev")
+    cat.append(ev.filter(F.col("event_id") % 2 == 1), "ev")
+
+    sink = os.path.join(base, "sink")
+    q = (
+        spark.readStream.format("wap_changefeed")
+        .option("warehouse", os.path.join(base, "wh"))
+        .option("table", "ev")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    feed = spark.read.parquet(sink)
+    return feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count_distinct(F.col("_snapshot_id")).alias("n_commits"),
+    )

@@ -5,6 +5,9 @@ from no_jvm_wap_with_iceberg_spark.streaming.ingest import (
     stream_wap,
     windowed_event_counts,
 )
+from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+    register_changefeed_source,
+)
 from no_jvm_wap_with_iceberg_spark.streaming.sessionize import (
     sessionize,
     sessionize_stream,
@@ -13,6 +16,7 @@ from no_jvm_wap_with_iceberg_spark.streaming.sessionize import (
 __all__ = [
     "dedup_within_watermark",
     "follow_changes",
+    "register_changefeed_source",
     "sessionize",
     "sessionize_stream",
     "stream_merge",

@@ -331,3 +331,82 @@ def test_stream_merge_cdc_apply(spark, warehouse, tmp_path):
     # applying the LAST batch again converges to identical state
     cat.merge_rows(b, "t", key="id", delete_col="_del")
     assert state() == expect
+
+
+def test_changefeed_stream_source(spark, warehouse, tmp_path):
+    """The catalog commit log as a real readStream source: availableNow
+    drains existing commits per startingOffsets, a checkpoint restart
+    sees only NEW appends, schema-era mapping survives a rename, and a
+    row-level delete in the span fails loudly."""
+    import pytest as _pytest
+
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        register_changefeed_source,
+    )
+
+    register_changefeed_source(spark)
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, name string"
+        ),
+        "t",
+    )
+    cat.rename_column("t", "name", "title")
+    cat.append(
+        spark.createDataFrame([(10, "ten")], "id long, title string"), "t"
+    )
+
+    def drain(ckpt, sink):
+        q = (
+            spark.readStream.format("wap_changefeed")
+            .option("warehouse", warehouse)
+            .option("table", "t")
+            .option("startingOffsets", "earliest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / sink))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / sink))
+
+    out = drain("ckpt", "sink")
+    rows = {(r.id, r.title, r._change_type) for r in out.collect()}
+    # pre-rename files map through the history; all rows are inserts
+    assert rows == {(i, f"v{i}", "insert") for i in range(10)} | {
+        (10, "ten", "insert")
+    }
+    assert out.select("_snapshot_id").distinct().count() == 2
+
+    # restart on the same checkpoint: only the NEW append arrives
+    cat.append(
+        spark.createDataFrame([(11, "eleven")], "id long, title string"), "t"
+    )
+    out2 = drain("ckpt", "sink")
+    assert {(r.id, r.title) for r in out2.collect()} == {
+        (i, f"v{i}") for i in range(10)
+    } | {(10, "ten"), (11, "eleven")}
+    assert out2.count() == 12
+
+    # a row-level delete makes the append-only source refuse the span
+    cat.delete_where(spark, "t", [], "id = 0", mode="mor")
+    cat.append(
+        spark.createDataFrame([(12, "twelve")], "id long, title string"), "t"
+    )
+    q = (
+        spark.readStream.format("wap_changefeed")
+        .option("warehouse", warehouse)
+        .option("table", "t")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink3"))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="append-only"):
+        q.awaitTermination(120)
