@@ -107,6 +107,7 @@ _TAIL = [
     "merge_lineitem_composite",
     "events_continuous_aggregate",
     "streaming_source_rollup",
+    "catalog_sort_order_evolution",
     "text_quality_logreg",
     "catalog_hidden_partitioning",
     "streaming_dedup_slots",

@@ -1122,3 +1122,51 @@ def streaming_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.count_distinct(F.col("_snapshot_id")).alias("n_commits"),
     )
+
+
+@register(
+    "catalog_sort_order_evolution",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_totalprice >= 150000
+    GROUP BY o_orderstatus
+    """,
+    doc="sort-order evolution through the catalog: seed sorted by "
+    "o_orderkey, ALTER WRITE ORDERED BY o_totalprice (metadata-only), "
+    "append the second half (range-clustered on the NEW key), "
+    "compact() re-clusters the whole table, then a price-range read "
+    "goes through the stats-pruning hint — file skipping on the "
+    "evolved key is asserted in tests/test_rename.py; here the gate "
+    "checks the VALUES survive the relayout bit-exact. Iceberg's "
+    "ALTER TABLE WRITE ORDERED BY; the reference has no sort orders.",
+)
+def catalog_sort_order_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("sort_evo_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        "orders_so",
+        sort_by=["o_orderkey"],
+    )
+    cat.set_sort_order("orders_so", ["o_totalprice"])
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "orders_so")
+    cat.compact(spark, "orders_so", target_file_mb=1, min_files=4)
+    out = cat.read(
+        spark,
+        "orders_so",
+        predicates=[Predicate("ge", "o_totalprice", 150000)],
+    ).filter(F.col("o_totalprice") >= 150000)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
