@@ -28,77 +28,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records exactly the first 50 registered queries
-# (confirmed in r1 AND r2), so ordering is load-bearing and the head
-# is curated by hand each round. Round-3 rotation (VERDICT r2 #3):
-# the 30 queries that were only ever checked in round 1 (and never
-# after round 2's catalog/oracle changes) move INTO the head, plus
-# the round-2 red (events_sessionization, hash fix this round), plus
-# re-checks of every query that reads events through the
-# sources/registry.py ts path changed this round, plus anything new
-# in round 3. The tail is the r2-bit-exact redundancy — the least is
-# lost if the gate again stops at 50.
+# (confirmed r1-r3), so ordering is load-bearing and the head is
+# curated by hand each round. Round-4 rotation (VERDICT r3 #2):
+# canary, then the two-round red (oracle HUGEINT cast fixed this
+# round), then the 28 round-3 queries that have never had driver
+# evidence (the r3 head was spent re-greening the r1-only tail, per
+# the r2 brief), then the 4 rows-only-by-design queries (their
+# assertion gates similarity_ann_recall_gate /
+# sketch_error_bounds_gate in the 28 convert the approximate results
+# into oracle-hashable booleans), then new round-4 queries, then
+# r2-only re-checks as filler. The tail is r3-bit-exact redundancy.
 _HEAD = [
-    "q1_pricing_summary",  # canary: green r1+r2, sub-second
-    # --- the round-2 red, re-checked after the epoch-micros fix ---
+    "q1_pricing_summary",  # canary: green r1+r2+r3, sub-second
+    # --- the r2+r3 red: values were bit-identical, the oracle's
+    # SUM(is_new) OVER was an uncast DuckDB HUGEINT (float64 through
+    # the driver's pandas path); CAST AS BIGINT landed this round ---
     "events_sessionization",
-    # --- the 30 r1-only queries, never checked since the round-2
-    # catalog/oracle changes (VERDICT r2 gap #1) ---
-    "q5_local_supplier_volume",
-    "q18_large_orders",
-    "dedup_ngram_jaccard",
-    "dedup_exact_keep_first",
-    "text_corpus_token_stats",
-    "window_running_revenue",
-    "q6_revenue_forecast",
-    "q7_nation_pair_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "join_semi_anti",
-    "range_join_price_bands",
-    "topk_expensive_items",
-    "setops_customer_cohorts",
-    "subquery_parts_above_brand_avg",
-    "rollup_nation_region",
-    "pivot_orders_status_by_priority",
-    "unpivot_nation_measures",
-    "window_moving_avg_daily_revenue",
-    "window_event_gaps",
-    "events_value_percentiles",
-    "sketch_events_approx_stats",
-    "fn_scalar_suite",
-    "histogram_order_totals",
-    "agg_collect_ordered",
-    "dedup_exact_stats",
-    "dedup_simhash_profile",
-    "dedup_normalized_fingerprints",
-    "text_fingerprints",
-    "text_punct_stopword_profile",
-    # --- events-family re-checks: these read through the registry
-    # ts normalization touched this round ---
-    "streaming_windowed_counts",
-    "events_hourly_rollup",
-    "asof_purchase_last_click",
-    "events_json_extract",
-    "events_anomaly_iqr",
-    "events_user_funnel",
-    # --- dedup_components re-check (large-star/small-star rewrite) ---
-    "dedup_components",
-    # --- new in round 3 (appended below as they land) ---
-    "merge_orders_cdc",
-    "wap_audit_gate",
-    "catalog_time_travel",
-    "catalog_incremental_read",
-    "dedup_cluster_representatives",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "catalog_schema_evolution",
-    "catalog_mor_delete_read",
-    "embedding_quantize_int8",
-    "dedup_source_matrix",
-]
-_TAIL = [
-    # new in round 3 AFTER the head filled — rotate into the round-4
-    # head first (never driver-checked)
+    # --- the 28 round-3 queries with zero driver evidence ---
     "catalog_rename_column",
     "streaming_merge_apply",
     "embedding_pca_covariance",
@@ -127,34 +73,37 @@ _TAIL = [
     "embedding_kmeans_clusters",
     "corpus_train_val_split",
     "text_bigram_logprob",
-    "similarity_cosine_topk",
-    "similarity_label_centroid_stats",
+    # --- the 4 rows-only-by-design (approximate by construction;
+    # their hashable assertion gates are in the 28 above) ---
     "similarity_ann_lsh_topk",
     "similarity_ann_ivf_topk",
-    "multimodal_payload_stats",
-    "multimodal_feature_extract",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
+    "dedup_simhash_profile",
+    "sketch_events_approx_stats",
+    # --- new in round 4 (inserted as they land) ---
+    "streaming_changefeed_merge",
+    # --- r2-only re-checks (last driver evidence predates the r3
+    # catalog/oracle work) fill the remaining slots ---
+    "similarity_cosine_topk",
+    "similarity_label_centroid_stats",
+    "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_substring_spans",
-    "text_quality_rules",
+    "multimodal_payload_stats",
+    "multimodal_feature_extract",
+    "corpus_decontaminate_eval",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
     "text_quality_profile",
     "text_lang_id_confusion",
     "text_pii_scrub",
-    "text_vocab_top_terms",
-    "text_source_lang_matrix",
-    "text_bpe_token_counts",
-    "corpus_decontaminate_eval",
-    "corpus_repetition_profile",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_chunk_windows",
-    "q3_shipping_priority",
-    "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
+]
+_TAIL = [
+    "fn_array_map_suite",
+    # r2/r3-bit-exact redundancy — least is lost if the gate stops at 50
+    "q3_shipping_priority",
+    "q4_order_priority",
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -162,12 +111,66 @@ _TAIL = [
     "q19_discounted_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
-    "fn_array_map_suite",
-    "fn_json_map_suite",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "q6_revenue_forecast",
+    "q7_nation_pair_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "dedup_ngram_jaccard",
+    "dedup_exact_keep_first",
+    "dedup_exact_stats",
+    "dedup_normalized_fingerprints",
+    "dedup_cluster_representatives",
+    "dedup_source_matrix",
+    "dedup_substring_spans",
+    "dedup_components",
+    "text_corpus_token_stats",
+    "text_fingerprints",
+    "text_punct_stopword_profile",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_quality_rules",
+    "text_vocab_top_terms",
+    "text_source_lang_matrix",
+    "text_bpe_token_counts",
+    "window_running_revenue",
+    "window_moving_avg_daily_revenue",
+    "window_event_gaps",
     "window_top3_orders_per_customer",
     "window_ranking_suite",
+    "join_semi_anti",
+    "range_join_price_bands",
+    "topk_expensive_items",
+    "setops_customer_cohorts",
+    "subquery_parts_above_brand_avg",
+    "rollup_nation_region",
+    "pivot_orders_status_by_priority",
+    "unpivot_nation_measures",
+    "events_value_percentiles",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_anomaly_iqr",
+    "events_user_funnel",
+    "asof_purchase_last_click",
+    "streaming_windowed_counts",
+    "fn_scalar_suite",
+    "fn_json_map_suite",
+    "histogram_order_totals",
+    "agg_collect_ordered",
     "agg_orders_cube",
     "audit_profile_lineitem",
+    "merge_orders_cdc",
+    "wap_audit_gate",
+    "catalog_time_travel",
+    "catalog_incremental_read",
+    "catalog_schema_evolution",
+    "catalog_mor_delete_read",
+    "embedding_quantize_int8",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "corpus_repetition_profile",
+    "corpus_chunk_windows",
 ]
 
 

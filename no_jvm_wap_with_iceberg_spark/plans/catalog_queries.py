@@ -1170,3 +1170,114 @@ def catalog_sort_order_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "streaming_changefeed_merge",
+    """
+    WITH seed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    upd AS (SELECT * FROM seed WHERE o_orderkey % 3 = 1),
+    del AS (SELECT * FROM seed WHERE o_orderkey % 3 = 2
+                                 AND o_orderkey % 5 = 0),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 0
+    ),
+    feed AS (
+      SELECT 'insert' AS _change_type, o_orderstatus, o_totalprice,
+             1 AS _sid FROM seed
+      UNION ALL
+      SELECT 'delete', o_orderstatus, o_totalprice, 2 FROM upd
+      UNION ALL
+      SELECT 'delete', o_orderstatus, o_totalprice, 2 FROM del
+      UNION ALL
+      SELECT 'insert', o_orderstatus,
+             o_totalprice + CAST(1 AS DOUBLE), 2 FROM upd
+      UNION ALL
+      SELECT 'insert', o_orderstatus, o_totalprice, 2 FROM ins
+    )
+    SELECT _change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(COUNT(DISTINCT _sid) AS BIGINT) AS n_commits
+    FROM feed GROUP BY _change_type, o_orderstatus
+    """,
+    doc="row-level CDC through the STREAMING source (VERDICT r3 #4): a "
+    "table seeded by append is then maintained by a MERGE (updates "
+    "+1.0 on the price, tombstone deletes, fresh inserts — the exact "
+    "commit shape streaming.ingest.stream_merge produces per "
+    "micro-batch), and readStream.format('wap_changefeed') drains the "
+    "full span: the merge expands to one replay partition per (target "
+    "file, delete spec) whose reader reconstructs parent-visible rows "
+    "and emits delete/insert pairs (streaming/changefeed_source.py), "
+    "matching Catalog.read_changes semantics (parity pytest in "
+    "tests/test_streaming.py). The rollup hashes the streamed feed; "
+    "n_commits asserts both the seed commit and the merge commit "
+    "arrived tagged. The oracle reconstructs the identical feed from "
+    "raw orders with set algebra. Double arithmetic (+1.0) is exact "
+    "in IEEE-754, so both engines agree bitwise.",
+)
+def streaming_changefeed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        register_changefeed_source,
+    )
+
+    register_changefeed_source(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = _tmp_warehouse("stream_cdc_")
+    cat = Catalog(os.path.join(base, "wh"))
+    seed = orders.filter(F.col("o_orderkey") % 3 != 0)
+    cat.create_table_from_df(seed, "ord")
+
+    upd = (
+        seed.filter(F.col("o_orderkey") % 3 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("_del", F.lit(False))
+    )
+    dels = (
+        seed.filter(
+            (F.col("o_orderkey") % 3 == 2) & (F.col("o_orderkey") % 5 == 0)
+        ).withColumn("_del", F.lit(True))
+    )
+    ins = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+        "_del", F.lit(False)
+    )
+    cat.merge_rows(
+        upd.unionByName(dels).unionByName(ins),
+        "ord",
+        key="o_orderkey",
+        delete_col="_del",
+    )
+
+    sink = os.path.join(base, "sink")
+    q = (
+        spark.readStream.format("wap_changefeed")
+        .option("warehouse", os.path.join(base, "wh"))
+        .option("table", "ord")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    feed = spark.read.parquet(sink)
+    return feed.groupBy("_change_type", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.count_distinct(F.col("_snapshot_id")).alias("n_commits"),
+    )

@@ -1,6 +1,6 @@
 """A Structured Streaming SOURCE over catalog table commits.
 
-PySpark 4's Python Data Source API lets the catalog's append feed be
+PySpark 4's Python Data Source API lets the catalog's commit feed be
 a first-class ``readStream`` input::
 
     register_changefeed_source(spark)
@@ -16,24 +16,38 @@ the engine's checkpoint.
 Design (Spark-first, scale-first):
 
 - **Offsets are snapshot ids** — the commit log IS the stream.
-  ``latestOffset`` reads one small metadata JSON; no Spark job plans
-  a micro-batch.
-- **One input partition per (data file, snapshot)**: a micro-batch
-  spanning N commits fans out to all their files in parallel;
-  executors read parquet via pyarrow and emit Arrow record batches
-  (zero row-at-a-time Python).
+  ``latestOffset`` reads one small metadata JSON; planning a
+  micro-batch never runs a Spark job (row-level spans cost one
+  O(files) metadata walk on the driver).
+- **One input partition per (data file, snapshot) unit of work**: a
+  micro-batch spanning N commits fans out to all their files in
+  parallel; executors read parquet via pyarrow and emit Arrow record
+  batches (zero row-at-a-time Python).
 - **Schema-era mapping travels in the partition**: files written
   before a ``rename_column``/``add_column`` map by the recorded
   historical names, so the stream survives schema evolution
-  mid-flight.
-- **Append-only scope, loudly enforced**: appends (and layout-only
-  compaction/z-order commits, which are skipped — layout is not
-  change) stream; a span containing row-level deletes/updates raises
-  with a pointer to :meth:`Catalog.read_changes` /
-  :func:`follow_changes`, whose join-based replay semantics need the
-  full engine. This matches the dominant streaming case — WAP-
-  ingested tables are append-only between maintenance commits — and
-  refuses, rather than corrupts, on the rest.
+  mid-flight. Identity-partition columns (dropped from data files by
+  the hive-style layout) are restored from the manifest's recorded
+  partition values.
+- **Row-level changes replay INSIDE the partition reader**: a
+  ``merge_rows``/``delete_keys``/``delete_where``/``update_where``/
+  ``overwrite`` commit expands to one replay partition per (target
+  file, delete spec) — each reader reconstructs that file's rows as
+  visible at the commit's PARENT (prior pending deletes applied),
+  then applies the commit's own spec to emit the ``delete`` rows
+  (and, for ``update_where``, the transformed ``insert`` rows).
+  Equality (key-file) specs replay as pyarrow semi/anti joins;
+  predicate specs and SET expressions evaluate in an embedded DuckDB
+  over the Arrow batch (the engine records plain comparison/boolean
+  SQL — the shared ANSI dialect; an expression outside it raises
+  with a pointer to :meth:`Catalog.read_changes`, whose Spark-side
+  replay has the full dialect). Semantics mirror ``read_changes``
+  (``catalog/catalog.py:1176``) — updates arrive as delete+insert
+  pairs under the committing snapshot, the standard CDC shape — so a
+  table maintained by :func:`..streaming.ingest.stream_merge` can
+  feed a downstream stream.
+- **Layout-only commits yield nothing**: compaction/z-order are
+  tagged ``cdc: none`` — layout is not change.
 
 ``startingOffsets``: ``"latest"`` (default — stream only commits
 after the query starts), ``"earliest"`` (replay from table
@@ -42,8 +56,9 @@ creation), or a snapshot id.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Iterator
+from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -53,17 +68,68 @@ from pyspark.sql.datasource import (
 
 
 class _FilePartition(InputPartition):
+    """Insert rows of one data file (appends; the insert half of
+    merge/overwrite commits)."""
+
     def __init__(
         self,
         path: str,
         snapshot_id: int,
         arrow_schema_bytes: bytes,
         col_sources: list[tuple[str, list[str]]],
+        partition_values: dict[str, str] | None = None,
     ):
         self.path = path
         self.snapshot_id = snapshot_id
         self.arrow_schema_bytes = arrow_schema_bytes
         self.col_sources = col_sources  # (target name, candidate file names)
+        self.partition_values = partition_values or {}
+
+
+class _ReplayPartition(InputPartition):
+    """Row-level replay for ONE (target file, spec) of a
+    delete/merge/rewrite/overwrite commit.
+
+    ``prior_specs`` reconstruct the file's parent-visible rows (anti);
+    ``apply_spec`` selects the rows this commit touched (semi) — None
+    means every parent-visible row (overwrite). ``set_exprs`` turns
+    the selection into the post-image (update_where's insert half).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        snapshot_id: int,
+        change_type: str,
+        arrow_schema_bytes: bytes,
+        col_sources: list[tuple[str, list[str]]],
+        partition_values: dict[str, str],
+        prior_specs: list[dict[str, Any]],
+        apply_spec: dict[str, Any] | None,
+        set_exprs: dict[str, str] | None,
+        aliases: list[tuple[str, str]],  # (historical name, current name)
+    ):
+        self.path = path
+        self.snapshot_id = snapshot_id
+        self.change_type = change_type
+        self.arrow_schema_bytes = arrow_schema_bytes
+        self.col_sources = col_sources
+        self.partition_values = partition_values
+        self.prior_specs = prior_specs
+        self.apply_spec = apply_spec
+        self.set_exprs = set_exprs
+        self.aliases = aliases
+
+
+def _quote(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _translate_cond(cond: str) -> str:
+    """Spark-SQL predicate -> DuckDB: identifier quoting only. The
+    engine's mutation APIs record plain comparison/boolean SQL (the
+    ANSI subset both dialects share)."""
+    return cond.replace("`", '"')
 
 
 class ChangeFeedStreamReader(DataSourceStreamReader):
@@ -93,9 +159,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         return {"snapshot_id": head if head is not None else 0}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        import pyarrow as pa
-
         from pyspark.sql.pandas.types import to_arrow_schema
+
+        import pyspark.sql.types as T
 
         meta = self._meta()
         lo, hi = start["snapshot_id"], end["snapshot_id"]
@@ -108,43 +174,141 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             f for f in self._spark_schema.fields
             if f.name not in ("_change_type", "_snapshot_id")
         ]
-        import pyspark.sql.types as T
-
         arrow_schema = to_arrow_schema(T.StructType(user_fields))
         schema_bytes = arrow_schema.serialize().to_pybytes()
         hist = meta.rename_history
+        old_to_new = {o: c for c, olds in hist.items() for o in olds}
+        aliases = [(o, c) for c, olds in hist.items() for o in olds]
         col_sources = [
             (f.name, [f.name] + list(hist.get(f.name, ())))
             for f in user_fields
         ]
-        parts: list[InputPartition] = []
-        for s in span:
-            if s.operation in ("overwrite", "rewrite") and s.summary.get(
-                "cdc"
-            ) == "none":
-                continue  # compaction/z-order: layout, not change
-            if s.operation != "append" or s.deletes:
-                raise ValueError(
-                    f"snapshot {s.snapshot_id} is a {s.operation!r} commit; "
-                    "the streaming changefeed source is append-only — "
-                    "consume row-level deletes/updates with "
-                    "Catalog.read_changes / follow_changes"
+        user_names = {f.name for f in user_fields}
+        by_path = {}  # parent-visible FileEntry by path, refreshed per snapshot
+
+        def part_values(fe) -> dict[str, str]:
+            # pre-rename files recorded the partition dir under the
+            # historical name — map it to the current column
+            vals = {old_to_new.get(k, k): v for k, v in fe.partition.items()}
+            return {k: v for k, v in vals.items() if k in user_names}
+
+        def abs_path(rel: str) -> str:
+            return os.path.join(self.warehouse, rel)
+
+        def norm_spec(d: dict[str, Any]) -> dict[str, Any]:
+            """Commit-recorded spec -> executor shape: absolute key
+            files + (recorded name, current name) key mapping."""
+            if d.get("condition") is not None:
+                return {"condition": _translate_cond(d["condition"])}
+            keys = [
+                (k, old_to_new.get(k, k)) for k in d["key"].split(",")
+            ]
+            return {
+                "key_cols": keys,
+                "key_files": [abs_path(p) for p in d["key_files"]],
+            }
+
+        def insert_parts(s, files) -> list[InputPartition]:
+            return [
+                _FilePartition(
+                    abs_path(f.path),
+                    s.snapshot_id,
+                    schema_bytes,
+                    col_sources,
+                    part_values(f),
                 )
-            for f in s.added_files:
-                parts.append(
-                    _FilePartition(
-                        os.path.join(self.warehouse, f.path),
+                for f in files
+            ]
+
+        def replay_parts(
+            s,
+            target_paths: list[str] | None,
+            change: str,
+            apply_spec: dict[str, Any] | None,
+            set_exprs: dict[str, str] | None = None,
+        ) -> list[InputPartition]:
+            """One partition per parent-visible target file."""
+            parent = meta.files_with_deletes(s.parent_snapshot_id)
+            want = set(target_paths) if target_paths is not None else None
+            out = []
+            for f, specs in parent:
+                if want is not None and f.path not in want:
+                    continue
+                out.append(
+                    _ReplayPartition(
+                        abs_path(f.path),
                         s.snapshot_id,
+                        change,
                         schema_bytes,
                         col_sources,
+                        part_values(f),
+                        [norm_spec(sp.to_json()) for sp in specs],
+                        apply_spec,
+                        set_exprs,
+                        aliases,
                     )
                 )
+            return out
+
+        parts: list[InputPartition] = []
+        for s in span:
+            cdc = s.summary.get("cdc")
+            if cdc == "none":
+                continue  # compaction/z-order: layout, not change
+            if cdc == "unsupported" or (s.operation == "rewrite" and not cdc):
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} ({s.operation}) carries no "
+                    "CDC record; use merge_rows/delete_where/update_where "
+                    "for change-feed-readable mutations"
+                )
+            sid = s.snapshot_id
+            if s.operation == "append":
+                parts += insert_parts(s, s.added_files)
+            elif s.operation == "overwrite":
+                parts += replay_parts(s, None, "delete", None)
+                parts += insert_parts(s, s.added_files)
+            elif s.operation in ("delete", "merge"):  # merge-on-read
+                for d in s.deletes:
+                    parts += replay_parts(
+                        s, d.get("targets"), "delete", norm_spec(d)
+                    )
+                if s.operation == "merge":
+                    parts += insert_parts(s, s.added_files)
+            elif s.operation == "rewrite":
+                if cdc == "delete":
+                    spec = {"condition": _translate_cond(s.summary["condition"])}
+                    parts += replay_parts(s, s.removed_paths, "delete", spec)
+                elif cdc == "delete_keys":
+                    spec = norm_spec(
+                        {
+                            "key": s.summary["key"],
+                            "key_files": json.loads(s.summary["key_files"]),
+                        }
+                    )
+                    parts += replay_parts(s, s.removed_paths, "delete", spec)
+                elif cdc == "update":
+                    spec = {"condition": _translate_cond(s.summary["condition"])}
+                    sets = {
+                        old_to_new.get(k, k): _translate_cond(v)
+                        for k, v in json.loads(s.summary["set"]).items()
+                    }
+                    parts += replay_parts(s, s.removed_paths, "delete", spec)
+                    parts += replay_parts(
+                        s, s.removed_paths, "insert", spec, sets
+                    )
+                else:
+                    raise ValueError(
+                        f"snapshot {sid} carries unknown cdc tag {cdc!r}; "
+                        "consume it with Catalog.read_changes"
+                    )
         return parts
 
-    def read(self, partition: _FilePartition) -> Iterator:
-        """Executor-side: one parquet file -> Arrow record batches in
-        the target schema (+ feed columns). Pure pyarrow — no Spark,
-        no per-row Python."""
+    # ------------------------------------------------------------------
+    # executor side: pure pyarrow/duckdb — no Spark, no per-row Python
+    # ------------------------------------------------------------------
+    def _load_user_table(self, partition):
+        """One parquet file -> Arrow table in the target user schema
+        (schema-era name mapping + identity-partition restoration)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -159,12 +323,118 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             src = next(
                 (c for c in candidates if c in table.column_names), None
             )
-            if src is None:
-                cols.append(pa.nulls(n, type=fld.type))
-            else:
+            if src is not None:
                 cols.append(table.column(src).cast(fld.type))
-        cols.append(pa.array(["insert"] * n, type=pa.string()))
-        cols.append(pa.array([partition.snapshot_id] * n, type=pa.int64()))
+            elif name in partition.partition_values:
+                # identity partition column: hive layout dropped it
+                # from the file; the manifest recorded its value
+                v = partition.partition_values[name]
+                cols.append(
+                    pa.array([v] * n, type=pa.string()).cast(fld.type)
+                )
+            else:
+                cols.append(pa.nulls(n, type=fld.type))
+        return pa.Table.from_arrays(cols, schema=target), target
+
+    @staticmethod
+    def _apply_key_spec(table, spec, anti: bool):
+        """Equality-delete replay: semi (rows this spec deletes) or
+        anti (rows surviving it) join against the recorded key set."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        keys = pa.concat_tables(
+            [pq.read_table(p) for p in spec["key_files"]]
+        )
+        recorded = [r for r, _cur in spec["key_cols"]]
+        current = [cur for _r, cur in spec["key_cols"]]
+        keys = keys.select(recorded).rename_columns(current)
+        join = "left semi" if not anti else "left anti"
+        out = table.join(keys, keys=current, join_type=join)
+        return out.select(table.column_names)  # joins may reorder
+
+    @staticmethod
+    def _duck(table, sql_from_t: str, context: str):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", table)
+        try:
+            return con.execute(sql_from_t).arrow()
+        except Exception as ex:  # dialect gap: refuse, don't corrupt
+            raise ValueError(
+                f"changefeed source could not replay {context} in the "
+                f"shared SQL dialect ({type(ex).__name__}: {ex}); consume "
+                "this span with Catalog.read_changes / follow_changes"
+            ) from ex
+        finally:
+            con.close()
+
+    def _with_aliases(self, partition) -> str:
+        """FROM-clause subquery exposing historical column names as
+        aliases of their current columns, so conditions recorded
+        before a later rename_column still resolve."""
+        extra = [
+            f"{_quote(cur)} AS {_quote(old)}"
+            for old, cur in partition.aliases
+            if old not in {n for n, _ in partition.col_sources}
+        ]
+        if not extra:
+            return "t"
+        return f"(SELECT *, {', '.join(extra)} FROM t)"
+
+    def _apply_cond_spec(self, table, partition, cond: str, anti: bool):
+        cols = ", ".join(_quote(n) for n, _ in partition.col_sources)
+        pred = f"coalesce(({cond}), false)"
+        if anti:
+            pred = f"NOT {pred}"
+        q = (
+            f"SELECT {cols} FROM {self._with_aliases(partition)} "
+            f"WHERE {pred}"
+        )
+        return self._duck(table, q, f"condition {cond!r}")
+
+    def _apply_sets(self, table, partition, set_exprs: dict[str, str]):
+        proj = ", ".join(
+            f"({set_exprs[n]}) AS {_quote(n)}" if n in set_exprs else _quote(n)
+            for n, _ in partition.col_sources
+        )
+        q = f"SELECT {proj} FROM {self._with_aliases(partition)}"
+        return self._duck(table, q, f"SET {set_exprs!r}")
+
+    def read(self, partition) -> Iterator:
+        import pyarrow as pa
+
+        table, target = self._load_user_table(partition)
+        if isinstance(partition, _ReplayPartition):
+            # 1. parent-visible rows: apply every pending prior delete
+            for sp in partition.prior_specs:
+                if "condition" in sp:
+                    table = self._apply_cond_spec(
+                        table, partition, sp["condition"], anti=True
+                    )
+                else:
+                    table = self._apply_key_spec(table, sp, anti=True)
+                table = table.cast(target)
+            # 2. select the rows THIS commit touched
+            sp = partition.apply_spec
+            if sp is not None:
+                if "condition" in sp:
+                    table = self._apply_cond_spec(
+                        table, partition, sp["condition"], anti=False
+                    )
+                else:
+                    table = self._apply_key_spec(table, sp, anti=False)
+                table = table.cast(target)
+            # 3. update_where insert half: project the post-image
+            if partition.set_exprs:
+                table = self._apply_sets(
+                    table, partition, partition.set_exprs
+                ).cast(target)
+            change = partition.change_type
+        else:
+            change = "insert"
+        n = table.num_rows
         out_schema = pa.schema(
             list(target)
             + [
@@ -172,7 +442,15 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 pa.field("_snapshot_id", pa.int64()),
             ]
         )
-        yield from pa.Table.from_arrays(cols, schema=out_schema).to_batches()
+        out = pa.Table.from_arrays(
+            table.columns
+            + [
+                pa.array([change] * n, type=pa.string()),
+                pa.array([partition.snapshot_id] * n, type=pa.int64()),
+            ],
+            schema=out_schema,
+        )
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # checkpoint owns progress; the table log needs no ack

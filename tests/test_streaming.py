@@ -337,9 +337,7 @@ def test_changefeed_stream_source(spark, warehouse, tmp_path):
     """The catalog commit log as a real readStream source: availableNow
     drains existing commits per startingOffsets, a checkpoint restart
     sees only NEW appends, schema-era mapping survives a rename, and a
-    row-level delete in the span fails loudly."""
-    import pytest as _pytest
-
+    row-level delete in the span streams as a ``delete`` row."""
     from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
         register_changefeed_source,
     )
@@ -391,22 +389,99 @@ def test_changefeed_stream_source(spark, warehouse, tmp_path):
     } | {(10, "ten"), (11, "eleven")}
     assert out2.count() == 12
 
-    # a row-level delete makes the append-only source refuse the span
+    # a row-level (MoR predicate) delete streams as a delete row,
+    # replayed inside the partition reader against parent-visible state
     cat.delete_where(spark, "t", [], "id = 0", mode="mor")
     cat.append(
         spark.createDataFrame([(12, "twelve")], "id long, title string"), "t"
     )
+    out3 = drain("ckpt", "sink")
+    rows3 = sorted(
+        (r.id, r.title, r._change_type) for r in out3.collect()
+    )
+    inserts = [(i, f"v{i}", "insert") for i in range(10)] + [
+        (10, "ten", "insert"),
+        (11, "eleven", "insert"),
+        (12, "twelve", "insert"),
+    ]
+    assert rows3 == sorted(inserts + [(0, "v0", "delete")])
+    # the cumulative feed folds to the table's current state
+    alive = (
+        out3.groupBy("id", "title")
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(-1))
+            .alias("n")
+        )
+        .filter("n > 0")
+    )
+    assert {(r.id, r.title) for r in alive.collect()} == {
+        (r.id, r.title) for r in cat.read(spark, "t").collect()
+    }
+
+
+def test_changefeed_stream_matches_read_changes(spark, warehouse, tmp_path):
+    """Row-level-change parity: the streamed feed over a mutation-heavy
+    span (append, MoR predicate delete, COW update with SET exprs,
+    MERGE with tombstones, COW delete-by-key) must equal
+    Catalog.read_changes row-for-row — the partition-reader replay and
+    the Spark-side replay implement one semantics."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Predicate
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        register_changefeed_source,
+    )
+
+    register_changefeed_source(spark)
+    cat = Catalog(warehouse)
+    df0 = spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    m0 = cat.create_table_from_df(df0, "t")
+    base_sid = m0.current_snapshot_id
+    cat.append(
+        spark.range(100, 130).select(
+            F.col("id"), F.lit("batch2").alias("name")
+        ),
+        "t",
+    )
+    cat.delete_where(
+        spark, "t", Predicate.between("id", 10, 19),
+        "id BETWEEN 10 AND 19", mode="mor",
+    )
+    cat.update_where(
+        spark, "t", Predicate.between("id", 40, 44),
+        "id BETWEEN 40 AND 44", {"name": "'upd'"},
+    )
+    cdc = (
+        spark.range(90, 110)
+        .select(F.col("id"), F.lit("merged").alias("name"))
+        .withColumn("_del", F.col("id") < 95)
+    )
+    cat.merge_rows(cdc, "t", key="id", delete_col="_del")
+    keys = spark.createDataFrame([(5,), (6,), (7,)], "id long")
+    cat.delete_keys(keys, "t", "id", mode="cow")
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
     q = (
         spark.readStream.format("wap_changefeed")
         .option("warehouse", warehouse)
         .option("table", "t")
-        .option("startingOffsets", "earliest")
+        .option("startingOffsets", str(base_sid))
         .load()
         .writeStream.format("parquet")
-        .option("path", str(tmp_path / "sink3"))
-        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    with _pytest.raises(Exception, match="append-only"):
-        q.awaitTermination(120)
+    q.awaitTermination(180)
+
+    streamed = sorted(
+        (r.id, r.name, r._change_type, r._snapshot_id)
+        for r in spark.read.parquet(sink).collect()
+    )
+    batch = sorted(
+        (r.id, r.name, r._change_type, r._snapshot_id)
+        for r in cat.read_changes(spark, "t", base_sid).collect()
+    )
+    assert streamed == batch
+    assert {c for _, _, c, _ in streamed} == {"insert", "delete"}

@@ -3,21 +3,33 @@
 Runs every registered query's Spark plan and DuckDB oracle on the
 same parquet tables, then compares row count, column names, and an
 order-insensitive value multiset (columns sorted by name — the
-driver's documented compare). Exact value equality, including floats:
-our cross-engine determinism rules are supposed to make results
-bit-identical.
+driver's documented compare).
+
+The compare is **dtype-class sensitive**, mimicking the driver's
+pandas/Arrow hashing path: both sides are materialized as pandas
+DataFrames (Spark via ``toPandas()``, DuckDB via ``.df()``) and every
+cell is tagged with its numeric class before hashing, so an oracle
+column that DuckDB types as HUGEINT/DECIMAL (rendered float64 by the
+pandas conversion) fails against a Spark BIGINT even when the values
+are numerically identical.  The previous ``fetchall()``-based compare
+collapsed HUGEINT to Python ``int`` and hid exactly that bug class
+for two rounds (events_sessionization, VERDICT r3 finding #1/#2).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 import sys
 from collections import Counter
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,18 +39,51 @@ from no_jvm_wap_with_iceberg_spark.plans.registry import get_queries
 
 
 def norm_cell(v):
+    """Normalize one pandas cell into a hashable, dtype-class-tagged value.
+
+    Integer-class and float-class values get distinct tags so that a
+    ``1`` (int64) never compares equal to ``1.0`` (float64) — the
+    driver's hash is type-sensitive in exactly this way.
+    """
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        v = v.item()  # np.int64 -> int, np.float64 -> float: class preserved
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)  # full precision
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if pd.isna(v):
+            return "NaT"
+        return ("t", pd.Timestamp(v).isoformat())
+    if isinstance(v, datetime.date):
+        return ("t", v.isoformat() + "T00:00:00")
+    try:
+        if pd.isna(v):
+            return "NaN"
+    except (TypeError, ValueError):
+        pass
     return v
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
+def norm_frame(df: pd.DataFrame) -> Counter:
+    order = sorted(df.columns)
+    sub = df[order]
+    return Counter(
+        tuple(norm_cell(v) for v in row)
+        for row in sub.itertuples(index=False, name=None)
+    )
 
 
 def main():
@@ -57,31 +102,30 @@ def main():
             continue
         try:
             sdf = q.spark(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
         if q.oracle is None:
-            print(f"WEAK  {name}: rows={len(srows)} (no oracle)")
+            print(f"WEAK  {name}: rows={len(spdf)} (no oracle)")
             n_weak += 1
             continue
         try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(q.oracle).df()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+            )
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
         if not problems:
-            sm, om = norm_rows(scols, srows), norm_rows(ocols, orows)
+            sm, om = norm_frame(spdf), norm_frame(opdf)
             if sm != om:
                 diff_s = list((sm - om).items())[:3]
                 diff_o = list((om - sm).items())[:3]
@@ -90,7 +134,7 @@ def main():
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(srows)} rows)")
+            print(f"PASS  {name} ({len(spdf)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak, {n_fail} fail")
     return 1 if n_fail else 0
