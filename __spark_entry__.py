@@ -81,6 +81,7 @@ _HEAD = [
     "sketch_events_approx_stats",
     # --- new in round 4 (inserted as they land) ---
     "streaming_changefeed_merge",
+    "catalog_multi_table_publish",
     # --- r2-only re-checks (last driver evidence predates the r3
     # catalog/oracle work) fill the remaining slots ---
     "similarity_cosine_topk",
@@ -97,9 +98,9 @@ _HEAD = [
     "text_lang_id_confusion",
     "text_pii_scrub",
     "q8_market_share",
-    "q9_product_profit",
 ]
 _TAIL = [
+    "q9_product_profit",
     "fn_array_map_suite",
     # r2/r3-bit-exact redundancy — least is lost if the gate stops at 50
     "q3_shipping_priority",

@@ -13,9 +13,13 @@ distributed):
   ``(word, freq)``; every merge round then touches only DISTINCT
   words — at 100 TB the corpus is petabyte-scale but the vocab is
   ~10M rows, and the per-round cost is O(vocab), not O(corpus).
-- **Each round is one pair-keyed shuffle + a k=1 TakeOrdered.** Pair
-  counts partial-aggregate map-side; the argmax pair reaches the
-  driver as one row. No driver-side counting.
+- **Each round is one pair-keyed shuffle + a top-K TakeOrdered, and
+  applies a BATCH of merges.** Pair counts partial-aggregate
+  map-side; the top-K pairs reach the driver as K small rows, and the
+  longest provably-exact prefix of mutually symbol-disjoint pairs is
+  merged in one pass (``_exact_batch`` — bit-identical to
+  one-pair-per-round training), so a real 32k-merge vocabulary costs
+  hundreds of driver round-trips, not 64k. No driver-side counting.
 - **Merges apply via one Arrow-batched kernel** over the symbol
   arrays (greedy left-to-right within each word — inherently
   sequential per word, trivially parallel across words), and the
@@ -75,30 +79,85 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _merge_udf(a: str, b: str):
-    """Greedy left-to-right (a,b) -> ab within each symbol array —
-    Arrow-batched; sequential per word, parallel across words."""
+def _merge_udf(batch: list[tuple[str, str]]):
+    """Apply an ordered list of merges, each greedy left-to-right
+    within every symbol array — one Arrow-batched kernel for the whole
+    batch (identical semantics to applying them one per round, since
+    batched pairs are mutually symbol-disjoint); sequential per word,
+    parallel across words."""
 
     @F.pandas_udf("array<string>")
     def _m(col: pd.Series) -> pd.Series:
-        ab = a + b
+        table = [(a, b, a + b) for a, b in batch]
 
         def mm(s):
             if s is None:
                 return s
-            out, i, n = [], 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == a and s[i + 1] == b:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
+            for a, b, ab in table:
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == a and s[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
 
         return col.map(mm)
 
     return _m
+
+
+def _exact_batch(
+    top: list, n_want: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """From one count-ordered top-K list, the longest PROVABLY-exact
+    merge batch (VERDICT r3 #3: batch-select mutually non-overlapping
+    pairs to cut driver round-trips ~Nx — here with a strictness trim
+    that makes the batched sequence bit-identical to one-at-a-time
+    training, not merely close):
+
+    - Walk the list in (cnt DESC, a, b) order, accepting pairs while
+      they are mutually symbol-disjoint; STOP at the first pair that
+      shares a symbol with an accepted one. Disjointness makes every
+      accepted pair's count invariant under the earlier accepted
+      merges (occurrences cannot overlap, adjacencies cannot be
+      created or destroyed across disjoint symbols).
+    - ``stop_cnt`` = the count at the stop point (first overlapping
+      pair, or the K-th row — every unseen pair is bounded by it).
+      Keep accepted pairs with ``cnt > stop_cnt`` STRICTLY: any pair
+      a sequential trainer could newly create by an accepted merge
+      (x, ab) is bounded by the count of an overlapping old pair
+      (x, a) <= stop_cnt, so it can never reach — or tie and win the
+      lexicographic tie-break against — a kept pair.
+    - The head pair is always exact (it IS the global argmax) and is
+      kept unconditionally, so every round makes progress.
+    """
+    if not top or int(top[0]["cnt"]) < min_count:
+        return []
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    stop_cnt: int | None = None
+    for r in top:
+        a, b, c = r["a"], r["b"], int(r["cnt"])
+        if len(accepted) >= n_want or a in used or b in used:
+            stop_cnt = c
+            break
+        accepted.append((a, b, c))
+        used.add(a)
+        used.add(b)
+    if stop_cnt is None:
+        # exhausted the whole K-list without a stop: every unseen pair
+        # (and thus every possible overlap/new-pair bound) is bounded
+        # by the last row's count
+        stop_cnt = int(top[-1]["cnt"])
+    # strictness trim keeps a contiguous desc-count prefix
+    batch = [accepted[0]] + [
+        (a, b, c) for a, b, c in accepted[1:] if c > stop_cnt and c >= min_count
+    ]
+    return batch
 
 
 def bpe_train(
@@ -106,29 +165,42 @@ def bpe_train(
     n_merges: int = 10,
     text_col: str = "text",
     min_count: int = 2,
+    top_k: int = 256,
+    rounds_out: list[int] | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns ``[(a, b, count), ...]``
     in training order. Stops early when the best pair's count drops
-    below ``min_count``."""
+    below ``min_count``.
+
+    Each driver round fetches the top-``top_k`` pairs ONCE and applies
+    the longest provably-exact batch of them (``_exact_batch``), so a
+    32k-merge vocabulary costs hundreds of driver round-trips instead
+    of 64k — the merge sequence is bit-identical to one-pair-per-round
+    training (asserted against a sequential pure-Python reference in
+    tests/test_operators.py). ``rounds_out``, if given, collects the
+    per-round batch sizes (diagnostic; the round count is their
+    length)."""
     vocab = fan_out(
         word_freqs(docs, text_col).select(
             F.split("w", "").alias("syms"), "freq"
         )
     ).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         top = (
             _pair_counts(vocab)
             .orderBy(F.desc("cnt"), "a", "b")  # total order: ties lex
-            .limit(1)
+            .limit(top_k)
             .collect()
         )
-        if not top or int(top[0]["cnt"]) < min_count:
+        batch = _exact_batch(top, n_merges - len(merges), min_count)
+        if not batch:
             break
-        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((a, b, c))
+        if rounds_out is not None:
+            rounds_out.append(len(batch))
+        merges.extend(batch)
         vocab = vocab.withColumn(
-            "syms", _merge_udf(a, b)(F.col("syms"))
+            "syms", _merge_udf([(a, b) for a, b, _ in batch])(F.col("syms"))
         ).localCheckpoint()
     return merges
 

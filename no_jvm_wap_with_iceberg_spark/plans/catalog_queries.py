@@ -1281,3 +1281,60 @@ def streaming_changefeed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
         F.count_distinct(F.col("_snapshot_id")).alias("n_commits"),
     )
+
+
+@register(
+    "catalog_multi_table_publish",
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 4 = 1),
+         c AS (SELECT * FROM customer WHERE c_custkey % 3 = 2)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM o JOIN c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="MULTI-TABLE transactional publish — the reference's "
+    "acknowledged punt (README.md:18 'multi-table transactions') "
+    "closed in the gate (VERDICT r3 #6): two tables (an orders subset "
+    "and a customer subset) are staged and committed under ONE WAP "
+    "branch, then published to main by a single fast-forward CAS "
+    "(catalog/catalog.py merge) — both tables appear on main "
+    "atomically or neither does (atomicity under a racing publish is "
+    "asserted in tests/test_catalog_races.py). The gate reads BOTH "
+    "tables back from MAIN and joins them; any torn publish would "
+    "break the oracle join cardinalities. Namespace-level commits are "
+    "what Nessie adds over per-table Iceberg; this engine gets them "
+    "from branch-level refs.",
+)
+def catalog_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(_tmp_warehouse("multi_pub_"))
+    cat.create_branch("wap")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 1
+    )
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 2
+    )
+    cat.create_table_from_df(orders, "ord_pub", branch="wap")
+    cat.create_table_from_df(customer, "cust_pub", branch="wap")
+    cat.merge("wap", "main")  # one CAS publishes BOTH tables
+    cat.drop_branch("wap")
+
+    o = cat.read(spark, "ord_pub")  # main
+    c = cat.read(spark, "cust_pub")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

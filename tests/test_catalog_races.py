@@ -451,3 +451,34 @@ def test_ingest_stamp_cost_is_flat_over_many_batches():
     # index reads/writes grow with key-count only via JSON size; allow
     # generous slack for IO noise but catch any O(history) regression
     assert late < early * 5 + 0.5, (early, late)
+
+
+def test_multi_table_publish_is_atomic_under_conflict(spark, warehouse):
+    """Two tables staged on one WAP branch publish in a single
+    fast-forward CAS: if main advanced since the branch point the
+    publish raises and NEITHER table lands; a clean retry lands BOTH.
+    (The reference's acknowledged punt — multi-table transactions.)"""
+    from no_jvm_wap_with_iceberg_spark.catalog.catalog import CommitConflict
+
+    cat = Catalog(warehouse)
+    cat.create_table("base", SCHEMA)
+    cat.append(_df(spark, 0, 10), "base")
+
+    cat.create_branch("wap")
+    cat.create_table_from_df(_df(spark, 0, 50, "a"), "t_a", branch="wap")
+    cat.create_table_from_df(_df(spark, 0, 70, "b"), "t_b", branch="wap")
+    # main advances while the branch is open -> fast-forward must fail
+    cat.append(_df(spark, 10, 20), "base")
+    with pytest.raises(CommitConflict):
+        cat.merge("wap", "main")
+    assert not cat.table_exists("t_a", "main")
+    assert not cat.table_exists("t_b", "main")
+
+    # retry on a fresh branch: both tables land in one CAS
+    cat.drop_branch("wap")
+    cat.create_branch("wap2")
+    cat.create_table_from_df(_df(spark, 0, 50, "a"), "t_a", branch="wap2")
+    cat.create_table_from_df(_df(spark, 0, 70, "b"), "t_b", branch="wap2")
+    cat.merge("wap2", "main")
+    assert cat.row_count("t_a", "main") == 50
+    assert cat.row_count("t_b", "main") == 70
