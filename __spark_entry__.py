@@ -82,6 +82,8 @@ _HEAD = [
     # --- new in round 4 (inserted as they land) ---
     "streaming_changefeed_merge",
     "catalog_multi_table_publish",
+    "merge_into_conditional",
+    "events_session_window_native",
     # --- r2-only re-checks (last driver evidence predates the r3
     # catalog/oracle work) fill the remaining slots ---
     "similarity_cosine_topk",
@@ -95,11 +97,11 @@ _HEAD = [
     "corpus_stratified_sample",
     "corpus_pack_sequences",
     "text_quality_profile",
-    "text_lang_id_confusion",
     "text_pii_scrub",
-    "q8_market_share",
 ]
 _TAIL = [
+    "text_lang_id_confusion",
+    "q8_market_share",
     "q9_product_profit",
     "fn_array_map_suite",
     # r2/r3-bit-exact redundancy — least is lost if the gate stops at 50

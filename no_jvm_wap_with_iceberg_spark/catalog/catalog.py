@@ -1004,6 +1004,162 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build, max_retries=max_retries)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        table: str,
+        key: str | list[str],
+        when_matched_update: str | None = "true",
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: str | None = "true",
+        update_set: dict[str, str] | None = None,
+        insert_values: dict[str, str] | None = None,
+        branch: str = MAIN,
+        write_partitions: int | None = 1,
+        max_retries: int = 3,
+    ) -> TableMetadata:
+        """Full conditional ``MERGE INTO`` (the Iceberg/Delta clause
+        surface; :meth:`merge_rows` is the unconditional
+        upsert+tombstone fast path):
+
+        - ``when_matched_delete`` — SQL boolean over ``s.*``/``t.*``
+          (source/target): matched rows where it holds are DELETED.
+          Evaluated first, like the leading WHEN MATCHED clause.
+        - ``when_matched_update`` — matched rows where it holds (and
+          the delete clause did not) are UPDATED: each column comes
+          from ``update_set[col]`` (SQL over ``s.*``/``t.*``) or
+          defaults to the source's column. Matched rows satisfying
+          NEITHER clause remain untouched — the semantic
+          :meth:`merge_rows` cannot express (it rewrites every match).
+        - ``when_not_matched_insert`` — SQL boolean over ``s.*``:
+          unmatched source rows where it holds are INSERTED (columns
+          via ``insert_values`` or the source's, cast to the table
+          schema). Extra source columns (flags the conditions read)
+          are dropped on write.
+
+        Merge-on-read commit, same shape as :meth:`merge_rows`: ONE
+        snapshot carrying an equality-delete spec over only the
+        CHANGED keys plus the insert files — cost O(batch + matched
+        files), never O(table), and the change feed / streaming source
+        replay it as delete+insert pairs with no extra support.
+        Matched-row scans touch only the stats/bloom-pruned files that
+        may hold an incoming key.
+
+        Conditions read target values, so they are evaluated against
+        the head captured at entry; if another writer advances the
+        table before the CAS, the WHOLE evaluation re-runs on the
+        fresh head (up to ``max_retries`` times) — a stale condition
+        can never decide a commit.
+        """
+        from pyspark.sql import functions as F
+
+        spark = source.sparkSession
+        key_cols = [key] if isinstance(key, str) else list(key)
+        key = ",".join(key_cols)
+        last_err: CommitConflict | None = None
+        for _attempt in range(max_retries + 1):
+            meta0 = self.load_table(table, branch)
+            cols = [f.name for f in meta0.spark_schema.fields]
+            types = {f.name: f.dataType for f in meta0.spark_schema.fields}
+            src_keys = source.select(*key_cols).distinct()
+            affected0 = self._files_overlapping_keys(meta0, key_cols, src_keys)
+            cur = self._df_applying_deletes(spark, meta0, affected0 or [])
+            joined = source.alias("s").join(
+                cur.alias("t"),
+                on=F.expr(
+                    " AND ".join(f"s.`{k}` = t.`{k}`" for k in key_cols)
+                ),
+                how="inner",
+            )
+            del_cond = (
+                F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                if when_matched_delete
+                else F.lit(False)
+            )
+            upd_cond = (
+                F.coalesce(F.expr(when_matched_update), F.lit(False))
+                if when_matched_update
+                else F.lit(False)
+            ) & ~del_cond
+            changed_keys = (
+                joined.filter(del_cond | upd_cond)
+                .select(*[F.expr(f"s.`{k}`").alias(k) for k in key_cols])
+                .distinct()
+            )
+            sets = update_set or {}
+            updated = joined.filter(upd_cond).select(
+                *[
+                    F.expr(sets.get(c, f"s.`{c}`")).cast(types[c]).alias(c)
+                    for c in cols
+                ]
+            )
+            ivals = insert_values or {}
+            not_matched = source.alias("s").join(
+                cur.select(*key_cols), key_cols, "left_anti"
+            )
+            if when_not_matched_insert:
+                inserts = not_matched.filter(
+                    F.coalesce(F.expr(when_not_matched_insert), F.lit(False))
+                ).select(
+                    *[
+                        F.expr(ivals.get(c, f"`{c}`"))
+                        .cast(types[c])
+                        .alias(c)
+                        for c in cols
+                    ]
+                )
+            else:
+                inserts = spark.createDataFrame([], meta0.spark_schema)
+            ups = updated.unionByName(inserts)
+            if write_partitions is not None:
+                ups = ups.coalesce(write_partitions)
+                changed_keys = changed_keys.coalesce(write_partitions)
+            new_files = self._write_files(ups, meta0, table)
+            has_changed = changed_keys.limit(1).count() > 0
+            key_files = (
+                self._write_key_files(changed_keys, table)
+                if has_changed
+                else []
+            )
+
+            def build(meta: TableMetadata):
+                if meta.current_snapshot_id != meta0.current_snapshot_id:
+                    # conditions read t.* at meta0 — a moved head
+                    # invalidates the evaluation, not just the pruning
+                    raise CommitConflict(
+                        f"merge_into evaluated against snapshot "
+                        f"{meta0.current_snapshot_id} but head is now "
+                        f"{meta.current_snapshot_id}"
+                    )
+                deletes = []
+                if has_changed:
+                    affected = self._files_overlapping_keys(
+                        meta, key_cols, changed_keys
+                    )
+                    if affected:
+                        deletes = [
+                            {
+                                "key": key,
+                                "key_files": key_files,
+                                "targets": [f.path for f, _ in affected],
+                            }
+                        ]
+                if not deletes and sum(f.rows for f in new_files) == 0:
+                    return None, ""
+                return (
+                    meta.with_new_snapshot(new_files, "merge", deletes=deletes),
+                    f"MERGE INTO {table} ON {key} (conditional, "
+                    f"+{len(new_files)} files, {len(deletes)} delete specs)",
+                )
+
+            try:
+                return self._optimistic_commit(
+                    table, branch, build, max_retries=0
+                )
+            except CommitConflict as ex:
+                last_err = ex
+        raise last_err  # exhausted retries under concurrent writers
+
     def delete_keys(
         self,
         keys_df: DataFrame,

@@ -1338,3 +1338,86 @@ def catalog_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "merge_into_conditional",
+    """
+    WITH seed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    src AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(0.5 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM seed WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM seed WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
+                  AND o_totalprice >= 150000
+      UNION ALL
+      SELECT t.o_orderkey, t.o_orderstatus,
+             s.o_totalprice + t.o_totalprice
+      FROM seed t JOIN src s ON s.o_orderkey = t.o_orderkey
+      WHERE t.o_orderkey % 21 <> 0 AND t.o_totalprice < 150000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM src WHERE o_orderkey % 2 = 1 AND o_totalprice >= 100000
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="full conditional MERGE INTO through the catalog "
+    "(catalog/catalog.py merge_into — the Iceberg/Delta clause "
+    "surface beyond merge_rows' unconditional upsert): matched rows "
+    "DELETE when s.o_orderkey%21=0, UPDATE (SET o_totalprice = "
+    "s.price + t.price, reading BOTH sides) only when "
+    "t.o_totalprice<150000 — matched rows failing both clauses stay "
+    "byte-untouched — and unmatched source rows INSERT only when "
+    "s.o_totalprice>=100000. One merge-on-read commit: equality "
+    "deletes over changed keys + insert files, O(batch) at any table "
+    "size; CDC-readable (delete+insert pairs, asserted in "
+    "tests/test_merge.py). Double arithmetic (*0.5, x+y) is exact in "
+    "IEEE-754; sums go through DECIMAL(18,4) — halved cents carry 3 "
+    "decimals, and a 2-decimal cast would land on the engines' "
+    "different half-rounding modes (HALF_UP vs HALF_EVEN).",
+)
+def merge_into_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("merge_into_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "ord"
+    )
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(0.5)
+    )
+    cat.merge_into(
+        src,
+        "ord",
+        key="o_orderkey",
+        when_matched_delete="s.o_orderkey % 21 = 0",
+        when_matched_update="t.o_totalprice < 150000",
+        when_not_matched_insert="s.o_totalprice >= 100000",
+        update_set={"o_totalprice": "s.o_totalprice + t.o_totalprice"},
+    )
+    return (
+        cat.read(spark, "ord")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -231,3 +231,65 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "events_session_window_native",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq
+      FROM tagged
+    )
+    SELECT user_id,
+           epoch_ns(MIN(ts)) // 1000 AS session_start,
+           epoch_ns(MAX(ts)) // 1000 AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="the SAME 30-min-gap sessions through Spark's BUILT-IN "
+    "session_window operator — one whole-stage-codegen aggregation, "
+    "zero Python, the plan to prefer at 100 TB when per-session "
+    "ordering logic isn't needed. session_window merges events whose "
+    "gap is < the duration (a >= gap starts a new session), exactly "
+    "the custom plan's rule, so the DuckDB oracle is the same "
+    "lag/running-sum reconstruction; session bounds are emitted from "
+    "MIN/MAX(ts) aggregates (not window.start/end, whose end carries "
+    "the +gap padding) as epoch-micros BIGINT per the cross-engine "
+    "determinism rule. Parity with the custom sessionize plan is "
+    "asserted in tests/test_streaming.py.",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {})"
+    return (
+        ev.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+        )
+        .agg(
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.expr(us.format("_start")).alias("session_start"),
+            F.expr(us.format("_end")).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

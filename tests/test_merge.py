@@ -497,3 +497,93 @@ def test_incremental_aggregate_composite_key(spark, warehouse):
         .collect()
     }
     assert got == want
+
+
+def test_merge_into_conditional_clauses(spark, warehouse):
+    """Full MERGE INTO: matched rows update only when the clause
+    condition holds (others stay untouched — inexpressible with
+    merge_rows), a matched-delete clause fires first, unmatched rows
+    insert only when their clause holds, and extra source columns are
+    dropped on write."""
+    qty_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("inv", qty_schema)
+    cat.append(
+        spark.createDataFrame(
+            [(i, i * 10, f"n{i}") for i in range(10)], qty_schema
+        ),
+        "inv",
+    )
+    src = spark.createDataFrame(
+        [
+            # (id, qty, name, _drop): target qty for id=3 is 30 ->
+            # update fires only when s.qty > t.qty
+            (3, 99, "hi", False),    # 99 > 30  -> update
+            (4, 1, "lo", False),     # 1 < 40   -> matched, UNTOUCHED
+            (5, 999, "x", True),     # _drop    -> delete (wins over update)
+            (20, 7, "new", False),   # unmatched, qty>=5 -> insert
+            (21, 2, "tiny", False),  # unmatched, qty<5  -> NOT inserted
+        ],
+        "id long, qty long, name string, _drop boolean",
+    )
+    cat.merge_into(
+        src,
+        "inv",
+        key="id",
+        when_matched_delete="s._drop",
+        when_matched_update="s.qty > t.qty",
+        when_not_matched_insert="s.qty >= 5",
+        update_set={"qty": "s.qty + t.qty", "name": "s.name"},
+    )
+    state = {
+        r.id: (r.qty, r.name) for r in cat.read(spark, "inv").collect()
+    }
+    expect = {i: (i * 10, f"n{i}") for i in range(10)}
+    expect[3] = (99 + 30, "hi")   # updated via SET expr over s and t
+    del expect[5]                  # deleted by clause
+    expect[20] = (7, "new")        # conditional insert
+    assert state == expect
+
+    # the commit is CDC-readable: only CHANGED keys appear in the feed
+    ch = cat.read_changes(spark, "inv", 1)
+    by = {(r.id, r._change_type) for r in ch.collect()}
+    assert by == {(3, "delete"), (3, "insert"), (5, "delete"), (20, "insert")}
+
+
+def test_merge_into_stale_head_retries(spark, warehouse):
+    """A writer advancing the table between condition evaluation and
+    the CAS forces a full re-evaluation — the retried merge sees the
+    concurrent append's rows."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, 0, 10, "old"), "t")
+
+    real_commit = cat._commit_table
+    raced = {"done": False}
+
+    def racing_commit(table, branch, new_meta, head, message):
+        if not raced["done"]:
+            raced["done"] = True
+            cat2 = Catalog(warehouse)
+            cat2._commit_table = real_commit.__func__.__get__(cat2)
+            cat2.append(_df(spark, 50, 55, "racer"), "t")
+        return real_commit(table, branch, new_meta, head, message)
+
+    cat._commit_table = racing_commit
+    # source matches both an original row and a racer row; the first
+    # evaluation cannot see the racer -> must re-run to update it
+    src = spark.createDataFrame(
+        [(5, "upd"), (52, "upd")], "id long, name string"
+    )
+    cat.merge_into(src, "t", key="id", when_matched_update="true",
+                   when_not_matched_insert=None)
+    state = {r.id: r.name for r in cat.read(spark, "t").collect()}
+    assert state[5] == "upd"
+    assert state[52] == "upd", "retry must re-evaluate against the racer's append"
+    assert state[0] == "old" and len(state) == 15

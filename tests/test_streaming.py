@@ -485,3 +485,32 @@ def test_changefeed_stream_matches_read_changes(spark, warehouse, tmp_path):
     )
     assert streamed == batch
     assert {c for _, _, c, _ in streamed} == {"insert", "delete"}
+
+
+def test_session_window_native_matches_custom_plan(spark):
+    """Spark's built-in session_window must produce the same session
+    partitioning and aggregates as the custom lag/running-sum plan."""
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+    from no_jvm_wap_with_iceberg_spark.streaming.sessionize import (
+        events_session_window_native,
+        sessionize,
+    )
+
+    native = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in events_session_window_native(spark, SF_DIR).collect()
+    }
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {})"
+    custom = {
+        tuple(r)
+        for r in sessionize(load_table(spark, SF_DIR, "events"))
+        .select(
+            "user_id",
+            F.expr(us.format("session_start")).alias("s"),
+            F.expr(us.format("session_end")).alias("e"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert native == custom
