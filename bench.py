@@ -38,6 +38,11 @@ HEADLINE = [
     "corpus_decontaminate_eval",
     "embedding_pq_codes",
     "text_bpe_merge_candidates",
+    # round 4: conditional MERGE INTO (write+merge+read cycle) and the
+    # streaming changefeed draining a MERGE commit as row-level CDC
+    "merge_into_conditional",
+    "streaming_changefeed_merge",
+    "events_session_window_native",
 ]
 
 

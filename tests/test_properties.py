@@ -383,3 +383,69 @@ def test_bucket_and_str_truncate_pruning_sound(s, const, op, n, use_bucket):
             str(zlib.crc32(s.encode("utf-8")) % n) if use_bucket else s[:n]
         )
         assert partition_may_match(fld, raw, op, cval)
+
+
+@settings(**SLOW)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    upd_thresh=st.integers(min_value=0, max_value=100),
+    ins_thresh=st.integers(min_value=0, max_value=100),
+)
+def test_merge_into_matches_duckdb_simulation(
+    spark_h, tmp_path_factory, seed, upd_thresh, ins_thresh
+):
+    """Conditional MERGE INTO vs an independent DuckDB simulation of
+    the clause semantics on random data/conditions: delete clause
+    first, update only where its condition holds (others untouched),
+    conditional insert."""
+    import random
+
+    import duckdb
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    rng = random.Random(seed)
+    target = [(i, rng.randint(0, 100)) for i in range(0, 40, 2)]
+    src = [
+        (rng.randint(0, 50), rng.randint(0, 100), rng.random() < 0.2)
+        for _ in range(25)
+    ]
+    # merge keys must be unique in the source (MERGE precondition)
+    src = list({r[0]: r for r in src}.values())
+
+    cat = Catalog(str(tmp_path_factory.mktemp("mi_prop")))
+    cat.create_table_from_df(
+        spark_h.createDataFrame(target, "id long, v long"), "t"
+    )
+    cat.merge_into(
+        spark_h.createDataFrame(src, "id long, v long, _del boolean"),
+        "t",
+        key="id",
+        when_matched_delete="s._del",
+        when_matched_update=f"s.v + t.v > {upd_thresh}",
+        when_not_matched_insert=f"s.v >= {ins_thresh}",
+        update_set={"v": "s.v + t.v"},
+    )
+    got = sorted((r.id, r.v) for r in cat.read(spark_h, "t").collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", target)
+    con.execute("CREATE TABLE s(id BIGINT, v BIGINT, _del BOOLEAN)")
+    con.executemany("INSERT INTO s VALUES (?, ?, ?)", src)
+    want = sorted(
+        con.execute(
+            f"""
+            SELECT t.id, t.v FROM t LEFT JOIN s USING (id)
+            WHERE s.id IS NULL
+               OR (NOT s._del AND NOT (s.v + t.v > {upd_thresh}))
+            UNION ALL
+            SELECT t.id, s.v + t.v FROM t JOIN s USING (id)
+            WHERE NOT s._del AND s.v + t.v > {upd_thresh}
+            UNION ALL
+            SELECT s.id, s.v FROM s LEFT JOIN t USING (id)
+            WHERE t.id IS NULL AND s.v >= {ins_thresh}
+            """
+        ).fetchall()
+    )
+    assert got == want
