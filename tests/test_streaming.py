@@ -514,3 +514,108 @@ def test_session_window_native_matches_custom_plan(spark):
         .collect()
     }
     assert native == custom
+
+
+def test_changefeed_stream_replays_prerename_condition(spark, warehouse, tmp_path):
+    """A predicate delete recorded BEFORE a rename_column must replay
+    through the streaming source AFTER the rename: the partition
+    reader maps file columns to current names and exposes historical
+    names as SQL aliases, so the old-name condition still resolves."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Predicate
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        register_changefeed_source,
+    )
+
+    register_changefeed_source(spark)
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, name string"
+        ),
+        "t",
+    )
+    # condition recorded against the OLD column name...
+    cat.delete_where(spark, "t", [], "name = 'v3'", mode="mor")
+    # ...then folded (rename refuses while a pending delete references
+    # the old name), renamed, and more rows arrive — the HISTORICAL
+    # delete snapshot still replays its old-name condition
+    cat.compact(spark, "t", target_file_mb=64, min_files=1)
+    cat.rename_column("t", "name", "title")
+    cat.append(
+        spark.createDataFrame([(8, "v8")], "id long, title string"), "t"
+    )
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("wap_changefeed")
+        .option("warehouse", warehouse)
+        .option("table", "t")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.id, r.title, r._change_type)
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        [(i, f"v{i}", "insert") for i in range(9)] + [(3, "v3", "delete")]
+    )
+    assert rows == want
+
+
+def test_changefeed_stream_partitioned_table_with_merge(spark, warehouse, tmp_path):
+    """Identity-partitioned tables drop the partition column from the
+    data files (hive layout); both the insert fast path and the
+    row-level replay partitions must restore it from the manifest's
+    recorded partition values."""
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        register_changefeed_source,
+    )
+
+    register_changefeed_source(spark)
+    cat = Catalog(warehouse)
+    df0 = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", i * 10) for i in range(20)],
+        "id long, parity string, v long",
+    )
+    cat.create_table_from_df(df0, "t", partition_by=["parity"])
+    cdc = spark.createDataFrame(
+        [(4, "even", 999, False), (5, "odd", 0, True), (30, "even", 300, False)],
+        "id long, parity string, v long, _del boolean",
+    )
+    cat.merge_rows(cdc, "t", key="id", delete_col="_del")
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("wap_changefeed")
+        .option("warehouse", warehouse)
+        .option("table", "t")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    feed = spark.read.parquet(sink)
+    assert feed.filter(F.col("parity").isNull()).count() == 0, (
+        "partition column lost in replay"
+    )
+    rows = sorted(
+        (r.id, r.parity, r.v, r._change_type) for r in feed.collect()
+    )
+    batch = sorted(
+        (r.id, r.parity, r.v, r._change_type)
+        for r in cat.read_changes(spark, "t", 1).collect()
+    ) + sorted(
+        (r.id, r.parity, r.v, "insert") for r in df0.collect()
+    )
+    assert rows == sorted(batch)
