@@ -51,7 +51,20 @@ Design (Spark-first, scale-first):
 
 ``startingOffsets``: ``"latest"`` (default — stream only commits
 after the query starts), ``"earliest"`` (replay from table
-creation), or a snapshot id.
+creation), or a snapshot id. ``maxCommitsPerTrigger``: admission
+control — after the first planned batch, each micro-batch advances
+at most N commits, so a stream that falls behind a busy table
+catches up in bounded batches instead of one lag-sized batch
+(measured: N commits landing mid-query drain as N one-commit
+batches). The FIRST planned batch is uncapped: the engine prefetches
+``latestOffset`` before the reader ever learns its start offset, and
+the only anchor-less answer that can never rewind a restarted
+checkpoint (head >= every committed offset) is the head itself — an
+anchor guessed low would make the engine log an offset BEHIND its
+checkpoint and replay those commits as duplicates on the next
+restart. Cold backfills that must be bounded should start a capped
+query BEFORE loading history, or run the batch ``read_changes`` path
+in slices.
 """
 
 from __future__ import annotations
@@ -139,6 +152,24 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self.branch = options.get("branch", "main")
         self.starting = options.get("startingoffsets", "latest")
         self._spark_schema = schema  # user schema + feed columns
+        # maxCommitsPerTrigger: admission control (Kafka's
+        # maxOffsetsPerTrigger shape) — advance at most N commits past
+        # the last planned offset per trigger. The Python Data Source
+        # API gives latestOffset() no start argument, so the anchor is
+        # learned from initialOffset()/partitions()/commit(); an
+        # anchor-less call must return head (any lower guess could
+        # rewind a restarted checkpoint — see module docstring), which
+        # makes the first planned batch uncapped and every later one
+        # capped.
+        mc = options.get("maxcommitspertrigger")
+        self._max_commits = int(mc) if mc is not None else None
+        self._planned: int | None = None
+
+    def _dbg(self, msg: str) -> None:
+        p = os.environ.get("WAP_CFS_DEBUG_LOG")
+        if p:
+            with open(p, "a") as f:
+                f.write(f"pid={os.getpid()} inst={id(self)} {msg}\n")
 
     # -- metadata helpers (driver-side, O(one JSON read)) --------------
     def _meta(self):
@@ -148,15 +179,30 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.starting == "earliest":
-            return {"snapshot_id": 0}
-        if self.starting != "latest":
-            return {"snapshot_id": int(self.starting)}
-        head = self._meta().current_snapshot_id
-        return {"snapshot_id": head if head is not None else 0}
+            off = 0
+        elif self.starting != "latest":
+            off = int(self.starting)
+        else:
+            head = self._meta().current_snapshot_id
+            off = head if head is not None else 0
+        self._planned = off
+        self._dbg(f"initialOffset -> {off}")
+        return {"snapshot_id": off}
 
     def latestOffset(self) -> dict:
-        head = self._meta().current_snapshot_id
-        return {"snapshot_id": head if head is not None else 0}
+        meta = self._meta()
+        head = meta.current_snapshot_id
+        head = head if head is not None else 0
+        if self._max_commits is not None and self._planned is not None:
+            span = sorted(
+                s.snapshot_id
+                for s in meta.snapshots
+                if self._planned < s.snapshot_id <= head
+            )
+            if len(span) > self._max_commits:
+                head = span[self._max_commits - 1]
+        self._dbg(f"latestOffset planned={self._planned} -> {head}")
+        return {"snapshot_id": head}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -250,6 +296,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 )
             return out
 
+        self._planned = hi  # rate-limit anchor (also after restarts)
+        self._dbg(f"partitions {lo}..{hi}")
         parts: list[InputPartition] = []
         for s in span:
             cdc = s.summary.get("cdc")
@@ -453,7 +501,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # checkpoint owns progress; the table log needs no ack
+        # checkpoint owns progress; the table log needs no ack — but
+        # the completed offset re-anchors the rate limiter
+        if self._planned is None or end["snapshot_id"] > self._planned:
+            self._planned = end["snapshot_id"]
 
     def stop(self) -> None:
         pass

@@ -202,3 +202,76 @@ def test_preview_publish_shows_branch_delta(spark, warehouse):
     prev2 = cat.preview_publish(spark, "t2", "stage2")
     assert prev2.count() == 7
     assert {r["_change_type"] for r in prev2.collect()} == {"insert"}
+
+
+def test_stream_source_max_commits_per_trigger(spark, warehouse):
+    """Admission control: latestOffset advances at most N commits past
+    the last planned offset, so a from-earliest backfill drains as
+    bounded micro-batches (driven at the reader level — the Python
+    Data Source API is deterministic there)."""
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    sids = [
+        cat.append(_df(spark, i * 10, i * 10 + 10), "t").current_snapshot_id
+        for i in range(4)
+    ]
+
+    schema = T.StructType(
+        SCHEMA.fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+    r = ChangeFeedStreamReader(
+        schema,
+        {
+            "warehouse": warehouse,
+            "table": "t",
+            "startingoffsets": "earliest",
+            "maxcommitspertrigger": "1",
+        },
+    )
+    start = r.initialOffset()
+    assert start == {"snapshot_id": 0}
+    seen = []
+    for want in sids:
+        end = r.latestOffset()
+        assert end == {"snapshot_id": want}, "one commit per trigger"
+        parts = r.partitions(start, end)  # anchors the limiter
+        assert parts, "each capped batch carries that commit's files"
+        seen.append(end["snapshot_id"])
+        start = end
+    assert seen == sids
+    assert r.latestOffset() == {"snapshot_id": sids[-1]}  # drained: no-op
+
+    # uncapped reader drains everything in one batch
+    r2 = ChangeFeedStreamReader(
+        schema,
+        {"warehouse": warehouse, "table": "t", "startingoffsets": "earliest"},
+    )
+    assert r2.latestOffset() == {"snapshot_id": sids[-1]}
+
+    # restart shape: a fresh reader with a checkpointed start learns
+    # its anchor from the first partitions() call
+    r3 = ChangeFeedStreamReader(
+        schema,
+        {
+            "warehouse": warehouse,
+            "table": "t",
+            "startingoffsets": "earliest",
+            "maxcommitspertrigger": "1",
+        },
+    )
+    first = r3.latestOffset()  # uncapped: no anchor yet (documented)
+    assert first == {"snapshot_id": sids[-1]}
+    r3.partitions({"snapshot_id": sids[0]}, {"snapshot_id": sids[1]})
+    assert r3.latestOffset() == {"snapshot_id": sids[2]}, (
+        "anchor re-learned from the planned batch"
+    )

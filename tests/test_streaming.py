@@ -619,3 +619,60 @@ def test_changefeed_stream_partitioned_table_with_merge(spark, warehouse, tmp_pa
         (r.id, r.parity, r.v, "insert") for r in df0.collect()
     )
     assert rows == sorted(batch)
+
+
+def test_changefeed_max_commits_per_trigger_throttles_catchup(
+    spark, warehouse, tmp_path
+):
+    """Admission control under the real engine: commits landing while
+    a capped query runs drain as one-commit micro-batches, not one
+    lag-sized batch. (The first planned batch is uncapped by design —
+    the engine prefetches latestOffset before the reader learns its
+    start; see the source docstring.)"""
+    import time
+
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        register_changefeed_source,
+    )
+
+    register_changefeed_source(spark)
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(spark.range(0, 10).select(F.col("id")), "t")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("wap_changefeed")
+        .option("warehouse", warehouse)
+        .option("table", "t")
+        .option("startingOffsets", "earliest")
+        .option("maxCommitsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:  # seed commit drained?
+            done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if sum(p["numInputRows"] for p in done) >= 10:
+                break
+            time.sleep(1)
+        for lo in (10, 20, 30):  # lag builds while the query runs
+            cat.append(spark.range(lo, lo + 10).select(F.col("id")), "t")
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if sum(p["numInputRows"] for p in done) >= 40:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert sum(sizes) == 40
+    # the 3 catch-up commits must arrive as separate one-commit batches
+    assert sizes[-3:] == [10, 10, 10], sizes
+    out = spark.read.parquet(sink)
+    assert out.count() == 40
+    assert out.select("_snapshot_id").distinct().count() == 4
