@@ -84,6 +84,7 @@ _HEAD = [
     "catalog_multi_table_publish",
     "merge_into_conditional",
     "events_session_window_native",
+    "catalog_sql_interface",
     # --- r2-only re-checks (last driver evidence predates the r3
     # catalog/oracle work) fill the remaining slots ---
     "similarity_cosine_topk",
@@ -96,10 +97,10 @@ _HEAD = [
     "corpus_decontaminate_eval",
     "corpus_stratified_sample",
     "corpus_pack_sequences",
-    "text_quality_profile",
     "text_pii_scrub",
 ]
 _TAIL = [
+    "text_quality_profile",
     "text_lang_id_confusion",
     "q8_market_share",
     "q9_product_profit",

@@ -290,6 +290,36 @@ class Catalog:
     def table_exists(self, table: str, branch: str = MAIN) -> bool:
         return table in self.list_tables(branch)
 
+    def create_views(
+        self,
+        spark: SparkSession,
+        branch: str = MAIN,
+        tables: list[str] | None = None,
+        suffix: str = "",
+    ) -> list[str]:
+        """Register branch-addressed temp views so plain ``spark.sql``
+        queries the catalog — the SQL front door (the reference has no
+        SQL surface at all; its users drop to pandas). Each view pins
+        the branch's CURRENT snapshot at registration (the scan plan
+        resolves the file list then), so a concurrent commit cannot
+        tear a multi-statement session — re-register to see it.
+        ``suffix`` disambiguates branches side by side
+        (``create_views(spark, "audit", suffix="_audit")``).
+        MoR deletes, hidden partitioning, and rename history all apply
+        — the views go through :meth:`read`.
+        """
+        names = tables if tables is not None else self.list_tables(branch)
+        for t in names:
+            self.read(spark, t, branch).createOrReplaceTempView(t + suffix)
+        return [t + suffix for t in names]
+
+    def sql(self, spark: SparkSession, query: str, branch: str = MAIN):
+        """One-shot SQL over a branch: register every table as a view
+        (one consistent snapshot per table) and run the query through
+        Catalyst — pushdown/pruning/codegen apply as with any view."""
+        self.create_views(spark, branch)
+        return spark.sql(query)
+
     def load_table(self, table: str, branch: str = MAIN) -> TableMetadata:
         """Resolve branch → commit → metadata JSON → TableMetadata.
 

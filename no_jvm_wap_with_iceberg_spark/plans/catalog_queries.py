@@ -1421,3 +1421,50 @@ def merge_into_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "catalog_sql_interface",
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 5 = 2),
+         c AS (SELECT * FROM customer WHERE c_custkey % 2 = 0)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM o JOIN c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 50000
+    GROUP BY c.c_mktsegment
+    """,
+    doc="the SQL front door: catalog tables registered as "
+    "branch-addressed temp views (Catalog.create_views / Catalog.sql) "
+    "and queried with plain spark.sql — join + filter + aggregate run "
+    "through Catalyst with full pushdown into the catalog's pruned "
+    "scans. Views pin one consistent snapshot per table at "
+    "registration. The reference has no SQL surface at all.",
+)
+def catalog_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(_tmp_warehouse("sql_if_"))
+    cat.create_table_from_df(
+        load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 2),
+        "sql_orders",
+    )
+    cat.create_table_from_df(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0),
+        "sql_customer",
+    )
+    return cat.sql(
+        spark,
+        """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM sql_orders o JOIN sql_customer c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 50000
+        GROUP BY c.c_mktsegment
+        """,
+    )

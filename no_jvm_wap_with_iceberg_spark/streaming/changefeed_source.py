@@ -193,6 +193,16 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         meta = self._meta()
         head = meta.current_snapshot_id
         head = head if head is not None else 0
+        if self._planned is not None and head < self._planned:
+            # a rollback moved the branch head BEHIND the stream's
+            # progress. Returning the lower head would make the engine
+            # log an offset behind its checkpoint and re-emit the span
+            # as duplicates once the table advances again. Hold
+            # position instead: already-emitted changes cannot be
+            # un-emitted (standard CDC semantics); the stream resumes
+            # at the next post-rollback commit (snapshot ids stay
+            # monotone across rollbacks by construction).
+            head = self._planned
         if self._max_commits is not None and self._planned is not None:
             span = sorted(
                 s.snapshot_id

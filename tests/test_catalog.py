@@ -672,3 +672,47 @@ def test_drop_column_guards(spark, warehouse):
     assert cat.read(spark, "t").columns == ["id", "s"]
     with _pytest.raises(KeyError):
         cat.drop_column("t", "nope")
+
+
+def test_sql_front_door_views(spark, warehouse):
+    """create_views/sql: branch-addressed temp views pin one snapshot
+    at registration, see MoR deletes, and suffix disambiguates
+    branches."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("g")),
+        "nums",
+    )
+    out = cat.sql(
+        spark, "SELECT g, COUNT(*) AS n FROM nums GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r.g, r.n) for r in out][:2] == [(0, 15), (1, 15)]
+
+    # snapshot pinning: a commit AFTER registration is invisible to
+    # the existing view, visible after re-registration
+    cat.create_views(spark)
+    cat.append(spark.range(100, 110).select(F.col("id"), (F.col("id") % 7).alias("g")), "nums")
+    assert spark.sql("SELECT COUNT(*) c FROM nums").collect()[0].c == 100
+    cat.create_views(spark)
+    assert spark.sql("SELECT COUNT(*) c FROM nums").collect()[0].c == 110
+
+    # MoR deletes apply through the view
+    keys = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    cat.delete_keys(keys, "nums", "id", mode="mor")
+    cat.create_views(spark)
+    assert spark.sql("SELECT COUNT(*) c FROM nums").collect()[0].c == 100
+
+    # branch views side by side via suffix
+    cat.create_branch("b")
+    cat.append(
+        spark.range(1000, 1001).select(F.col("id"), F.lit(0).alias("g")),
+        "nums",
+        "b",
+    )
+    cat.create_views(spark, "b", suffix="_b")
+    got = spark.sql(
+        "SELECT (SELECT COUNT(*) FROM nums_b) - (SELECT COUNT(*) FROM nums) AS d"
+    ).collect()[0].d
+    assert got == 1

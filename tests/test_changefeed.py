@@ -275,3 +275,50 @@ def test_stream_source_max_commits_per_trigger(spark, warehouse):
     assert r3.latestOffset() == {"snapshot_id": sids[2]}, (
         "anchor re-learned from the planned batch"
     )
+
+
+def test_stream_source_holds_position_across_rollback(spark, warehouse):
+    """A rollback moving the branch head behind the stream's planned
+    offset must NOT move latestOffset backward (the engine would log
+    an offset behind its checkpoint and replay the span as duplicates
+    later). The source holds position and resumes at the next
+    post-rollback commit."""
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    sids = [
+        cat.append(_df(spark, i * 10, i * 10 + 10), "t").current_snapshot_id
+        for i in range(3)
+    ]
+    schema = T.StructType(
+        SCHEMA.fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+    r = ChangeFeedStreamReader(
+        schema,
+        {"warehouse": warehouse, "table": "t", "startingoffsets": "earliest"},
+    )
+    r.initialOffset()
+    end = r.latestOffset()
+    assert end == {"snapshot_id": sids[-1]}
+    r.partitions({"snapshot_id": 0}, end)  # stream caught up to head
+
+    cat.rollback("t", sids[0])
+    assert r.latestOffset() == {"snapshot_id": sids[-1]}, (
+        "head behind planned: hold position, never rewind"
+    )
+
+    m = cat.append(_df(spark, 100, 105, "post"), "t")
+    assert m.current_snapshot_id > sids[-1], "ids stay monotone"
+    end2 = r.latestOffset()
+    assert end2 == {"snapshot_id": m.current_snapshot_id}
+    parts = r.partitions(end, end2)
+    assert parts, "post-rollback commit streams"
