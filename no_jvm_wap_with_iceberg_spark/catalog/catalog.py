@@ -2680,6 +2680,59 @@ class Catalog:
                 os.remove(os.path.join(self.warehouse, rel))
         return sorted(orphans)
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        table: str,
+        branch: str = MAIN,
+        small_file_threshold: int = 16,
+        target_file_mb: int = 128,
+        keep_last_snapshots: int = 3,
+        delete_orphans: bool = True,
+    ) -> dict[str, Any]:
+        """One maintenance window for a table (Iceberg users run
+        rewrite_data_files + expire_snapshots + remove_orphan_files on
+        a cron; this is that cron body, decision logic included):
+
+        1. **compact** — only when worthwhile: the live file count
+           reached ``small_file_threshold`` OR merge-on-read deletes
+           are pending (folding them restores metadata-exact counts
+           and stats pruning);
+        2. **expire_snapshots** to ``keep_last_snapshots`` (squash,
+           era-preserving — see :meth:`expire_snapshots`);
+        3. **remove_orphan_files** — reclaim files no branch
+           references (losing CAS attempts, compacted-away layouts,
+           rolled-back-then-expired spans).
+
+        Streaming ingest calls this off the hot path on its own
+        cadence; each step is an ordinary optimistic commit, so
+        concurrent writers win or retry as usual. Returns a report
+        dict (what ran, files before/after, orphans reclaimed).
+        """
+        meta = self.load_table(table, branch)
+        with_conds = meta.files_with_deletes()
+        n_files = len(with_conds)
+        pending = any(specs for _f, specs in with_conds)
+        report: dict[str, Any] = {
+            "files_before": n_files,
+            "pending_deletes": pending,
+            "compacted": False,
+        }
+        if n_files >= small_file_threshold or pending:
+            self.compact(
+                spark,
+                table,
+                branch,
+                target_file_mb=target_file_mb,
+                min_files=1,
+            )
+            report["compacted"] = True
+        self.expire_snapshots(table, branch, keep_last=keep_last_snapshots)
+        orphans = self.remove_orphan_files(table, dry_run=not delete_orphans)
+        report["orphans_removed"] = len(orphans)
+        report["files_after"] = len(self.load_table(table, branch).files())
+        return report
+
     def cut_history(self, keep_last: int = 1000, branch: str = MAIN) -> int:
         """Bound the commit chain: rewrite the commit ``keep_last``
         steps behind the branch head with ``parent=None``, detaching

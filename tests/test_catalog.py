@@ -716,3 +716,37 @@ def test_sql_front_door_views(spark, warehouse):
         "SELECT (SELECT COUNT(*) FROM nums_b) - (SELECT COUNT(*) FROM nums) AS d"
     ).collect()[0].d
     assert got == 1
+
+
+def test_maintain_window(spark, warehouse):
+    """maintain(): compacts when small files or pending MoR deletes
+    accumulate, expires history, reclaims orphans — and is a no-op
+    compact on an already-tidy table."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.range(0, 50).select(F.col("id"), (F.col("id") % 3).alias("g")),
+        "t",
+    )
+    for lo in range(50, 250, 50):  # many small commits
+        cat.append(
+            spark.range(lo, lo + 50).select(F.col("id"), (F.col("id") % 3).alias("g")),
+            "t",
+        )
+    keys = spark.createDataFrame([(i,) for i in range(25)], "id long")
+    cat.delete_keys(keys, "t", "id", mode="mor")  # pending MoR delete
+    before = {tuple(r) for r in cat.read(spark, "t").collect()}
+
+    rep = cat.maintain(spark, "t", small_file_threshold=3, keep_last_snapshots=1)
+    assert rep["compacted"] and rep["pending_deletes"]
+    # keep_last=1: the compaction overwrite carries the whole live
+    # set, so every pre-compaction small file loses its last reference
+    assert rep["orphans_removed"] > 0, "compacted-away layouts reclaimed"
+    assert rep["files_after"] <= rep["files_before"]
+    after = {tuple(r) for r in cat.read(spark, "t").collect()}
+    assert after == before, "maintenance never changes table contents"
+    assert not cat.load_table("t").has_pending_deletes()
+
+    rep2 = cat.maintain(spark, "t", small_file_threshold=3)
+    assert not rep2["compacted"], "tidy table: no rewrite scheduled"
