@@ -171,11 +171,27 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             with open(p, "a") as f:
                 f.write(f"pid={os.getpid()} inst={id(self)} {msg}\n")
 
-    # -- metadata helpers (driver-side, O(one JSON read)) --------------
+    # -- metadata helpers (driver-side) ---------------------------------
     def _meta(self):
+        """Table metadata at the branch head, cached per head commit.
+
+        ``latestOffset`` polls every trigger; without the cache each
+        poll re-parses the full metadata JSON — O(history) per trigger
+        (measured 4 ms at 10 commits -> 84 ms at 200). The head check
+        is ONE tiny refs read; the parse runs only when the table
+        actually moved, so an idle poll loop is O(1) regardless of
+        history length (expire_snapshots/cut_history bound the parse
+        itself on long-lived tables)."""
         from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 
-        return Catalog(self.warehouse).load_table(self.table, self.branch)
+        cat = Catalog(self.warehouse)
+        head = cat._read_refs()[self.branch]
+        cached = getattr(self, "_meta_cache", None)
+        if cached is not None and cached[0] == head:
+            return cached[1]
+        meta = cat.load_table(self.table, self.branch)
+        self._meta_cache = (head, meta)
+        return meta
 
     def initialOffset(self) -> dict:
         if self.starting == "earliest":

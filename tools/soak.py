@@ -282,3 +282,102 @@ def incremental_agg_soak(spark, sizes=(100_000, 1_600_000), batch=5_000):
 
 if __name__ == "__main__":
     main()
+
+
+def merge_into_soak(spark, n_merges: int = 40, base_rows: int = 500_000):
+    """Conditional MERGE INTO soak: N clause-bearing merges (update
+    when s.v differs, delete a sliver, insert new keys) against a
+    growing table. Flat commit latency proves the conditional path
+    kept merge_rows' O(batch) shape — condition evaluation scans only
+    the stats/bloom-pruned matched files, never the table."""
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        cat = Catalog(wh)
+        cat.create_table("m", schema)
+        cat.append(
+            spark.range(base_rows).select(F.col("id"), (F.col("id") % 97).alias("v")),
+            "m",
+        )
+        lat: list[float] = []
+        for i in range(n_merges):
+            src = spark.range(i * 200, i * 200 + 300).select(
+                F.col("id"),
+                (F.col("id") % 89).alias("v"),
+                (F.col("id") % 31 == 0).alias("_del"),
+            )
+            t0 = time.time()
+            cat.merge_into(
+                src,
+                "m",
+                key="id",
+                when_matched_delete="s._del",
+                when_matched_update="s.v <> t.v",
+                when_not_matched_insert="NOT s._del",
+                update_set={"v": "s.v"},
+            )
+            lat.append(time.time() - t0)
+        head = sum(lat[:8]) / 8
+        tail = sum(lat[-8:]) / 8
+        n = cat.read(spark, "m").count()
+        print(
+            f"merge-into-soak: {n_merges} conditional merges on "
+            f"{base_rows} rows; commit first-8 avg={head:.2f}s "
+            f"last-8 avg={tail:.2f}s ratio={tail / head:.2f}; rows={n}"
+        )
+
+
+def stream_plan_soak(spark, histories=(10, 200)):
+    """Streaming-source planning cost vs commit-log length: time
+    latestOffset + partitions for a ONE-commit span on a table with
+    short vs long history. Planning is a driver-side metadata walk —
+    it must grow only with the metadata JSON, never run a Spark job."""
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    for n_commits in histories:
+        with tempfile.TemporaryDirectory() as wh:
+            cat = Catalog(wh)
+            cat.create_table(
+                "t",
+                T.StructType([T.StructField("id", T.LongType())]),
+            )
+            df = spark.range(0, 1000).select("id")
+            sids = [
+                cat.append(df, "t").current_snapshot_id
+                for _ in range(n_commits)
+            ]
+            schema = T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_snapshot_id", T.LongType()),
+                ]
+            )
+            r = ChangeFeedStreamReader(
+                schema,
+                {"warehouse": wh, "table": "t", "startingoffsets": "earliest"},
+            )
+            t0 = time.time()
+            for _ in range(20):
+                end = r.latestOffset()
+                parts = r.partitions({"snapshot_id": sids[-2]}, end)
+            dt = (time.time() - t0) / 20
+            print(
+                f"stream-plan-soak: history={n_commits} commits, "
+                f"one-commit span plan={dt * 1000:.1f} ms "
+                f"({len(parts)} partitions)"
+            )
