@@ -519,3 +519,104 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data mixing under per-source token budgets: greedily keep each
+    source's documents — in a deterministic md5(id) order — until the
+    source's token budget is reached (the last kept document may
+    overshoot by less than one document, the standard greedy-prefix
+    rule, so every budgeted source with data makes progress).
+
+    This is the mixture-weights step of a pretraining pipeline: given
+    target token counts per source ("2T web, 300B code, 50B books"),
+    emit exactly that mixture, reproducibly. The md5 order makes the
+    selection independent of partitioning, cluster size, and retries
+    (same discipline as ``stratified_sample``); per-source windows
+    keep the cumulative sum parallel across sources — no global sort,
+    one shuffle on ``source``.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.withColumn("_toks", toks).withColumn(
+        "_cum", F.sum("_toks").over(w)
+    )
+    if budgets:
+        b = F.lit(default_budget)
+        for src, n in budgets.items():
+            b = F.when(F.col(source_col) == src, F.lit(n)).otherwise(b)
+    else:
+        b = F.lit(default_budget)
+    return staged.filter(F.col("_cum") - F.col("_toks") < b).drop(
+        "_toks", "_cum"
+    )
+
+
+@register(
+    "corpus_token_budget_mix",
+    """
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+                  THEN 600 ELSE 300 END AS budget
+      FROM documents
+    ),
+    c AS (
+      SELECT *, SUM(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS mixed_tokens,
+           CAST(MAX(cum) AS BIGINT) AS cum_at_cut
+    FROM c WHERE cum - toks < budget
+    GROUP BY source
+    """,
+    doc="token-budgeted data mixing (the pretraining mixture-weights "
+    "step): per-source greedy prefix in deterministic md5(doc_id) "
+    "order until the source's token budget fills — even sources get "
+    "600 whitespace-token budgets, odd 300 (derived from the source "
+    "name so the oracle reconstructs the exact budgets). Selection is "
+    "partitioning/cluster-size/retry-invariant; one shuffle on "
+    "source. cum_at_cut asserts the greedy boundary (budget overshoot "
+    "< one document) hashes identically.",
+)
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    budget = F.when(
+        (F.substring(F.col("source"), 4, 10).cast("int") % 2) == 0,
+        F.lit(600),
+    ).otherwise(F.lit(300))
+    toks = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        docs.withColumn("_toks", toks)
+        .withColumn("_cum", F.sum("_toks").over(w))
+        .withColumn("_b", budget)
+    )
+    return (
+        staged.filter(F.col("_cum") - F.col("_toks") < F.col("_b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("mixed_tokens"),
+            F.max("_cum").alias("cum_at_cut"),
+        )
+    )

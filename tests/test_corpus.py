@@ -163,3 +163,46 @@ def test_train_val_test_split_nested_and_exhaustive(spark):
         ).collect()
     }
     assert s1 == s3
+
+
+def test_token_budget_mix_semantics(spark):
+    """Greedy prefix: per-source kept tokens reach the budget with
+    overshoot < one document; selection is partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.operators.corpus import (
+        token_budget_mix,
+    )
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    documents = load_table(spark, SF_DIR, "documents")
+
+    out = token_budget_mix(documents, budgets={"src0": 200}, default_budget=400)
+    toks = F.size(F.split(F.col("text"), " "))
+    stats = {
+        r.source: (r.n, r.total, r.biggest)
+        for r in out.withColumn("_t", toks)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_t").alias("total"),
+            F.max("_t").alias("biggest"),
+        )
+        .collect()
+    }
+    for src, (n, total, biggest) in stats.items():
+        budget = 200 if src == "src0" else 400
+        assert total < budget + biggest, (src, total, budget, biggest)
+    # every source with data makes progress
+    srcs = {r.source for r in documents.select("source").distinct().collect()}
+    assert set(stats) == srcs
+
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in token_budget_mix(
+            documents.repartition(13), budgets={"src0": 200}, default_budget=400
+        ).collect()
+    }
+    assert a == b, "selection must be partitioning-invariant"
