@@ -86,6 +86,7 @@ _HEAD = [
     "events_session_window_native",
     "catalog_sql_interface",
     "corpus_token_budget_mix",
+    "corpus_epoch_shuffle",
     # --- r2-only re-checks (last driver evidence predates the r3
     # catalog/oracle work) fill the remaining slots ---
     "similarity_cosine_topk",
@@ -96,10 +97,10 @@ _HEAD = [
     "multimodal_payload_stats",
     "multimodal_feature_extract",
     "corpus_decontaminate_eval",
-    "corpus_stratified_sample",
     "text_pii_scrub",
 ]
 _TAIL = [
+    "corpus_stratified_sample",
     "corpus_pack_sequences",
     "text_quality_profile",
     "text_lang_id_confusion",

@@ -620,3 +620,85 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_cum").alias("cum_at_cut"),
         )
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    shards: int = 64,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: place each document into
+    one of ``shards`` shards by an md5 of (seed, id) and order it
+    within the shard by the same hash. Different seeds produce
+    different permutations; the same seed produces the SAME
+    permutation on any partitioning, cluster size, or retry — which
+    is what makes a multi-epoch 100 TB data-loading job resumable
+    mid-epoch.
+
+    Spark-first shape: the shard assignment is a pure projection; the
+    within-shard order materializes with one ``repartition(shard) +
+    sortWithinPartitions`` when the caller writes shards out — no
+    global sort, no single-partition row_number.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = docs.withColumn("_h", h).withColumn(
+        shard_col,
+        (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long") % shards).cast(
+            "int"
+        ),
+    )
+    return (
+        out.repartition(shards, shard_col)
+        .sortWithinPartitions(shard_col, "_h", id_col)
+        .drop("_h")
+    )
+
+
+@register(
+    "corpus_epoch_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS toks,
+             md5('7' || '|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, hx,
+             CAST(CAST(('0x' || SUBSTR(hx, 1, 8)) AS BIGINT) % 16 AS INT)
+               AS shard
+      FROM h
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+           MIN(hx) AS first_hash,
+           MIN(doc_id) AS min_doc
+    FROM s GROUP BY shard
+    """,
+    doc="deterministic epoch shuffle (seed 7, 16 shards): documents "
+    "placed and ordered by md5(seed|id) — the same permutation on any "
+    "partitioning/cluster size/retry, different per seed; no global "
+    "sort (shard projection + within-shard sort). The gate hashes "
+    "per-shard composition incl. the first in-order hash; the oracle "
+    "reconstructs the identical shards from md5 in SQL.",
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = epoch_shuffle(docs, seed=7, shards=16)
+    h = F.md5(
+        F.concat_ws("|", F.lit("7"), F.col("doc_id").cast("string"))
+    )
+    return (
+        out.withColumn("_h", h)
+        .withColumn("_toks", F.size(F.split(F.col("text"), " ")))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("shard_tokens"),
+            F.min("_h").alias("first_hash"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )

@@ -206,3 +206,28 @@ def test_token_budget_mix_semantics(spark):
         ).collect()
     }
     assert a == b, "selection must be partitioning-invariant"
+
+
+def test_epoch_shuffle_deterministic_and_seeded(spark):
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.operators.corpus import epoch_shuffle
+    from no_jvm_wap_with_iceberg_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    documents = load_table(spark, SF_DIR, "documents")
+
+    def ordered_ids(df, seed):
+        out = epoch_shuffle(df, seed=seed, shards=8)
+        return [
+            (r.shard, r.doc_id)
+            for r in out.select("shard", "doc_id").collect()
+        ]
+
+    a = ordered_ids(documents, seed=1)
+    b = ordered_ids(documents.repartition(11), seed=1)
+    assert a == b, "same seed: identical permutation on any partitioning"
+    c = ordered_ids(documents, seed=2)
+    assert sorted(a) != sorted(c) or a != c, "different seed: different order"
+    assert {s for s, _ in a} == set(range(8)), "every shard populated"
+    assert sorted(i for _, i in a) == sorted(i for _, i in c), "same corpus"
