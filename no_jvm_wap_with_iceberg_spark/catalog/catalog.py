@@ -1080,12 +1080,30 @@ class Catalog:
         table before the CAS, the WHOLE evaluation re-runs on the
         fresh head (up to ``max_retries`` times) — a stale condition
         can never decide a commit.
+
+        A source carrying duplicate merge keys raises (the
+        Iceberg/Delta "multiple rows matched" rule): each duplicate
+        would both multiply the updated row and re-insert twice.
+        One O(batch) aggregate checks it up front.
         """
         from pyspark.sql import functions as F
 
         spark = source.sparkSession
         key_cols = [key] if isinstance(key, str) else list(key)
         key = ",".join(key_cols)
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_into source has duplicate merge key "
+                f"{tuple(dup[0])[:-1]!r} (ON {key}); a key may match at "
+                "most one source row — dedupe the batch first"
+            )
         last_err: CommitConflict | None = None
         for _attempt in range(max_retries + 1):
             meta0 = self.load_table(table, branch)

@@ -587,3 +587,39 @@ def test_merge_into_stale_head_retries(spark, warehouse):
     assert state[5] == "upd"
     assert state[52] == "upd", "retry must re-evaluate against the racer's append"
     assert state[0] == "old" and len(state) == 15
+
+
+def test_merge_into_composite_key_and_duplicate_guard(spark, warehouse):
+    """merge_into over a composite key; a source with duplicate merge
+    keys raises up front (Iceberg's multiple-rows-matched rule)."""
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("t", schema)
+    cat.append(
+        spark.createDataFrame(
+            [(i, "x" if i % 2 == 0 else "y", i) for i in range(10)], schema
+        ),
+        "t",
+    )
+    src = spark.createDataFrame(
+        [(2, "x", 100), (2, "y", 200), (50, "z", 500)], schema
+    )  # (2,'y') exists? 2 is even -> only (2,'x') matches; (2,'y') inserts
+    cat.merge_into(
+        src, "t", key=["a", "b"],
+        when_matched_update="s.v > t.v",
+        when_not_matched_insert="true",
+    )
+    state = {(r.a, r.b): r.v for r in cat.read(spark, "t").collect()}
+    assert state[(2, "x")] == 100 and state[(2, "y")] == 200
+    assert state[(50, "z")] == 500 and state[(3, "y")] == 3
+    assert len(state) == 12
+
+    dup_src = spark.createDataFrame([(1, "y", 7), (1, "y", 8)], schema)
+    with pytest.raises(ValueError, match="duplicate merge key"):
+        cat.merge_into(dup_src, "t", key=["a", "b"])
