@@ -34,21 +34,32 @@ def stream_wap(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    format: str = "parquet",
 ):
     """Run the WAP pipeline over files landing in ``landing_dir``.
 
     Returns the StreamingQuery; with ``available_now`` the caller
     should ``awaitTermination()`` and the query drains the backlog
     then stops (one WAP cycle per micro-batch).
+
+    ``format``: ``parquet`` (default), ``json`` (newline-delimited)
+    or ``csv`` (with header) — S3-event pipelines commonly land all
+    three; the explicit ``schema`` applies to every format, so a
+    malformed landed file surfaces as nulls for the audit checks to
+    catch rather than as a stream crash.
     """
+    if format not in ("parquet", "json", "csv"):
+        raise ValueError(f"unsupported landing format {format!r}")
     reader = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet")
+        .option("pathGlobFilter", f"*.{format if format != 'json' else 'json*'}")
         .option("recursiveFileLookup", "true")
     )
+    if format == "csv":
+        reader = reader.option("header", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(landing_dir)
+    stream = getattr(reader, format)(landing_dir)
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         if df.isEmpty():

@@ -676,3 +676,33 @@ def test_changefeed_max_commits_per_trigger_throttles_catchup(
     out = spark.read.parquet(sink)
     assert out.count() == 40
     assert out.select("_snapshot_id").distinct().count() == 4
+
+
+def test_stream_wap_json_and_csv_landing(spark, tmp_path):
+    """S3-event pipelines land JSON/CSV too: the same WAP loop runs
+    over either format with the explicit schema; dirty rows still gate
+    publish."""
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+
+    for fmt, writer in (
+        ("json", lambda df, p: df.write.json(p)),
+        ("csv", lambda df, p: df.write.option("header", True).csv(p)),
+    ):
+        landing = str(tmp_path / f"landing_{fmt}")
+        ckpt = str(tmp_path / f"ckpt_{fmt}")
+        wh = str(tmp_path / f"wh_{fmt}")
+        clean = generate_batch(spark, n=80, no_null=True, seed=3)
+        writer(clean, landing)
+        cat = Catalog(wh)
+        pipe = WapPipeline(cat, "landed", [NotNullCheck("my_col_1")])
+        q = stream_wap(
+            spark, landing, pipe, clean.schema, ckpt, format=fmt
+        )
+        q.awaitTermination(120)
+        assert cat.row_count("landed", "main") == 80, fmt
+        got = {
+            tuple(r)
+            for r in cat.read(spark, "landed").select(*clean.columns).collect()
+        }
+        want = {tuple(r) for r in clean.collect()}
+        assert got == want, f"{fmt}: landed rows must round-trip exactly"
