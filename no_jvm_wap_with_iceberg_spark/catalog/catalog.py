@@ -270,6 +270,43 @@ class Catalog:
             branch,
         )
 
+    def prune_branches(
+        self,
+        max_age_hours: float,
+        prefix: str = "wap-",
+        dry_run: bool = False,
+        now_ms: int | None = None,
+    ) -> list[str]:
+        """Drop stale forensic branches. Every failed WAP audit leaves
+        a ``wap-*`` branch for debugging (the reference's alert path,
+        ``src/serverless/app.py`` — but nothing ever reclaims them, so
+        a noisy source leaks one branch per dirty batch forever). A
+        branch matching ``prefix`` is dropped when its newest commit
+        is older than ``max_age_hours``; ``main`` and non-matching
+        refs are never touched. Branch refs are zero-copy, so the
+        drop is metadata-only — data files the branch alone
+        referenced fall to ``remove_orphan_files`` (after the next
+        metadata GC) like any other unreferenced write.
+
+        Returns the dropped (or, with ``dry_run``, would-drop) branch
+        names. Cost: one commit-blob read per candidate branch —
+        O(branches), no Spark job.
+        """
+        import time as _time
+
+        now = now_ms if now_ms is not None else int(_time.time() * 1000)
+        cutoff = now - int(max_age_hours * 3600 * 1000)
+        dropped: list[str] = []
+        for b in self.list_branches():
+            if b == MAIN or not b.startswith(prefix):
+                continue
+            head = self._read_commit(self._read_refs()[b])
+            if head.get("timestamp_ms", now) <= cutoff:
+                if not dry_run:
+                    self.drop_branch(b)
+                dropped.append(b)
+        return sorted(dropped)
+
     def log(self, branch: str = MAIN) -> list[dict[str, Any]]:
         """Commit log (newest first) for a branch."""
         out = []

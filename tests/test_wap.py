@@ -222,3 +222,33 @@ def test_auto_compaction_every_n_batches(spark, warehouse):
     assert meta.snapshots[-1].operation == "overwrite"
     assert len(meta.files()) < 3 * 4  # far fewer than per-batch file sets
     assert cat.row_count("customer_data_log") == 600
+
+
+def test_prune_branches_reclaims_stale_forensics(spark, warehouse):
+    """Failed audits leave wap-* forensic branches; prune_branches
+    drops only the stale matching ones, never main or fresh ones."""
+    import time
+
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+
+    cat = Catalog(warehouse)
+    pipe = WapPipeline(cat, "t", [NotNullCheck("my_col_1")])
+    pipe.run_batch(spark, generate_batch(spark, n=50, no_null=True, seed=1))
+    for seed in (2, 3):  # two dirty batches -> two forensic branches
+        r = pipe.run_batch(spark, generate_batch(spark, n=30, no_null=False, seed=seed))
+        assert not r.published
+    stale = [b for b in cat.list_branches() if b.startswith("wap-")]
+    assert len(stale) == 2
+
+    future = int(time.time() * 1000) + 48 * 3600 * 1000
+    # dry run reports, drops nothing
+    would = cat.prune_branches(24, dry_run=True, now_ms=future)
+    assert sorted(would) == sorted(stale)
+    assert sorted(b for b in cat.list_branches() if b != "main") == sorted(stale)
+    # fresh branches survive a real prune at current time
+    assert cat.prune_branches(24) == []
+    # stale ones go when aged past the cutoff
+    gone = cat.prune_branches(24, now_ms=future)
+    assert sorted(gone) == sorted(stale)
+    assert cat.list_branches() == ["main"]
+    assert cat.row_count("t", "main") == 50  # main untouched
