@@ -79,6 +79,8 @@ class WapPipeline:
         compact_target_file_mb: int = 128,
         expire_keep_last: int | None = 10,
         batch_write_partitions: int | None = 1,
+        reclaim_orphans: bool = False,
+        prune_forensics_hours: float | None = None,
     ):
         self.catalog = catalog
         self.table = table
@@ -104,6 +106,14 @@ class WapPipeline:
         # count — and the per-file stats the commit carries — tracks
         # batch size, not core count. None disables (big batch loads).
         self.batch_write_partitions = batch_write_partitions
+        # full self-tending ingest: with reclaim_orphans the periodic
+        # maintenance window also deletes unreferenced files (safe only
+        # after expire squashes the history that referenced them), and
+        # prune_forensics_hours ages out wap-* branches dirty batches
+        # left behind — without it a noisy source leaks one branch per
+        # failed audit forever
+        self.reclaim_orphans = reclaim_orphans
+        self.prune_forensics_hours = prune_forensics_hours
 
     # ------------------------------------------------------------------
     def _ensure_table(self, df: DataFrame) -> None:
@@ -269,16 +279,36 @@ class WapPipeline:
                     self.catalog.expire_snapshots(
                         self.table, MAIN, keep_last=self.expire_keep_last
                     )
+                    if self.reclaim_orphans:
+                        self.catalog.remove_orphan_files(
+                            self.table, dry_run=False
+                        )
+                if self.prune_forensics_hours is not None:
+                    self.catalog.prune_branches(
+                        self.prune_forensics_hours,
+                        prefix=f"{self.branch_prefix}-",
+                    )
             except Exception:
                 pass  # best-effort maintenance; never fail the ingest
 
     # ------------------------------------------------------------------
     def run_file(self, spark: SparkSession, path: str) -> WapResult:
-        """WAP one landed Parquet file (reference's per-S3-object unit,
-        ``read_rows_into_arrow``, ``app.py:100-114``)."""
-        if not path.endswith(".parquet"):
-            raise ValueError(f"only parquet input is supported, got {path!r}")
-        return self.run_batch(spark, spark.read.parquet(path), ingest_key=path)
+        """WAP one landed file (reference's per-S3-object unit,
+        ``read_rows_into_arrow``, ``app.py:100-114``) — parquet, plus
+        the JSON/CSV landing formats ``stream_wap`` accepts."""
+        if path.endswith(".parquet"):
+            df = spark.read.parquet(path)
+        elif path.endswith((".json", ".jsonl")):
+            df = spark.read.json(path)
+        elif path.endswith(".csv"):
+            df = spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(path)
+        else:
+            raise ValueError(
+                f"unsupported landed file {path!r} (parquet/json/csv)"
+            )
+        return self.run_batch(spark, df, ingest_key=path)
 
 
 # ----------------------------------------------------------------------

@@ -252,3 +252,48 @@ def test_prune_branches_reclaims_stale_forensics(spark, warehouse):
     assert sorted(gone) == sorted(stale)
     assert cat.list_branches() == ["main"]
     assert cat.row_count("t", "main") == 50  # main untouched
+
+
+def test_pipeline_self_tending_maintenance(spark, warehouse, tmp_path):
+    """Full self-tending ingest: periodic compaction + expiry now also
+    reclaims orphaned files and prunes aged forensic branches; run_file
+    accepts the JSON/CSV landing formats."""
+    from no_jvm_wap_with_iceberg_spark.sources.datagen import generate_batch
+
+    cat = Catalog(warehouse)
+    pipe = WapPipeline(
+        cat,
+        "t",
+        [NotNullCheck("my_col_1")],
+        compact_every=1,  # every publish opens a maintenance window
+        expire_keep_last=1,
+        reclaim_orphans=True,
+        prune_forensics_hours=0.0,  # prune immediately for the test
+    )
+    for seed in range(3):
+        assert pipe.run_batch(
+            spark, generate_batch(spark, n=40, no_null=True, seed=seed)
+        ).published
+    # dirty batch leaves a forensic branch...
+    assert not pipe.run_batch(
+        spark, generate_batch(spark, n=20, no_null=False, seed=99)
+    ).published
+    assert any(b.startswith("wap-") for b in cat.list_branches())
+    # ...which the next publish's maintenance window prunes; orphan
+    # reclaim keeps the file tree tight
+    assert pipe.run_batch(
+        spark, generate_batch(spark, n=40, no_null=True, seed=7)
+    ).published
+    assert cat.list_branches() == ["main"]
+    assert cat.row_count("t", "main") == 40 * 4
+
+    # run_file over a landed JSON file
+    jdir = str(tmp_path / "landed_json")
+    batch = generate_batch(spark, n=25, no_null=True, seed=42).coalesce(1)
+    batch.write.json(jdir)
+    jfile = next(
+        str(p) for p in __import__("pathlib").Path(jdir).glob("*.json")
+    )
+    r = pipe.run_file(spark, jfile)
+    assert r.published
+    assert cat.row_count("t", "main") == 40 * 4 + 25
