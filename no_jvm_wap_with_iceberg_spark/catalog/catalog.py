@@ -44,6 +44,12 @@ MAIN = "main"
 _ROOT = "root"  # the empty initial commit
 _REFS = "refs.json"
 
+# Orphan-file reclamation grace window (Iceberg's remove_orphan_files
+# defaults older_than to 3 days for the same race): a concurrent
+# writer's parquet files hit disk before its commit CAS lands, so any
+# unreferenced file younger than this may be in-flight, never garbage.
+DEFAULT_ORPHAN_GRACE_MS = 3 * 60 * 60 * 1000  # 3 hours
+
 
 def _file_path_col():
     """``_metadata.file_path`` normalized to the raw absolute path.
@@ -122,7 +128,9 @@ class Catalog:
         advance whatever branches they touch (see ``_cas_update``)."""
 
         def wrap(payload: dict[str, Any] | None) -> dict[str, Any]:
-            return {"refs": fn(dict(payload["refs"]))}
+            out = dict(payload)  # preserve siblings (branch_created_ms)
+            out["refs"] = fn(dict(payload["refs"]))
+            return out
 
         self._cas_update(_REFS, wrap, max_retries)
 
@@ -143,20 +151,34 @@ class Catalog:
         return name in self._read_refs()
 
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:
-        """Zero-copy: the new ref points at the source branch's commit."""
+        """Zero-copy: the new ref points at the source branch's commit.
+
+        The ref's CREATION time is recorded alongside it
+        (``branch_created_ms`` in the refs payload): a fresh branch
+        points at its source's existing head commit until its first
+        own commit lands, so age-based janitors keying on the
+        pointed-at commit's timestamp would see a brand-new branch on
+        an idle table as ancient and drop it mid-WAP (ADVICE r4)."""
 
         if name in self._read_tags():
             raise ValueError(f"ref {name!r} is an immutable tag")
 
-        def apply(refs: dict[str, str]) -> dict[str, str]:
+        def apply(payload: dict[str, Any] | None) -> dict[str, Any]:
+            refs = dict(payload["refs"])
             if name in refs:
                 raise ValueError(f"branch {name!r} already exists")
             if from_branch not in refs:
                 raise KeyError(f"source branch {from_branch!r} not found")
             refs[name] = refs[from_branch]
-            return refs
+            created = dict(payload.get("branch_created_ms", {}))
+            created[name] = int(time.time() * 1000)
+            return {**payload, "refs": refs, "branch_created_ms": created}
 
-        self._update_refs(apply)
+        self._cas_update(_REFS, apply)
+
+    def _branch_created_ms(self, name: str) -> int | None:
+        payload, _token = self._store.get(_REFS)
+        return payload.get("branch_created_ms", {}).get(name)
 
     def drop_branch(self, name: str) -> None:
         if name == MAIN:
@@ -166,13 +188,16 @@ class Catalog:
             # and strand the name in tags.json forever
             raise ValueError(f"ref {name!r} is a tag; use drop_tag")
 
-        def apply(refs: dict[str, str]) -> dict[str, str]:
+        def apply(payload: dict[str, Any] | None) -> dict[str, Any]:
+            refs = dict(payload["refs"])
             if name not in refs:
                 raise KeyError(f"branch {name!r} not found")
             del refs[name]
-            return refs
+            created = dict(payload.get("branch_created_ms", {}))
+            created.pop(name, None)
+            return {**payload, "refs": refs, "branch_created_ms": created}
 
-        self._update_refs(apply)
+        self._cas_update(_REFS, apply)
 
     def drop_tag(self, name: str) -> None:
         """Remove a tag: the ref first (the pin disappears atomically),
@@ -281,12 +306,18 @@ class Catalog:
         a ``wap-*`` branch for debugging (the reference's alert path,
         ``src/serverless/app.py`` — but nothing ever reclaims them, so
         a noisy source leaks one branch per dirty batch forever). A
-        branch matching ``prefix`` is dropped when its newest commit
-        is older than ``max_age_hours``; ``main`` and non-matching
-        refs are never touched. Branch refs are zero-copy, so the
-        drop is metadata-only — data files the branch alone
-        referenced fall to ``remove_orphan_files`` (after the next
-        metadata GC) like any other unreferenced write.
+        branch matching ``prefix`` is dropped when it is older than
+        ``max_age_hours`` by BOTH clocks: its recorded creation time
+        (``branch_created_ms``) and its newest commit's timestamp —
+        a freshly created WAP staging branch points at main's
+        existing head until its staged append lands, so head-commit
+        age alone would let a concurrent janitor drop an active
+        staging branch in the create_branch→append window on an idle
+        table (ADVICE r4). ``main`` and non-matching refs are never
+        touched. Branch refs are zero-copy, so the drop is
+        metadata-only — data files the branch alone referenced fall
+        to ``remove_orphan_files`` (after the next metadata GC) like
+        any other unreferenced write.
 
         Returns the dropped (or, with ``dry_run``, would-drop) branch
         names. Cost: one commit-blob read per candidate branch —
@@ -301,7 +332,12 @@ class Catalog:
             if b == MAIN or not b.startswith(prefix):
                 continue
             head = self._read_commit(self._read_refs()[b])
-            if head.get("timestamp_ms", now) <= cutoff:
+            head_ms = head.get("timestamp_ms", now)
+            # pre-upgrade refs lack a creation stamp: fall back to the
+            # head commit (the old, race-prone behavior) only for them
+            created_ms = self._branch_created_ms(b)
+            age_ref = max(head_ms, created_ms) if created_ms else head_ms
+            if age_ref <= cutoff:
                 if not dry_run:
                     self.drop_branch(b)
                 dropped.append(b)
@@ -351,11 +387,39 @@ class Catalog:
         return [t + suffix for t in names]
 
     def sql(self, spark: SparkSession, query: str, branch: str = MAIN):
-        """One-shot SQL over a branch: register every table as a view
-        (one consistent snapshot per table) and run the query through
-        Catalyst — pushdown/pruning/codegen apply as with any view."""
+        """One-shot SQL over a branch — reads AND writes.
+
+        Reads: register every table as a view (one consistent
+        snapshot per table) and run the query through Catalyst —
+        pushdown/pruning/codegen apply as with any view.
+
+        DML: ``MERGE INTO`` / ``UPDATE`` / ``DELETE`` / ``INSERT
+        INTO`` statements route to :meth:`merge_into` /
+        :meth:`update_where` / :meth:`delete_where` / :meth:`append`
+        (the SQL surface every Spark+Iceberg user writes; the
+        reference's only user-facing SQL is its Snowflake warehouse
+        example, ``README.md:193-207``). The statement's subqueries
+        (MERGE USING, INSERT ... SELECT) see the same snapshot-pinned
+        views; WHERE conditions additionally derive best-effort
+        stats-pruning predicates (``catalog/sqldml.py``). Returns a
+        one-row status DataFrame (operation, table, snapshot_id) —
+        the commit itself is an ordinary optimistic commit with the
+        primitive's full CAS/retry semantics.
+        """
+        from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+            dml_kind,
+            execute_dml,
+        )
+
         self.create_views(spark, branch)
-        return spark.sql(query)
+        if dml_kind(query) is None:
+            return spark.sql(query)
+        op, table, meta = execute_dml(self, spark, query, branch)
+        sid = meta.current_snapshot_id
+        return spark.createDataFrame(
+            [(op, table, sid if sid is not None else -1)],
+            "operation string, table string, snapshot_id long",
+        )
 
     def load_table(self, table: str, branch: str = MAIN) -> TableMetadata:
         """Resolve branch → commit → metadata JSON → TableMetadata.
@@ -2703,14 +2767,31 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
-    def remove_orphan_files(self, table: str, dry_run: bool = True) -> list[str]:
+    def remove_orphan_files(
+        self,
+        table: str,
+        dry_run: bool = True,
+        older_than_ms: int = DEFAULT_ORPHAN_GRACE_MS,
+    ) -> list[str]:
         """Data files on disk that no branch's current metadata
         references. With ``dry_run`` just report; otherwise delete.
 
         Referenced = union over every branch head (a file used by any
         branch or any retained snapshot stays). The safety contract
-        matches Iceberg's procedure: run only after expire_snapshots,
-        never against in-flight commits.
+        matches Iceberg's procedure: run only after expire_snapshots.
+
+        **The orphan scan is NOT CAS-protected** — a concurrent
+        writer's data files exist on disk *before* its commit CAS
+        lands, so a zero-grace scan would see them as unreferenced and
+        delete them out from under the landing snapshot (silent data
+        loss). Exactly like Iceberg's ``remove_orphan_files``
+        ``older_than`` threshold (default 3 days there), files whose
+        mtime is within ``older_than_ms`` of now are skipped: any
+        in-flight write is by definition younger than the grace
+        window, so only long-dead files (losing CAS attempts,
+        compacted-away layouts, expired spans) are reclaimed. Pass
+        ``older_than_ms=0`` only when no concurrent writer can exist
+        (tests, single-writer offline maintenance).
         """
         referenced: set[str] = set()
         for branch in self.list_branches():
@@ -2720,6 +2801,7 @@ class Catalog:
                     referenced.update(f.path for f in s.added_files)
                     for d in s.deletes:
                         referenced.update(d.get("key_files") or [])
+        cutoff = time.time() - older_than_ms / 1000.0
         orphans = []
         for sub in ("data", "deletes"):
             root = os.path.join(self.warehouse, "tables", table, sub)
@@ -2727,9 +2809,16 @@ class Catalog:
                 for n in names:
                     if not n.endswith(".parquet"):
                         continue
-                    rel = os.path.relpath(os.path.join(dirpath, n), self.warehouse)
-                    if rel not in referenced:
-                        orphans.append(rel)
+                    full = os.path.join(dirpath, n)
+                    rel = os.path.relpath(full, self.warehouse)
+                    if rel in referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue  # inside grace: possibly in-flight
+                    except OSError:
+                        continue  # vanished concurrently: not ours
+                    orphans.append(rel)
         if not dry_run:
             for rel in orphans:
                 os.remove(os.path.join(self.warehouse, rel))
@@ -2744,6 +2833,7 @@ class Catalog:
         target_file_mb: int = 128,
         keep_last_snapshots: int = 3,
         delete_orphans: bool = True,
+        orphan_grace_ms: int = DEFAULT_ORPHAN_GRACE_MS,
     ) -> dict[str, Any]:
         """One maintenance window for a table (Iceberg users run
         rewrite_data_files + expire_snapshots + remove_orphan_files on
@@ -2757,12 +2847,17 @@ class Catalog:
            era-preserving — see :meth:`expire_snapshots`);
         3. **remove_orphan_files** — reclaim files no branch
            references (losing CAS attempts, compacted-away layouts,
-           rolled-back-then-expired spans).
+           rolled-back-then-expired spans), skipping anything younger
+           than ``orphan_grace_ms`` (default 3 h) because an in-flight
+           writer's files exist before its CAS lands.
 
         Streaming ingest calls this off the hot path on its own
-        cadence; each step is an ordinary optimistic commit, so
-        concurrent writers win or retry as usual. Returns a report
-        dict (what ran, files before/after, orphans reclaimed).
+        cadence. Steps 1–2 are ordinary optimistic commits, so
+        concurrent writers win or retry as usual; step 3 is NOT
+        CAS-protected — its only concurrency protection is the
+        grace window, so never pass ``orphan_grace_ms=0`` while
+        other writers may be mid-commit. Returns a report dict
+        (what ran, files before/after, orphans reclaimed).
         """
         meta = self.load_table(table, branch)
         with_conds = meta.files_with_deletes()
@@ -2783,7 +2878,9 @@ class Catalog:
             )
             report["compacted"] = True
         self.expire_snapshots(table, branch, keep_last=keep_last_snapshots)
-        orphans = self.remove_orphan_files(table, dry_run=not delete_orphans)
+        orphans = self.remove_orphan_files(
+            table, dry_run=not delete_orphans, older_than_ms=orphan_grace_ms
+        )
         report["orphans_removed"] = len(orphans)
         report["files_after"] = len(self.load_table(table, branch).files())
         return report

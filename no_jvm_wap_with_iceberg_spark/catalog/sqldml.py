@@ -1,0 +1,522 @@
+"""SQL DML front door: route ``MERGE INTO`` / ``UPDATE`` / ``DELETE``
+/ ``INSERT INTO`` statement strings to the engine's row-level
+primitives (:meth:`Catalog.merge_into`, :meth:`Catalog.update_where`,
+:meth:`Catalog.delete_where`, :meth:`Catalog.append`).
+
+The reference's only user-facing SQL is the warehouse SQL it shows
+its Snowflake users (``/root/reference/README.md:193-207``); every
+Spark+Iceberg user writes MERGE as SQL. The engine side (conditional
+clause evaluation, MoR commits, CAS retry) is fully built — this
+module is a statement ROUTER, not an executor: it parses the
+statement shape, rewrites clause expressions onto the canonical
+``s``/``t`` aliases the primitives evaluate, derives best-effort
+stats-pruning predicates from WHERE conditions, and delegates.
+Pruning predicates are an IO reducer only — an unparseable conjunct
+simply prunes nothing; correctness always comes from the row-exact
+SQL condition the primitive applies.
+
+Parsing is a small top-level tokenizer (quote/paren aware), not a
+full SQL grammar: statements outside the supported shape raise
+``ValueError`` with a pointer to the equivalent API call rather than
+guessing.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate
+
+_DML_KINDS = ("MERGE", "UPDATE", "DELETE", "INSERT")
+
+
+def dml_kind(query: str) -> str | None:
+    """The DML statement keyword, or None for read statements."""
+    head = query.lstrip().split(None, 1)
+    first = head[0].upper() if head else ""
+    return first if first in _DML_KINDS else None
+
+
+# ----------------------------------------------------------------------
+# top-level scanning (quote- and paren-aware)
+# ----------------------------------------------------------------------
+def _scan_top(s: str):
+    """Yield (index, char) at paren-depth 0 outside quotes."""
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:  # doubled quote
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            yield i, c
+        i += 1
+
+
+def _find_keyword(s: str, word: str, start: int = 0) -> int:
+    """Index of the first top-level, word-boundary occurrence of
+    ``word`` (case-insensitive) at or after ``start``; -1 if absent."""
+    w = word.upper()
+    k = len(w)
+    for i, _c in _scan_top(s):
+        if i < start:
+            continue
+        if s[i : i + k].upper() == w:
+            before = s[i - 1] if i > 0 else " "
+            after = s[i + k] if i + k < len(s) else " "
+            if not (before.isalnum() or before in "_`") and not (
+                after.isalnum() or after in "_`"
+            ):
+                return i
+    return -1
+
+
+def _split_top(s: str, sep_word: str) -> list[str]:
+    """Split on top-level word-boundary occurrences of ``sep_word``."""
+    parts, pos = [], 0
+    while True:
+        i = _find_keyword(s, sep_word, pos)
+        if i < 0:
+            parts.append(s[pos:])
+            return parts
+        parts.append(s[pos:i])
+        pos = i + len(sep_word)
+
+
+def _split_commas(s: str) -> list[str]:
+    parts, last = [], 0
+    for i, c in _scan_top(s):
+        if c == ",":
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return [p for p in parts if p.strip()]
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    if ident.startswith("`") and ident.endswith("`"):
+        return ident[1:-1].replace("``", "`")
+    return ident
+
+
+def _rewrite_alias(expr: str, alias: str, canonical: str) -> str:
+    """``alias.`` qualifiers -> ``canonical.`` (word-boundary, also
+    backtick-quoted aliases)."""
+    if alias == canonical:
+        return expr
+    pat = rf"(?i)(?<![\w.`])(?:{re.escape(alias)}|`{re.escape(alias)}`)\s*\."
+    return re.sub(pat, canonical + ".", expr)
+
+
+# ----------------------------------------------------------------------
+# WHERE-condition -> best-effort pruning predicates
+# ----------------------------------------------------------------------
+_NUM = r"-?\d+(?:\.\d+)?"
+_STR = r"'(?:[^']|'')*'"
+_TYPED = r"(?:DATE|TIMESTAMP)\s*" + _STR
+_LIT = rf"(?:{_TYPED}|{_NUM}|{_STR})"
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z_0-9]*)"
+_CMP = {"=": "eq", "==": "eq", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+_FLIP = {"eq": "eq", "lt": "gt", "le": "ge", "gt": "lt", "ge": "le"}
+
+
+def _parse_lit(text: str) -> Any:
+    text = text.strip()
+    m = re.match(rf"(?i)^(?:DATE|TIMESTAMP)\s*({_STR})$", text)
+    if m:
+        text = m.group(1)  # stats store temporal min/max as isoformat
+    if text.startswith("'"):
+        return text[1:-1].replace("''", "'")
+    return float(text) if "." in text else int(text)
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, c in enumerate(s):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # not one balanced outer pair
+        s = s[1:-1].strip()
+    return s
+
+
+def predicates_from_sql(cond: str | None) -> list[Predicate]:
+    """Conjunctions of simple comparisons -> file-pruning predicates.
+
+    Anything richer (OR at the top level, functions, non-literal
+    sides) contributes nothing — pruning is an optimization, the
+    row-exact condition still runs inside the primitive."""
+    if not cond or not cond.strip():
+        return []
+    cond = _strip_parens(cond)
+    if _find_keyword(cond, "OR") >= 0:
+        return []  # a disjunction invalidates per-conjunct pruning
+    # col BETWEEN a AND b  ->  two comparisons (before the AND split)
+    cond = re.sub(
+        rf"(?i)(?<![\w.`])({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})",
+        r"\1 >= \2 AND \1 <= \3",
+        cond,
+    )
+    out: list[Predicate] = []
+    for part in _split_top(cond, "AND"):
+        part = _strip_parens(part)
+        m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NOT\s+NULL$", part)
+        if m:
+            out.append(Predicate.not_null(_unquote(m.group(1))))
+            continue
+        m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NULL$", part)
+        if m:
+            out.append(Predicate.is_null(_unquote(m.group(1))))
+            continue
+        m = re.match(
+            rf"(?i)^({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$",
+            part,
+        )
+        if m:
+            vals = [_parse_lit(v) for v in _split_commas(m.group(2))]
+            out.append(Predicate("in", _unquote(m.group(1)), vals))
+            continue
+        m = re.match(rf"^({_IDENT})\s*(==|<=|>=|=|<|>)\s*({_LIT})$", part)
+        if m:
+            out.append(
+                Predicate(
+                    _CMP[m.group(2)], _unquote(m.group(1)), _parse_lit(m.group(3))
+                )
+            )
+            continue
+        m = re.match(rf"^({_LIT})\s*(==|<=|>=|=|<|>)\s*({_IDENT})$", part)
+        if m:
+            out.append(
+                Predicate(
+                    _FLIP[_CMP[m.group(2)]],
+                    _unquote(m.group(3)),
+                    _parse_lit(m.group(1)),
+                )
+            )
+            continue
+        # unrecognized conjunct: prune nothing for it
+    return out
+
+
+# ----------------------------------------------------------------------
+# statement executors
+# ----------------------------------------------------------------------
+def _parse_assignments(text: str, strip_alias: str | None) -> dict[str, str]:
+    sets: dict[str, str] = {}
+    for a in _split_commas(text):
+        eq = next((i for i, c in _scan_top(a) if c == "="), -1)
+        if eq < 0:
+            raise ValueError(f"cannot parse SET assignment {a.strip()!r}")
+        lhs, rhs = a[:eq].strip(), a[eq + 1 :].strip()
+        if strip_alias:
+            lhs = re.sub(
+                rf"(?i)^(?:{re.escape(strip_alias)}|`{re.escape(strip_alias)}`)\s*\.",
+                "",
+                lhs,
+            )
+        lhs = re.sub(r"(?i)^(?:t|`t`)\s*\.", "", lhs)
+        sets[_unquote(lhs)] = rhs
+    return sets
+
+
+def _exec_update(cat, spark, query: str, branch: str):
+    m = re.match(rf"(?is)^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*)$", query.strip())
+    if not m:
+        raise ValueError(
+            "unsupported UPDATE shape; expected "
+            "UPDATE <table> SET col = expr[, ...] [WHERE <cond>] "
+            "(Catalog.update_where is the API equivalent)"
+        )
+    table, rest = _unquote(m.group(1)), m.group(2)
+    wh = _find_keyword(rest, "WHERE")
+    if wh >= 0:
+        sets_text, cond = rest[:wh], rest[wh + 5 :].strip().rstrip(";").strip()
+    else:
+        sets_text, cond = rest.rstrip().rstrip(";"), "true"
+    sets = _parse_assignments(sets_text, None)
+    meta = cat.update_where(
+        spark, table, predicates_from_sql(cond), cond, sets, branch
+    )
+    return "UPDATE", table, meta
+
+
+def _exec_delete(cat, spark, query: str, branch: str):
+    m = re.match(rf"(?is)^\s*DELETE\s+FROM\s+({_IDENT})\s*(.*)$", query.strip())
+    if not m:
+        raise ValueError(
+            "unsupported DELETE shape; expected "
+            "DELETE FROM <table> [WHERE <cond>] "
+            "(Catalog.delete_where is the API equivalent)"
+        )
+    table, rest = _unquote(m.group(1)), m.group(2).strip().rstrip(";")
+    if rest:
+        if not re.match(r"(?is)^WHERE\s", rest):
+            raise ValueError(f"cannot parse DELETE tail {rest!r}")
+        cond = rest[5:].strip()
+    else:
+        cond = "true"
+    meta = cat.delete_where(
+        spark, table, predicates_from_sql(cond), cond, branch
+    )
+    return "DELETE", table, meta
+
+
+def _exec_insert(cat, spark, query: str, branch: str):
+    from pyspark.sql import functions as F
+
+    m = re.match(
+        rf"(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?({_IDENT})\s*(.*)$",
+        query.strip(),
+    )
+    if not m:
+        raise ValueError(
+            "unsupported INSERT shape; expected "
+            "INSERT INTO <table> [(cols)] SELECT ...|VALUES ... "
+            "(Catalog.append is the API equivalent)"
+        )
+    table, rest = _unquote(m.group(1)), m.group(2).strip().rstrip(";")
+    cols: list[str] | None = None
+    if rest.startswith("("):
+        depth, end = 0, -1
+        for i, c in enumerate(rest):
+            depth += c == "("
+            depth -= c == ")"
+            if depth == 0:
+                end = i
+                break
+        head = rest[1:end]
+        tail = rest[end + 1 :].strip()
+        # "(a, b) SELECT/VALUES" = column list; "(SELECT ...)" = query
+        if re.match(r"(?is)^(SELECT|VALUES|TABLE|WITH)\b", tail):
+            cols = [_unquote(c) for c in _split_commas(head)]
+            rest = tail
+    if not re.match(r"(?is)^(SELECT|VALUES|TABLE|WITH|\()", rest):
+        raise ValueError(f"cannot parse INSERT source {rest!r}")
+    df = spark.sql(rest)
+    schema = cat.load_table(table, branch).spark_schema
+    if cols is not None:
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"INSERT column list has {len(cols)} names but the "
+                f"query produces {len(df.columns)} columns"
+            )
+        by_name = dict(zip(cols, df.columns))
+        df = df.select(
+            *[
+                F.col(by_name[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in by_name
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    else:
+        if len(df.columns) != len(schema.fields):
+            raise ValueError(
+                f"INSERT query produces {len(df.columns)} columns but "
+                f"{table!r} has {len(schema.fields)}"
+            )
+        df = df.select(
+            *[
+                F.col(dc).cast(f.dataType).alias(f.name)
+                for dc, f in zip(df.columns, schema.fields)
+            ]
+        )
+    meta = cat.append(df, table, branch)
+    return "INSERT", table, meta
+
+
+def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
+    """``t.k = s.k AND ...`` -> merge key columns. Anything but a
+    conjunction of same-column equalities across the two relations is
+    outside merge_into's key surface."""
+    keys = []
+    for part in _split_top(on, "AND"):
+        part = _strip_parens(part)
+        m = re.match(
+            rf"(?i)^({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})$",
+            part,
+        )
+        if not m:
+            raise ValueError(
+                f"MERGE ON clause {part.strip()!r} is not an equality "
+                "between the target and source relations; merge_into "
+                "supports conjunctions of t.<col> = s.<col>"
+            )
+        qa, ca, qb, cb = (_unquote(g) for g in m.groups())
+        la, lb = qa.lower(), qb.lower()
+        sides = {la: ca, lb: cb}
+        if {la, lb} != {t_alias.lower(), s_alias.lower()}:
+            raise ValueError(
+                f"MERGE ON equality {part.strip()!r} must reference "
+                f"both {t_alias!r} and {s_alias!r}"
+            )
+        tcol = sides[t_alias.lower()]
+        scol = sides[s_alias.lower()]
+        if tcol != scol:
+            raise ValueError(
+                f"MERGE ON joins {tcol!r} to {scol!r}; merge_into keys "
+                "on same-named columns — alias the source column first"
+            )
+        keys.append(tcol)
+    return keys
+
+
+def _exec_merge(cat, spark, query: str, branch: str):
+    q = query.strip().rstrip(";")
+    m = re.match(r"(?is)^\s*MERGE\s+INTO\s+", q)
+    if not m:
+        raise ValueError("unsupported MERGE shape")
+    body = q[m.end() :]
+    i_using = _find_keyword(body, "USING")
+    i_on = _find_keyword(body, "ON", i_using + 5 if i_using >= 0 else 0)
+    i_when = _find_keyword(body, "WHEN", i_on + 2 if i_on >= 0 else 0)
+    if min(i_using, i_on, i_when) < 0:
+        raise ValueError(
+            "unsupported MERGE shape; expected MERGE INTO <t> [alias] "
+            "USING <src> [alias] ON <cond> WHEN ... "
+            "(Catalog.merge_into is the API equivalent)"
+        )
+    target_part = body[:i_using].strip()
+    source_part = body[i_using + 5 : i_on].strip()
+    on_part = body[i_on + 2 : i_when].strip()
+    clause_part = body[i_when:]
+
+    def name_alias(part: str, default_alias: str) -> tuple[str, str]:
+        toks = re.match(
+            rf"(?is)^(\(.*\)|{_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?$",
+            part.strip(),
+        )
+        if not toks:
+            raise ValueError(f"cannot parse MERGE relation {part!r}")
+        rel = toks.group(1).strip()
+        alias = _unquote(toks.group(2)) if toks.group(2) else default_alias
+        return rel, alias
+
+    target_rel, t_alias = name_alias(target_part, "t")
+    source_rel, s_alias = name_alias(source_part, "s")
+    if target_rel.startswith("("):
+        raise ValueError("MERGE target must be a catalog table name")
+    table = _unquote(target_rel)
+    keys = _parse_on_keys(on_part, t_alias, s_alias)
+
+    def canon(expr: str | None) -> str | None:
+        if expr is None:
+            return None
+        expr = _rewrite_alias(expr, t_alias, "t")
+        return _rewrite_alias(expr, s_alias, "s")
+
+    upd_cond = del_cond = ins_cond = None
+    update_set: dict[str, str] | None = None
+    insert_values: dict[str, str] | None = None
+    order: list[str] = []  # matched-clause order for first-match-wins
+
+    for clause in _split_top(clause_part, "WHEN")[1:]:
+        c = clause.strip().rstrip(";").strip()
+        mm = re.match(
+            r"(?is)^(NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
+            r"(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
+            c,
+        )
+        if not mm:
+            raise ValueError(f"cannot parse MERGE clause WHEN {c!r}")
+        matched = mm.group(1).upper() == "MATCHED"
+        cond = canon(mm.group(2).strip()) if mm.group(2) else "true"
+        action = mm.group(3).strip()
+        if matched and re.match(r"(?is)^DELETE$", action):
+            if del_cond is not None:
+                raise ValueError("at most one WHEN MATCHED ... DELETE clause")
+            del_cond = cond
+            order.append("delete")
+        elif matched and re.match(r"(?is)^UPDATE\s+SET\s+", action):
+            if upd_cond is not None:
+                raise ValueError("at most one WHEN MATCHED ... UPDATE clause")
+            upd_cond = cond
+            body_txt = re.match(r"(?is)^UPDATE\s+SET\s+(.*)$", action).group(1)
+            if body_txt.strip() == "*":
+                update_set = None  # every column from the source
+            else:
+                update_set = {
+                    k: canon(v)
+                    for k, v in _parse_assignments(body_txt, t_alias).items()
+                }
+            order.append("update")
+        elif not matched and re.match(r"(?is)^INSERT\b", action):
+            if ins_cond is not None:
+                raise ValueError("at most one WHEN NOT MATCHED clause")
+            ins_cond = cond
+            rest = action[6:].strip()
+            if rest == "*" or rest == "":
+                insert_values = None  # source columns positionally
+            else:
+                mi = re.match(r"(?is)^\((.*?)\)\s*VALUES\s*\((.*)\)$", rest)
+                if not mi:
+                    raise ValueError(
+                        f"cannot parse INSERT action {rest!r}; use "
+                        "INSERT * or INSERT (cols) VALUES (exprs)"
+                    )
+                names = [_unquote(x) for x in _split_commas(mi.group(1))]
+                exprs = [canon(x.strip()) for x in _split_commas(mi.group(2))]
+                if len(names) != len(exprs):
+                    raise ValueError("INSERT column/value arity mismatch")
+                given = dict(zip(names, exprs))
+                schema = cat.load_table(table, branch).spark_schema
+                # SQL semantics: unmentioned columns become NULL (the
+                # primitive's default would be the source's column)
+                insert_values = {
+                    f.name: given.get(f.name, "NULL") for f in schema.fields
+                }
+        else:
+            raise ValueError(f"cannot parse MERGE action {action!r}")
+
+    # first-match-wins across MATCHED clauses: merge_into evaluates
+    # DELETE before UPDATE, so when the statement lists UPDATE first
+    # the delete condition must exclude rows the update already took
+    if order == ["update", "delete"] and del_cond is not None:
+        del_cond = f"({del_cond}) AND NOT coalesce(({upd_cond}), false)"
+
+    source_df = spark.sql(f"SELECT * FROM {source_rel} AS __merge_src")
+    meta = cat.merge_into(
+        source_df,
+        table,
+        keys,
+        when_matched_update=upd_cond,
+        when_matched_delete=del_cond,
+        when_not_matched_insert=ins_cond,
+        update_set=update_set,
+        insert_values=insert_values,
+        branch=branch,
+    )
+    return "MERGE", table, meta
+
+
+def execute_dml(cat, spark, query: str, branch: str):
+    """Route one DML statement; returns (operation, table, metadata)."""
+    kind = dml_kind(query)
+    if kind == "MERGE":
+        return _exec_merge(cat, spark, query, branch)
+    if kind == "UPDATE":
+        return _exec_update(cat, spark, query, branch)
+    if kind == "DELETE":
+        return _exec_delete(cat, spark, query, branch)
+    if kind == "INSERT":
+        return _exec_insert(cat, spark, query, branch)
+    raise ValueError(f"not a DML statement: {query[:60]!r}")

@@ -124,7 +124,13 @@ def _exact_batch(
       shares a symbol with an accepted one. Disjointness makes every
       accepted pair's count invariant under the earlier accepted
       merges (occurrences cannot overlap, adjacencies cannot be
-      created or destroyed across disjoint symbols).
+      created or destroyed across disjoint symbols). The OUTPUT
+      string of an accepted merge counts as used too: if ``a + b``
+      collides with a pre-existing vocab symbol (e.g. accepting
+      ``('a', 'bc')`` while ``'abc'`` already exists from an earlier
+      ``('ab', 'c')`` merge), applying the merge inflates the counts
+      of pairs touching that symbol — they are no longer invariant,
+      so any later candidate touching it must stop the batch.
     - ``stop_cnt`` = the count at the stop point (first overlapping
       pair, or the K-th row — every unseen pair is bounded by it).
       Keep accepted pairs with ``cnt > stop_cnt`` STRICTLY: any pair
@@ -148,6 +154,8 @@ def _exact_batch(
         accepted.append((a, b, c))
         used.add(a)
         used.add(b)
+        used.add(a + b)  # merged output: later pairs touching it are
+        # count-inflated by this merge, breaking the invariance proof
     if stop_cnt is None:
         # exhausted the whole K-list without a stop: every unseen pair
         # (and thus every possible overlap/new-pair bound) is bounded

@@ -1468,3 +1468,83 @@ def catalog_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """,
     )
+
+
+@register(
+    "sql_merge_into",
+    """
+    WITH seed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    src AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(0.5 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM seed WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM seed WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
+                  AND o_totalprice >= 150000
+      UNION ALL
+      SELECT t.o_orderkey, t.o_orderstatus,
+             s.o_totalprice + t.o_totalprice
+      FROM seed t JOIN src s ON s.o_orderkey = t.o_orderkey
+      WHERE t.o_orderkey % 21 <> 0 AND t.o_totalprice < 150000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM src WHERE o_orderkey % 2 = 1 AND o_totalprice >= 100000
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="SQL DML through the front door (VERDICT r5 #1): the SAME "
+    "conditional merge as merge_into_conditional, but executed as a "
+    "MERGE INTO statement STRING through Catalog.sql — the router "
+    "(catalog/sqldml.py) parses the clause surface, canonicalizes "
+    "the tgt/s2 aliases, and delegates to the gate-green merge_into "
+    "primitive, so the oracle shape is identical by construction. "
+    "First-match-wins clause ordering, alias rewriting, and the "
+    "duplicate-key rule are pytest-covered in tests/test_sqldml.py. "
+    "Same DECIMAL(18,4) discipline as merge_into_conditional.",
+)
+def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("sql_merge_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "ord"
+    )
+    orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(0.5)
+    ).createOrReplaceTempView("sql_merge_src")
+    cat.sql(
+        spark,
+        """
+        MERGE INTO ord AS tgt USING sql_merge_src AS s2
+          ON tgt.o_orderkey = s2.o_orderkey
+        WHEN MATCHED AND s2.o_orderkey % 21 = 0 THEN DELETE
+        WHEN MATCHED AND tgt.o_totalprice < 150000 THEN UPDATE
+          SET o_totalprice = s2.o_totalprice + tgt.o_totalprice
+        WHEN NOT MATCHED AND s2.o_totalprice >= 100000 THEN INSERT *
+        """,
+    )
+    return (
+        cat.read(spark, "ord")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -193,6 +193,28 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self._meta_cache = (head, meta)
         return meta
 
+    @staticmethod
+    def _lineage_span(meta, lo: int, hi: int) -> list:
+        """Snapshots with ``lo < id <= hi`` that are ANCESTORS of
+        ``hi``, ascending. An id-range filter over ``meta.snapshots``
+        is wrong here: ``rollback`` keeps the rolled-back snapshots in
+        the log (they stay readable for forensics), so a stream that
+        lags across a rollback would pick them up as live changes —
+        rows that were never in the post-rollback lineage, replayed
+        against parents that no longer lead to ``hi``. Walking the
+        parent chain from ``hi`` selects exactly the commits on the
+        branch's current line of history (snapshot ids are monotone,
+        so the walk stops at the first ancestor at or below ``lo``)."""
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        out = []
+        cur = by_id.get(hi)
+        while cur is not None and cur.snapshot_id > lo:
+            out.append(cur)
+            parent = cur.parent_snapshot_id
+            cur = by_id.get(parent) if parent is not None else None
+        out.reverse()
+        return out
+
     def initialOffset(self) -> dict:
         if self.starting == "earliest":
             off = 0
@@ -220,11 +242,13 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # monotone across rollbacks by construction).
             head = self._planned
         if self._max_commits is not None and self._planned is not None:
-            span = sorted(
+            # lineage walk, not id range: after a rollback the log
+            # still holds rolled-back snapshots, and capping onto one
+            # of those ids would plan a batch ending off-lineage
+            span = [
                 s.snapshot_id
-                for s in meta.snapshots
-                if self._planned < s.snapshot_id <= head
-            )
+                for s in self._lineage_span(meta, self._planned, head)
+            ]
             if len(span) > self._max_commits:
                 head = span[self._max_commits - 1]
         self._dbg(f"latestOffset planned={self._planned} -> {head}")
@@ -237,11 +261,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
         meta = self._meta()
         lo, hi = start["snapshot_id"], end["snapshot_id"]
-        span = [
-            s
-            for s in sorted(meta.snapshots, key=lambda s: s.snapshot_id)
-            if lo < s.snapshot_id <= hi
-        ]
+        span = self._lineage_span(meta, lo, hi)
         user_fields = [
             f for f in self._spark_schema.fields
             if f.name not in ("_change_type", "_snapshot_id")

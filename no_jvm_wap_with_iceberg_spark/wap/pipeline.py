@@ -80,6 +80,7 @@ class WapPipeline:
         expire_keep_last: int | None = 10,
         batch_write_partitions: int | None = 1,
         reclaim_orphans: bool = False,
+        orphan_grace_hours: float = 3.0,
         prune_forensics_hours: float | None = None,
     ):
         self.catalog = catalog
@@ -108,11 +109,15 @@ class WapPipeline:
         self.batch_write_partitions = batch_write_partitions
         # full self-tending ingest: with reclaim_orphans the periodic
         # maintenance window also deletes unreferenced files (safe only
-        # after expire squashes the history that referenced them), and
+        # after expire squashes the history that referenced them, and
+        # only past orphan_grace_hours — a concurrent pipeline's files
+        # exist on disk before its commit CAS lands, so younger
+        # unreferenced files may be in-flight, never garbage), and
         # prune_forensics_hours ages out wap-* branches dirty batches
         # left behind — without it a noisy source leaks one branch per
         # failed audit forever
         self.reclaim_orphans = reclaim_orphans
+        self.orphan_grace_hours = orphan_grace_hours
         self.prune_forensics_hours = prune_forensics_hours
 
     # ------------------------------------------------------------------
@@ -281,7 +286,11 @@ class WapPipeline:
                     )
                     if self.reclaim_orphans:
                         self.catalog.remove_orphan_files(
-                            self.table, dry_run=False
+                            self.table,
+                            dry_run=False,
+                            older_than_ms=int(
+                                self.orphan_grace_hours * 3_600_000
+                            ),
                         )
                 if self.prune_forensics_hours is not None:
                     self.catalog.prune_branches(

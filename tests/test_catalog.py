@@ -203,11 +203,47 @@ def test_expire_snapshots_and_orphan_cleanup(spark, warehouse):
     assert cat.row_count("t") == rows  # live state unchanged
     assert len(meta.snapshots) <= 2  # synthetic base + kept tail
 
-    orphans = cat.remove_orphan_files("t", dry_run=True)
-    assert orphans, "pre-compaction files should now be orphaned"
-    cat.remove_orphan_files("t", dry_run=False)
+    # default grace window: fresh unreferenced files are treated as
+    # possibly in-flight (a concurrent writer's CAS may not have
+    # landed yet) and never reclaimed
     assert cat.remove_orphan_files("t", dry_run=True) == []
+    orphans = cat.remove_orphan_files("t", dry_run=True, older_than_ms=0)
+    assert orphans, "pre-compaction files should now be orphaned"
+    cat.remove_orphan_files("t", dry_run=False, older_than_ms=0)
+    assert cat.remove_orphan_files("t", dry_run=True, older_than_ms=0) == []
     assert sorted(r.v for r in cat.read(spark, "t").collect()) == list(range(100))
+
+
+def test_orphan_grace_protects_inflight_writer(spark, warehouse):
+    """The concurrent-writer race: a writer's parquet files exist on
+    disk BEFORE its commit CAS lands. An orphan scan in that window
+    must not reap them — that's what the mtime grace period is for.
+    An aged file (mtime pushed past the window) IS reclaimed."""
+    import os
+    import time as _time
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    df = spark.range(10).withColumnRenamed("id", "v")
+    cat.create_table("t", df.schema)
+    cat.append(df, "t")
+
+    # simulate writer-before-CAS: an unreferenced data file appears
+    inflight = os.path.join(warehouse, "tables", "t", "data", "inflight.parquet")
+    spark.range(5).coalesce(1).toPandas().to_parquet(inflight)
+
+    # maintain() with defaults (delete_orphans=True) must leave it
+    rep = cat.maintain(spark, "t", small_file_threshold=1000)
+    assert rep["orphans_removed"] == 0
+    assert os.path.exists(inflight), "in-flight file reaped inside grace"
+
+    # once aged past the window it is ordinary garbage
+    old = _time.time() - 4 * 3600
+    os.utime(inflight, (old, old))
+    gone = cat.remove_orphan_files("t", dry_run=False)
+    assert gone == [os.path.relpath(inflight, warehouse)]
+    assert not os.path.exists(inflight)
 
 
 def test_referential_integrity_check(spark, warehouse):
@@ -738,7 +774,9 @@ def test_maintain_window(spark, warehouse):
     cat.delete_keys(keys, "t", "id", mode="mor")  # pending MoR delete
     before = {tuple(r) for r in cat.read(spark, "t").collect()}
 
-    rep = cat.maintain(spark, "t", small_file_threshold=3, keep_last_snapshots=1)
+    rep = cat.maintain(
+        spark, "t", small_file_threshold=3, keep_last_snapshots=1, orphan_grace_ms=0
+    )
     assert rep["compacted"] and rep["pending_deletes"]
     # keep_last=1: the compaction overwrite carries the whole live
     # set, so every pre-compaction small file loses its last reference

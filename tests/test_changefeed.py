@@ -322,3 +322,68 @@ def test_stream_source_holds_position_across_rollback(spark, warehouse):
     assert end2 == {"snapshot_id": m.current_snapshot_id}
     parts = r.partitions(end, end2)
     assert parts, "post-rollback commit streams"
+
+
+def test_stream_source_lagging_across_rollback_skips_dead_span(spark, warehouse):
+    """The LAGGING variant of the rollback race: the stream planned
+    only to commit 1 when commits 2-3 land, get rolled back, and a
+    fresh commit 4 (parent 1) arrives. rollback keeps 2-3 in the
+    snapshot log for forensics, so an id-range span would emit them
+    as live changes alongside 4 — rows never in the post-rollback
+    lineage, double-counted. The span must follow the parent chain."""
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    s1 = cat.append(_df(spark, 0, 10), "t").current_snapshot_id
+    schema = T.StructType(
+        SCHEMA.fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+    r = ChangeFeedStreamReader(
+        schema,
+        {"warehouse": warehouse, "table": "t", "startingoffsets": "earliest"},
+    )
+    r.initialOffset()
+    r.partitions({"snapshot_id": 0}, {"snapshot_id": s1})  # planned to s1
+
+    # stream lags: two more commits land, then get rolled back
+    cat.append(_df(spark, 10, 20, "dead"), "t")
+    s3 = cat.append(_df(spark, 20, 30, "dead"), "t").current_snapshot_id
+    cat.rollback("t", s1)
+    s4 = cat.append(_df(spark, 100, 105, "live"), "t").current_snapshot_id
+    assert s4 > s3
+
+    end = r.latestOffset()
+    assert end == {"snapshot_id": s4}
+    parts = r.partitions({"snapshot_id": s1}, end)
+    assert parts
+    assert {p.snapshot_id for p in parts} == {s4}, (
+        "rolled-back snapshots must not stream"
+    )
+    rows = [row for p in parts for b in r.read(p) for row in b.to_pylist()]
+    assert {row["name"] for row in rows} == {"live"}
+    assert len(rows) == 5
+
+    # capped variant: the limiter must also cap onto the lineage, not
+    # onto a rolled-back id
+    r2 = ChangeFeedStreamReader(
+        schema,
+        {
+            "warehouse": warehouse,
+            "table": "t",
+            "startingoffsets": "earliest",
+            "maxcommitspertrigger": "1",
+        },
+    )
+    r2.partitions({"snapshot_id": 0}, {"snapshot_id": s1})  # anchor at s1
+    assert r2.latestOffset() == {"snapshot_id": s4}, (
+        "one lineage commit past s1 is s4 itself"
+    )

@@ -185,14 +185,14 @@ def test_merge_survives_expire_and_orphan_cleanup(spark, warehouse):
     cat.merge_rows(_df(spark, 10, 12, "new"), "t", key="id")
 
     cat.expire_snapshots("t", keep_last=1)
-    orphans = cat.remove_orphan_files("t", dry_run=False)
+    orphans = cat.remove_orphan_files("t", dry_run=False, older_than_ms=0)
     out = {r.id: r.name for r in cat.read(spark, "t").collect()}
     assert len(out) == 60
     assert out[10] == "new" and out[11] == "new" and out[0] == "old"
     # after compaction the key files become orphans and ARE reclaimed
     cat.compact(spark, "t")
     cat.expire_snapshots("t", keep_last=1)
-    reclaimed = cat.remove_orphan_files("t", dry_run=False)
+    reclaimed = cat.remove_orphan_files("t", dry_run=False, older_than_ms=0)
     assert any("deletes/" in p for p in reclaimed), reclaimed
     assert {r.id: r.name for r in cat.read(spark, "t").collect()} == out
 

@@ -647,6 +647,31 @@ def test_bpe_batched_rounds_fewer_than_merges(spark, documents):
 
     rounds: list[int] = []
     got = bpe_train(documents, n_merges=12, rounds_out=rounds)
-    assert got == bpe_train(documents, n_merges=12)  # batching is exact
+    # exactness vs a TRUE sequential baseline: top_k=1 fetches one
+    # pair per driver round, so batching cannot mask a divergence
+    # (comparing two batched runs would only check determinism)
+    assert got == bpe_train(documents, n_merges=12, top_k=1)
+    assert got == _bpe_reference(
+        [r["text"] for r in documents.select("text").collect()], 12
+    )
     assert sum(rounds) == len(got)
     assert len(rounds) < len(got), (rounds, len(got))
+
+
+def test_bpe_batch_stops_on_output_symbol_collision():
+    """ADVICE r4: an accepted merge's OUTPUT string is a used symbol.
+    If ('a','bc') is accepted while symbol 'abc' already exists,
+    applying the merge inflates counts of pairs touching 'abc', so a
+    later candidate touching 'abc' must stop the batch rather than
+    ride the (now-broken) invariance proof."""
+    from no_jvm_wap_with_iceberg_spark.operators.bpe import _exact_batch
+
+    top = [
+        {"a": "a", "b": "bc", "cnt": 100},
+        {"a": "abc", "b": "d", "cnt": 90},  # touches the merged output
+        {"a": "x", "b": "y", "cnt": 80},
+    ]
+    batch = _exact_batch(top, n_want=10, min_count=1)
+    # the collision stops the batch at ('abc','d'); stop_cnt=90 then
+    # strictly bounds everything after the head
+    assert batch == [("a", "bc", 100)]

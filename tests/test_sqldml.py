@@ -1,0 +1,255 @@
+"""SQL DML routing (Catalog.sql -> merge_into/update_where/
+delete_where/append). The engine primitives are covered by
+test_merge.py / test_catalog.py; here the statement ROUTER: parsing,
+alias canonicalization, clause semantics, and the pruning-predicate
+derivation."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+from no_jvm_wap_with_iceberg_spark.catalog.sqldml import predicates_from_sql
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.LongType()),
+    ]
+)
+
+
+def _seed(spark, cat, rows):
+    cat.create_table("t", SCHEMA)
+    cat.append(
+        spark.createDataFrame(rows, SCHEMA), "t"
+    )
+
+
+def _state(spark, cat):
+    return {
+        r["id"]: (r["name"], r["qty"])
+        for r in cat.read(spark, "t").collect()
+    }
+
+
+def test_sql_insert_values_and_select(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+
+    st = cat.sql(spark, "INSERT INTO t VALUES (2, 'b', 20), (3, 'c', 30)")
+    assert st.collect()[0]["operation"] == "INSERT"
+    assert _state(spark, cat) == {1: ("a", 10), 2: ("b", 20), 3: ("c", 30)}
+
+    # column list: unmentioned columns become NULL
+    cat.sql(spark, "INSERT INTO t (id, qty) VALUES (4, 40)")
+    assert _state(spark, cat)[4] == (None, 40)
+
+    # INSERT ... SELECT over the snapshot-pinned catalog views
+    cat.sql(
+        spark,
+        "INSERT INTO t SELECT id + 100, name, qty * 2 FROM t WHERE id <= 2",
+    )
+    got = _state(spark, cat)
+    assert got[101] == ("a", 20) and got[102] == ("b", 40)
+
+
+def test_sql_update_and_delete(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(i, "x", i * 10) for i in range(1, 6)])
+
+    cat.sql(spark, "UPDATE t SET name = 'hot', qty = qty + 1 WHERE id >= 4")
+    got = _state(spark, cat)
+    assert got[4] == ("hot", 41) and got[5] == ("hot", 51)
+    assert got[1] == ("x", 10)
+
+    st = cat.sql(spark, "DELETE FROM t WHERE qty < 25")
+    assert st.collect()[0]["operation"] == "DELETE"
+    assert sorted(_state(spark, cat)) == [3, 4, 5]
+
+    # WHERE-less UPDATE touches every row
+    cat.sql(spark, "UPDATE t SET qty = 0")
+    assert {q for _n, q in _state(spark, cat).values()} == {0}
+
+
+def test_sql_merge_full_clause_surface(spark, warehouse):
+    """MERGE with aliased relations, conditional update/delete/insert
+    — must match the merge_into API semantics exactly."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "old", 10), (2, "old", 20), (3, "old", 30)])
+    spark.createDataFrame(
+        [(1, "upd", 99), (2, "kill", 0), (3, "skip", -1), (4, "new", 40),
+         (5, "veto", 50)],
+        SCHEMA,
+    ).createOrReplaceTempView("src")
+
+    st = cat.sql(
+        spark,
+        """
+        MERGE INTO t AS tgt USING src AS s2 ON tgt.id = s2.id
+        WHEN MATCHED AND s2.name = 'kill' THEN DELETE
+        WHEN MATCHED AND s2.qty > 0 THEN UPDATE SET name = s2.name,
+             qty = tgt.qty + s2.qty
+        WHEN NOT MATCHED AND s2.name != 'veto' THEN INSERT *
+        """,
+    )
+    assert st.collect()[0]["operation"] == "MERGE"
+    got = _state(spark, cat)
+    assert got == {
+        1: ("upd", 109),  # updated: target qty + source qty
+        3: ("old", 30),   # matched, neither clause held: untouched
+        4: ("new", 40),   # inserted
+    }
+
+
+def test_sql_merge_insert_columns_and_update_star(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "old", 10)])
+    spark.createDataFrame(
+        [(1, "fresh", 11), (9, "ins", 90)], SCHEMA
+    ).createOrReplaceTempView("src")
+
+    cat.sql(
+        spark,
+        """
+        MERGE INTO t USING src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, upper(s.name))
+        """,
+    )
+    got = _state(spark, cat)
+    assert got[1] == ("fresh", 11)  # UPDATE SET * = all source columns
+    assert got[9] == ("INS", None)  # unmentioned qty -> NULL
+
+
+def test_sql_merge_first_match_wins_update_before_delete(spark, warehouse):
+    """SQL evaluates WHEN MATCHED clauses in order; with UPDATE listed
+    first, a row satisfying both must be UPDATED (merge_into natively
+    evaluates DELETE first — the router compensates)."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "both", 10), (2, "delonly", 20)])
+    spark.createDataFrame(
+        [(1, "both", 1), (2, "delonly", 0)], SCHEMA
+    ).createOrReplaceTempView("src")
+
+    cat.sql(
+        spark,
+        """
+        MERGE INTO t USING src s ON t.id = s.id
+        WHEN MATCHED AND s.qty > 0 THEN UPDATE SET qty = 111
+        WHEN MATCHED THEN DELETE
+        """,
+    )
+    got = _state(spark, cat)
+    assert got == {1: ("both", 111)}  # 1 updated (first match), 2 deleted
+
+
+def test_sql_merge_subquery_source_and_composite_key(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(
+        spark.createDataFrame([(1, "a", 10), (1, "b", 20)], SCHEMA), "t"
+    )
+    spark.createDataFrame(
+        [(1, "a", 100, "u"), (2, "c", 5, "i")],
+        "id long, name string, qty long, op string",
+    ).createOrReplaceTempView("raw")
+
+    cat.sql(
+        spark,
+        """
+        MERGE INTO t USING (SELECT id, name, qty FROM raw) s
+        ON t.id = s.id AND t.name = s.name
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    rows = {
+        (r["id"], r["name"]): r["qty"] for r in cat.read(spark, "t").collect()
+    }
+    assert rows == {(1, "a"): 100, (1, "b"): 20, (2, "c"): 5}
+
+
+def test_sql_merge_rejects_unsupported_shapes(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    spark.createDataFrame([(1, "a", 1)], SCHEMA).createOrReplaceTempView("src")
+
+    with pytest.raises(ValueError, match="equality"):
+        cat.sql(
+            spark,
+            "MERGE INTO t USING src s ON t.id > s.id "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="same-named"):
+        cat.sql(
+            spark,
+            "MERGE INTO t USING src s ON t.id = s.qty "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="duplicate merge key"):
+        spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2)], SCHEMA
+        ).createOrReplaceTempView("dup")
+        cat.sql(
+            spark,
+            "MERGE INTO t USING dup s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="UPDATE shape"):
+        cat.sql(spark, "UPDATE t FROM x SET")
+
+
+def test_sql_read_path_unchanged(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10), (2, "b", 20)])
+    got = cat.sql(
+        spark, "SELECT COUNT(*) AS n, SUM(qty) AS s FROM t"
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (2, 30)
+
+
+def test_predicates_from_sql_shapes():
+    assert predicates_from_sql("id >= 4") == [Predicate("ge", "id", 4)]
+    assert predicates_from_sql("4 <= id") == [Predicate("ge", "id", 4)]
+    assert predicates_from_sql("`qty` < 2.5 AND name = 'x''y'") == [
+        Predicate("lt", "qty", 2.5),
+        Predicate("eq", "name", "x'y"),
+    ]
+    assert predicates_from_sql("id BETWEEN 3 AND 7") == [
+        Predicate("ge", "id", 3),
+        Predicate("le", "id", 7),
+    ]
+    assert predicates_from_sql("id IN (1, 2, 3)") == [
+        Predicate("in", "id", [1, 2, 3])
+    ]
+    assert predicates_from_sql("name IS NULL AND qty IS NOT NULL") == [
+        Predicate("is_null", "name"),
+        Predicate("not_null", "qty"),
+    ]
+    assert predicates_from_sql("ts >= TIMESTAMP '2024-01-01 00:00:00'") == [
+        Predicate("ge", "ts", "2024-01-01 00:00:00")
+    ]
+    # a top-level OR invalidates conjunct pruning entirely
+    assert predicates_from_sql("id = 1 OR id = 2") == []
+    # unparseable conjuncts prune nothing but don't poison the rest
+    assert predicates_from_sql("lower(name) = 'a' AND id = 3") == [
+        Predicate("eq", "id", 3)
+    ]
+    assert predicates_from_sql(None) == []
+
+
+def test_sql_dml_on_branch(spark, warehouse):
+    """DML routes to the named branch, leaving main untouched — the
+    WAP shape in SQL."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    cat.create_branch("audit", "main")
+    cat.sql(spark, "INSERT INTO t VALUES (2, 'b', 20)", branch="audit")
+    cat.sql(spark, "UPDATE t SET qty = 99 WHERE id = 1", branch="audit")
+    assert _state(spark, cat) == {1: ("a", 10)}
+    got = {
+        r["id"]: (r["name"], r["qty"])
+        for r in cat.read(spark, "t", "audit").collect()
+    }
+    assert got == {1: ("a", 99), 2: ("b", 20)}

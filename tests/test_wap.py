@@ -254,6 +254,42 @@ def test_prune_branches_reclaims_stale_forensics(spark, warehouse):
     assert cat.row_count("t", "main") == 50  # main untouched
 
 
+def test_prune_keys_on_branch_age_not_head_commit_age(spark, warehouse):
+    """ADVICE r4: a fresh staging branch points at main's existing
+    head until its staged append lands. On an idle table (old head
+    commit) a concurrent janitor keying on the pointed-at commit's
+    timestamp would drop the active branch in the create_branch →
+    append window; the recorded creation stamp must protect it."""
+    import time
+
+    from pyspark.sql import types as T
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "t", T.StructType([T.StructField("v", T.LongType())])
+    )
+    cat.append(spark.range(5).withColumnRenamed("id", "v"), "t")
+
+    # make the table idle: backdate every commit far past any cutoff
+    old = int(time.time() * 1000) - 72 * 3600 * 1000
+    for c in cat.log("main"):
+        c["timestamp_ms"] = old
+        cat._write_commit(c)
+
+    cat.create_branch("wap-inflight", "main")  # append hasn't landed yet
+    assert cat.prune_branches(24) == [], (
+        "fresh branch on an idle table must survive the janitor"
+    )
+    assert cat.branch_exists("wap-inflight")
+
+    # legacy refs (no creation stamp) fall back to head-commit age
+    payload, token = cat._store.get("refs.json")
+    payload = dict(payload)
+    payload["branch_created_ms"] = {}
+    assert cat._store.put_if("refs.json", payload, token)
+    assert cat.prune_branches(24) == ["wap-inflight"]
+
+
 def test_pipeline_self_tending_maintenance(spark, warehouse, tmp_path):
     """Full self-tending ingest: periodic compaction + expiry now also
     reclaims orphaned files and prunes aged forensic branches; run_file
@@ -268,6 +304,7 @@ def test_pipeline_self_tending_maintenance(spark, warehouse, tmp_path):
         compact_every=1,  # every publish opens a maintenance window
         expire_keep_last=1,
         reclaim_orphans=True,
+        orphan_grace_hours=0.0,  # single-writer test: reclaim immediately
         prune_forensics_hours=0.0,  # prune immediately for the test
     )
     for seed in range(3):

@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--keep-commits", type=int, default=1000)
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--delete-orphans", action="store_true")
+    ap.add_argument(
+        "--orphan-grace-hours",
+        type=float,
+        default=3.0,
+        help="skip unreferenced files younger than this (in-flight "
+        "writer protection; 0 only when no concurrent writers exist)",
+    )
     args = ap.parse_args()
 
     cat = Catalog(args.warehouse, create=False)
@@ -41,7 +48,11 @@ def main() -> None:
     cat.expire_snapshots(args.table, keep_last=args.keep_snapshots)
     print(f"expire: kept last {args.keep_snapshots} snapshots")
 
-    orphans = cat.remove_orphan_files(args.table, dry_run=not args.delete_orphans)
+    orphans = cat.remove_orphan_files(
+        args.table,
+        dry_run=not args.delete_orphans,
+        older_than_ms=int(args.orphan_grace_hours * 3_600_000),
+    )
     verb = "deleted" if args.delete_orphans else "found (dry run)"
     print(f"orphans: {len(orphans)} {verb}")
 
