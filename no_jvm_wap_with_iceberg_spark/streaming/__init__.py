@@ -6,6 +6,7 @@ from no_jvm_wap_with_iceberg_spark.streaming.ingest import (
     windowed_event_counts,
 )
 from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+    backfill_then_stream,
     register_changefeed_source,
 )
 from no_jvm_wap_with_iceberg_spark.streaming.sessionize import (
@@ -14,6 +15,7 @@ from no_jvm_wap_with_iceberg_spark.streaming.sessionize import (
 )
 
 __all__ = [
+    "backfill_then_stream",
     "dedup_within_watermark",
     "follow_changes",
     "register_changefeed_source",

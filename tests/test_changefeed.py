@@ -387,3 +387,156 @@ def test_stream_source_lagging_across_rollback_skips_dead_span(spark, warehouse)
     assert r2.latestOffset() == {"snapshot_id": s4}, (
         "one lineage commit past s1 is s4 itself"
     )
+
+
+def test_stream_source_schema_drift_add_and_drop_mid_stream(spark, warehouse):
+    """VERDICT r4 #6: a column added or dropped BETWEEN a stream's
+    start and a later micro-batch. The stream's output schema is
+    pinned at start (standard Structured Streaming semantics), so:
+    a column added later is ignored in newer files; a column dropped
+    later null-fills from newer files (the pa.nulls branch); and a
+    fresh stream started AFTER the evolutions replays old commits
+    through the current schema (old files null-fill added columns,
+    still-on-disk dropped columns are simply never selected)."""
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    def _feed_schema(fields):
+        return T.StructType(
+            list(fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_snapshot_id", T.LongType()),
+            ]
+        )
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)  # (id long, name string)
+    s1 = cat.append(_df(spark, 0, 2, "one"), "t").current_snapshot_id
+
+    r = ChangeFeedStreamReader(
+        _feed_schema(SCHEMA.fields),
+        {"warehouse": warehouse, "table": "t", "startingoffsets": "earliest"},
+    )
+
+    def rows_for(lo, hi):
+        parts = r.partitions({"snapshot_id": lo}, {"snapshot_id": hi})
+        return sorted(
+            (row["id"], row.get("name"), row["_change_type"])
+            for p in parts
+            for b in r.read(p)
+            for row in b.to_pylist()
+        )
+
+    assert rows_for(0, s1) == [(0, "one", "insert"), (1, "one", "insert")]
+
+    # add a column mid-stream: newer files carry it, the pinned
+    # stream schema doesn't — it must be ignored, not an error
+    cat.add_column("t", "extra", "double")
+    s2 = cat.append(
+        spark.createDataFrame(
+            [(10, "two", 1.5), (11, "two", 2.5)],
+            "id long, name string, extra double",
+        ),
+        "t",
+    ).current_snapshot_id
+    assert rows_for(s1, s2) == [(10, "two", "insert"), (11, "two", "insert")]
+
+    # drop a column mid-stream: newer files lack it, the pinned
+    # schema still has it — null-fill (pa.nulls), not an error
+    cat.drop_column("t", "name")
+    s3 = cat.append(
+        spark.createDataFrame([(20, 3.5)], "id long, extra double"), "t"
+    ).current_snapshot_id
+    assert rows_for(s2, s3) == [(20, None, "insert")]
+
+    # a FRESH stream (current schema: id, extra) replaying the whole
+    # history: pre-add files null-fill extra; the dropped name column
+    # (still in old files on disk) is never selected
+    cur_schema = cat.load_table("t").spark_schema
+    assert [f.name for f in cur_schema.fields] == ["id", "extra"]
+    r2 = ChangeFeedStreamReader(
+        _feed_schema(cur_schema.fields),
+        {"warehouse": warehouse, "table": "t", "startingoffsets": "earliest"},
+    )
+    parts = r2.partitions({"snapshot_id": 0}, {"snapshot_id": s3})
+    got = sorted(
+        (row["id"], row["extra"])
+        for p in parts
+        for b in r2.read(p)
+        for row in b.to_pylist()
+    )
+    assert got == [
+        (0, None),
+        (1, None),
+        (10, 1.5),
+        (11, 2.5),
+        (20, 3.5),
+    ]
+
+
+def test_backfill_then_stream_bounded_cold_start(spark, warehouse, tmp_path):
+    """VERDICT r4 #3: a 50-commit history from a cold checkpoint
+    drains in ceil(50/cap) bounded read_changes slices whose union is
+    byte-identical to the uncapped feed, and the returned stream is
+    anchored at the drained boundary — its first batch carries only
+    commits that landed after the drain."""
+    import math
+
+    from no_jvm_wap_with_iceberg_spark.streaming import backfill_then_stream
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    n_commits, cap = 50, 7
+    for i in range(n_commits):
+        cat.append(_df(spark, i * 2, i * 2 + 2, f"c{i}"), "t")
+    head = cat.load_table("t").current_snapshot_id
+
+    slices = []  # (lo, hi, rows)
+    sink: list = []
+
+    def batch_fn(df, lo, hi):
+        rows = df.collect()
+        slices.append((lo, hi, len(rows)))
+        sink.extend(rows)
+
+    feed = backfill_then_stream(
+        spark, warehouse, "t", batch_fn, max_commits=cap
+    )
+
+    assert len(slices) == math.ceil(n_commits / cap)
+    # every slice is bounded: spans at most `cap` commits
+    spans = [
+        len({r["_snapshot_id"] for r in sink[sum(s[2] for s in slices[:i]):
+                                            sum(s[2] for s in slices[: i + 1])]})
+        for i in range(len(slices))
+    ]
+    assert all(s <= cap for s in spans) and sum(spans) == n_commits
+    # slices chain: each starts where the previous ended
+    assert slices[0][0] is None and slices[-1][1] == head
+    for (_, hi_prev, _), (lo_next, _, _) in zip(slices, slices[1:]):
+        assert lo_next == hi_prev
+
+    # union of slices == one uncapped read_changes, byte-identical
+    want = sorted(
+        tuple(r) for r in cat.read_changes(spark, "t", None, head).collect()
+    )
+    assert sorted(tuple(r) for r in sink) == want
+
+    # the stream starts at the boundary: a post-drain commit is ALL
+    # its first availableNow pass emits
+    cat.append(_df(spark, 900, 905, "post"), "t")
+    q = (
+        feed.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "sink")).collect()
+    assert {r["name"] for r in got} == {"post"}
+    assert len(got) == 5

@@ -623,3 +623,29 @@ def test_merge_into_composite_key_and_duplicate_guard(spark, warehouse):
     dup_src = spark.createDataFrame([(1, "y", 7), (1, "y", 8)], schema)
     with pytest.raises(ValueError, match="duplicate merge key"):
         cat.merge_into(dup_src, "t", key=["a", "b"])
+
+
+def test_merge_into_duplicate_gate_folded_into_pruning_pass(spark, warehouse):
+    """VERDICT r4 #5: the duplicate-key rule rides the key-pruning
+    bounds aggregate instead of a separate O(batch) pre-pass. Guard
+    the job count so the pre-pass can't silently come back (it was 15
+    jobs with the separate gate, 13 folded, measured local[4])."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(warehouse)
+    df = spark.range(1000).select(F.col("id"), F.lit("a").alias("name"))
+    cat.create_table_from_df(df, "t")
+    src = spark.range(500, 1500).select(F.col("id"), F.lit("b").alias("name"))
+    sc = spark.sparkContext
+    sc.setJobGroup("merge-fold", "job-count guard")
+    try:
+        cat.merge_into(src, "t", key="id")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("merge-fold")
+    assert len(jobs) <= 13, (
+        f"merge_into ran {len(jobs)} jobs; the duplicate gate must stay "
+        "folded into the pruning aggregate"
+    )
+    got = {r.id: r.name for r in cat.read(spark, "t").collect()}
+    assert len(got) == 1500 and got[0] == "a" and got[700] == "b"

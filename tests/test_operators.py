@@ -130,6 +130,120 @@ def test_multimodal_feature_extraction_stub(spark):
     )
 
 
+def test_bmp_codec_roundtrip_and_stride():
+    """Real BMP codec: round-trips pixel-exact across odd widths
+    (non-trivial stride padding) and both row orders; refuses
+    non-24bpp honestly."""
+    import numpy as np
+
+    from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp24,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (2, 3), (5, 4), (21, 13), (3, 1)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_bmp24(px)
+        # file size must include per-row padding to a 4-byte stride
+        assert len(blob) == 54 + h * ((3 * w + 3) // 4 * 4)
+        d = decode_bmp(blob)
+        assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+        assert np.array_equal(d["pixels"], px), f"{w}x{h} roundtrip"
+
+    # top-down variant (negative height) decodes to the same image order
+    import struct
+
+    px = rng.integers(0, 256, size=(3, 2, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp24(px[::-1]))  # rows as stored = image order
+    blob[22:26] = struct.pack("<i", -3)
+    d = decode_bmp(bytes(blob))
+    assert np.array_equal(d["pixels"], px)
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PNG...")
+    bad = bytearray(encode_bmp24(px))
+    bad[28] = 8  # bpp=8
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(bytes(bad))
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Real WAV codec: PCM16 round-trip, duration math, and a chunk
+    walk that survives extra/odd-sized chunks before fmt/data."""
+    import struct
+
+    import numpy as np
+
+    from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16)
+    blob = encode_wav_pcm16(s, 8000)
+    assert len(blob) == 44 + 2 * len(s)
+    d = decode_wav(blob)
+    assert d["sample_rate"] == 8000 and d["channels"] == 1
+    assert d["n_frames"] == 6 and d["duration_ms"] == 0  # 6/8000 s
+    assert np.array_equal(d["samples"], s)
+    assert decode_wav(encode_wav_pcm16(np.zeros(8000, np.int16), 8000))[
+        "duration_ms"
+    ] == 1000
+
+    # insert a LIST chunk with an ODD size between WAVE and fmt: the
+    # walk must skip it (word-aligned) and still find fmt/data
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    patched = blob[:12] + extra + blob[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    d2 = decode_wav(patched)
+    assert np.array_equal(d2["samples"], s)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+    # non-PCM format code refuses honestly
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 20, 3)  # IEEE float
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_wav(bytes(bad))
+
+
+def test_decode_media_features_mixed_and_unknown(spark):
+    """decode_media_features: BMP and WAV payloads in one frame, each
+    through its real codec; an unknown magic raises the honest stub."""
+    import numpy as np
+
+    from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+        decode_media_features,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    s = np.array([5, -5, 7], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(px))), (2, bytearray(encode_wav_pcm16(s, 16000)))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_media_features(df).collect()}
+    flat = px.reshape(-1).astype(np.int64)
+    assert got[1]["media_kind"] == "bmp"
+    assert (got[1]["width"], got[1]["height"]) == (3, 2)
+    assert got[1]["checksum"] == int(((np.arange(flat.size) + 1) * flat).sum())
+    assert got[2]["media_kind"] == "wav"
+    assert got[2]["sample_rate"] == 16000 and got[2]["n_frames"] == 3
+    assert got[2]["checksum"] == 1 * 5 + 2 * -5 + 3 * 7
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"\x89PNG\r\n"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception) as ei:
+        decode_media_features(bad).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
 def test_ann_ivf_recall_against_brute_force(spark, embeddings):
     from no_jvm_wap_with_iceberg_spark.operators.similarity import ann_ivf_topk
 
