@@ -29,87 +29,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver gate records exactly the first 50 registered queries
 # (confirmed r1-r3), so ordering is load-bearing and the head is
-# curated by hand each round. Round-4 rotation (VERDICT r3 #2):
-# canary, then the two-round red (oracle HUGEINT cast fixed this
-# round), then the 28 round-3 queries that have never had driver
-# evidence (the r3 head was spent re-greening the r1-only tail, per
-# the r2 brief), then the 4 rows-only-by-design queries (their
-# assertion gates similarity_ann_recall_gate /
-# sketch_error_bounds_gate in the 28 convert the approximate results
-# into oracle-hashable booleans), then new round-4 queries, then
-# r2-only re-checks as filler. The tail is r3-bit-exact redundancy.
+# curated by hand each round. Round-5 rotation (VERDICT r4 #2 +
+# NOTES round-5 guidance): r4 was a perfect 46/46+4 gate, so the
+# head is (1) the canary, (2) the three NEW r5 queries
+# (sql_merge_into, multimodal_bmp_decode, multimodal_wav_decode),
+# (3) the four r4 queries whose SUBSYSTEMS changed this round
+# (merge_into dup-gate fold -> merge_into_conditional,
+# merge_lineitem_composite; changefeed lineage spans ->
+# streaming_changefeed_merge; Catalog.sql DML routing ->
+# catalog_sql_interface), then (4) the stalest-evidence fill: every
+# query whose latest driver evidence is r2 (the q-tail, fn suites,
+# window_ranking, agg_orders_cube, multimodal stubs, corpus/text r2
+# tail, dedup family). Everything green in r3/r4 rotates to the
+# tail — after this head lands, every oracle-backed query's driver
+# evidence is r3 or newer.
 _HEAD = [
-    "q1_pricing_summary",  # canary: green r1+r2+r3, sub-second
-    # --- the r2+r3 red: values were bit-identical, the oracle's
-    # SUM(is_new) OVER was an uncast DuckDB HUGEINT (float64 through
-    # the driver's pandas path); CAST AS BIGINT landed this round ---
-    "events_sessionization",
-    # --- the 28 round-3 queries with zero driver evidence ---
-    "catalog_rename_column",
-    "streaming_merge_apply",
-    "embedding_pca_covariance",
-    "embedding_pca_project_gate",
-    "catalog_incremental_agg",
-    "merge_lineitem_composite",
-    "events_continuous_aggregate",
-    "streaming_source_rollup",
-    "catalog_sort_order_evolution",
-    "text_quality_logreg",
-    "catalog_hidden_partitioning",
-    "streaming_dedup_slots",
-    "embedding_pq_codes",
-    "text_bpe_merge_candidates",
-    "catalog_partition_evolution",
-    "catalog_update_where",
-    "catalog_changelog",
-    "dedup_pq_buckets",
-    "window_frame_suite",
-    "agg_stats_moments",
-    "sketch_error_bounds_gate",
-    "similarity_ann_recall_gate",
-    "catalog_files_metadata",
-    "catalog_snapshots_metadata",
-    "catalog_rollback_read",
-    "embedding_kmeans_clusters",
-    "corpus_train_val_split",
-    "text_bigram_logprob",
-    # --- the 4 rows-only-by-design (approximate by construction;
-    # their hashable assertion gates are in the 28 above) ---
-    "similarity_ann_lsh_topk",
-    "similarity_ann_ivf_topk",
-    "dedup_simhash_profile",
-    "sketch_events_approx_stats",
-    # --- new in round 4 (inserted as they land) ---
-    "streaming_changefeed_merge",
-    "catalog_multi_table_publish",
+    "q1_pricing_summary",  # canary: green every round, sub-second
+    # --- new in round 5 ---
+    "sql_merge_into",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    # --- r4 greens whose subsystems changed in r5 ---
     "merge_into_conditional",
-    "events_session_window_native",
+    "merge_lineitem_composite",
+    "streaming_changefeed_merge",
     "catalog_sql_interface",
-    "corpus_token_budget_mix",
-    "corpus_epoch_shuffle",
-    # --- r2-only re-checks (last driver evidence predates the r3
-    # catalog/oracle work) fill the remaining slots ---
-    "similarity_cosine_topk",
-    "similarity_label_centroid_stats",
-    "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
-    "dedup_embedding_cosine",
-    "multimodal_payload_stats",
-    "multimodal_feature_extract",
-    "corpus_decontaminate_eval",
-    "text_pii_scrub",
-]
-_TAIL = [
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "text_quality_profile",
-    "text_lang_id_confusion",
-    "q8_market_share",
-    "q9_product_profit",
-    "fn_array_map_suite",
-    # r2/r3-bit-exact redundancy — least is lost if the gate stops at 50
+    # --- stalest evidence (latest driver green is r2) ---
     "q3_shipping_priority",
     "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -117,34 +66,51 @@ _TAIL = [
     "q19_discounted_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
-    "q5_local_supplier_volume",
-    "q18_large_orders",
-    "q6_revenue_forecast",
-    "q7_nation_pair_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
+    "fn_json_map_suite",
+    "fn_array_map_suite",
+    "fn_scalar_suite",
+    "window_ranking_suite",
+    "agg_orders_cube",
+    "audit_profile_lineitem",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "corpus_repetition_profile",
+    "corpus_chunk_windows",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "text_quality_rules",
+    "text_lang_id_confusion",
+    "text_quality_profile",
+    "text_corpus_token_stats",
+    "text_fingerprints",
+    "text_punct_stopword_profile",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_vocab_top_terms",
+    "text_source_lang_matrix",
+    "text_bpe_token_counts",
+    "dedup_substring_spans",
     "dedup_ngram_jaccard",
     "dedup_exact_keep_first",
     "dedup_exact_stats",
     "dedup_normalized_fingerprints",
     "dedup_cluster_representatives",
     "dedup_source_matrix",
-    "dedup_substring_spans",
     "dedup_components",
-    "text_corpus_token_stats",
-    "text_fingerprints",
-    "text_punct_stopword_profile",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "text_quality_rules",
-    "text_vocab_top_terms",
-    "text_source_lang_matrix",
-    "text_bpe_token_counts",
+]
+_TAIL = [
+    # rotated out of the head (r3/r4-green redundancy); order only
+    # matters if the gate ever reads past slot 50
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "q6_revenue_forecast",
+    "q7_nation_pair_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
     "window_running_revenue",
     "window_moving_avg_daily_revenue",
     "window_event_gaps",
     "window_top3_orders_per_customer",
-    "window_ranking_suite",
     "join_semi_anti",
     "range_join_price_bands",
     "topk_expensive_items",
@@ -160,12 +126,8 @@ _TAIL = [
     "events_user_funnel",
     "asof_purchase_last_click",
     "streaming_windowed_counts",
-    "fn_scalar_suite",
-    "fn_json_map_suite",
     "histogram_order_totals",
     "agg_collect_ordered",
-    "agg_orders_cube",
-    "audit_profile_lineitem",
     "merge_orders_cdc",
     "wap_audit_gate",
     "catalog_time_travel",
@@ -173,10 +135,6 @@ _TAIL = [
     "catalog_schema_evolution",
     "catalog_mor_delete_read",
     "embedding_quantize_int8",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "corpus_repetition_profile",
-    "corpus_chunk_windows",
 ]
 
 

@@ -76,8 +76,11 @@ def main() -> None:
 
     wap_ingest_soak(spark, n_batches=100)
     merge_soak(spark)
+    merge_into_soak(spark)
+    merge_into_scale_soak(spark)
     changefeed_soak(spark)
     incremental_agg_soak(spark)
+    stream_plan_soak(spark)
 
 
 def merge_soak(spark, n_merges: int = 50, base_rows: int = 500_000):
@@ -280,10 +283,6 @@ def incremental_agg_soak(spark, sizes=(100_000, 1_600_000), batch=5_000):
             )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def merge_into_soak(spark, n_merges: int = 40, base_rows: int = 500_000):
     """Conditional MERGE INTO soak: N clause-bearing merges (update
     when s.v differs, delete a sliver, insert new keys) against a
@@ -334,6 +333,59 @@ def merge_into_soak(spark, n_merges: int = 40, base_rows: int = 500_000):
         )
 
 
+def merge_into_scale_soak(spark, sizes=(100_000, 400_000, 1_600_000), batch=300):
+    """The O(batch + matched files) claim (catalog.py merge_into),
+    MEASURED rather than asserted (VERDICT r4 #7): the SAME
+    clause-bearing merge batch against bases of different sizes.
+    Condition evaluation reads only the stats/bloom-pruned files an
+    incoming key may live in, and the MoR commit writes O(batch)
+    bytes — so commit latency must stay flat as the base grows 16x."""
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    for base_rows in sizes:
+        with tempfile.TemporaryDirectory() as wh:
+            cat = Catalog(wh)
+            cat.create_table("m", schema)
+            cat.append(
+                spark.range(base_rows).select(
+                    F.col("id"), (F.col("id") % 97).alias("v")
+                ),
+                "m",
+            )
+
+            def one_merge(i):
+                src = spark.range(i * 1000, i * 1000 + batch).select(
+                    F.col("id"),
+                    (F.col("id") % 89).alias("v"),
+                    (F.col("id") % 31 == 0).alias("_del"),
+                )
+                cat.merge_into(
+                    src,
+                    "m",
+                    key="id",
+                    when_matched_delete="s._del",
+                    when_matched_update="s.v <> t.v",
+                    when_not_matched_insert="NOT s._del",
+                    update_set={"v": "s.v"},
+                )
+
+            one_merge(0)  # warm (JIT + python workers)
+            t0 = time.time()
+            one_merge(1)
+            dt = time.time() - t0
+            print(
+                f"merge-into-scale-soak: base={base_rows} rows, "
+                f"{batch}-row conditional merge commit={dt:.2f}s"
+            )
+
+
 def stream_plan_soak(spark, histories=(10, 200)):
     """Streaming-source planning cost vs commit-log length: time
     latestOffset + partitions for a ONE-commit span on a table with
@@ -381,3 +433,7 @@ def stream_plan_soak(spark, histories=(10, 200)):
                 f"one-commit span plan={dt * 1000:.1f} ms "
                 f"({len(parts)} partitions)"
             )
+
+
+if __name__ == "__main__":
+    main()
