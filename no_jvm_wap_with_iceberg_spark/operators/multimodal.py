@@ -579,6 +579,201 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("dst_width", T.IntegerType(), True),
+        T.StructField("dst_height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_bmp_nearest(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """REAL image resize (not the stub plan): decode BMP, proportional
+    integer fit into ``max_side`` (floor mapping, never upscale,
+    clamped to >= 1 px), nearest-neighbor sample via numpy fancy
+    indexing — ``src_idx = dst_idx * src // dst``, pure integer so an
+    SQL oracle reproduces every output pixel — and re-encode through
+    the real container. One Arrow batch in/out; pixel math never
+    leaves numpy."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_bmp(bytes(payload))
+                sw, sh, px = d["width"], d["height"], d["pixels"]
+                long_side = max(sw, sh)
+                scale = min(long_side, max_side)
+                dw = max(1, sw * scale // long_side)
+                dh = max(1, sh * scale // long_side)
+                xi = np.arange(dw, dtype=np.int64) * sw // dw
+                yi = np.arange(dh, dtype=np.int64) * sh // dh
+                out = px[yi][:, xi]  # nearest neighbor, floor mapping
+                rows.append(
+                    (mid, sw, sh, dw, dh, encode_bmp24(out))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height",
+                    "dst_width", "dst_height", "resized",
+                ],
+            )
+
+    return media.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+WAV_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def wav_frame_features(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """REAL audio feature extraction: decode PCM16, window into
+    ``frame_len``-sample frames, emit per-frame integer features —
+    ``energy`` = sum(|sample|), ``zero_crossings`` = sign transitions
+    between consecutive samples WITHIN the frame (boundary pairs
+    belong to neither). All-integer on purpose: the SQL oracle
+    regenerates the samples and reproduces both features exactly.
+    One-to-many fan-out in the same Arrow batch, numpy throughout."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ns, en, zc = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                v = decode_wav(bytes(payload))["samples"].astype(np.int64)
+                n = v.size
+                n_frames = (n + frame_len - 1) // frame_len
+                frame_of = np.arange(n) // frame_len
+                energy = np.zeros(n_frames, dtype=np.int64)
+                np.add.at(energy, frame_of, np.abs(v))
+                counts = np.bincount(frame_of, minlength=n_frames)
+                cross = np.zeros(n_frames, dtype=np.int64)
+                if n > 1:
+                    i = np.arange(1, n)
+                    hit = ((v[:-1] < 0) != (v[1:] < 0)) & (i % frame_len != 0)
+                    np.add.at(cross, frame_of[1:][hit], 1)
+                ids.extend([mid] * n_frames)
+                idxs.extend(range(n_frames))
+                ns.extend(counts.tolist())
+                en.extend(energy.tolist())
+                zc.extend(cross.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy": pd.Series(en, dtype="int64"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_batches, WAV_FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_bmp_resize_real",
+    """
+    WITH base AS (
+      SELECT doc_id, strlen(text) % 21 + 2 AS sw, doc_id % 13 + 1 AS sh
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, sw, sh,
+             GREATEST(1, sw * LEAST(GREATEST(sw, sh), 8)
+                        // GREATEST(sw, sh)) AS dw,
+             GREATEST(1, sh * LEAST(GREATEST(sw, sh), 8)
+                        // GREATEST(sw, sh)) AS dh
+      FROM base
+    ),
+    px AS (
+      SELECT doc_id, dw, dh,
+             ((y * dw + x) * 3 + c + 1) *
+             ((doc_id + 7 * (x * sw // dw) + 13 * (y * sh // dh)
+               + 31 * c) % 256) AS wv
+      FROM dims,
+           UNNEST(range(0, dh)) AS ty(y),
+           UNNEST(range(0, dw)) AS tx(x),
+           UNNEST(range(0, 3)) AS tc(c)
+    )
+    SELECT doc_id AS media_id,
+           CAST(dw AS INTEGER) AS dst_width,
+           CAST(dh AS INTEGER) AS dst_height,
+           CAST(SUM(wv) AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id, dw, dh
+    """,
+    doc="REAL image resize end to end: decode BMP -> nearest-neighbor "
+    "integer resize (floor mapping src = dst*s//d, proportional fit "
+    "into 8 px, clamp >= 1) -> re-encode -> decode AGAIN; the "
+    "position-weighted checksum of the round-tripped resized pixels "
+    "must equal the oracle's direct recomputation of every sampled "
+    "pixel from the generative formula. Covers the full "
+    "decode/transform/encode cycle — an off-by-one in the sampling "
+    "grid, the flip, or either codec direction cannot hash-match.",
+)
+def multimodal_bmp_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _synthetic_bmp_media(spark, sf_dir)
+    resized = resize_bmp_nearest(media, max_side=8).select(
+        "media_id", F.col("resized").alias("payload")
+    )
+    feats = decode_media_features(resized)
+    return feats.select(
+        "media_id",
+        F.col("width").alias("dst_width"),
+        F.col("height").alias("dst_height"),
+        "checksum",
+    )
+
+
+@register(
+    "multimodal_wav_frame_features",
+    """
+    WITH base AS (
+      SELECT doc_id, strlen(text) % 300 + 8 AS ns FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i, i // 64 AS f,
+             ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS v,
+             CASE WHEN i % 64 != 0 AND i > 0 THEN
+               (((doc_id * 2654435761 + (i - 1) * 40503) % 65536)
+                 - 32768 < 0)
+               != (((doc_id * 2654435761 + i * 40503) % 65536)
+                 - 32768 < 0)
+             END AS crossed
+      FROM base, UNNEST(range(0, ns)) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS INTEGER) AS frame_index,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN crossed THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM s GROUP BY doc_id, f
+    """,
+    doc="REAL audio feature extraction end to end: decode PCM16 WAV "
+    "-> 64-sample frames -> integer energy (sum |v|) and "
+    "zero-crossing counts (sign transitions within the frame; "
+    "boundary pairs excluded) — the oracle regenerates the samples "
+    "and reproduces both features exactly. One-to-many frame fan-out "
+    "in the Arrow batch, numpy throughout (np.add.at scatter, no "
+    "per-sample Python).",
+)
+def multimodal_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wav_frame_features(_synthetic_wav_media(spark, sf_dir), 64)
+
+
 @register(
     "multimodal_payload_stats",
     """

@@ -244,6 +244,77 @@ def test_decode_media_features_mixed_and_unknown(spark):
     )
 
 
+def test_resize_bmp_nearest_matches_numpy(spark):
+    """Real resize: output pixels equal direct numpy fancy-indexed
+    sampling; 1-px floors; never upscales."""
+    import numpy as np
+
+    from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp24,
+        resize_bmp_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(10, 20, 3), dtype=np.uint8)
+    tall = rng.integers(0, 256, size=(40, 2, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(px))), (2, bytearray(encode_bmp24(tall)))],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r.asDict()
+        for r in resize_bmp_nearest(df, max_side=8).collect()
+    }
+    # 20x10 -> fit 8: dw=8, dh=10*8//20=4
+    assert (out[1]["dst_width"], out[1]["dst_height"]) == (8, 4)
+    got = decode_bmp(bytes(out[1]["resized"]))["pixels"]
+    xi = np.arange(8) * 20 // 8
+    yi = np.arange(4) * 10 // 4
+    assert np.array_equal(got, px[yi][:, xi])
+    # 2x40 -> dw = max(1, 2*8//40) = 1 (clamped), dh=8
+    assert (out[2]["dst_width"], out[2]["dst_height"]) == (1, 8)
+    # no upscale: small image passes through identity
+    small = spark.createDataFrame(
+        [(3, bytearray(encode_bmp24(px[:4, :5])))], "media_id long, payload binary"
+    )
+    r3 = resize_bmp_nearest(small, max_side=8).collect()[0]
+    assert (r3["dst_width"], r3["dst_height"]) == (5, 4)
+    assert np.array_equal(
+        decode_bmp(bytes(r3["resized"]))["pixels"], px[:4, :5]
+    )
+
+
+def test_wav_frame_features_matches_reference(spark):
+    """Frame features vs a plain-Python reference: energy, in-frame
+    zero crossings (boundary pairs excluded), ragged last frame."""
+    import numpy as np
+
+    from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wav_frame_features,
+    )
+
+    v = np.array([5, -3, 2, -1, 0, 4, -4, 9, -9, 1], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(v, 8000)))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["frame_index"]: r.asDict()
+        for r in wav_frame_features(df, frame_len=4).collect()
+    }
+    # reference: frames [5,-3,2,-1], [0,4,-4,9], [-9,1]
+    assert got[0]["n_samples"] == 4 and got[0]["energy"] == 11
+    assert got[0]["zero_crossings"] == 3  # 5/-3, -3/2, 2/-1
+    assert got[1]["n_samples"] == 4 and got[1]["energy"] == 17
+    # 0/4 no cross (0 counts as >=0), 4/-4 cross, -4/9 cross; the
+    # -1/0 boundary pair belongs to neither frame
+    assert got[1]["zero_crossings"] == 2
+    assert got[2]["n_samples"] == 2 and got[2]["energy"] == 10
+    assert got[2]["zero_crossings"] == 1  # -9/1 (9/-9 is the boundary)
+
+
 def test_ann_ivf_recall_against_brute_force(spark, embeddings):
     from no_jvm_wap_with_iceberg_spark.operators.similarity import ann_ivf_topk
 
