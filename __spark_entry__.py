@@ -49,6 +49,8 @@ _HEAD = [
     "sql_merge_into",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "multimodal_bmp_resize_real",
+    "multimodal_wav_frame_features",
     # --- r4 greens whose subsystems changed in r5 ---
     "merge_into_conditional",
     "merge_lineitem_composite",
@@ -95,8 +97,8 @@ _HEAD = [
     "dedup_exact_stats",
     "dedup_normalized_fingerprints",
     "dedup_cluster_representatives",
-    "dedup_source_matrix",
-    "dedup_components",
+    # dedup_source_matrix / dedup_components dropped from the head to
+    # stay at 50 slots: components has r3 driver evidence already
 ]
 _TAIL = [
     # rotated out of the head (r3/r4-green redundancy); order only

@@ -394,8 +394,10 @@ class Catalog:
         pushdown/pruning/codegen apply as with any view.
 
         DML: ``MERGE INTO`` / ``UPDATE`` / ``DELETE`` / ``INSERT
-        INTO`` statements route to :meth:`merge_into` /
-        :meth:`update_where` / :meth:`delete_where` / :meth:`append`
+        INTO|OVERWRITE`` / ``CREATE TABLE ... AS`` statements route
+        to :meth:`merge_into` / :meth:`update_where` /
+        :meth:`delete_where` / :meth:`append` / :meth:`overwrite` /
+        :meth:`create_table_from_df`
         (the SQL surface every Spark+Iceberg user writes; the
         reference's only user-facing SQL is its Snowflake warehouse
         example, ``README.md:193-207``). The statement's subqueries

@@ -1,7 +1,9 @@
 """SQL DML front door: route ``MERGE INTO`` / ``UPDATE`` / ``DELETE``
-/ ``INSERT INTO`` statement strings to the engine's row-level
-primitives (:meth:`Catalog.merge_into`, :meth:`Catalog.update_where`,
-:meth:`Catalog.delete_where`, :meth:`Catalog.append`).
+/ ``INSERT INTO|OVERWRITE`` / ``CREATE TABLE ... AS`` statement
+strings to the engine's row-level primitives
+(:meth:`Catalog.merge_into`, :meth:`Catalog.update_where`,
+:meth:`Catalog.delete_where`, :meth:`Catalog.append`,
+:meth:`Catalog.overwrite`, :meth:`Catalog.create_table_from_df`).
 
 The reference's only user-facing SQL is the warehouse SQL it shows
 its Snowflake users (``/root/reference/README.md:193-207``); every
@@ -28,13 +30,20 @@ from typing import Any
 
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate
 
-_DML_KINDS = ("MERGE", "UPDATE", "DELETE", "INSERT")
+_DML_KINDS = ("MERGE", "UPDATE", "DELETE", "INSERT", "CREATE")
 
 
 def dml_kind(query: str) -> str | None:
-    """The DML statement keyword, or None for read statements."""
-    head = query.lstrip().split(None, 1)
-    first = head[0].upper() if head else ""
+    """The DML statement keyword, or None for read statements.
+
+    ``CREATE`` counts only as ``CREATE TABLE`` (CTAS): other CREATE
+    statements (TEMP VIEW, FUNCTION, ...) fall through to plain
+    ``spark.sql`` untouched."""
+    toks = query.lstrip().split(None, 2)
+    first = toks[0].upper() if toks else ""
+    if first == "CREATE":
+        second = toks[1].upper() if len(toks) > 1 else ""
+        return "CREATE" if second == "TABLE" else None
     return first if first in _DML_KINDS else None
 
 
@@ -280,20 +289,46 @@ def _exec_delete(cat, spark, query: str, branch: str):
     return "DELETE", table, meta
 
 
+def _exec_create(cat, spark, query: str, branch: str):
+    """CREATE TABLE [IF NOT EXISTS] <t> AS <query> — the CTAS shape
+    (Catalog.create_table_from_df is the API equivalent). Column
+    DDL (CREATE TABLE t (a INT, ...)) is out of scope here: use
+    Catalog.create_table with a schema."""
+    m = re.match(
+        rf"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+(.*)$",
+        query.strip().rstrip(";"),
+    )
+    if not m:
+        raise ValueError(
+            "unsupported CREATE shape; expected "
+            "CREATE TABLE [IF NOT EXISTS] <table> AS SELECT ... "
+            "(Catalog.create_table_from_df is the API equivalent)"
+        )
+    if_not_exists = m.group(1) is not None
+    table, qtext = _unquote(m.group(2)), m.group(3).strip()
+    if cat.table_exists(table, branch):
+        if if_not_exists:
+            return "CREATE", table, cat.load_table(table, branch)
+        raise ValueError(f"table {table!r} already exists on {branch!r}")
+    meta = cat.create_table_from_df(spark.sql(qtext), table, branch)
+    return "CREATE", table, meta
+
+
 def _exec_insert(cat, spark, query: str, branch: str):
     from pyspark.sql import functions as F
 
     m = re.match(
-        rf"(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?({_IDENT})\s*(.*)$",
+        rf"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*(.*)$",
         query.strip(),
     )
     if not m:
         raise ValueError(
             "unsupported INSERT shape; expected "
-            "INSERT INTO <table> [(cols)] SELECT ...|VALUES ... "
-            "(Catalog.append is the API equivalent)"
+            "INSERT INTO|OVERWRITE <table> [(cols)] SELECT ...|VALUES ... "
+            "(Catalog.append / Catalog.overwrite are the API equivalents)"
         )
-    table, rest = _unquote(m.group(1)), m.group(2).strip().rstrip(";")
+    overwrite = m.group(1).upper() == "OVERWRITE"
+    table, rest = _unquote(m.group(2)), m.group(3).strip().rstrip(";")
     cols: list[str] | None = None
     if rest.startswith("("):
         depth, end = 0, -1
@@ -340,6 +375,9 @@ def _exec_insert(cat, spark, query: str, branch: str):
                 for dc, f in zip(df.columns, schema.fields)
             ]
         )
+    if overwrite:
+        meta = cat.overwrite(df, table, branch)
+        return "INSERT OVERWRITE", table, meta
     meta = cat.append(df, table, branch)
     return "INSERT", table, meta
 
@@ -519,4 +557,6 @@ def execute_dml(cat, spark, query: str, branch: str):
         return _exec_delete(cat, spark, query, branch)
     if kind == "INSERT":
         return _exec_insert(cat, spark, query, branch)
+    if kind == "CREATE":
+        return _exec_create(cat, spark, query, branch)
     raise ValueError(f"not a DML statement: {query[:60]!r}")

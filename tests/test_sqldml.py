@@ -239,6 +239,37 @@ def test_predicates_from_sql_shapes():
     assert predicates_from_sql(None) == []
 
 
+def test_sql_ctas_and_insert_overwrite(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10), (2, "b", 20)])
+
+    st = cat.sql(
+        spark,
+        "CREATE TABLE big AS SELECT id, name, qty * 10 AS qty "
+        "FROM t WHERE qty >= 20",
+    )
+    assert st.collect()[0]["operation"] == "CREATE"
+    got = {
+        r["id"]: r["qty"] for r in cat.read(spark, "big").collect()
+    }
+    assert got == {2: 200}
+
+    # IF NOT EXISTS on an existing table: no-op; without it: error
+    cat.sql(spark, "CREATE TABLE IF NOT EXISTS big AS SELECT * FROM t")
+    assert {r["id"] for r in cat.read(spark, "big").collect()} == {2}
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, "CREATE TABLE big AS SELECT * FROM t")
+
+    # INSERT OVERWRITE replaces contents (new snapshot, history kept)
+    st2 = cat.sql(spark, "INSERT OVERWRITE big SELECT * FROM t")
+    assert st2.collect()[0]["operation"] == "INSERT OVERWRITE"
+    assert {r["id"] for r in cat.read(spark, "big").collect()} == {1, 2}
+
+    # CREATE TEMP VIEW is NOT routed as DML — plain spark.sql
+    cat.sql(spark, "CREATE OR REPLACE TEMP VIEW tv AS SELECT 1 AS one")
+    assert spark.sql("SELECT * FROM tv").collect()[0]["one"] == 1
+
+
 def test_sql_dml_on_branch(spark, warehouse):
     """DML routes to the named branch, leaving main untouched — the
     WAP shape in SQL."""
