@@ -411,9 +411,11 @@ class Catalog:
         from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
             dml_kind,
             execute_dml,
+            rewrite_time_travel,
         )
 
         self.create_views(spark, branch)
+        query = rewrite_time_travel(self, spark, query, branch)
         if dml_kind(query) is None:
             return spark.sql(query)
         op, table, meta = execute_dml(self, spark, query, branch)

@@ -546,6 +546,75 @@ def _exec_merge(cat, spark, query: str, branch: str):
     return "MERGE", table, meta
 
 
+def _outside_quotes(s: str, idx: int) -> bool:
+    """True when ``idx`` is not inside a quoted literal/identifier."""
+    q = None
+    i = 0
+    while i < idx:
+        c = s[i]
+        if q is None:
+            if c in "'\"`":
+                q = c
+        elif c == q:
+            if i + 1 < len(s) and s[i + 1] == q:
+                i += 1  # doubled quote
+            else:
+                q = None
+        i += 1
+    return q is None
+
+
+def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
+    """SQL time travel (the Spark+Iceberg surface): rewrite
+    ``<table> VERSION AS OF <snapshot_id>`` and ``<table> TIMESTAMP
+    AS OF '<ts>'`` references into snapshot-pinned temp views backed
+    by :meth:`Catalog.read` / :meth:`Catalog.read_as_of`. Works at
+    any subquery depth (MERGE USING included); naive timestamps are
+    taken as UTC, matching the commit log's epoch-ms clock. A
+    time-travel reference to a name the catalog doesn't know raises
+    (silently ignoring the clause would serve current-state rows for
+    a historical query)."""
+    import datetime as _dt
+
+    out = query
+    pat_v = re.compile(
+        rf"(?is)({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)"
+    )
+    pat_t = re.compile(
+        rf"(?is)({_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+({_STR})"
+    )
+    while True:
+        m = next(
+            (
+                mm
+                for mm in list(pat_v.finditer(out)) + list(pat_t.finditer(out))
+                if _outside_quotes(out, mm.start())
+            ),
+            None,
+        )
+        if m is None:
+            return out
+        table = _unquote(m.group(1))
+        if not cat.table_exists(table, branch):
+            raise KeyError(
+                f"time-travel reference to unknown table {table!r} "
+                f"on branch {branch!r}"
+            )
+        ref = m.group(2)
+        if ref.startswith("'"):
+            ts = _dt.datetime.fromisoformat(ref[1:-1].replace("''", "'"))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ms = int(ts.timestamp() * 1000)
+            df = cat.read_as_of(spark, table, ms, branch)
+            view = f"{table}__asof_{ms}"
+        else:
+            df = cat.read(spark, table, branch, snapshot_id=int(ref))
+            view = f"{table}__v{ref}"
+        df.createOrReplaceTempView(view)
+        out = out[: m.start()] + view + out[m.end() :]
+
+
 def execute_dml(cat, spark, query: str, branch: str):
     """Route one DML statement; returns (operation, table, metadata)."""
     kind = dml_kind(query)

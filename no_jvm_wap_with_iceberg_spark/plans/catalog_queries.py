@@ -215,6 +215,52 @@ def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_time_travel",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS s1_rows,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders WHERE o_orderkey % 2 = 0) AS s1_total,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS s2_rows,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders) AS s2_total
+    """,
+    doc="SQL-level time travel through the front door (round 5): the "
+    "same two-append scenario as catalog_time_travel, but the "
+    "historical read is a 'VERSION AS OF <id>' clause inside ONE SQL "
+    "statement (catalog/sqldml.py rewrite_time_travel pins a "
+    "snapshot view and rewrites the reference, any subquery depth) — "
+    "the Spark+Iceberg SQL surface a migrating user writes. Oracle "
+    "identical to catalog_time_travel by construction.",
+)
+def sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("sql_tt_"))
+    m1 = cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "orders_tt"
+    )
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "orders_tt")
+    return cat.sql(
+        spark,
+        f"""
+        SELECT (SELECT COUNT(*)
+                FROM orders_tt VERSION AS OF {m1.current_snapshot_id})
+                 AS s1_rows,
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE)
+                FROM orders_tt VERSION AS OF {m1.current_snapshot_id})
+                 AS s1_total,
+               (SELECT COUNT(*) FROM orders_tt) AS s2_rows,
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE)
+                FROM orders_tt) AS s2_total
+        """,
+    )
+
+
+@register(
     "catalog_incremental_read",
     """
     SELECT o_orderstatus,

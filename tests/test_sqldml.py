@@ -270,6 +270,56 @@ def test_sql_ctas_and_insert_overwrite(spark, warehouse):
     assert spark.sql("SELECT * FROM tv").collect()[0]["one"] == 1
 
 
+def test_sql_time_travel(spark, warehouse):
+    """VERSION AS OF / TIMESTAMP AS OF rewrite to snapshot-pinned
+    views — the Spark+Iceberg SQL surface, at any subquery depth."""
+    import time
+
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    v1 = cat.load_table("t").current_snapshot_id
+    t_between = time.time()
+    time.sleep(0.05)
+    cat.sql(spark, "INSERT INTO t VALUES (2, 'b', 20)")
+
+    got = cat.sql(
+        spark, f"SELECT COUNT(*) AS n FROM t VERSION AS OF {v1}"
+    ).collect()[0]["n"]
+    assert got == 1
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 2
+
+    # joins: current state against a historical snapshot
+    delta = cat.sql(
+        spark,
+        f"""
+        SELECT cur.id FROM t cur
+        LEFT ANTI JOIN (SELECT id FROM t VERSION AS OF {v1}) old
+          ON cur.id = old.id
+        """,
+    ).collect()
+    assert [r["id"] for r in delta] == [2]
+
+    # TIMESTAMP AS OF: a UTC timestamp between the two commits
+    import datetime
+
+    ts = datetime.datetime.fromtimestamp(
+        t_between, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    got_ts = cat.sql(
+        spark, f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '{ts}'"
+    ).collect()[0]["n"]
+    assert got_ts == 1
+
+    # a literal containing the keywords is untouched
+    lit = cat.sql(
+        spark, "SELECT 't VERSION AS OF 1' AS s FROM t LIMIT 1"
+    ).collect()[0]["s"]
+    assert lit == "t VERSION AS OF 1"
+
+    with pytest.raises(KeyError, match="unknown table"):
+        cat.sql(spark, "SELECT * FROM ghost VERSION AS OF 1")
+
+
 def test_sql_dml_on_branch(spark, warehouse):
     """DML routes to the named branch, leaving main untouched — the
     WAP shape in SQL."""

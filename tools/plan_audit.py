@@ -41,6 +41,7 @@ CROSS_OK = {
     # per-supplier aggregate
     "catalog_time_travel",  # crossJoin of two SINGLE-ROW snapshot
     # aggregates (s1 x s2 summary row)
+    "sql_time_travel",  # same shape via SQL scalar subqueries
 }
 # single-partition exchanges over provably tiny inputs:
 SINGLE_OK = {
@@ -66,6 +67,7 @@ SINGLE_OK = {
     "q15_top_supplier",  # single-row MAX over the supplier aggregate
     "q19_discounted_revenue",  # single-row final aggregate
     "catalog_time_travel",  # two single-row snapshot summaries crossed
+    "sql_time_travel",  # four single-row scalar subqueries joined
     "catalog_schema_evolution",  # single-row final table summary
     "catalog_files_metadata",  # aggregate over O(files) manifest rows
     "catalog_rollback_read",  # single-row final table summary
