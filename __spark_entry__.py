@@ -52,6 +52,7 @@ _HEAD = [
     "multimodal_bmp_resize_real",
     "multimodal_wav_frame_features",
     "sql_time_travel",
+    "streaming_backfill_slices",
     # --- r4 greens whose subsystems changed in r5 ---
     "merge_into_conditional",
     "merge_lineitem_composite",
@@ -96,11 +97,10 @@ _HEAD = [
     "dedup_ngram_jaccard",
     "dedup_exact_keep_first",
     "dedup_exact_stats",
-    "dedup_normalized_fingerprints",
-    # dedup_cluster_representatives / dedup_source_matrix /
-    # dedup_components dropped from the head to stay at 50 slots
-    # (components has r3 driver evidence; the other two were in the
-    # judge's 30/30 re-verified set)
+    # dedup_normalized_fingerprints / dedup_cluster_representatives /
+    # dedup_source_matrix / dedup_components dropped from the head to
+    # stay at 50 slots (components has r3 driver evidence; the others
+    # were in the judge's 30/30 re-verified set)
 ]
 _TAIL = [
     # rotated out of the head (r3/r4-green redundancy); order only

@@ -43,6 +43,10 @@ HEADLINE = [
     "merge_into_conditional",
     "streaming_changefeed_merge",
     "events_session_window_native",
+    # round 5: real-codec throughput (encode+decode round trips over
+    # every document payload — the multimodal scan-shaped workload)
+    "multimodal_bmp_decode",
+    "multimodal_wav_frame_features",
 ]
 
 
