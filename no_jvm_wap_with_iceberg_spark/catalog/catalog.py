@@ -327,15 +327,21 @@ class Catalog:
 
         now = now_ms if now_ms is not None else int(_time.time() * 1000)
         cutoff = now - int(max_age_hours * 3600 * 1000)
+        # one refs read for the whole pass (refs + creation stamps
+        # live in the same payload; per-candidate re-reads would cost
+        # 2N round trips against an object-store-backed ref file)
+        payload, _token = self._store.get(_REFS)
+        refs = payload["refs"]
+        created_map = payload.get("branch_created_ms", {})
         dropped: list[str] = []
-        for b in self.list_branches():
+        for b in sorted(refs):
             if b == MAIN or not b.startswith(prefix):
                 continue
-            head = self._read_commit(self._read_refs()[b])
+            head = self._read_commit(refs[b])
             head_ms = head.get("timestamp_ms", now)
             # pre-upgrade refs lack a creation stamp: fall back to the
             # head commit (the old, race-prone behavior) only for them
-            created_ms = self._branch_created_ms(b)
+            created_ms = created_map.get(b)
             age_ref = max(head_ms, created_ms) if created_ms else head_ms
             if age_ref <= cutoff:
                 if not dry_run:

@@ -122,13 +122,52 @@ def _unquote(ident: str) -> str:
     return ident
 
 
+def _unquoted_spans(s: str):
+    """Yield (start, end, is_quoted) segments of ``s``. Only string
+    literals (single/double quotes) are opaque; backtick-quoted
+    IDENTIFIERS stay rewritable (an alias can be backtick-quoted)."""
+    i, n, seg = 0, len(s), 0
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            if seg < i:
+                yield seg, i, False
+            q, j = c, i + 1
+            while j < n:
+                if s[j] == q:
+                    if j + 1 < n and s[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j + 1, n)
+            yield i, j, True
+            i = seg = j
+        else:
+            i += 1
+    if seg < n:
+        yield seg, n, False
+
+
+def _sub_outside_quotes(pattern: str, repl: str, s: str) -> str:
+    """re.sub applied only to the unquoted segments of ``s`` — a
+    pattern occurring inside a string literal (or quoted identifier)
+    must never be rewritten (silent value corruption otherwise)."""
+    out = []
+    for a, b, quoted in _unquoted_spans(s):
+        seg = s[a:b]
+        out.append(seg if quoted else re.sub(pattern, repl, seg))
+    return "".join(out)
+
+
 def _rewrite_alias(expr: str, alias: str, canonical: str) -> str:
-    """``alias.`` qualifiers -> ``canonical.`` (word-boundary, also
-    backtick-quoted aliases)."""
+    """``alias.`` qualifiers -> ``canonical.`` (word-boundary,
+    backtick-quoted aliases too; text inside string literals is left
+    alone)."""
     if alias == canonical:
         return expr
     pat = rf"(?i)(?<![\w.`])(?:{re.escape(alias)}|`{re.escape(alias)}`)\s*\."
-    return re.sub(pat, canonical + ".", expr)
+    return _sub_outside_quotes(pat, canonical + ".", expr)
 
 
 # ----------------------------------------------------------------------
@@ -144,10 +183,23 @@ _FLIP = {"eq": "eq", "lt": "gt", "le": "ge", "gt": "lt", "ge": "le"}
 
 
 def _parse_lit(text: str) -> Any:
+    import datetime as _dt
+
     text = text.strip()
-    m = re.match(rf"(?i)^(?:DATE|TIMESTAMP)\s*({_STR})$", text)
+    m = re.match(rf"(?i)^(DATE|TIMESTAMP)\s*({_STR})$", text)
     if m:
-        text = m.group(1)  # stats store temporal min/max as isoformat
+        # stats store temporal min/max via value.isoformat() — the
+        # 'T'-separator form. A space-separated SQL literal compared
+        # as a raw string sorts BEFORE the 'T' form (' ' < 'T') and
+        # would wrongly prune files that hold matching rows, so
+        # normalize through datetime/date first.
+        raw = m.group(2)[1:-1].replace("''", "'")
+        # an unparseable temporal raises ValueError: the conjunct
+        # loop skips it (prunes nothing) rather than comparing a
+        # raw string against isoformat stats
+        if m.group(1).upper() == "DATE":
+            return _dt.date.fromisoformat(raw).isoformat()
+        return _dt.datetime.fromisoformat(raw).isoformat()
     if text.startswith("'"):
         return text[1:-1].replace("''", "'")
     return float(text) if "." in text else int(text)
@@ -179,8 +231,10 @@ def predicates_from_sql(cond: str | None) -> list[Predicate]:
     cond = _strip_parens(cond)
     if _find_keyword(cond, "OR") >= 0:
         return []  # a disjunction invalidates per-conjunct pruning
-    # col BETWEEN a AND b  ->  two comparisons (before the AND split)
-    cond = re.sub(
+    # col BETWEEN a AND b -> two comparisons (before the AND split);
+    # quote-aware: 'BETWEEN x AND y' TEXT inside a string literal must
+    # not be rewritten into the literal's value
+    cond = _sub_outside_quotes(
         rf"(?i)(?<![\w.`])({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})",
         r"\1 >= \2 AND \1 <= \3",
         cond,
@@ -188,40 +242,45 @@ def predicates_from_sql(cond: str | None) -> list[Predicate]:
     out: list[Predicate] = []
     for part in _split_top(cond, "AND"):
         part = _strip_parens(part)
-        m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NOT\s+NULL$", part)
-        if m:
-            out.append(Predicate.not_null(_unquote(m.group(1))))
-            continue
-        m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NULL$", part)
-        if m:
-            out.append(Predicate.is_null(_unquote(m.group(1))))
-            continue
-        m = re.match(
-            rf"(?i)^({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$",
-            part,
-        )
-        if m:
-            vals = [_parse_lit(v) for v in _split_commas(m.group(2))]
-            out.append(Predicate("in", _unquote(m.group(1)), vals))
-            continue
-        m = re.match(rf"^({_IDENT})\s*(==|<=|>=|=|<|>)\s*({_LIT})$", part)
-        if m:
-            out.append(
-                Predicate(
-                    _CMP[m.group(2)], _unquote(m.group(1)), _parse_lit(m.group(3))
-                )
+        try:
+            m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NOT\s+NULL$", part)
+            if m:
+                out.append(Predicate.not_null(_unquote(m.group(1))))
+                continue
+            m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NULL$", part)
+            if m:
+                out.append(Predicate.is_null(_unquote(m.group(1))))
+                continue
+            m = re.match(
+                rf"(?i)^({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$",
+                part,
             )
-            continue
-        m = re.match(rf"^({_LIT})\s*(==|<=|>=|=|<|>)\s*({_IDENT})$", part)
-        if m:
-            out.append(
-                Predicate(
-                    _FLIP[_CMP[m.group(2)]],
-                    _unquote(m.group(3)),
-                    _parse_lit(m.group(1)),
+            if m:
+                vals = [_parse_lit(v) for v in _split_commas(m.group(2))]
+                out.append(Predicate("in", _unquote(m.group(1)), vals))
+                continue
+            m = re.match(rf"^({_IDENT})\s*(==|<=|>=|=|<|>)\s*({_LIT})$", part)
+            if m:
+                out.append(
+                    Predicate(
+                        _CMP[m.group(2)],
+                        _unquote(m.group(1)),
+                        _parse_lit(m.group(3)),
+                    )
                 )
-            )
-            continue
+                continue
+            m = re.match(rf"^({_LIT})\s*(==|<=|>=|=|<|>)\s*({_IDENT})$", part)
+            if m:
+                out.append(
+                    Predicate(
+                        _FLIP[_CMP[m.group(2)]],
+                        _unquote(m.group(3)),
+                        _parse_lit(m.group(1)),
+                    )
+                )
+                continue
+        except ValueError:
+            pass  # unparseable literal: prune nothing for it
         # unrecognized conjunct: prune nothing for it
     return out
 
@@ -247,6 +306,14 @@ def _parse_assignments(text: str, strip_alias: str | None) -> dict[str, str]:
     return sets
 
 
+def _strip_table_qualifier(text: str, table: str) -> str:
+    """``<table>.col`` -> ``col`` (quote-aware): update_where /
+    delete_where evaluate conditions over an unaliased scan, but
+    every SQL user writes ``DELETE FROM t WHERE t.id = 3``."""
+    pat = rf"(?i)(?<![\w.`])(?:{re.escape(table)}|`{re.escape(table)}`)\s*\."
+    return _sub_outside_quotes(pat, "", text)
+
+
 def _exec_update(cat, spark, query: str, branch: str):
     m = re.match(rf"(?is)^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*)$", query.strip())
     if not m:
@@ -261,7 +328,11 @@ def _exec_update(cat, spark, query: str, branch: str):
         sets_text, cond = rest[:wh], rest[wh + 5 :].strip().rstrip(";").strip()
     else:
         sets_text, cond = rest.rstrip().rstrip(";"), "true"
-    sets = _parse_assignments(sets_text, None)
+    cond = _strip_table_qualifier(cond, table)
+    sets = {
+        k: _strip_table_qualifier(v, table)
+        for k, v in _parse_assignments(sets_text, table).items()
+    }
     meta = cat.update_where(
         spark, table, predicates_from_sql(cond), cond, sets, branch
     )
@@ -280,7 +351,7 @@ def _exec_delete(cat, spark, query: str, branch: str):
     if rest:
         if not re.match(r"(?is)^WHERE\s", rest):
             raise ValueError(f"cannot parse DELETE tail {rest!r}")
-        cond = rest[5:].strip()
+        cond = _strip_table_qualifier(rest[5:].strip(), table)
     else:
         cond = "true"
     meta = cat.delete_where(
@@ -355,6 +426,12 @@ def _exec_insert(cat, spark, query: str, branch: str):
                 f"query produces {len(df.columns)} columns"
             )
         by_name = dict(zip(cols, df.columns))
+        known = {f.name for f in schema.fields}
+        bad = sorted(set(cols) - known)
+        if bad:
+            raise ValueError(
+                f"INSERT column names {bad} are not columns of {table!r}"
+            )
         df = df.select(
             *[
                 F.col(by_name[f.name]).cast(f.dataType).alias(f.name)
@@ -492,9 +569,25 @@ def _exec_merge(cat, spark, query: str, branch: str):
             if body_txt.strip() == "*":
                 update_set = None  # every column from the source
             else:
-                update_set = {
+                given_set = {
                     k: canon(v)
                     for k, v in _parse_assignments(body_txt, t_alias).items()
+                }
+                schema = cat.load_table(table, branch).spark_schema
+                names = {f.name for f in schema.fields}
+                bad = sorted(set(given_set) - names)
+                if bad:
+                    raise ValueError(
+                        f"UPDATE SET names {bad} are not columns of "
+                        f"{table!r}"
+                    )
+                # SQL semantics: UNMENTIONED columns keep the TARGET
+                # value (merge_into's primitive default is the
+                # source's column — right for SET *, silent target
+                # clobber for an explicit column list)
+                update_set = {
+                    f.name: given_set.get(f.name, f"t.`{f.name}`")
+                    for f in schema.fields
                 }
             order.append("update")
         elif not matched and re.match(r"(?is)^INSERT\b", action):
@@ -517,6 +610,13 @@ def _exec_merge(cat, spark, query: str, branch: str):
                     raise ValueError("INSERT column/value arity mismatch")
                 given = dict(zip(names, exprs))
                 schema = cat.load_table(table, branch).spark_schema
+                known = {f.name for f in schema.fields}
+                bad = sorted(set(given) - known)
+                if bad:
+                    raise ValueError(
+                        f"INSERT column names {bad} are not columns of "
+                        f"{table!r}"
+                    )
                 # SQL semantics: unmentioned columns become NULL (the
                 # primitive's default would be the source's column)
                 insert_values = {

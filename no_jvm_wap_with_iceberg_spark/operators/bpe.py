@@ -111,7 +111,7 @@ def _merge_udf(batch: list[tuple[str, str]]):
 
 
 def _exact_batch(
-    top: list, n_want: int, min_count: int
+    top: list, n_want: int, min_count: int, existing: frozenset = frozenset()
 ) -> list[tuple[str, str, int]]:
     """From one count-ordered top-K list, the longest PROVABLY-exact
     merge batch (VERDICT r3 #3: batch-select mutually non-overlapping
@@ -125,12 +125,21 @@ def _exact_batch(
       accepted pair's count invariant under the earlier accepted
       merges (occurrences cannot overlap, adjacencies cannot be
       created or destroyed across disjoint symbols). The OUTPUT
-      string of an accepted merge counts as used too: if ``a + b``
-      collides with a pre-existing vocab symbol (e.g. accepting
-      ``('a', 'bc')`` while ``'abc'`` already exists from an earlier
-      ``('ab', 'c')`` merge), applying the merge inflates the counts
-      of pairs touching that symbol — they are no longer invariant,
-      so any later candidate touching it must stop the batch.
+      string of an accepted merge counts as used too (two accepted
+      pairs may not produce the same output string, and later
+      candidates touching it must stop the batch).
+    - ``existing`` carries every multi-char symbol already in the
+      vocabulary (prior rounds' merge outputs; single chars can never
+      collide with a len>=2 output). If an accepted pair's output
+      collides with one — e.g. accepting ``('a', 'bc')`` while
+      ``'abc'`` exists from an earlier ``('ab', 'c')`` merge — the
+      batch is cut to just that pair: applying the merge converts
+      adjacencies into pairs that MERGE with the pre-existing
+      symbol's pairs, so a later pair's sequential count can reach
+      old + converted ≈ 2×stop_cnt and overtake a pair accepted
+      after the collision (the ≤ stop_cnt bound the strictness trim
+      relies on no longer holds). The cut pair itself is exact: it
+      is the round's argmax at acceptance time.
     - ``stop_cnt`` = the count at the stop point (first overlapping
       pair, or the K-th row — every unseen pair is bounded by it).
       Keep accepted pairs with ``cnt > stop_cnt`` STRICTLY: any pair
@@ -148,10 +157,22 @@ def _exact_batch(
     stop_cnt: int | None = None
     for r in top:
         a, b, c = r["a"], r["b"], int(r["cnt"])
-        if len(accepted) >= n_want or a in used or b in used:
+        if (
+            len(accepted) >= n_want
+            or a in used
+            or b in used
+            or a + b in used
+        ):
             stop_cnt = c
             break
         accepted.append((a, b, c))
+        if a + b in existing:
+            # output collides with a pre-existing vocab symbol:
+            # counts of pairs touching it inflate past the trim's
+            # <= stop_cnt bound once this merge applies, so no later
+            # acceptance is provably exact — batch is this pair only
+            # (the argmax, exact by definition)
+            return accepted
         used.add(a)
         used.add(b)
         used.add(a + b)  # merged output: later pairs touching it are
@@ -201,7 +222,12 @@ def bpe_train(
             .limit(top_k)
             .collect()
         )
-        batch = _exact_batch(top, n_merges - len(merges), min_count)
+        batch = _exact_batch(
+            top,
+            n_merges - len(merges),
+            min_count,
+            existing=frozenset(a + b for a, b, _ in merges),
+        )
         if not batch:
             break
         if rounds_out is not None:

@@ -860,3 +860,23 @@ def test_bpe_batch_stops_on_output_symbol_collision():
     # the collision stops the batch at ('abc','d'); stop_cnt=90 then
     # strictly bounds everything after the head
     assert batch == [("a", "bc", 100)]
+
+    # the OVERTAKE variant (code-review r5): 'abc' already exists
+    # from a PRIOR round. Sequentially, merging ('a','bc') converts
+    # ('bc','d') adjacencies into ('abc','d'), whose count can reach
+    # 84 + 85 > 90 and overtake ('x','y') — so accepting anything
+    # after the colliding head is unsound; the batch must cut to it
+    top2 = [
+        {"a": "a", "b": "bc", "cnt": 100},
+        {"a": "x", "b": "y", "cnt": 90},
+        {"a": "bc", "b": "d", "cnt": 85},
+        {"a": "abc", "b": "d", "cnt": 84},
+    ]
+    assert _exact_batch(
+        top2, n_want=10, min_count=1, existing=frozenset({"abc"})
+    ) == [("a", "bc", 100)]
+    # without the pre-existing symbol the same list batches two pairs
+    assert _exact_batch(top2, n_want=10, min_count=1) == [
+        ("a", "bc", 100),
+        ("x", "y", 90),
+    ]

@@ -449,3 +449,71 @@ def test_merge_into_matches_duckdb_simulation(
         ).fetchall()
     )
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# SQL-router pruning predicates are hints ONLY: a mis-parsed predicate
+# may prune less, never change results (the invariant correctness
+# rests on — e.g. a flipped comparison direction that wrongly pruned a
+# file holding matching rows would silently skip deletes).
+# ----------------------------------------------------------------------
+_cmp_cond = st.builds(
+    lambda col, op, v: f"{col} {op} {v}",
+    st.sampled_from(["a", "b"]),
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.integers(min_value=-5, max_value=25),
+)
+_rev_cond = st.builds(
+    lambda col, op, v: f"{v} {op} {col}",
+    st.sampled_from(["a", "b"]),
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.integers(min_value=-5, max_value=25),
+)
+_misc_cond = st.sampled_from(
+    [
+        "a BETWEEN 3 AND 12",
+        "a IN (1, 4, 9, 16)",
+        "b IS NOT NULL",
+        "a IS NULL",
+        "a % 3 = 1",  # unparseable conjunct: must prune nothing
+    ]
+)
+_conds = st.lists(
+    st.one_of(_cmp_cond, _rev_cond, _misc_cond), min_size=1, max_size=3
+).map(lambda cs: " AND ".join(cs))
+
+
+@settings(max_examples=8, deadline=None)
+@given(cond=_conds, rows=st.integers(min_value=5, max_value=30))
+def test_sql_pruning_predicates_never_change_results(spark_h, cond, rows):
+    import tempfile
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+        predicates_from_sql,
+    )
+
+    df = spark_h.range(rows).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id") * 2)
+        .alias("b"),
+    )
+    preds = predicates_from_sql(cond)
+
+    with tempfile.TemporaryDirectory() as w1, tempfile.TemporaryDirectory() as w2:
+        res = []
+        for wh, p in ((w1, preds), (w2, [])):
+            cat = Catalog(wh)
+            # several small files so pruning has real candidates
+            cat.create_table_from_df(df.repartition(4), "t")
+            cat.delete_where(spark_h, "t", p, cond)
+            res.append(
+                sorted(
+                    tuple(r) for r in cat.read(spark_h, "t").collect()
+                )
+            )
+        assert res[0] == res[1], (
+            f"pruning predicates changed DELETE semantics for {cond!r}: "
+            f"{preds}"
+        )

@@ -228,7 +228,7 @@ def test_predicates_from_sql_shapes():
         Predicate("not_null", "qty"),
     ]
     assert predicates_from_sql("ts >= TIMESTAMP '2024-01-01 00:00:00'") == [
-        Predicate("ge", "ts", "2024-01-01 00:00:00")
+        Predicate("ge", "ts", "2024-01-01T00:00:00")  # isoformat-normalized
     ]
     # a top-level OR invalidates conjunct pruning entirely
     assert predicates_from_sql("id = 1 OR id = 2") == []
@@ -268,6 +268,123 @@ def test_sql_ctas_and_insert_overwrite(spark, warehouse):
     # CREATE TEMP VIEW is NOT routed as DML — plain spark.sql
     cat.sql(spark, "CREATE OR REPLACE TEMP VIEW tv AS SELECT 1 AS one")
     assert spark.sql("SELECT * FROM tv").collect()[0]["one"] == 1
+
+
+def test_sql_merge_update_set_keeps_unmentioned_target_columns(spark, warehouse):
+    """Code-review r5 #1: an explicit UPDATE SET column list must
+    leave unmentioned TARGET columns untouched (merge_into's
+    primitive default is the source's column — right for SET *,
+    silent clobber otherwise), and must work even when the source
+    lacks the unmentioned columns entirely."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "keep", 10)])
+    spark.createDataFrame(
+        [(1, 99)], "id long, qty long"  # no name column at all
+    ).createOrReplaceTempView("src")
+    cat.sql(
+        spark,
+        "MERGE INTO t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty",
+    )
+    assert _state(spark, cat) == {1: ("keep", 99)}
+
+    with pytest.raises(ValueError, match="not columns of"):
+        cat.sql(
+            spark,
+            "MERGE INTO t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET quantity = s.qty",  # typo
+        )
+    with pytest.raises(ValueError, match="not columns of"):
+        cat.sql(
+            spark,
+            "MERGE INTO t USING src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, quantity) VALUES (s.id, 1)",
+        )
+
+
+def test_sql_string_literals_survive_rewrites(spark, warehouse):
+    """Code-review r5 #3/#4: alias qualifiers and BETWEEN text inside
+    string LITERALS must never be rewritten."""
+    from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+        predicates_from_sql,
+    )
+
+    # BETWEEN inside a literal: the conjunct parses as a plain string
+    # equality, value intact
+    assert predicates_from_sql("name = 'a BETWEEN 1 AND 3'") == [
+        Predicate("eq", "name", "a BETWEEN 1 AND 3")
+    ]
+
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "x", 10)])
+    spark.createDataFrame([(1, 0)], "id long, qty long").createOrReplaceTempView(
+        "src"
+    )
+    cat.sql(
+        spark,
+        "MERGE INTO t AS tgt USING src s2 ON tgt.id = s2.id "
+        "WHEN MATCHED THEN UPDATE SET name = 'tgt.label'",
+    )
+    assert _state(spark, cat)[1] == ("tgt.label", 10)
+
+
+def test_sql_timestamp_literal_pruning_is_safe(spark, warehouse):
+    """Code-review r5 #2: stats store timestamps via isoformat ('T'
+    separator); a space-separated SQL literal compared as a raw
+    string would wrongly prune the file and silently skip the
+    delete."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+        predicates_from_sql,
+    )
+
+    # the parsed predicate value is normalized to the isoformat form
+    assert predicates_from_sql("ts = TIMESTAMP '2024-01-01 00:00:00'") == [
+        Predicate("eq", "ts", "2024-01-01T00:00:00")
+    ]
+    assert predicates_from_sql("d >= DATE '2024-02-03'") == [
+        Predicate("ge", "d", "2024-02-03")
+    ]
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "e",
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        ),
+    )
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    cat.append(
+        spark.createDataFrame(
+            [(i, base + datetime.timedelta(hours=i)) for i in range(4)],
+            "id long, ts timestamp",
+        ),
+        "e",
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cat.sql(spark, "DELETE FROM e WHERE ts = TIMESTAMP '2024-01-01 02:00:00'")
+    assert sorted(
+        r["id"] for r in cat.read(spark, "e").collect()
+    ) == [0, 1, 3], "the matching row must actually be deleted"
+
+
+def test_sql_update_delete_with_table_qualified_columns(spark, warehouse):
+    """Code-review r5 #7: DELETE FROM t WHERE t.id = 3 is the shape
+    every SQL user writes; the qualifier must be stripped before the
+    unaliased scan evaluates it."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(i, "x", i * 10) for i in range(1, 5)])
+    cat.sql(spark, "DELETE FROM t WHERE t.id = 3")
+    assert sorted(_state(spark, cat)) == [1, 2, 4]
+    cat.sql(spark, "UPDATE t SET t.qty = t.qty + 1 WHERE t.id >= 2")
+    got = _state(spark, cat)
+    assert got[2] == ("x", 21) and got[4] == ("x", 41) and got[1] == ("x", 10)
 
 
 def test_sql_time_travel(spark, warehouse):
