@@ -425,7 +425,7 @@ class Catalog:
         if dml_kind(query) is None:
             return spark.sql(query)
         op, table, meta = execute_dml(self, spark, query, branch)
-        sid = meta.current_snapshot_id
+        sid = meta.current_snapshot_id if meta is not None else None
         return spark.createDataFrame(
             [(op, table, sid if sid is not None else -1)],
             "operation string, table string, snapshot_id long",

@@ -1,9 +1,13 @@
 """SQL DML front door: route ``MERGE INTO`` / ``UPDATE`` / ``DELETE``
-/ ``INSERT INTO|OVERWRITE`` / ``CREATE TABLE ... AS`` statement
-strings to the engine's row-level primitives
+/ ``INSERT INTO|OVERWRITE`` / ``CREATE TABLE ... AS`` / ``ALTER
+TABLE ADD|DROP|RENAME COLUMN`` / ``DROP TABLE`` statement strings to
+the engine's row-level primitives
 (:meth:`Catalog.merge_into`, :meth:`Catalog.update_where`,
 :meth:`Catalog.delete_where`, :meth:`Catalog.append`,
-:meth:`Catalog.overwrite`, :meth:`Catalog.create_table_from_df`).
+:meth:`Catalog.overwrite`, :meth:`Catalog.create_table_from_df`,
+:meth:`Catalog.add_column` / `drop_column` / `rename_column`,
+:meth:`Catalog.drop_table`), plus ``VERSION AS OF`` / ``TIMESTAMP
+AS OF`` time-travel rewriting for reads.
 
 The reference's only user-facing SQL is the warehouse SQL it shows
 its Snowflake users (``/root/reference/README.md:193-207``); every
@@ -30,20 +34,20 @@ from typing import Any
 
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate
 
-_DML_KINDS = ("MERGE", "UPDATE", "DELETE", "INSERT", "CREATE")
+_DML_KINDS = ("MERGE", "UPDATE", "DELETE", "INSERT", "CREATE", "ALTER", "DROP")
 
 
 def dml_kind(query: str) -> str | None:
     """The DML statement keyword, or None for read statements.
 
-    ``CREATE`` counts only as ``CREATE TABLE`` (CTAS): other CREATE
-    statements (TEMP VIEW, FUNCTION, ...) fall through to plain
-    ``spark.sql`` untouched."""
+    ``CREATE``/``ALTER``/``DROP`` count only with a ``TABLE``
+    operand: CREATE TEMP VIEW, DROP VIEW, ALTER VIEW and friends fall
+    through to plain ``spark.sql`` untouched."""
     toks = query.lstrip().split(None, 2)
     first = toks[0].upper() if toks else ""
-    if first == "CREATE":
+    if first in ("CREATE", "ALTER", "DROP"):
         second = toks[1].upper() if len(toks) > 1 else ""
-        return "CREATE" if second == "TABLE" else None
+        return first if second == "TABLE" else None
     return first if first in _DML_KINDS else None
 
 
@@ -715,6 +719,75 @@ def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
         out = out[: m.start()] + view + out[m.end() :]
 
 
+def _exec_alter(cat, spark, query: str, branch: str):
+    """Schema-evolution DDL (the Iceberg SQL surface):
+
+    - ``ALTER TABLE t ADD COLUMN name type``   -> :meth:`add_column`
+    - ``ALTER TABLE t DROP COLUMN name``       -> :meth:`drop_column`
+    - ``ALTER TABLE t RENAME COLUMN a TO b``   -> :meth:`rename_column`
+
+    All three are metadata-only commits in this engine (no data
+    rewrite at any table size)."""
+    q = query.strip().rstrip(";")
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"ADD\s+COLUMNS?\s+\(?\s*({_IDENT})\s+([\w()<>,\s]+?)\s*\)?$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        meta = cat.add_column(
+            table, _unquote(m.group(2)), m.group(3).strip(), branch
+        )
+        return "ALTER ADD COLUMN", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"DROP\s+COLUMNS?\s+\(?\s*({_IDENT})\s*\)?$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        meta = cat.drop_column(table, _unquote(m.group(2)), branch)
+        return "ALTER DROP COLUMN", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        meta = cat.rename_column(
+            table, _unquote(m.group(2)), _unquote(m.group(3)), branch
+        )
+        return "ALTER RENAME COLUMN", table, meta
+    raise ValueError(
+        "unsupported ALTER shape; supported: ADD COLUMN <name> <type>, "
+        "DROP COLUMN <name>, RENAME COLUMN <a> TO <b> "
+        "(Catalog.add_column/drop_column/rename_column are the API "
+        "equivalents; partition/sort evolution via "
+        "set_partition_spec/set_sort_order)"
+    )
+
+
+def _exec_drop(cat, spark, query: str, branch: str):
+    m = re.match(
+        rf"(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$",
+        query,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported DROP shape; expected DROP TABLE [IF EXISTS] <t> "
+            "(Catalog.drop_table is the API equivalent)"
+        )
+    table = _unquote(m.group(2))
+    if not cat.table_exists(table, branch):
+        if m.group(1):
+            return "DROP TABLE", table, None
+        raise KeyError(f"table {table!r} not found on branch {branch!r}")
+    cat.drop_table(table, branch)
+    return "DROP TABLE", table, None
+
+
 def execute_dml(cat, spark, query: str, branch: str):
     """Route one DML statement; returns (operation, table, metadata)."""
     kind = dml_kind(query)
@@ -728,4 +801,8 @@ def execute_dml(cat, spark, query: str, branch: str):
         return _exec_insert(cat, spark, query, branch)
     if kind == "CREATE":
         return _exec_create(cat, spark, query, branch)
+    if kind == "ALTER":
+        return _exec_alter(cat, spark, query, branch)
+    if kind == "DROP":
+        return _exec_drop(cat, spark, query, branch)
     raise ValueError(f"not a DML statement: {query[:60]!r}")

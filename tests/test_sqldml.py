@@ -437,6 +437,42 @@ def test_sql_time_travel(spark, warehouse):
         cat.sql(spark, "SELECT * FROM ghost VERSION AS OF 1")
 
 
+def test_sql_schema_ddl(spark, warehouse):
+    """ALTER TABLE ADD/DROP/RENAME COLUMN and DROP TABLE through the
+    front door — metadata-only commits routed to the catalog's
+    evolution primitives."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+
+    st = cat.sql(spark, "ALTER TABLE t ADD COLUMN score DOUBLE")
+    assert st.collect()[0]["operation"] == "ALTER ADD COLUMN"
+    row = cat.read(spark, "t").collect()[0]
+    assert row["score"] is None  # old files null-fill
+
+    cat.sql(spark, "ALTER TABLE t RENAME COLUMN score TO rating")
+    assert "rating" in cat.read(spark, "t").columns
+
+    cat.sql(spark, "ALTER TABLE t DROP COLUMN rating")
+    assert "rating" not in cat.read(spark, "t").columns
+
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        cat.sql(spark, "ALTER TABLE t SET TBLPROPERTIES ('a'='b')")
+
+    cat.sql(spark, "CREATE TABLE scratch AS SELECT * FROM t")
+    assert cat.table_exists("scratch")
+    st2 = cat.sql(spark, "DROP TABLE scratch")
+    assert st2.collect()[0]["operation"] == "DROP TABLE"
+    assert not cat.table_exists("scratch")
+    cat.sql(spark, "DROP TABLE IF EXISTS scratch")  # no-op, no raise
+    with pytest.raises(KeyError, match="not found"):
+        cat.sql(spark, "DROP TABLE scratch")
+
+    # DROP VIEW / ALTER VIEW fall through to plain spark.sql
+    spark.sql("CREATE OR REPLACE TEMP VIEW v_tmp AS SELECT 1 AS one")
+    cat.sql(spark, "DROP VIEW v_tmp")
+    assert "v_tmp" not in [v.name for v in spark.catalog.listTables()]
+
+
 def test_sql_dml_on_branch(spark, warehouse):
     """DML routes to the named branch, leaving main untouched — the
     WAP shape in SQL."""
