@@ -722,12 +722,17 @@ def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
 def _exec_alter(cat, spark, query: str, branch: str):
     """Schema-evolution DDL (the Iceberg SQL surface):
 
-    - ``ALTER TABLE t ADD COLUMN name type``   -> :meth:`add_column`
-    - ``ALTER TABLE t DROP COLUMN name``       -> :meth:`drop_column`
-    - ``ALTER TABLE t RENAME COLUMN a TO b``   -> :meth:`rename_column`
+    - ``ALTER TABLE t ADD COLUMN name type``    -> :meth:`add_column`
+    - ``ALTER TABLE t DROP COLUMN name``        -> :meth:`drop_column`
+    - ``ALTER TABLE t RENAME COLUMN a TO b``    -> :meth:`rename_column`
+    - ``ALTER TABLE t WRITE ORDERED BY a, b``   -> :meth:`set_sort_order`
+    - ``ALTER TABLE t WRITE UNORDERED``         -> sort order cleared
+    - ``ALTER TABLE t ADD|DROP PARTITION FIELD day(ts)``
+      -> :meth:`evolve_partition_spec` (current spec +/- the field)
 
-    All three are metadata-only commits in this engine (no data
-    rewrite at any table size)."""
+    All are metadata-only commits in this engine (no data rewrite at
+    any table size; future writes pick up the new layout, compaction
+    retires the old)."""
     q = query.strip().rstrip(";")
     m = re.match(
         rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
@@ -760,12 +765,52 @@ def _exec_alter(cat, spark, query: str, branch: str):
             table, _unquote(m.group(2)), _unquote(m.group(3)), branch
         )
         return "ALTER RENAME COLUMN", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+ORDERED\s+BY\s+"
+        rf"\(?\s*(.+?)\s*\)?$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        cols = [_unquote(c) for c in _split_commas(m.group(2))]
+        meta = cat.set_sort_order(table, cols, branch)
+        return "ALTER WRITE ORDERED BY", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+UNORDERED$", q
+    )
+    if m:
+        table = _unquote(m.group(1))
+        meta = cat.set_sort_order(table, [], branch)
+        return "ALTER WRITE UNORDERED", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$",
+        q,
+    )
+    if m:
+        # Iceberg's one-field ADD/DROP over this engine's whole-spec
+        # evolve_partition_spec: read the current spec, edit, commit
+        table = _unquote(m.group(1))
+        field = m.group(3).strip()
+        spec = list(cat.load_table(table, branch).partition_by)
+        if m.group(2).upper() == "ADD":
+            if field in spec:
+                raise ValueError(f"partition field {field!r} already in spec")
+            spec.append(field)
+        else:
+            if field not in spec:
+                raise ValueError(
+                    f"partition field {field!r} not in spec {spec}"
+                )
+            spec.remove(field)
+        meta = cat.evolve_partition_spec(table, spec, branch)
+        return f"ALTER {m.group(2).upper()} PARTITION FIELD", table, meta
     raise ValueError(
         "unsupported ALTER shape; supported: ADD COLUMN <name> <type>, "
-        "DROP COLUMN <name>, RENAME COLUMN <a> TO <b> "
-        "(Catalog.add_column/drop_column/rename_column are the API "
-        "equivalents; partition/sort evolution via "
-        "set_partition_spec/set_sort_order)"
+        "DROP COLUMN <name>, RENAME COLUMN <a> TO <b>, WRITE ORDERED "
+        "BY <cols>, WRITE UNORDERED, ADD|DROP PARTITION FIELD <field> "
+        "(Catalog.add_column/drop_column/rename_column/set_sort_order/"
+        "evolve_partition_spec are the API equivalents)"
     )
 
 

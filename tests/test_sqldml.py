@@ -473,6 +473,38 @@ def test_sql_schema_ddl(spark, warehouse):
     assert "v_tmp" not in [v.name for v in spark.catalog.listTables()]
 
 
+def test_sql_layout_ddl(spark, warehouse):
+    """WRITE ORDERED BY / partition-field evolution through SQL —
+    Iceberg's layout DDL over the engine's whole-spec primitives."""
+    from pyspark.sql import types as T
+
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "ev",
+        T.StructType(
+            [
+                T.StructField("user", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    st = cat.sql(spark, "ALTER TABLE ev WRITE ORDERED BY user, v")
+    assert st.collect()[0]["operation"] == "ALTER WRITE ORDERED BY"
+    assert cat.load_table("ev").sort_by == ["user", "v"]
+    cat.sql(spark, "ALTER TABLE ev WRITE UNORDERED")
+    assert cat.load_table("ev").sort_by == []
+
+    cat.sql(spark, "ALTER TABLE ev ADD PARTITION FIELD day(ts)")
+    assert cat.load_table("ev").partition_by == ["day(ts)"]
+    cat.sql(spark, "ALTER TABLE ev ADD PARTITION FIELD bucket(4, user)")
+    assert cat.load_table("ev").partition_by == ["day(ts)", "bucket(4, user)"]
+    cat.sql(spark, "ALTER TABLE ev DROP PARTITION FIELD day(ts)")
+    assert cat.load_table("ev").partition_by == ["bucket(4, user)"]
+    with pytest.raises(ValueError, match="not in spec"):
+        cat.sql(spark, "ALTER TABLE ev DROP PARTITION FIELD day(ts)")
+
+
 def test_sql_dml_on_branch(spark, warehouse):
     """DML routes to the named branch, leaving main untouched — the
     WAP shape in SQL."""
