@@ -345,6 +345,12 @@ class Catalog:
             age_ref = max(head_ms, created_ms) if created_ms else head_ms
             if age_ref <= cutoff:
                 if not dry_run:
+                    # freshness re-check on the (rare) drop path: the
+                    # pass snapshot may be seconds old, and a staged
+                    # commit landing on the branch mid-pass must not
+                    # be judged by the stale head
+                    if self._read_refs().get(b) != refs[b]:
+                        continue
                     self.drop_branch(b)
                 dropped.append(b)
         return sorted(dropped)

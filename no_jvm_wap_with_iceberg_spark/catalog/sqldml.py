@@ -53,30 +53,62 @@ def dml_kind(query: str) -> str | None:
 
 # ----------------------------------------------------------------------
 # top-level scanning (quote- and paren-aware)
+#
+# ONE tokenizer (_quoted_regions) feeds every scanner: Spark string
+# literals support BOTH backslash escapes ('x\' y') and doubled
+# quotes ('x''y'), and a scanner that misses either pairs the opening
+# quote with an escaped one — mis-tokenizing everything after it
+# (a mis-derived pruning predicate can then silently skip deletes).
 # ----------------------------------------------------------------------
-def _scan_top(s: str):
-    """Yield (index, char) at paren-depth 0 outside quotes."""
-    depth = 0
+def _quoted_regions(s: str, backticks: bool):
+    """Yield (start, end) spans of quoted regions. ``backticks``
+    controls whether backtick-quoted IDENTIFIERS count (they have no
+    backslash escapes; string literals in ' and " always count)."""
+    quotes = "'\"`" if backticks else "'\""
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if c in "'\"`":
-            q = c
-            i += 1
-            while i < n:
-                if s[i] == q:
-                    if i + 1 < n and s[i + 1] == q:  # doubled quote
-                        i += 2
+        if c in quotes:
+            q, j = c, i + 1
+            while j < n:
+                if q != "`" and s[j] == "\\":
+                    j += 2  # backslash escape: skip the escaped char
+                    continue
+                if s[j] == q:
+                    if j + 1 < n and s[j + 1] == q:  # doubled quote
+                        j += 2
                         continue
                     break
-                i += 1
-        elif c == "(":
+                j += 1
+            j = min(j + 1, n)
+            yield i, j
+            i = j
+        else:
+            i += 1
+
+
+def _quote_mask(s: str, backticks: bool) -> list[bool]:
+    mask = [False] * len(s)
+    for a, b in _quoted_regions(s, backticks):
+        for k in range(a, b):
+            mask[k] = True
+    return mask
+
+
+def _scan_top(s: str):
+    """Yield (index, char) at paren-depth 0 outside quotes (backtick
+    identifiers opaque)."""
+    mask = _quote_mask(s, backticks=True)
+    depth = 0
+    for i, c in enumerate(s):
+        if mask[i]:
+            continue
+        if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
         elif depth == 0:
             yield i, c
-        i += 1
 
 
 def _find_keyword(s: str, word: str, start: int = 0) -> int:
@@ -130,27 +162,14 @@ def _unquoted_spans(s: str):
     """Yield (start, end, is_quoted) segments of ``s``. Only string
     literals (single/double quotes) are opaque; backtick-quoted
     IDENTIFIERS stay rewritable (an alias can be backtick-quoted)."""
-    i, n, seg = 0, len(s), 0
-    while i < n:
-        c = s[i]
-        if c in "'\"":
-            if seg < i:
-                yield seg, i, False
-            q, j = c, i + 1
-            while j < n:
-                if s[j] == q:
-                    if j + 1 < n and s[j + 1] == q:
-                        j += 2
-                        continue
-                    break
-                j += 1
-            j = min(j + 1, n)
-            yield i, j, True
-            i = seg = j
-        else:
-            i += 1
-    if seg < n:
-        yield seg, n, False
+    seg = 0
+    for a, b in _quoted_regions(s, backticks=False):
+        if seg < a:
+            yield seg, a, False
+        yield a, b, True
+        seg = b
+    if seg < len(s):
+        yield seg, len(s), False
 
 
 def _sub_outside_quotes(pattern: str, repl: str, s: str) -> str:
@@ -197,7 +216,10 @@ def _parse_lit(text: str) -> Any:
         # as a raw string sorts BEFORE the 'T' form (' ' < 'T') and
         # would wrongly prune files that hold matching rows, so
         # normalize through datetime/date first.
-        raw = m.group(2)[1:-1].replace("''", "'")
+        raw = m.group(2)[1:-1]
+        if "\\" in raw:
+            raise ValueError("backslash escape in literal: skip pruning")
+        raw = raw.replace("''", "'")
         # an unparseable temporal raises ValueError: the conjunct
         # loop skips it (prunes nothing) rather than comparing a
         # raw string against isoformat stats
@@ -205,7 +227,14 @@ def _parse_lit(text: str) -> Any:
             return _dt.date.fromisoformat(raw).isoformat()
         return _dt.datetime.fromisoformat(raw).isoformat()
     if text.startswith("'"):
-        return text[1:-1].replace("''", "'")
+        raw = text[1:-1]
+        if "\\" in raw:
+            # Spark decodes backslash escapes in literals; deriving a
+            # predicate from the RAW text would compare the wrong
+            # value against stats — skip the conjunct instead of
+            # reimplementing the escape decoder
+            raise ValueError("backslash escape in literal: skip pruning")
+        return raw.replace("''", "'")
     return float(text) if "." in text else int(text)
 
 
@@ -306,7 +335,10 @@ def _parse_assignments(text: str, strip_alias: str | None) -> dict[str, str]:
                 lhs,
             )
         lhs = re.sub(r"(?i)^(?:t|`t`)\s*\.", "", lhs)
-        sets[_unquote(lhs)] = rhs
+        name = _unquote(lhs)
+        if name in sets:
+            raise ValueError(f"SET assigns column {name!r} more than once")
+        sets[name] = rhs
     return sets
 
 
@@ -429,6 +461,11 @@ def _exec_insert(cat, spark, query: str, branch: str):
                 f"INSERT column list has {len(cols)} names but the "
                 f"query produces {len(df.columns)} columns"
             )
+        if len(set(cols)) != len(cols):
+            dupes = sorted({c for c in cols if cols.count(c) > 1})
+            raise ValueError(
+                f"INSERT column list names {dupes} more than once"
+            )
         by_name = dict(zip(cols, df.columns))
         known = {f.name for f in schema.fields}
         bad = sorted(set(cols) - known)
@@ -547,6 +584,10 @@ def _exec_merge(cat, spark, query: str, branch: str):
     update_set: dict[str, str] | None = None
     insert_values: dict[str, str] | None = None
     order: list[str] = []  # matched-clause order for first-match-wins
+    # one metadata load for every clause's schema validation (the
+    # UPDATE SET and INSERT branches both need it; merge_into loads
+    # its own fresh copy per CAS attempt regardless)
+    schema = cat.load_table(table, branch).spark_schema
 
     for clause in _split_top(clause_part, "WHEN")[1:]:
         c = clause.strip().rstrip(";").strip()
@@ -577,7 +618,6 @@ def _exec_merge(cat, spark, query: str, branch: str):
                     k: canon(v)
                     for k, v in _parse_assignments(body_txt, t_alias).items()
                 }
-                schema = cat.load_table(table, branch).spark_schema
                 names = {f.name for f in schema.fields}
                 bad = sorted(set(given_set) - names)
                 if bad:
@@ -612,8 +652,11 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 exprs = [canon(x.strip()) for x in _split_commas(mi.group(2))]
                 if len(names) != len(exprs):
                     raise ValueError("INSERT column/value arity mismatch")
+                if len(set(names)) != len(names):
+                    raise ValueError(
+                        "INSERT column list names a column more than once"
+                    )
                 given = dict(zip(names, exprs))
-                schema = cat.load_table(table, branch).spark_schema
                 known = {f.name for f in schema.fields}
                 bad = sorted(set(given) - known)
                 if bad:
@@ -652,20 +695,7 @@ def _exec_merge(cat, spark, query: str, branch: str):
 
 def _outside_quotes(s: str, idx: int) -> bool:
     """True when ``idx`` is not inside a quoted literal/identifier."""
-    q = None
-    i = 0
-    while i < idx:
-        c = s[i]
-        if q is None:
-            if c in "'\"`":
-                q = c
-        elif c == q:
-            if i + 1 < len(s) and s[i + 1] == q:
-                i += 1  # doubled quote
-            else:
-                q = None
-        i += 1
-    return q is None
+    return not any(a <= idx < b for a, b in _quoted_regions(s, backticks=True))
 
 
 def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
@@ -734,9 +764,20 @@ def _exec_alter(cat, spark, query: str, branch: str):
     any table size; future writes pick up the new layout, compaction
     retires the old)."""
     q = query.strip().rstrip(";")
+    if re.search(r"(?i)\bIF\s+(NOT\s+)?EXISTS\b", q) or re.search(
+        r"(?i)\bCOLUMNS\s*\(", q
+    ):
+        # the singular-form grammar below would swallow these into a
+        # bogus name/type split and die deep in the type parser with
+        # a confusing error — refuse at the router with the grammar
+        raise ValueError(
+            "unsupported ALTER shape (no IF [NOT] EXISTS, no "
+            "multi-column ADD COLUMNS (...) list); issue one "
+            "ALTER TABLE <t> ADD|DROP COLUMN per column"
+        )
     m = re.match(
         rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
-        rf"ADD\s+COLUMNS?\s+\(?\s*({_IDENT})\s+([\w()<>,\s]+?)\s*\)?$",
+        rf"ADD\s+COLUMN\s+({_IDENT})\s+([\w()<>,\s]+?)\s*$",
         q,
     )
     if m:
@@ -747,7 +788,7 @@ def _exec_alter(cat, spark, query: str, branch: str):
         return "ALTER ADD COLUMN", table, meta
     m = re.match(
         rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
-        rf"DROP\s+COLUMNS?\s+\(?\s*({_IDENT})\s*\)?$",
+        rf"DROP\s+COLUMN\s+({_IDENT})\s*$",
         q,
     )
     if m:
@@ -826,9 +867,13 @@ def _exec_drop(cat, spark, query: str, branch: str):
         )
     table = _unquote(m.group(2))
     if not cat.table_exists(table, branch):
-        if m.group(1):
-            return "DROP TABLE", table, None
-        raise KeyError(f"table {table!r} not found on branch {branch!r}")
+        # not a WAP-catalog table: preserve the pre-router behavior
+        # (the statement fell through to spark.sql, which drops
+        # Spark-managed tables and honors IF EXISTS itself) — a
+        # silent catalog-only no-op would leave a Spark table alive
+        # while reporting success
+        spark.sql(query)
+        return "DROP TABLE (spark)", table, None
     cat.drop_table(table, branch)
     return "DROP TABLE", table, None
 

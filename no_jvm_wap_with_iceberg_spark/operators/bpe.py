@@ -130,16 +130,18 @@ def _exact_batch(
       candidates touching it must stop the batch).
     - ``existing`` carries every multi-char symbol already in the
       vocabulary (prior rounds' merge outputs; single chars can never
-      collide with a len>=2 output). If an accepted pair's output
-      collides with one — e.g. accepting ``('a', 'bc')`` while
-      ``'abc'`` exists from an earlier ``('ab', 'c')`` merge — the
-      batch is cut to just that pair: applying the merge converts
-      adjacencies into pairs that MERGE with the pre-existing
-      symbol's pairs, so a later pair's sequential count can reach
-      old + converted ≈ 2×stop_cnt and overtake a pair accepted
-      after the collision (the ≤ stop_cnt bound the strictness trim
-      relies on no longer holds). The cut pair itself is exact: it
-      is the round's argmax at acceptance time.
+      collide with a len>=2 output). A candidate whose OUTPUT
+      collides with one — e.g. ``('a', 'bc')`` while ``'abc'``
+      exists from an earlier ``('ab', 'c')`` merge — is un-batchable:
+      applying it converts adjacencies into pairs that MERGE with the
+      pre-existing symbol's pairs, so a later pair's sequential count
+      can reach old + converted ≈ 2×stop_cnt and overtake anything
+      accepted after it (the ≤ stop_cnt bound the strictness trim
+      relies on no longer holds). As the HEAD it is applied ALONE
+      (the argmax is exact by definition, and head-only bypasses no
+      trim — there is nothing after it to trim); later in the list it
+      stops the scan exactly like an overlap, leaving its application
+      to a future round's recount.
     - ``stop_cnt`` = the count at the stop point (first overlapping
       pair, or the K-th row — every unseen pair is bounded by it).
       Keep accepted pairs with ``cnt > stop_cnt`` STRICTLY: any pair
@@ -157,22 +159,25 @@ def _exact_batch(
     stop_cnt: int | None = None
     for r in top:
         a, b, c = r["a"], r["b"], int(r["cnt"])
+        collides = a + b in existing
+        if collides and not accepted:
+            # the HEAD's output collides with a pre-existing vocab
+            # symbol: applying it inflates pairs touching that symbol
+            # past the trim's <= stop_cnt bound, so nothing after it
+            # is provably exact — batch is the head alone (the argmax,
+            # exact by definition; its count passed the min_count
+            # guard above)
+            return [(a, b, c)]
         if (
             len(accepted) >= n_want
             or a in used
             or b in used
             or a + b in used
+            or collides  # un-batchable, same as an overlap: stop
         ):
             stop_cnt = c
             break
         accepted.append((a, b, c))
-        if a + b in existing:
-            # output collides with a pre-existing vocab symbol:
-            # counts of pairs touching it inflate past the trim's
-            # <= stop_cnt bound once this merge applies, so no later
-            # acceptance is provably exact — batch is this pair only
-            # (the argmax, exact by definition)
-            return accepted
         used.add(a)
         used.add(b)
         used.add(a + b)  # merged output: later pairs touching it are

@@ -463,14 +463,84 @@ def test_sql_schema_ddl(spark, warehouse):
     st2 = cat.sql(spark, "DROP TABLE scratch")
     assert st2.collect()[0]["operation"] == "DROP TABLE"
     assert not cat.table_exists("scratch")
-    cat.sql(spark, "DROP TABLE IF EXISTS scratch")  # no-op, no raise
-    with pytest.raises(KeyError, match="not found"):
+    # a name the WAP catalog doesn't know passes through to spark.sql
+    # (pre-router behavior: Spark-managed tables still drop; Spark
+    # itself honors IF EXISTS / raises on unknown names)
+    spark.catalog.dropTempView("scratch")  # the pinned view from create_views
+    cat.sql(spark, "DROP TABLE IF EXISTS scratch")  # spark no-op, no raise
+    with pytest.raises(Exception, match="(?i)table.*not.*found|cannot be found"):
         cat.sql(spark, "DROP TABLE scratch")
 
     # DROP VIEW / ALTER VIEW fall through to plain spark.sql
     spark.sql("CREATE OR REPLACE TEMP VIEW v_tmp AS SELECT 1 AS one")
     cat.sql(spark, "DROP VIEW v_tmp")
     assert "v_tmp" not in [v.name for v in spark.catalog.listTables()]
+
+
+def test_sql_backslash_escaped_literals_are_safe(spark, warehouse):
+    """Second-review r5 #1: Spark literals support backslash escapes;
+    the tokenizers must not pair an opening quote with an escaped
+    one, and predicates from backslash-bearing literals must be
+    skipped (not mis-derived)."""
+    from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+        predicates_from_sql,
+    )
+
+    # the escaped quote does not end the literal: the id conjunct is
+    # still parsed, the string conjunct is skipped (prunes nothing)
+    got = predicates_from_sql(r"msg = 'x\' AND y' AND id = 99")
+    assert got == [Predicate("eq", "id", 99)]
+    # \n etc.: Spark decodes them; deriving from raw text would
+    # compare the wrong value — skip
+    assert predicates_from_sql(r"msg = 'a\nb'") == []
+
+    # end to end: the DELETE must actually delete the matching row
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "x' AND id = 99", 10), (2, "other", 20)])
+    cat.sql(spark, r"DELETE FROM t WHERE name = 'x\' AND id = 99'")
+    assert sorted(_state(spark, cat)) == [2]
+
+    # rewrites skip escaped-quote literals too
+    _seed2 = spark.createDataFrame([(2, 0)], "id long, qty long")
+    _seed2.createOrReplaceTempView("src")
+    cat.sql(
+        spark,
+        r"MERGE INTO t AS tgt USING src s2 ON tgt.id = s2.id "
+        r"WHEN MATCHED THEN UPDATE SET name = 'it\'s tgt.x'",
+    )
+    assert _state(spark, cat)[2] == ("it's tgt.x", 20)
+
+
+def test_sql_duplicate_names_rejected(spark, warehouse):
+    """Second-review r5 #5: duplicate INSERT/SET column names raise
+    instead of silently keeping the last binding."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    with pytest.raises(ValueError, match="more than once"):
+        cat.sql(spark, "INSERT INTO t (id, id) VALUES (1, 2)")
+    with pytest.raises(ValueError, match="more than once"):
+        cat.sql(spark, "UPDATE t SET qty = 1, qty = 2")
+    spark.createDataFrame([(1, "s", 5)], SCHEMA).createOrReplaceTempView("src")
+    with pytest.raises(ValueError, match="more than once"):
+        cat.sql(
+            spark,
+            "MERGE INTO t USING src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, id) VALUES (s.id, 9)",
+        )
+
+
+def test_sql_alter_rejects_unsupported_column_forms(spark, warehouse):
+    """Second-review r5 #4: plural/IF-EXISTS ALTER forms fail at the
+    router with the supported grammar, not deep in the type parser."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    for stmt in (
+        "ALTER TABLE t ADD COLUMNS (a INT, b STRING)",
+        "ALTER TABLE t ADD COLUMN IF NOT EXISTS score DOUBLE",
+        "ALTER TABLE t DROP COLUMN IF EXISTS qty",
+    ):
+        with pytest.raises(ValueError, match="unsupported ALTER"):
+            cat.sql(spark, stmt)
 
 
 def test_sql_layout_ddl(spark, warehouse):
