@@ -437,6 +437,33 @@ class Catalog:
             "operation string, table string, snapshot_id long",
         )
 
+    def sql_script(self, spark: SparkSession, script: str, branch: str = MAIN):
+        """Run a multi-statement SQL script (statements separated by
+        top-level ``;`` — semicolons inside string literals don't
+        split) through :meth:`sql`, returning the LAST statement's
+        DataFrame. Each statement re-registers the views, so a
+        statement sees the tables as its predecessors left them —
+        the sequential-session semantics a user pasting a script
+        expects. Statements execute eagerly (DML commits as it runs);
+        a failure raises mid-script with earlier statements already
+        committed, exactly like feeding a script to any SQL CLI.
+        """
+        from no_jvm_wap_with_iceberg_spark.catalog.sqldml import _scan_top
+
+        parts, last = [], 0
+        for i, c in _scan_top(script):
+            if c == ";":
+                parts.append(script[last:i])
+                last = i + 1
+        parts.append(script[last:])
+        stmts = [p.strip() for p in parts if p.strip()]
+        if not stmts:
+            raise ValueError("empty SQL script")
+        result = None
+        for stmt in stmts:
+            result = self.sql(spark, stmt, branch)
+        return result
+
     def load_table(self, table: str, branch: str = MAIN) -> TableMetadata:
         """Resolve branch → commit → metadata JSON → TableMetadata.
 

@@ -253,6 +253,36 @@ def _strip_parens(s: str) -> str:
     return s
 
 
+_BETWEEN_PAT = re.compile(
+    rf"(?i)(?<![\w.`])(?:(?P<neg>NOT)\s+)?(?P<col>{_IDENT})\s+"
+    rf"(?P<kw>BETWEEN)\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})"
+)
+
+
+def _rewrite_between(cond: str) -> str:
+    """``col BETWEEN a AND b`` -> ``col >= a AND col <= b``, matched
+    over the FULL string with a quote mask (the literals are
+    themselves quoted regions, so a per-segment sub could never see a
+    string/temporal BETWEEN — they'd silently derive no pruning).
+    ``NOT col BETWEEN ...`` is left untouched: a blind rewrite would
+    derive the predicates of the NON-negated range and prune files
+    whose rows DO match; untouched, the conjunct parses as
+    unrecognized and simply prunes nothing."""
+    mask = _quote_mask(cond, backticks=False)
+    out, pos = [], 0
+    for m in _BETWEEN_PAT.finditer(cond):
+        if m.start() < pos or mask[m.start("kw")] or mask[m.start("col")]:
+            continue
+        if m.group("neg"):
+            continue  # negated range: no safe rewrite
+        out.append(cond[pos : m.start()])
+        col, lo, hi = m.group("col"), m.group("lo"), m.group("hi")
+        out.append(f"{col} >= {lo} AND {col} <= {hi}")
+        pos = m.end()
+    out.append(cond[pos:])
+    return "".join(out)
+
+
 def predicates_from_sql(cond: str | None) -> list[Predicate]:
     """Conjunctions of simple comparisons -> file-pruning predicates.
 
@@ -264,14 +294,7 @@ def predicates_from_sql(cond: str | None) -> list[Predicate]:
     cond = _strip_parens(cond)
     if _find_keyword(cond, "OR") >= 0:
         return []  # a disjunction invalidates per-conjunct pruning
-    # col BETWEEN a AND b -> two comparisons (before the AND split);
-    # quote-aware: 'BETWEEN x AND y' TEXT inside a string literal must
-    # not be rewritten into the literal's value
-    cond = _sub_outside_quotes(
-        rf"(?i)(?<![\w.`])({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})",
-        r"\1 >= \2 AND \1 <= \3",
-        cond,
-    )
+    cond = _rewrite_between(cond)
     out: list[Predicate] = []
     for part in _split_top(cond, "AND"):
         part = _strip_parens(part)
@@ -438,8 +461,13 @@ def _exec_insert(cat, spark, query: str, branch: str):
     table, rest = _unquote(m.group(2)), m.group(3).strip().rstrip(";")
     cols: list[str] | None = None
     if rest.startswith("("):
+        # quote-aware paren matching: a ')' inside a backtick-quoted
+        # identifier or string literal must not close the list
+        mask = _quote_mask(rest, backticks=True)
         depth, end = 0, -1
         for i, c in enumerate(rest):
+            if mask[i]:
+                continue
             depth += c == "("
             depth -= c == ")"
             if depth == 0:
@@ -572,22 +600,43 @@ def _exec_merge(cat, spark, query: str, branch: str):
     if target_rel.startswith("("):
         raise ValueError("MERGE target must be a catalog table name")
     table = _unquote(target_rel)
+    if t_alias.lower() == s_alias.lower():
+        raise ValueError(
+            f"MERGE target and source share the alias {t_alias!r}; "
+            "every column reference would be ambiguous"
+        )
     keys = _parse_on_keys(on_part, t_alias, s_alias)
 
     def canon(expr: str | None) -> str | None:
+        """User aliases -> the canonical t/s the primitive evaluates.
+        Two-phase through a placeholder: a direct t_alias->'t' then
+        s_alias->'s' pass corrupts expressions whenever the USER's
+        source alias is literally 't' (or aliases are swapped) — the
+        second pass would re-capture the 't.' qualifiers the first
+        pass just produced, silently turning target references into
+        source references."""
         if expr is None:
             return None
-        expr = _rewrite_alias(expr, t_alias, "t")
-        return _rewrite_alias(expr, s_alias, "s")
+        expr = _rewrite_alias(expr, t_alias, "__wap_tgt__")
+        expr = _rewrite_alias(expr, s_alias, "s")
+        return _rewrite_alias(expr, "__wap_tgt__", "t")
 
     upd_cond = del_cond = ins_cond = None
     update_set: dict[str, str] | None = None
     insert_values: dict[str, str] | None = None
     order: list[str] = []  # matched-clause order for first-match-wins
-    # one metadata load for every clause's schema validation (the
-    # UPDATE SET and INSERT branches both need it; merge_into loads
-    # its own fresh copy per CAS attempt regardless)
-    schema = cat.load_table(table, branch).spark_schema
+    # lazy one-shot metadata load shared by the UPDATE SET and INSERT
+    # validation branches: a MERGE with neither (DELETE + INSERT *)
+    # pays zero router-side loads; merge_into loads its own fresh
+    # copy per CAS attempt regardless
+    _schema_cache: list = []
+
+    def schema_fields():
+        if not _schema_cache:
+            _schema_cache.append(
+                cat.load_table(table, branch).spark_schema.fields
+            )
+        return _schema_cache[0]
 
     for clause in _split_top(clause_part, "WHEN")[1:]:
         c = clause.strip().rstrip(";").strip()
@@ -618,7 +667,7 @@ def _exec_merge(cat, spark, query: str, branch: str):
                     k: canon(v)
                     for k, v in _parse_assignments(body_txt, t_alias).items()
                 }
-                names = {f.name for f in schema.fields}
+                names = {f.name for f in schema_fields()}
                 bad = sorted(set(given_set) - names)
                 if bad:
                     raise ValueError(
@@ -631,7 +680,7 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 # clobber for an explicit column list)
                 update_set = {
                     f.name: given_set.get(f.name, f"t.`{f.name}`")
-                    for f in schema.fields
+                    for f in schema_fields()
                 }
             order.append("update")
         elif not matched and re.match(r"(?is)^INSERT\b", action):
@@ -657,7 +706,7 @@ def _exec_merge(cat, spark, query: str, branch: str):
                         "INSERT column list names a column more than once"
                     )
                 given = dict(zip(names, exprs))
-                known = {f.name for f in schema.fields}
+                known = {f.name for f in schema_fields()}
                 bad = sorted(set(given) - known)
                 if bad:
                     raise ValueError(
@@ -667,7 +716,8 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 # SQL semantics: unmentioned columns become NULL (the
                 # primitive's default would be the source's column)
                 insert_values = {
-                    f.name: given.get(f.name, "NULL") for f in schema.fields
+                    f.name: given.get(f.name, "NULL")
+                    for f in schema_fields()
                 }
         else:
             raise ValueError(f"cannot parse MERGE action {action!r}")
@@ -764,9 +814,12 @@ def _exec_alter(cat, spark, query: str, branch: str):
     any table size; future writes pick up the new layout, compaction
     retires the old)."""
     q = query.strip().rstrip(";")
-    if re.search(r"(?i)\bIF\s+(NOT\s+)?EXISTS\b", q) or re.search(
+    guard = re.search(r"(?i)\bIF\s+(NOT\s+)?EXISTS\b", q) or re.search(
         r"(?i)\bCOLUMNS\s*\(", q
-    ):
+    )
+    # quote-aware: the same text inside a backtick-quoted identifier
+    # (a column literally named `if exists flag`) is legal
+    if guard and _outside_quotes(q, guard.start()):
         # the singular-form grammar below would swallow these into a
         # bogus name/type split and die deep in the type parser with
         # a confusing error — refuse at the router with the grammar
@@ -875,6 +928,11 @@ def _exec_drop(cat, spark, query: str, branch: str):
         spark.sql(query)
         return "DROP TABLE (spark)", table, None
     cat.drop_table(table, branch)
+    # create_views pinned a same-named temp view at the top of this
+    # Catalog.sql call; leaving it registered would make a later
+    # DROP TABLE IF EXISTS (now a spark.sql fall-through) resolve the
+    # stale view and raise instead of no-opping
+    spark.catalog.dropTempView(table)
     return "DROP TABLE", table, None
 
 

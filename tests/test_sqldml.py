@@ -465,8 +465,8 @@ def test_sql_schema_ddl(spark, warehouse):
     assert not cat.table_exists("scratch")
     # a name the WAP catalog doesn't know passes through to spark.sql
     # (pre-router behavior: Spark-managed tables still drop; Spark
-    # itself honors IF EXISTS / raises on unknown names)
-    spark.catalog.dropTempView("scratch")  # the pinned view from create_views
+    # itself honors IF EXISTS / raises on unknown names; the catalog
+    # drop above already unregistered its pinned temp view)
     cat.sql(spark, "DROP TABLE IF EXISTS scratch")  # spark no-op, no raise
     with pytest.raises(Exception, match="(?i)table.*not.*found|cannot be found"):
         cat.sql(spark, "DROP TABLE scratch")
@@ -543,6 +543,74 @@ def test_sql_alter_rejects_unsupported_column_forms(spark, warehouse):
             cat.sql(spark, stmt)
 
 
+def test_sql_merge_source_aliased_t_does_not_corrupt_target_refs(spark, warehouse):
+    """Third-review r5 #1: with the SOURCE aliased 't' (or swapped
+    aliases), sequential rewriting re-captures the canonical 't.'
+    the first pass produced, silently turning target references into
+    source references. The placeholder two-phase must keep them
+    apart."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "tgt", 10)])
+    spark.createDataFrame(
+        [(1, "src", 5)], SCHEMA
+    ).createOrReplaceTempView("src")
+    # source alias is literally 't'; target alias 'a'
+    cat.sql(
+        spark,
+        "MERGE INTO t AS a USING src AS t ON a.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET qty = a.qty + t.qty, name = a.name",
+    )
+    # a.qty (target 10) + t.qty (source 5) = 15; name stays target's
+    assert _state(spark, cat) == {1: ("tgt", 15)}
+
+    with pytest.raises(ValueError, match="share the alias"):
+        cat.sql(
+            spark,
+            "MERGE INTO t AS x USING src AS x ON x.id = x.id "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_sql_not_between_and_string_between_pruning(spark, warehouse):
+    """Third-review r5 #2/#4: NOT BETWEEN must not derive the
+    non-negated range's predicates (wrong pruning, silently skipped
+    deletes); string/temporal BETWEEN must actually derive
+    predicates (the per-segment rewrite could never see them)."""
+    from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+        predicates_from_sql,
+    )
+
+    assert predicates_from_sql("NOT id BETWEEN 1 AND 5") == []
+    assert predicates_from_sql("name BETWEEN 'a' AND 'c'") == [
+        Predicate("ge", "name", "a"),
+        Predicate("le", "name", "c"),
+    ]
+    assert predicates_from_sql(
+        "d BETWEEN DATE '2024-01-01' AND DATE '2024-02-01'"
+    ) == [
+        Predicate("ge", "d", "2024-01-01"),
+        Predicate("le", "d", "2024-02-01"),
+    ]
+
+    # end to end: NOT BETWEEN deletes exactly the outside rows
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(i, "x", i) for i in range(1, 9)])
+    cat.sql(spark, "DELETE FROM t WHERE NOT id BETWEEN 3 AND 6")
+    assert sorted(_state(spark, cat)) == [3, 4, 5, 6]
+
+
+def test_sql_drop_table_is_idempotent_with_if_exists(spark, warehouse):
+    """Third-review r5 #3: DROP TABLE unregisters the pinned temp
+    view, so a follow-up DROP TABLE IF EXISTS is a clean no-op
+    instead of resolving the stale view and raising."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    cat.sql(spark, "CREATE TABLE junk AS SELECT * FROM t")
+    cat.sql(spark, "DROP TABLE junk")
+    cat.sql(spark, "DROP TABLE IF EXISTS junk")  # idempotent, no raise
+    assert not cat.table_exists("junk")
+
+
 def test_sql_layout_ddl(spark, warehouse):
     """WRITE ORDERED BY / partition-field evolution through SQL —
     Iceberg's layout DDL over the engine's whole-spec primitives."""
@@ -573,6 +641,26 @@ def test_sql_layout_ddl(spark, warehouse):
     assert cat.load_table("ev").partition_by == ["bucket(4, user)"]
     with pytest.raises(ValueError, match="not in spec"):
         cat.sql(spark, "ALTER TABLE ev DROP PARTITION FIELD day(ts)")
+
+
+def test_sql_script_sequential_session(spark, warehouse):
+    """Multi-statement scripts: top-level ';' splits (literals with
+    semicolons don't), each statement sees its predecessors'
+    effects, last statement's result returned."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    out = cat.sql_script(
+        spark,
+        """
+        INSERT INTO t VALUES (2, 'x;y', 20);
+        UPDATE t SET qty = qty * 2 WHERE name = 'x;y';
+        DELETE FROM t WHERE id = 1;
+        SELECT id, name, qty FROM t ORDER BY id
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(2, "x;y", 40)]
+    with pytest.raises(ValueError, match="empty SQL script"):
+        cat.sql_script(spark, "  ;;  ")
 
 
 def test_sql_dml_on_branch(spark, warehouse):
