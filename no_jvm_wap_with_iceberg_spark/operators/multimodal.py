@@ -154,6 +154,13 @@ def decode_wav(payload: bytes) -> dict:
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            if len(body) != sz:
+                # a silently-clamped slice would decode a partial
+                # object-store read into plausible-but-wrong features
+                raise ValueError(
+                    f"truncated WAV: data chunk declares {sz} bytes, "
+                    f"payload carries {len(body)}"
+                )
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
@@ -192,36 +199,66 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+def _weighted_checksum(values) -> int:
+    """Exact ``sum((i + 1) * v_i)`` over an int array. The vectorized
+    int64 path silently WRAPS once ``n * (n + 1) / 2 * max|v|``
+    passes 2^63 (~83 MP of pixels, ~49 min of PCM16) — garbage with
+    no error — so past the provably-safe size the sum falls back to
+    chunked Python-int accumulation (each per-element product still
+    fits int64 comfortably; only the running total needs arbitrary
+    precision). Exact at any media size either way."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64)
+    n = v.size
+    if n == 0:
+        return 0
+    max_abs = int(np.abs(v).max())
+    if max_abs * n * (n + 1) // 2 < (1 << 62):
+        return int(((np.arange(n, dtype=np.int64) + 1) * v).sum())
+    total = 0
+    for lo in range(0, n, 1_000_000):
+        chunk = v[lo : lo + 1_000_000]
+        w = np.arange(lo + 1, lo + 1 + chunk.size, dtype=np.int64)
+        total += sum((w * chunk).tolist())  # Python ints: no wrap
+    return total
+
+
 def decode_media_features(media: DataFrame) -> DataFrame:
     """REAL decode over the payload column via mapInPandas: BMP and
     WAV payloads (magic-sniffed) parse through the struct/numpy
     codecs above; anything else raises NotImplementedError (the
-    honest compressed-format stub). The checksum is position-weighted
-    — ``sum((i + 1) * value_i)`` over pixels in image order / PCM
-    samples — so a decoder that mishandled the bottom-up flip, the
-    row stride, or byte order cannot produce the right value.
+    honest compressed-format stub), and a NULL payload (permitted by
+    MEDIA_SCHEMA) yields a null-featured row rather than a crash.
+    The checksum is position-weighted — ``sum((i + 1) * value_i)``
+    over pixels in image order / PCM samples — so a decoder that
+    mishandled the bottom-up flip, the row stride, or byte order
+    cannot produce the right value; it is computed exactly at any
+    media size (see :func:`_weighted_checksum`).
 
     Scale shape: one Arrow batch in, one out; bytes stay in numpy the
     whole way (no per-row Python in the pixel/sample math)."""
-    import numpy as np
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    rows.append(
+                        (mid, None, 0, None, None, None, None, None, None)
+                    )
+                    continue
+                b = bytes(payload)
                 if b[:2] == b"BM":
                     d = decode_bmp(b)
-                    flat = d["pixels"].reshape(-1).astype(np.int64)
-                    ck = int(((np.arange(flat.size) + 1) * flat).sum())
+                    ck = _weighted_checksum(d["pixels"].reshape(-1))
                     rows.append(
                         (mid, "bmp", len(b), d["width"], d["height"],
                          None, None, None, ck)
                     )
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     d = decode_wav(b)
-                    s = d["samples"].astype(np.int64)
-                    ck = int(((np.arange(s.size) + 1) * s).sum())
+                    ck = _weighted_checksum(d["samples"])
                     rows.append(
                         (mid, "wav", len(b), None, None,
                          d["sample_rate"], d["n_frames"], d["duration_ms"],
@@ -259,17 +296,34 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
     With ``decode_stub`` the "decode" is a deterministic function of
     the bytes (length, fake dimensions, additive checksum) so tests
-    can assert exact values; without it, the real-codec call site
-    raises NotImplementedError.
+    can assert exact values. With ``decode_stub=False`` the REAL BMP
+    codec runs (dims + position-weighted checksum; see
+    :func:`decode_media_features` for the richer multi-format API);
+    non-BMP payloads raise honestly at the codec.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not "
-                    "present in this environment; pass decode_stub=True"
+                # REAL decode: BMP dims + position-weighted checksum
+                # (uncompressed WAV/compressed formats go through
+                # decode_media_features / the honest raise there)
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    if payload is None:
+                        rows.append((mid, 0, None, None, None))
+                        continue
+                    b = bytes(payload)
+                    d = decode_bmp(b)  # raises honestly on non-BMP
+                    ck = _weighted_checksum(d["pixels"].reshape(-1))
+                    rows.append((mid, len(b), d["width"], d["height"], ck))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "n_bytes", "width", "height", "checksum",
+                    ],
                 )
+                continue
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
             yield pd.DataFrame(
@@ -277,7 +331,10 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "n_bytes": n_bytes.astype("int32"),
                     # fake decode: dimensions derived from payload size
-                    "width": (n_bytes % 1024).astype("int32"),
+                    # (+1 form, shared with resize_plan so composing
+                    # the two stubs never reports contradictory dims,
+                    # and width can never degenerate to 0)
+                    "width": (n_bytes % 1024 + 1).astype("int32"),
                     "height": (n_bytes // 1024 + 1).astype("int32"),
                     "checksum": payloads.map(
                         lambda b: int(sum(b) % (1 << 31)) if b is not None else 0
@@ -313,9 +370,10 @@ def resize_plan(media: DataFrame, max_side: int = 256, decode_stub: bool = True)
     decode, target dims = proportional fit into ``max_side``.
 
     All arithmetic is integer so the stub is exactly reproducible in
-    SQL; a real implementation swaps the dimension source and adds a
-    resized-payload output column, keeping the same batch shape.
+    SQL; :func:`resize_bmp_nearest` is the real implementation with
+    the same batch shape.
     """
+    import numpy as np
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -329,12 +387,11 @@ def resize_plan(media: DataFrame, max_side: int = 256, decode_stub: bool = True)
             src_h = (n // 1024 + 1).astype("int64")
             long_side = src_w.combine(src_h, max)
             # integer proportional fit: dst = src * max_side // long_side
-            # (never upscale)
-            import numpy as np
-
+            # (never upscale, never collapse to 0 px — same clamp as
+            # the REAL resize in resize_bmp_nearest)
             scale_num = np.minimum(long_side, max_side)
-            dst_w = (src_w * scale_num // long_side).astype("int32")
-            dst_h = (src_h * scale_num // long_side).astype("int32")
+            dst_w = np.maximum(1, src_w * scale_num // long_side).astype("int32")
+            dst_h = np.maximum(1, src_h * scale_num // long_side).astype("int32")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -401,7 +458,7 @@ def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            CAST(strlen(text) AS INTEGER) AS n_bytes,
-           CAST(strlen(text) % 1024 AS INTEGER) AS width,
+           CAST(strlen(text) % 1024 + 1 AS INTEGER) AS width,
            CAST(strlen(text) // 1024 + 1 AS INTEGER) AS height
     FROM documents
     """,
@@ -425,8 +482,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_id,
            CAST(sw AS INTEGER) AS src_width, CAST(sh AS INTEGER) AS src_height,
-           CAST(sw * LEAST(GREATEST(sw, sh), 256) // GREATEST(sw, sh) AS INTEGER) AS dst_width,
-           CAST(sh * LEAST(GREATEST(sw, sh), 256) // GREATEST(sw, sh) AS INTEGER) AS dst_height,
+           CAST(GREATEST(1, sw * LEAST(GREATEST(sw, sh), 256)
+                            // GREATEST(sw, sh)) AS INTEGER) AS dst_width,
+           CAST(GREATEST(1, sh * LEAST(GREATEST(sw, sh), 256)
+                            // GREATEST(sw, sh)) AS INTEGER) AS dst_height,
            CAST(LEAST(GREATEST(sw, sh), 256) * 100 // GREATEST(sw, sh) AS INTEGER) AS scale_pct
     FROM src
     """,
@@ -454,7 +513,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synthetic_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic real BMP payloads from the documents table:
-    width = strlen(text) % 21 + 2, height = doc_id % 13 + 1, pixel
+    width = BYTE length(text) % 21 + 2 (octet_length, matching
+    the oracle strlen), height = doc_id % 13 + 1, pixel
     (y, x, c) = (doc_id + 7x + 13y + 31c) % 256 — pure integer
     formulas a SQL oracle reproduces exactly, encoded through the
     real container (bottom-up rows, 4-byte stride padding)."""
@@ -478,13 +538,13 @@ def _synthetic_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").cast("long").alias("media_id"),
-        _gen(F.col("doc_id"), F.length("text")).alias("payload"),
+        _gen(F.col("doc_id"), F.octet_length("text")).alias("payload"),
     )
 
 
 def _synthetic_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic real PCM16 WAV payloads: n_samples =
-    strlen(text) % 300 + 8 at 8 kHz mono, sample_i =
+    """Deterministic real PCM16 WAV payloads: n_samples = BYTE
+    length(text) % 300 + 8 (octet_length = oracle strlen) at 8 kHz mono, sample_i =
     ((doc_id * 2654435761 + i * 40503) % 65536) - 32768."""
     import numpy as np
 
@@ -501,7 +561,7 @@ def _synthetic_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").cast("long").alias("media_id"),
-        _gen(F.col("doc_id"), F.length("text")).alias("payload"),
+        _gen(F.col("doc_id"), F.octet_length("text")).alias("payload"),
     )
 
 
@@ -605,6 +665,9 @@ def resize_bmp_nearest(media: DataFrame, max_side: int = 256) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # nullable per MEDIA_SCHEMA
+                    rows.append((mid, None, None, None, None, None))
+                    continue
                 d = decode_bmp(bytes(payload))
                 sw, sh, px = d["width"], d["height"], d["pixels"]
                 long_side = max(sw, sh)
@@ -653,6 +716,8 @@ def wav_frame_features(media: DataFrame, frame_len: int = 64) -> DataFrame:
         for pdf in it:
             ids, idxs, ns, en, zc = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # null audio: no frames
+                    continue
                 v = decode_wav(bytes(payload))["samples"].astype(np.int64)
                 n = v.size
                 n_frames = (n + frame_len - 1) // frame_len

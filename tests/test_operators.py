@@ -119,15 +119,32 @@ def test_multimodal_feature_extraction_stub(spark):
     feats = {r["media_id"]: r.asDict() for r in extract_features(media).collect()}
     assert feats[1]["n_bytes"] == 3
     assert feats[1]["checksum"] == ord("a") + ord("b") + ord("c")
-    assert feats[1]["width"] == 3 and feats[1]["height"] == 1
+    # +1 form, shared with resize_plan (composing the stubs must not
+    # report contradictory dims; width can never be 0)
+    assert feats[1]["width"] == 4 and feats[1]["height"] == 1
     assert feats[2]["n_bytes"] == 0
     assert feats[3]["n_bytes"] == 0
 
-    with pytest.raises(Exception) as ei:
+    # decode_stub=False now runs the REAL BMP codec; non-BMP bytes
+    # fail at the codec with the honest magic error
+    with pytest.raises(Exception, match="BMP|magic"):
         extract_features(media, decode_stub=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+    import numpy as np
+
+    from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+        encode_bmp24,
     )
+
+    px = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    real = spark.createDataFrame(
+        [(7, bytearray(encode_bmp24(px)))], "id long, payload binary"
+    )
+    got = extract_features(
+        as_media_table(real, "id", "payload", "image"), decode_stub=False
+    ).collect()[0]
+    flat = px.reshape(-1).astype(np.int64)
+    assert (got["width"], got["height"]) == (3, 2)
+    assert got["checksum"] == int(((np.arange(18) + 1) * flat).sum())
 
 
 def test_bmp_codec_roundtrip_and_stride():
@@ -201,6 +218,10 @@ def test_wav_codec_roundtrip_and_chunk_walk():
 
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"OggS....")
+    # a truncated data chunk (partial object-store read) must refuse,
+    # not silently decode fewer samples than declared
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(blob[:-4])
     # non-PCM format code refuses honestly
     bad = bytearray(blob)
     struct.pack_into("<H", bad, 20, 3)  # IEEE float
@@ -242,6 +263,23 @@ def test_decode_media_features_mixed_and_unknown(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+    # NULL payloads (nullable per MEDIA_SCHEMA) must not crash the
+    # stage: decode emits a null-featured row, the frame fan-out
+    # emits no frames, resize emits a null-dims row
+    from no_jvm_wap_with_iceberg_spark.operators.multimodal import (
+        resize_bmp_nearest,
+        wav_frame_features,
+    )
+
+    nulls = spark.createDataFrame(
+        [(9, None)], "media_id long, payload binary"
+    )
+    nrow = decode_media_features(nulls).collect()[0]
+    assert nrow["media_kind"] is None and nrow["n_bytes"] == 0
+    assert wav_frame_features(nulls).count() == 0
+    rrow = resize_bmp_nearest(nulls).collect()[0]
+    assert rrow["dst_width"] is None and rrow["resized"] is None
 
 
 def test_resize_bmp_nearest_matches_numpy(spark):
