@@ -95,12 +95,16 @@ _HEAD = [
     "text_bpe_token_counts",
     "dedup_substring_spans",
     "dedup_ngram_jaccard",
-    "dedup_exact_keep_first",
-    "dedup_exact_stats",
+    # --- new late-r5 surface (table rename + CALL procedures) ---
+    "catalog_table_rename",
+    "sql_call_maintenance",
     # dedup_normalized_fingerprints / dedup_cluster_representatives /
     # dedup_source_matrix / dedup_components dropped from the head to
     # stay at 50 slots (components has r3 driver evidence; the others
-    # were in the judge's 30/30 re-verified set)
+    # were in the judge's 30/30 re-verified set). dedup_exact_keep_first
+    # / dedup_exact_stats yielded their slots to the two late-r5 gates
+    # (both were judge-re-verified 30/30 in r4; rotate them into the
+    # r6 head — the only two oracle-backed queries left on r2 evidence)
 ]
 _TAIL = [
     # rotated out of the head (r3/r4-green redundancy); order only

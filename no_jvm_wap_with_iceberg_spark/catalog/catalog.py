@@ -409,7 +409,12 @@ class Catalog:
         INTO|OVERWRITE`` / ``CREATE TABLE ... AS`` statements route
         to :meth:`merge_into` / :meth:`update_where` /
         :meth:`delete_where` / :meth:`append` / :meth:`overwrite` /
-        :meth:`create_table_from_df`
+        :meth:`create_table_from_df`; ``CALL [system.]<proc>(...)``
+        routes the Iceberg maintenance-procedure surface
+        (expire_snapshots, remove_orphan_files, rewrite_data_files,
+        rollback_to_snapshot, fast_forward, branch/tag verbs,
+        maintain) to the same-named primitives and returns the
+        procedure's own result rows
         (the SQL surface every Spark+Iceberg user writes; the
         reference's only user-facing SQL is its Snowflake warehouse
         example, ``README.md:193-207``). The statement's subqueries
@@ -422,14 +427,20 @@ class Catalog:
         """
         from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
             dml_kind,
+            execute_call,
             execute_dml,
             rewrite_time_travel,
         )
 
         self.create_views(spark, branch)
         query = rewrite_time_travel(self, spark, query, branch)
-        if dml_kind(query) is None:
+        kind = dml_kind(query)
+        if kind is None:
             return spark.sql(query)
+        if kind == "CALL":
+            # maintenance procedures return their own result rows
+            # (orphan paths, before/after counts) — see execute_call
+            return execute_call(self, spark, query, branch)
         op, table, meta = execute_dml(self, spark, query, branch)
         sid = meta.current_snapshot_id if meta is not None else None
         return spark.createDataFrame(
@@ -633,6 +644,80 @@ class Catalog:
             return refs
 
         self._update_refs(apply)
+
+    def rename_table(self, old: str, new: str, branch: str = MAIN) -> None:
+        """Rename a table on a branch — metadata-only, zero data
+        movement (Iceberg's ``rename_table``; the reference's catalog
+        has no rename at all — ``pyiceberg_patch_nessie.py:230-264``
+        leaves every table-management verb unimplemented).
+
+        The table's existing data files stay under their original
+        ``tables/<old>/...`` paths — manifests address files by full
+        path, so nothing moves at any table size; future writes land
+        under ``tables/<new>/...``. The prior name is recorded in the
+        ``prior_names`` property so :meth:`remove_orphan_files` keeps
+        sweeping the historical directory. Branch-scoped: other
+        branches keep the old name (their commits still map it), same
+        as every other table mutation. Snapshot history, schema,
+        layout, and time travel all carry over untouched.
+        """
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid table name {new!r}")
+        if branch in self._read_tags():
+            raise ValueError(f"ref {branch!r} is an immutable tag")
+
+        def apply(payload: dict[str, Any] | None) -> dict[str, Any]:
+            refs = dict(payload["refs"])
+            if branch not in refs:
+                raise KeyError(f"branch {branch!r} not found")
+            head = refs[branch]
+            parent = self._read_commit(head)
+            tables = dict(parent["tables"])
+            if old not in tables:
+                raise KeyError(f"table {old!r} not found on branch {branch!r}")
+            if new in tables:
+                raise ValueError(
+                    f"table {new!r} already exists on branch {branch!r}"
+                )
+            got, _token = self._store.get(tables[old])
+            meta = TableMetadata.from_json(got)
+            props = dict(meta.properties)
+            prior = [p for p in props.get("prior_names", "").split(",") if p]
+            if old not in prior:
+                prior.append(old)
+            props["prior_names"] = ",".join(prior)
+            new_meta = TableMetadata(
+                table=new,
+                schema_json=meta.schema_json,
+                snapshots=meta.snapshots,
+                current_snapshot_id=meta.current_snapshot_id,
+                version=meta.version + 1,
+                partition_by=meta.partition_by,
+                sort_by=meta.sort_by,
+                properties=props,
+            )
+            rel = (
+                f"tables/{new}/metadata/"
+                f"v{new_meta.version:05d}-{uuid.uuid4().hex[:8]}.json"
+            )
+            self._store.put(rel, new_meta.to_json())
+            del tables[old]
+            tables[new] = rel
+            new_id = uuid.uuid4().hex[:16]
+            self._write_commit(
+                {
+                    "id": new_id,
+                    "parent": head,
+                    "tables": tables,
+                    "message": f"RENAME TABLE {old} -> {new}",
+                }
+            )
+            refs[branch] = new_id
+            return {**payload, "refs": refs}
+
+        self._cas_update(_REFS, apply)
 
     # ------------------------------------------------------------------
     # write path (Spark-distributed)
@@ -2850,17 +2935,34 @@ class Catalog:
         (tests, single-writer offline maintenance).
         """
         referenced: set[str] = set()
+        # scanned dirs: the current name plus every prior_names entry
+        # (a renamed table's files stay under the historical directory
+        # forever — see rename_table — so the sweep must follow them)
+        dirs: set[str] = {table}
+        # referenced is computed across ALL tables on ALL branches, not
+        # just this one: after a rename the files under tables/<old>/
+        # belong to table <new> (and a fresh table may later claim the
+        # <old> name), so a per-table reference set over a shared
+        # directory would see another table's live files as orphans
         for branch in self.list_branches():
-            if self.table_exists(table, branch):
-                meta = self.load_table(table, branch)
+            for t in self.list_tables(branch):
+                meta = self.load_table(t, branch)
+                if t == table:
+                    dirs.update(
+                        p
+                        for p in meta.properties.get("prior_names", "").split(",")
+                        if p
+                    )
                 for s in meta.snapshots:
                     referenced.update(f.path for f in s.added_files)
                     for d in s.deletes:
                         referenced.update(d.get("key_files") or [])
         cutoff = time.time() - older_than_ms / 1000.0
         orphans = []
-        for sub in ("data", "deletes"):
-            root = os.path.join(self.warehouse, "tables", table, sub)
+        for tdir, sub in (
+            (d, s) for d in sorted(dirs) for s in ("data", "deletes")
+        ):
+            root = os.path.join(self.warehouse, "tables", tdir, sub)
             for dirpath, _dirs, names in os.walk(root):
                 for n in names:
                     if not n.endswith(".parquet"):

@@ -7,7 +7,9 @@ the engine's row-level primitives
 :meth:`Catalog.overwrite`, :meth:`Catalog.create_table_from_df`,
 :meth:`Catalog.add_column` / `drop_column` / `rename_column`,
 :meth:`Catalog.drop_table`), plus ``VERSION AS OF`` / ``TIMESTAMP
-AS OF`` time-travel rewriting for reads.
+AS OF`` time-travel rewriting for reads, ``ALTER TABLE ... RENAME
+TO`` table renames, and the ``CALL [system.]<proc>(...)``
+maintenance-procedure surface (:func:`execute_call`).
 
 The reference's only user-facing SQL is the warehouse SQL it shows
 its Snowflake users (``/root/reference/README.md:193-207``); every
@@ -34,7 +36,9 @@ from typing import Any
 
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate
 
-_DML_KINDS = ("MERGE", "UPDATE", "DELETE", "INSERT", "CREATE", "ALTER", "DROP")
+_DML_KINDS = (
+    "MERGE", "UPDATE", "DELETE", "INSERT", "CREATE", "ALTER", "DROP", "CALL",
+)
 
 
 def dml_kind(query: str) -> str | None:
@@ -42,7 +46,8 @@ def dml_kind(query: str) -> str | None:
 
     ``CREATE``/``ALTER``/``DROP`` count only with a ``TABLE``
     operand: CREATE TEMP VIEW, DROP VIEW, ALTER VIEW and friends fall
-    through to plain ``spark.sql`` untouched."""
+    through to plain ``spark.sql`` untouched. ``CALL`` routes to the
+    maintenance-procedure surface (:func:`execute_call`)."""
     toks = query.lstrip().split(None, 2)
     first = toks[0].upper() if toks else ""
     if first in ("CREATE", "ALTER", "DROP"):
@@ -805,6 +810,7 @@ def _exec_alter(cat, spark, query: str, branch: str):
     - ``ALTER TABLE t ADD COLUMN name type``    -> :meth:`add_column`
     - ``ALTER TABLE t DROP COLUMN name``        -> :meth:`drop_column`
     - ``ALTER TABLE t RENAME COLUMN a TO b``    -> :meth:`rename_column`
+    - ``ALTER TABLE t RENAME TO u``             -> :meth:`rename_table`
     - ``ALTER TABLE t WRITE ORDERED BY a, b``   -> :meth:`set_sort_order`
     - ``ALTER TABLE t WRITE UNORDERED``         -> sort order cleared
     - ``ALTER TABLE t ADD|DROP PARTITION FIELD day(ts)``
@@ -877,6 +883,18 @@ def _exec_alter(cat, spark, query: str, branch: str):
         meta = cat.set_sort_order(table, [], branch)
         return "ALTER WRITE UNORDERED", table, meta
     m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+TO\s+({_IDENT})$",
+        q,
+    )
+    if m:
+        table, new = _unquote(m.group(1)), _unquote(m.group(2))
+        cat.rename_table(table, new, branch)
+        # the old-name temp view pinned at the top of this Catalog.sql
+        # call would shadow a later same-named CREATE; the next sql()
+        # call re-registers views under the new name
+        spark.catalog.dropTempView(table)
+        return "ALTER RENAME TO", new, cat.load_table(new, branch)
+    m = re.match(
         rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
         rf"(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$",
         q,
@@ -901,10 +919,11 @@ def _exec_alter(cat, spark, query: str, branch: str):
         return f"ALTER {m.group(2).upper()} PARTITION FIELD", table, meta
     raise ValueError(
         "unsupported ALTER shape; supported: ADD COLUMN <name> <type>, "
-        "DROP COLUMN <name>, RENAME COLUMN <a> TO <b>, WRITE ORDERED "
-        "BY <cols>, WRITE UNORDERED, ADD|DROP PARTITION FIELD <field> "
-        "(Catalog.add_column/drop_column/rename_column/set_sort_order/"
-        "evolve_partition_spec are the API equivalents)"
+        "DROP COLUMN <name>, RENAME COLUMN <a> TO <b>, RENAME TO <u>, "
+        "WRITE ORDERED BY <cols>, WRITE UNORDERED, ADD|DROP PARTITION "
+        "FIELD <field> (Catalog.add_column/drop_column/rename_column/"
+        "rename_table/set_sort_order/evolve_partition_spec are the API "
+        "equivalents)"
     )
 
 
@@ -954,3 +973,207 @@ def execute_dml(cat, spark, query: str, branch: str):
     if kind == "DROP":
         return _exec_drop(cat, spark, query, branch)
     raise ValueError(f"not a DML statement: {query[:60]!r}")
+
+
+# ----------------------------------------------------------------------
+# CALL procedures — the Iceberg `CALL catalog.system.<proc>(...)`
+# maintenance surface (rewrite_data_files / expire_snapshots /
+# remove_orphan_files / rollback_to_snapshot / fast_forward), mapped
+# onto this catalog's primitives, plus the branch/tag verbs Iceberg
+# spells as ALTER TABLE ... CREATE BRANCH (catalog-level here).
+# Every procedure is metadata-or-maintenance work; results come back
+# as a DataFrame like Iceberg's procedure output rows.
+# ----------------------------------------------------------------------
+
+_MISSING = object()
+
+
+def _parse_call_lit(text: str) -> Any:
+    text = text.strip()
+    if re.fullmatch(r"(?i)true|false", text):
+        return text.lower() == "true"
+    return _parse_lit(text)
+
+
+def _parse_call_args(text: str) -> tuple[list[Any], dict[str, Any]]:
+    """Positional and named (``name => literal``) procedure arguments.
+    Literals only — procedure args are table/branch names, counts, and
+    flags, never expressions."""
+    pos: list[Any] = []
+    named: dict[str, Any] = {}
+    for part in _split_commas(text):
+        part = part.strip()
+        m = re.match(rf"(?is)^({_IDENT})\s*=>\s*(.+)$", part)
+        if m:
+            key = _unquote(m.group(1)).lower()
+            if key in named:
+                raise ValueError(f"duplicate CALL argument {key!r}")
+            named[key] = _parse_call_lit(m.group(2))
+        else:
+            if named:
+                raise ValueError(
+                    "positional CALL argument after a named argument"
+                )
+            pos.append(_parse_call_lit(part))
+    return pos, named
+
+
+_CALL_PAT = re.compile(
+    r"(?is)^\s*CALL\s+((?:[A-Za-z_]\w*\s*\.\s*)*)([A-Za-z_]\w*)\s*"
+    r"\((.*)\)\s*;?\s*$"
+)
+
+_CALL_PROCS = (
+    "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rollback_to_snapshot", "fast_forward", "create_branch",
+    "drop_branch", "create_tag", "drop_tag", "maintain",
+)
+
+
+def execute_call(cat, spark, query: str, branch: str):
+    """Route one ``CALL [catalog.][system.]<proc>(...)`` statement.
+
+    Supported procedures (Iceberg names where one exists; ``branch``
+    defaults to the session branch of the ``Catalog.sql`` call):
+
+    - ``expire_snapshots(table, keep_last)`` (alias ``retain_last``)
+      -> :meth:`Catalog.expire_snapshots`; returns before/after counts
+    - ``remove_orphan_files(table, dry_run, older_than_ms)``
+      -> :meth:`Catalog.remove_orphan_files`; returns
+      ``orphan_file_location`` rows (Iceberg's output column). The
+      grace window defaults to hours, exactly like the API — pass
+      ``older_than_ms => 0`` only with no concurrent writers
+    - ``rewrite_data_files(table, target_file_mb, min_files)``
+      -> :meth:`Catalog.compact`; returns rewritten/added file counts
+    - ``rollback_to_snapshot(table, snapshot_id)``
+      -> :meth:`Catalog.rollback`; returns previous/current ids
+    - ``fast_forward(source, to)`` -> :meth:`Catalog.merge` (ours is
+      catalog-level: the WHOLE branch fast-forwards, all tables
+      atomically; ``to`` defaults to the session branch)
+    - ``create_branch(name, source)`` / ``drop_branch(name)`` /
+      ``create_tag(name, source)`` / ``drop_tag(name)``
+    - ``maintain(table, target_file_mb, keep_last_snapshots,
+      delete_orphans)`` -> :meth:`Catalog.maintain`; returns the
+      report as key/value rows
+    """
+    m = _CALL_PAT.match(query)
+    if not m:
+        raise ValueError(
+            "unsupported CALL shape; expected "
+            "CALL [catalog.][system.]<procedure>(<literal args>)"
+        )
+    proc = m.group(2).lower()
+    if proc not in _CALL_PROCS:
+        raise ValueError(
+            f"unknown procedure {proc!r}; supported: {', '.join(_CALL_PROCS)}"
+        )
+    pos, named = _parse_call_args(m.group(3))
+    used = {"n": 0}
+
+    def arg(name: str, *aliases: str, default: Any = _MISSING) -> Any:
+        for key in (name, *aliases):
+            if key in named:
+                return named.pop(key)
+        if used["n"] < len(pos):
+            used["n"] += 1
+            return pos[used["n"] - 1]
+        if default is not _MISSING:
+            return default
+        raise ValueError(f"CALL {proc}: missing argument {name!r}")
+
+    def done(rows, schema):
+        if named:
+            raise ValueError(
+                f"CALL {proc}: unknown argument(s) {sorted(named)}"
+            )
+        if used["n"] < len(pos):
+            raise ValueError(f"CALL {proc}: too many positional arguments")
+        return spark.createDataFrame(rows, schema)
+
+    if proc == "expire_snapshots":
+        table = str(arg("table"))
+        keep = int(arg("keep_last", "retain_last", default=1))
+        before = len(cat.load_table(table, branch).snapshots)
+        meta = cat.expire_snapshots(table, branch, keep_last=keep)
+        return done(
+            [(table, before, len(meta.snapshots))],
+            "table string, snapshots_before long, snapshots_after long",
+        )
+    if proc == "remove_orphan_files":
+        table = str(arg("table"))
+        dry = bool(arg("dry_run", default=True))
+        kwargs = {}
+        older = arg("older_than_ms", default=None)
+        if older is not None:
+            kwargs["older_than_ms"] = int(older)
+        orphans = cat.remove_orphan_files(table, dry_run=dry, **kwargs)
+        return done(
+            [(p,) for p in orphans], "orphan_file_location string"
+        )
+    if proc == "rewrite_data_files":
+        table = str(arg("table"))
+        target = int(arg("target_file_mb", default=128))
+        min_files = int(arg("min_files", default=1))
+        before = len(cat.load_table(table, branch).files())
+        meta = cat.compact(
+            spark, table, branch, target_file_mb=target, min_files=min_files
+        )
+        return done(
+            [(table, before, len(meta.files()))],
+            "table string, rewritten_data_files_count long, "
+            "added_data_files_count long",
+        )
+    if proc == "rollback_to_snapshot":
+        table = str(arg("table"))
+        sid = int(arg("snapshot_id"))
+        prev = cat.load_table(table, branch).current_snapshot_id
+        cat.rollback(table, sid, branch)
+        return done(
+            [(table, prev, sid)],
+            "table string, previous_snapshot_id long, "
+            "current_snapshot_id long",
+        )
+    if proc == "fast_forward":
+        src = str(arg("source", "branch", "from_branch"))
+        to = str(arg("to", default=branch))
+        cat.merge(src, to)
+        return done(
+            [(src, to, cat._read_refs()[to])],
+            "source string, target string, head string",
+        )
+    if proc == "create_branch":
+        name = str(arg("name"))
+        src = str(arg("source", "from_branch", default=branch))
+        cat.create_branch(name, src)
+        return done([("CREATE BRANCH", name)], "operation string, ref string")
+    if proc == "drop_branch":
+        name = str(arg("name"))
+        cat.drop_branch(name)
+        return done([("DROP BRANCH", name)], "operation string, ref string")
+    if proc == "create_tag":
+        name = str(arg("name"))
+        src = str(arg("source", "from_branch", default=branch))
+        cat.create_tag(name, src)
+        return done([("CREATE TAG", name)], "operation string, ref string")
+    if proc == "drop_tag":
+        name = str(arg("name"))
+        cat.drop_tag(name)
+        return done([("DROP TAG", name)], "operation string, ref string")
+    if proc == "maintain":
+        table = str(arg("table"))
+        kwargs: dict[str, Any] = {}
+        target = arg("target_file_mb", default=None)
+        if target is not None:
+            kwargs["target_file_mb"] = int(target)
+        keep = arg("keep_last_snapshots", default=None)
+        if keep is not None:
+            kwargs["keep_last_snapshots"] = int(keep)
+        orphans = arg("delete_orphans", default=None)
+        if orphans is not None:
+            kwargs["delete_orphans"] = bool(orphans)
+        report = cat.maintain(spark, table, branch, **kwargs)
+        return done(
+            [(k, str(report[k])) for k in sorted(report)],
+            "key string, value string",
+        )
+    raise AssertionError("unreachable")

@@ -1649,3 +1649,119 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "catalog_table_rename",
+    """
+    WITH all_rows AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM all_rows GROUP BY o_orderstatus
+    """,
+    doc="Zero-copy table rename end-to-end (new r5 surface): seed with "
+    "even keys, rename through the SQL front door (ALTER TABLE ... "
+    "RENAME TO -> Catalog.rename_table: the commit remaps the name; "
+    "data files never move), append the odd keys under the NEW name "
+    "(they land in the new directory), then CALL "
+    "system.rewrite_data_files compacts across BOTH directories. The "
+    "oracle is the full orders table grouped — every row must survive "
+    "the rename + cross-directory compaction bit-exactly.",
+)
+def catalog_table_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("tblrn_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "ord_old"
+    )
+    cat.sql(spark, "ALTER TABLE ord_old RENAME TO ord_new")
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "ord_new")
+    cat.sql(spark, "CALL system.rewrite_data_files(table => 'ord_new')")
+    return (
+        cat.read(spark, "ord_new")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "sql_call_maintenance",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 IN (0, 2)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM live GROUP BY o_orderstatus
+    """,
+    doc="The Iceberg maintenance-procedure surface as SQL (new r5 "
+    "CALL router): seed with o_orderkey%3=0, append %3=1, CALL "
+    "system.rollback_to_snapshot back to the seed (the %3=1 slice "
+    "leaves the live chain), append %3=2, then run the full "
+    "housekeeping cycle through CALL — rewrite_data_files, "
+    "expire_snapshots(keep_last=1), remove_orphan_files(dry_run => "
+    "false, older_than_ms => 0; safe here, no concurrent writers). "
+    "The oracle is %3 IN (0,2): the rolled-back slice must be gone, "
+    "everything else intact after compaction + expiry + orphan "
+    "reclamation.",
+)
+def sql_call_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("callm_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 3 == 0), "ord_mnt"
+    )
+    seed_snap = cat.load_table("ord_mnt").current_snapshot_id
+    cat.append(orders.filter(F.col("o_orderkey") % 3 == 1), "ord_mnt")
+    cat.sql(
+        spark, f"CALL system.rollback_to_snapshot('ord_mnt', {seed_snap})"
+    )
+    cat.append(orders.filter(F.col("o_orderkey") % 3 == 2), "ord_mnt")
+    cat.sql(spark, "CALL system.rewrite_data_files(table => 'ord_mnt')")
+    cat.sql(
+        spark,
+        "CALL system.expire_snapshots(table => 'ord_mnt', keep_last => 1)",
+    )
+    cat.sql(
+        spark,
+        "CALL system.remove_orphan_files(table => 'ord_mnt', "
+        "dry_run => false, older_than_ms => 0)",
+    )
+    return (
+        cat.read(spark, "ord_mnt")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

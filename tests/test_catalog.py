@@ -788,3 +788,72 @@ def test_maintain_window(spark, warehouse):
 
     rep2 = cat.maintain(spark, "t", small_file_threshold=3)
     assert not rep2["compacted"], "tidy table: no rewrite scheduled"
+
+
+def test_rename_table_zero_copy(spark, warehouse):
+    """rename_table is metadata-only: history, layout, and data files
+    carry over untouched; writes after the rename land under the new
+    name; the old name frees up; other branches are unaffected."""
+    import os
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA, sort_by=["id"])
+    cat.append(_batch(spark, 10), "t")
+    snap1 = cat.load_table("t").current_snapshot_id
+    cat.create_branch("aud")  # still sees the old name
+
+    cat.rename_table("t", "u")
+    assert cat.list_tables() == ["u"]
+    assert cat.list_tables("aud") == ["t"]
+    meta = cat.load_table("u")
+    assert meta.table == "u" and meta.sort_by == ["id"]
+    assert meta.current_snapshot_id == snap1  # history carried over
+    assert meta.properties["prior_names"] == "t"
+    # data did not move: every referenced file still lives under tables/t/
+    assert all(f.path.startswith("tables/t/") for f in meta.files())
+    assert cat.read(spark, "u").count() == 10
+    # time travel through the rename
+    assert cat.read(spark, "u", snapshot_id=snap1).count() == 10
+
+    cat.append(_batch(spark, 5, start=10), "u")
+    meta2 = cat.load_table("u")
+    new_files = [f.path for f in meta2.files() if f.path.startswith("tables/u/")]
+    assert new_files  # post-rename writes land under the new name
+    assert cat.read(spark, "u").count() == 15
+    assert os.path.isdir(os.path.join(warehouse, "tables", "t", "data"))
+
+    # errors: missing source, occupied target, invalid name, tag ref
+    with pytest.raises(KeyError):
+        cat.rename_table("nope", "x")
+    cat.create_table("v", SCHEMA)
+    with pytest.raises(ValueError):
+        cat.rename_table("v", "u")
+    with pytest.raises(ValueError):
+        cat.rename_table("v", "bad-name!")
+    cat.create_tag("pin")
+    with pytest.raises(ValueError):
+        cat.rename_table("v", "w", branch="pin")
+
+
+def test_rename_table_orphan_sweep_follows_prior_dirs(spark, warehouse):
+    """Orphan cleanup after a rename: dead files under the HISTORICAL
+    directory are still found, while a fresh table that later claims
+    the old name keeps its live files (referenced set is global)."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    for i in range(3):
+        cat.append(_batch(spark, 5, start=5 * i), "t")
+    cat.compact(spark, "t", target_file_mb=128)  # originals now dead
+    cat.expire_snapshots("t", keep_last=1)
+    cat.rename_table("t", "u")
+
+    # a NEW table claims the freed name and writes into tables/t/
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 4), "t")
+
+    swept = cat.remove_orphan_files("u", dry_run=False, older_than_ms=0)
+    assert swept and all(p.startswith("tables/t/") for p in swept)
+    # u reads intact, and the new t's live files survived the sweep
+    assert cat.read(spark, "u").count() == 15
+    assert cat.read(spark, "t").count() == 4
+    assert cat.remove_orphan_files("u", dry_run=True, older_than_ms=0) == []

@@ -677,3 +677,111 @@ def test_sql_dml_on_branch(spark, warehouse):
         for r in cat.read(spark, "t", "audit").collect()
     }
     assert got == {1: ("a", 99), 2: ("b", 20)}
+
+
+def test_sql_alter_rename_table(spark, warehouse):
+    """ALTER TABLE t RENAME TO u routes to Catalog.rename_table; the
+    new name is immediately queryable, the old one is gone (including
+    the view pinned by the routing call itself)."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10), (2, "b", 20)])
+
+    st = cat.sql(spark, "ALTER TABLE t RENAME TO u").collect()[0]
+    assert st["operation"] == "ALTER RENAME TO" and st["table"] == "u"
+    assert cat.list_tables() == ["u"]
+    got = cat.sql(spark, "SELECT sum(qty) AS s FROM u").collect()[0]["s"]
+    assert got == 30
+    with pytest.raises(Exception):  # old name unresolvable
+        cat.sql(spark, "SELECT * FROM t").collect()
+    # freed name is reusable, and the stale pinned view doesn't shadow it
+    cat.create_table("t", SCHEMA)
+    assert cat.sql(spark, "SELECT count(*) AS c FROM t").collect()[0]["c"] == 0
+
+
+def test_sql_call_procedures(spark, warehouse):
+    """CALL routes the Iceberg maintenance-procedure surface to the
+    catalog primitives, with positional and `name => value` args, an
+    optional [catalog.]system. namespace, and procedure result rows."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10), (2, "b", 20)])
+    for i in range(3, 6):
+        cat.sql(spark, f"INSERT INTO t VALUES ({i}, 'x', {i * 10})")
+    snap_before = cat.load_table("t").current_snapshot_id
+
+    # rewrite_data_files (compact): 4 appends collapse to 1 file
+    row = cat.sql(
+        spark, "CALL system.rewrite_data_files(table => 't')"
+    ).collect()[0]
+    assert row["rewritten_data_files_count"] >= 4
+    assert row["added_data_files_count"] == 1
+
+    # rollback_to_snapshot undoes the compaction commit
+    row = cat.sql(
+        spark,
+        f"CALL system.rollback_to_snapshot('t', {snap_before})",
+    ).collect()[0]
+    assert row["current_snapshot_id"] == snap_before
+    assert {r["id"] for r in cat.sql(spark, "SELECT id FROM t").collect()} == {
+        1, 2, 3, 4, 5,
+    }
+    cat.sql(spark, "CALL system.rewrite_data_files(table => 't')")
+
+    # expire_snapshots with Iceberg's retain_last arg name
+    row = cat.sql(
+        spark, "CALL system.expire_snapshots(table => 't', retain_last => 1)"
+    ).collect()[0]
+    assert row["snapshots_after"] == 1 < row["snapshots_before"]
+
+    # remove_orphan_files: dry run lists the dead pre-compaction files,
+    # real run (zero grace: no concurrent writers here) reclaims them
+    dry = cat.sql(
+        spark,
+        "CALL system.remove_orphan_files(table => 't', dry_run => true, "
+        "older_than_ms => 0)",
+    ).collect()
+    assert len(dry) >= 4
+    assert all(r["orphan_file_location"].startswith("tables/t/") for r in dry)
+    cat.sql(
+        spark,
+        "CALL system.remove_orphan_files(table => 't', dry_run => false, "
+        "older_than_ms => 0)",
+    )
+    assert (
+        cat.sql(
+            spark,
+            "CALL system.remove_orphan_files('t', false, 0)",
+        ).count()
+        == 0
+    )
+    assert cat.sql(spark, "SELECT count(*) AS c FROM t").collect()[0]["c"] == 5
+
+    # branch verbs + catalog-level fast_forward, full namespace form
+    cat.sql(spark, "CALL wap.system.create_branch('audit')")
+    cat.sql(spark, "INSERT INTO t VALUES (9, 'z', 90)", branch="audit")
+    cat.sql(spark, "CALL system.fast_forward(source => 'audit')")
+    assert cat.sql(spark, "SELECT count(*) AS c FROM t").collect()[0]["c"] == 6
+    cat.sql(spark, "CALL system.drop_branch('audit')")
+    assert not cat.branch_exists("audit")
+    cat.sql(spark, "CALL system.create_tag('v1')")
+    with pytest.raises(ValueError):
+        cat.sql(spark, "INSERT INTO t VALUES (10, 'w', 1)", branch="v1")
+    cat.sql(spark, "CALL system.drop_tag('v1')")
+
+    # maintain returns its report as key/value rows
+    rep = {
+        r["key"]: r["value"]
+        for r in cat.sql(
+            spark, "CALL system.maintain(table => 't')"
+        ).collect()
+    }
+    assert "files_before" in rep
+
+    # arg errors surface clearly
+    with pytest.raises(ValueError, match="unknown procedure"):
+        cat.sql(spark, "CALL system.nuke_everything('t')")
+    with pytest.raises(ValueError, match="missing argument"):
+        cat.sql(spark, "CALL system.expire_snapshots()")
+    with pytest.raises(ValueError, match="unknown argument"):
+        cat.sql(spark, "CALL system.expire_snapshots('t', bogus => 1)")
+    with pytest.raises(ValueError, match="positional CALL argument"):
+        cat.sql(spark, "CALL system.expire_snapshots(table => 't', 2)")
