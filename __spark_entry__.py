@@ -79,7 +79,6 @@ _HEAD = [
     "multimodal_resize_plan",
     "multimodal_frame_sample",
     "corpus_repetition_profile",
-    "corpus_chunk_windows",
     "corpus_stratified_sample",
     "corpus_pack_sequences",
     "text_quality_rules",
@@ -95,16 +94,18 @@ _HEAD = [
     "text_bpe_token_counts",
     "dedup_substring_spans",
     "dedup_ngram_jaccard",
-    # --- new late-r5 surface (table rename + CALL procedures) ---
+    # --- new late-r5 surface (rename + CALL procedures + cherry-pick) ---
     "catalog_table_rename",
     "sql_call_maintenance",
+    "catalog_cherrypick",
     # dedup_normalized_fingerprints / dedup_cluster_representatives /
     # dedup_source_matrix / dedup_components dropped from the head to
     # stay at 50 slots (components has r3 driver evidence; the others
     # were in the judge's 30/30 re-verified set). dedup_exact_keep_first
-    # / dedup_exact_stats yielded their slots to the two late-r5 gates
-    # (both were judge-re-verified 30/30 in r4; rotate them into the
-    # r6 head — the only two oracle-backed queries left on r2 evidence)
+    # / dedup_exact_stats / corpus_chunk_windows yielded their slots to
+    # the three late-r5 gates (all three were judge-re-verified 30/30
+    # in r4; rotate them into the r6 head — the only three oracle-backed
+    # queries left on r2 driver evidence)
 ]
 _TAIL = [
     # rotated out of the head (r3/r4-green redundancy); order only

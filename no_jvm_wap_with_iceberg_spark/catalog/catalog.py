@@ -429,11 +429,13 @@ class Catalog:
             dml_kind,
             execute_call,
             execute_dml,
+            rewrite_metadata_tables,
             rewrite_time_travel,
         )
 
         self.create_views(spark, branch)
         query = rewrite_time_travel(self, spark, query, branch)
+        query = rewrite_metadata_tables(self, spark, query, branch)
         kind = dml_kind(query)
         if kind is None:
             return spark.sql(query)
@@ -2423,6 +2425,87 @@ class Catalog:
                     properties=meta.properties,
                 ),
                 f"ROLLBACK {table} to snapshot {snapshot_id}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
+    def cherrypick_snapshot(
+        self,
+        table: str,
+        snapshot_id: int,
+        branch: str = MAIN,
+        from_branch: str | None = None,
+    ) -> TableMetadata:
+        """Apply one APPEND snapshot's changes on top of the branch
+        head (Iceberg's ``cherrypick_snapshot`` procedure) — zero-copy:
+        the new snapshot re-references the picked snapshot's data
+        files; nothing is rewritten at any table size. With
+        ``from_branch`` the snapshot is looked up on ANOTHER branch's
+        copy of the table — the surgical alternative to a full
+        fast-forward when a WAP branch holds several commits and only
+        one should publish.
+
+        Restrictions (same shape as Iceberg, which cherry-picks only
+        appends and dynamic overwrites):
+
+        - the picked snapshot must be a pure append (no MoR deletes,
+          no removed paths) — replaying a delete against a DIFFERENT
+          base than it was computed on would remove the wrong rows;
+        - the source and target table states must agree on schema and
+          rename/drop history — the picked files' on-disk column
+          names are mapped through the TARGET's rename history at
+          read time, so a diverged history would silently mis-map;
+        - none of the picked files may already be referenced by the
+          target (double-pick guard).
+        """
+        src_meta = self.load_table(table, from_branch or branch)
+        snap = src_meta.snapshot(snapshot_id)  # KeyError if unknown
+        if snap.operation != "append" or snap.deletes or snap.removed_paths:
+            raise ValueError(
+                f"cherrypick_snapshot: snapshot {snapshot_id} is "
+                f"{snap.operation!r} with {len(snap.deletes)} delete "
+                f"spec(s) / {len(snap.removed_paths)} removed path(s); "
+                "only pure appends can be cherry-picked (a delete "
+                "replayed against a different base removes the wrong "
+                "rows) — use merge()/fast_forward for full publishes"
+            )
+
+        def build(meta: TableMetadata):
+            for key in ("renamed_columns", "dropped_columns"):
+                if meta.properties.get(key, "") != src_meta.properties.get(
+                    key, ""
+                ):
+                    raise ValueError(
+                        f"cherrypick_snapshot: {key} history diverged "
+                        f"between {from_branch or branch!r} and "
+                        f"{branch!r}; the picked files would mis-map "
+                        "through the target's rename history"
+                    )
+            if meta.schema_json != src_meta.schema_json:
+                raise ValueError(
+                    "cherrypick_snapshot: table schema diverged between "
+                    "the source and target branches"
+                )
+            have = {
+                f.path for s in meta.snapshots for f in s.added_files
+            }
+            dup = [f.path for f in snap.added_files if f.path in have]
+            if dup:
+                raise ValueError(
+                    f"cherrypick_snapshot: {len(dup)} file(s) already "
+                    f"referenced by {branch!r} (first: {dup[0]!r}) — "
+                    "snapshot already applied?"
+                )
+            return (
+                meta.with_new_snapshot(
+                    snap.added_files,
+                    "append",
+                    extra_summary={
+                        "cherrypicked-from": snapshot_id,
+                        "cherrypicked-branch": from_branch or branch,
+                    },
+                ),
+                f"CHERRYPICK snapshot {snapshot_id} -> {table}",
             )
 
         return self._optimistic_commit(table, branch, build)

@@ -753,6 +753,44 @@ def _outside_quotes(s: str, idx: int) -> bool:
     return not any(a <= idx < b for a, b in _quoted_regions(s, backticks=True))
 
 
+_META_TABLE_PAT = re.compile(
+    r"`([A-Za-z_]\w*)\$(snapshots|files|history)`"
+)
+
+
+def rewrite_metadata_tables(cat, spark, query: str, branch: str) -> str:
+    """Iceberg-style metadata tables in SQL: ```t$snapshots``` /
+    ```t$files``` / ```t$history``` (the Hive/Trino spelling — Spark
+    identifiers cannot carry ``$``, so the token is necessarily
+    backtick-quoted) register a :meth:`Catalog.metadata_df` view
+    pinned at the branch's current head and rewrite to its name.
+    Metadata-only — file/snapshot listings never scan data — so a
+    query like ``SELECT count(*) FROM `t$files` WHERE rows > 0`` is
+    O(manifest) at any table size, exactly like Iceberg's. Tokens
+    inside string literals are left alone; an unknown table name
+    falls through so Spark raises its usual unresolved-relation
+    error."""
+    out = []
+    for a, b, quoted in _unquoted_spans(query):
+        seg = query[a:b]
+        if quoted:
+            out.append(seg)
+            continue
+
+        def repl(m: re.Match) -> str:
+            table, kind = m.group(1), m.group(2)
+            if not cat.table_exists(table, branch):
+                return m.group(0)
+            safe = f"{table}__{kind}"
+            cat.metadata_df(spark, table, kind, branch).createOrReplaceTempView(
+                safe
+            )
+            return f"`{safe}`"
+
+        out.append(_META_TABLE_PAT.sub(repl, seg))
+    return "".join(out)
+
+
 def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
     """SQL time travel (the Spark+Iceberg surface): rewrite
     ``<table> VERSION AS OF <snapshot_id>`` and ``<table> TIMESTAMP
@@ -1025,8 +1063,8 @@ _CALL_PAT = re.compile(
 
 _CALL_PROCS = (
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
-    "rollback_to_snapshot", "fast_forward", "create_branch",
-    "drop_branch", "create_tag", "drop_tag", "maintain",
+    "rollback_to_snapshot", "cherrypick_snapshot", "fast_forward",
+    "create_branch", "drop_branch", "create_tag", "drop_tag", "maintain",
 )
 
 
@@ -1047,6 +1085,9 @@ def execute_call(cat, spark, query: str, branch: str):
       -> :meth:`Catalog.compact`; returns rewritten/added file counts
     - ``rollback_to_snapshot(table, snapshot_id)``
       -> :meth:`Catalog.rollback`; returns previous/current ids
+    - ``cherrypick_snapshot(table, snapshot_id, source)``
+      -> :meth:`Catalog.cherrypick_snapshot` (append-only snapshots;
+      ``source`` picks from another branch's copy of the table)
     - ``fast_forward(source, to)`` -> :meth:`Catalog.merge` (ours is
       catalog-level: the WHOLE branch fast-forwards, all tables
       atomically; ``to`` defaults to the session branch)
@@ -1131,6 +1172,18 @@ def execute_call(cat, spark, query: str, branch: str):
         return done(
             [(table, prev, sid)],
             "table string, previous_snapshot_id long, "
+            "current_snapshot_id long",
+        )
+    if proc == "cherrypick_snapshot":
+        table = str(arg("table"))
+        sid = int(arg("snapshot_id"))
+        src = arg("source", "from_branch", default=None)
+        meta = cat.cherrypick_snapshot(
+            table, sid, branch, from_branch=str(src) if src else None
+        )
+        return done(
+            [(table, sid, meta.current_snapshot_id)],
+            "table string, source_snapshot_id long, "
             "current_snapshot_id long",
         )
     if proc == "fast_forward":

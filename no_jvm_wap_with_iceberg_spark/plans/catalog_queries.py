@@ -1765,3 +1765,58 @@ def sql_call_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "catalog_cherrypick",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 4 IN (0, 1)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM live GROUP BY o_orderstatus
+    """,
+    doc="Surgical publish via cherry-pick (new r5 surface, Iceberg's "
+    "cherrypick_snapshot): a WAP branch stages TWO appends "
+    "(o_orderkey%4=1 then %4=2); only the FIRST is cherry-picked "
+    "onto main through CALL system.cherrypick_snapshot(source => "
+    "'wap') — zero-copy: main's new snapshot re-references the "
+    "branch's data files. The oracle is %4 IN (0,1): the picked "
+    "slice lands bit-exactly, the unpicked one stays on the branch.",
+)
+def catalog_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("cpick_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 4 == 0), "ord_cp"
+    )
+    cat.create_branch("wap")
+    cat.append(orders.filter(F.col("o_orderkey") % 4 == 1), "ord_cp", "wap")
+    sid = cat.load_table("ord_cp", "wap").current_snapshot_id
+    cat.append(orders.filter(F.col("o_orderkey") % 4 == 2), "ord_cp", "wap")
+    cat.sql(
+        spark,
+        f"CALL system.cherrypick_snapshot('ord_cp', {sid}, source => 'wap')",
+    )
+    return (
+        cat.read(spark, "ord_cp")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

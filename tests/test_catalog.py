@@ -857,3 +857,67 @@ def test_rename_table_orphan_sweep_follows_prior_dirs(spark, warehouse):
     assert cat.read(spark, "u").count() == 15
     assert cat.read(spark, "t").count() == 4
     assert cat.remove_orphan_files("u", dry_run=True, older_than_ms=0) == []
+
+
+def test_cherrypick_snapshot(spark, warehouse):
+    """Cherry-pick applies one append snapshot's files on top of the
+    target head, zero-copy, with the Iceberg restrictions: appends
+    only, no double-pick, no diverged schema/rename history."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 10), "t")
+
+    # WAP branch stages TWO commits; pick only the second onto main
+    cat.create_branch("wap")
+    cat.append(_batch(spark, 5, start=100), "t", branch="wap")
+    picked = cat.load_table("t", "wap")
+    cat.append(_batch(spark, 3, start=200), "t", branch="wap")
+    sid = picked.current_snapshot_id
+
+    meta = cat.cherrypick_snapshot("t", sid, from_branch="wap")
+    assert meta.snapshot().summary["cherrypicked-from"] == sid
+    got = sorted(r.id for r in cat.read(spark, "t").collect())
+    assert got == list(range(10)) + list(range(100, 105))
+    # zero-copy: the picked files are the SAME paths on both branches
+    wap_files = {
+        f.path for f in picked.snapshot(sid).added_files
+    }
+    assert wap_files <= {f.path for f in meta.files()}
+
+    # double-pick refused
+    with pytest.raises(ValueError, match="already referenced"):
+        cat.cherrypick_snapshot("t", sid, from_branch="wap")
+    # unknown snapshot refused
+    with pytest.raises(KeyError):
+        cat.cherrypick_snapshot("t", 9999, from_branch="wap")
+
+    # non-append snapshots refused (MoR delete)
+    cat.delete_where(
+        spark, "t", [], "id >= 200", mode="mor", branch="wap"
+    )
+    del_sid = cat.load_table("t", "wap").current_snapshot_id
+    with pytest.raises(ValueError, match="only pure appends"):
+        cat.cherrypick_snapshot("t", del_sid, from_branch="wap")
+
+    # diverged rename history refused
+    cat.create_branch("rn")
+    cat.append(_batch(spark, 2, start=300), "t", branch="rn")
+    rn_sid = cat.load_table("t", "rn").current_snapshot_id
+    cat.rename_column("t", "score", "points")  # main diverges
+    with pytest.raises(ValueError, match="diverged"):
+        cat.cherrypick_snapshot("t", rn_sid, from_branch="rn")
+
+
+def test_cherrypick_snapshot_via_sql_call(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 4), "t")
+    cat.create_branch("wap")
+    cat.append(_batch(spark, 2, start=50), "t", branch="wap")
+    sid = cat.load_table("t", "wap").current_snapshot_id
+    row = cat.sql(
+        spark,
+        f"CALL system.cherrypick_snapshot('t', {sid}, source => 'wap')",
+    ).collect()[0]
+    assert row["source_snapshot_id"] == sid
+    assert cat.read(spark, "t").count() == 6

@@ -785,3 +785,48 @@ def test_sql_call_procedures(spark, warehouse):
         cat.sql(spark, "CALL system.expire_snapshots('t', bogus => 1)")
     with pytest.raises(ValueError, match="positional CALL argument"):
         cat.sql(spark, "CALL system.expire_snapshots(table => 't', 2)")
+
+
+def test_sql_metadata_tables(spark, warehouse):
+    """Iceberg-style metadata tables: `t$snapshots` / `t$files` /
+    `t$history` resolve through the SQL front door (metadata-only;
+    string literals containing the token are untouched)."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10), (2, "b", 20)])
+    cat.sql(spark, "INSERT INTO t VALUES (3, 'c', 30)")
+
+    snaps = cat.sql(
+        spark,
+        "SELECT operation, added_rows FROM `t$snapshots` ORDER BY snapshot_id",
+    ).collect()
+    assert [r["operation"] for r in snaps] == ["append", "append"]
+    assert [r["added_rows"] for r in snaps] == [2, 1]
+
+    files = cat.sql(
+        spark, "SELECT count(*) AS n, sum(rows) AS r FROM `t$files`"
+    ).collect()[0]
+    assert files["r"] == 3 and files["n"] >= 2
+
+    hist = cat.sql(
+        spark, "SELECT message FROM `t$history` ORDER BY timestamp_ms"
+    ).collect()
+    assert any("APPEND" in r["message"] for r in hist)  # the routed INSERT
+
+    # joins with data views work (file-level provenance rollup)
+    j = cat.sql(
+        spark,
+        "SELECT s.operation, count(*) AS n FROM t "
+        "CROSS JOIN (SELECT operation FROM `t$snapshots` "
+        "WHERE snapshot_id = 1) s GROUP BY s.operation",
+    ).collect()[0]
+    assert (j["operation"], j["n"]) == ("append", 3)
+
+    # inside a string literal the token is data, not a table
+    lit = cat.sql(
+        spark, "SELECT '`t$snapshots`' AS s FROM t LIMIT 1"
+    ).collect()[0]["s"]
+    assert lit == "`t$snapshots`"
+
+    # unknown table name -> Spark's own unresolved error
+    with pytest.raises(Exception, match="nope|TABLE_OR_VIEW_NOT_FOUND"):
+        cat.sql(spark, "SELECT * FROM `nope$files`").collect()
