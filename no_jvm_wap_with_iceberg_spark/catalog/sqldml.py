@@ -37,20 +37,22 @@ from typing import Any
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate
 
 _DML_KINDS = (
-    "MERGE", "UPDATE", "DELETE", "INSERT", "CREATE", "ALTER", "DROP", "CALL",
+    "MERGE", "UPDATE", "DELETE", "INSERT", "CREATE", "ALTER", "DROP",
+    "CALL", "TRUNCATE",
 )
 
 
 def dml_kind(query: str) -> str | None:
     """The DML statement keyword, or None for read statements.
 
-    ``CREATE``/``ALTER``/``DROP`` count only with a ``TABLE``
-    operand: CREATE TEMP VIEW, DROP VIEW, ALTER VIEW and friends fall
-    through to plain ``spark.sql`` untouched. ``CALL`` routes to the
-    maintenance-procedure surface (:func:`execute_call`)."""
+    ``CREATE``/``ALTER``/``DROP``/``TRUNCATE`` count only with a
+    ``TABLE`` operand: CREATE TEMP VIEW, DROP VIEW, ALTER VIEW and
+    friends fall through to plain ``spark.sql`` untouched. ``CALL``
+    routes to the maintenance-procedure surface
+    (:func:`execute_call`)."""
     toks = query.lstrip().split(None, 2)
     first = toks[0].upper() if toks else ""
-    if first in ("CREATE", "ALTER", "DROP"):
+    if first in ("CREATE", "ALTER", "DROP", "TRUNCATE"):
         second = toks[1].upper() if len(toks) > 1 else ""
         return first if second == "TABLE" else None
     return first if first in _DML_KINDS else None
@@ -426,18 +428,33 @@ def _exec_delete(cat, spark, query: str, branch: str):
 
 def _exec_create(cat, spark, query: str, branch: str):
     """CREATE TABLE [IF NOT EXISTS] <t> AS <query> — the CTAS shape
-    (Catalog.create_table_from_df is the API equivalent). Column
-    DDL (CREATE TABLE t (a INT, ...)) is out of scope here: use
-    Catalog.create_table with a schema."""
+    (Catalog.create_table_from_df is the API equivalent) — or column
+    DDL: CREATE TABLE t (a INT, b STRING, ...) [USING <fmt>]
+    [PARTITIONED BY (day(ts), bucket(16, id), c, ...)]
+    [TBLPROPERTIES ('k' = 'v', ...)] (Catalog.create_table). The
+    column list parses through Spark's own DDL grammar
+    (StructType.fromDDL), so every Spark type — arrays, maps,
+    structs, NOT NULL — is accepted; USING is accepted and ignored
+    (there is exactly one storage format here, parquet)."""
+    q = query.strip().rstrip(";")
+    m = re.match(
+        rf"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\(",
+        q,
+    )
+    if m and _outside_quotes(q, m.end() - 1):  # the opening paren
+        return _exec_create_columns(cat, spark, q, branch, m)
     m = re.match(
         rf"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+(.*)$",
-        query.strip().rstrip(";"),
+        q,
     )
     if not m:
         raise ValueError(
             "unsupported CREATE shape; expected "
-            "CREATE TABLE [IF NOT EXISTS] <table> AS SELECT ... "
-            "(Catalog.create_table_from_df is the API equivalent)"
+            "CREATE TABLE [IF NOT EXISTS] <table> AS SELECT ... or "
+            "CREATE TABLE [IF NOT EXISTS] <table> (<col> <type>, ...) "
+            "[USING <fmt>] [PARTITIONED BY (...)] [TBLPROPERTIES (...)] "
+            "(Catalog.create_table_from_df / create_table are the API "
+            "equivalents)"
         )
     if_not_exists = m.group(1) is not None
     table, qtext = _unquote(m.group(2)), m.group(3).strip()
@@ -447,6 +464,90 @@ def _exec_create(cat, spark, query: str, branch: str):
         raise ValueError(f"table {table!r} already exists on {branch!r}")
     meta = cat.create_table_from_df(spark.sql(qtext), table, branch)
     return "CREATE", table, meta
+
+
+def _exec_create_columns(cat, spark, q: str, branch: str, m: re.Match):
+    """The column-DDL CREATE shape (see :func:`_exec_create`)."""
+    if_not_exists = m.group(1) is not None
+    table = _unquote(m.group(2))
+    paren = m.end() - 1
+    # quote-aware paren matching for the column list (a ')' inside a
+    # backtick-quoted name or string default must not close it)
+    mask = _quote_mask(q, backticks=True)
+    depth, end = 0, -1
+    for i in range(paren, len(q)):
+        if mask[i]:
+            continue
+        depth += q[i] == "("
+        depth -= q[i] == ")"
+        if depth == 0:
+            end = i
+            break
+    if end < 0:
+        raise ValueError("unbalanced parentheses in CREATE TABLE column list")
+    cols_text = q[paren + 1 : end]
+    tail = q[end + 1 :].strip()
+
+    from pyspark.sql import types as T
+
+    try:
+        schema = T.StructType.fromDDL(cols_text)
+    except Exception as exc:
+        raise ValueError(
+            f"unparseable CREATE TABLE column list: {exc}"
+        ) from exc
+
+    partition_by: list[str] | None = None
+    props: dict[str, str] = {}
+    tail = re.sub(r"(?is)^USING\s+\w+\s*", "", tail)  # one format: parquet
+    pm = re.search(r"(?is)\bPARTITIONED\s+BY\s*\(", tail)
+    if pm and _outside_quotes(tail, pm.end() - 1):
+        inner, rest = _match_paren_span(tail, pm.end() - 1)
+        partition_by = [p.strip() for p in _split_commas(inner)]
+        tail = (tail[: pm.start()] + rest).strip()
+    tm = re.search(r"(?is)\bTBLPROPERTIES\s*\(", tail)
+    if tm and _outside_quotes(tail, tm.end() - 1):
+        inner, rest = _match_paren_span(tail, tm.end() - 1)
+        for pair in _split_commas(inner):
+            kv = _split_top(pair, "=")
+            if len(kv) != 2:
+                raise ValueError(
+                    f"TBLPROPERTIES entries are 'key' = 'value' pairs, "
+                    f"got {pair.strip()!r}"
+                )
+            props[str(_parse_lit(kv[0]))] = str(_parse_lit(kv[1]))
+        tail = (tail[: tm.start()] + rest).strip()
+    if tail:
+        raise ValueError(
+            f"unsupported CREATE TABLE clause(s): {tail[:60]!r} "
+            "(supported: USING <fmt>, PARTITIONED BY (...), "
+            "TBLPROPERTIES (...))"
+        )
+    created = cat.create_table(
+        table,
+        schema,
+        branch,
+        partition_by=partition_by,
+        if_not_exists=if_not_exists,
+    )
+    if created and props:
+        cat.set_properties(table, branch, **props)
+    return "CREATE", table, cat.load_table(table, branch)
+
+
+def _match_paren_span(s: str, open_idx: int) -> tuple[str, str]:
+    """Contents of the paren group opening at ``open_idx`` plus the
+    text after it (quote-aware)."""
+    mask = _quote_mask(s, backticks=True)
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if mask[i]:
+            continue
+        depth += s[i] == "("
+        depth -= s[i] == ")"
+        if depth == 0:
+            return s[open_idx + 1 : i], s[i + 1 :]
+    raise ValueError("unbalanced parentheses")
 
 
 def _exec_insert(cat, spark, query: str, branch: str):
@@ -849,6 +950,8 @@ def _exec_alter(cat, spark, query: str, branch: str):
     - ``ALTER TABLE t DROP COLUMN name``        -> :meth:`drop_column`
     - ``ALTER TABLE t RENAME COLUMN a TO b``    -> :meth:`rename_column`
     - ``ALTER TABLE t RENAME TO u``             -> :meth:`rename_table`
+    - ``ALTER TABLE t SET|UNSET TBLPROPERTIES ('k' [= 'v'], ...)``
+      -> :meth:`set_properties`
     - ``ALTER TABLE t WRITE ORDERED BY a, b``   -> :meth:`set_sort_order`
     - ``ALTER TABLE t WRITE UNORDERED``         -> sort order cleared
     - ``ALTER TABLE t ADD|DROP PARTITION FIELD day(ts)``
@@ -921,6 +1024,33 @@ def _exec_alter(cat, spark, query: str, branch: str):
         meta = cat.set_sort_order(table, [], branch)
         return "ALTER WRITE UNORDERED", table, meta
     m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"(SET|UNSET)\s+TBLPROPERTIES\s*\(",
+        q,
+    )
+    if m and _outside_quotes(q, m.end() - 1):
+        table = _unquote(m.group(1))
+        verb = m.group(2).upper()
+        inner, rest = _match_paren_span(q, m.end() - 1)
+        if rest.strip():
+            raise ValueError(
+                f"unexpected text after TBLPROPERTIES list: {rest.strip()[:40]!r}"
+            )
+        props: dict[str, Any] = {}
+        for pair in _split_commas(inner):
+            if verb == "SET":
+                kv = _split_top(pair, "=")
+                if len(kv) != 2:
+                    raise ValueError(
+                        "SET TBLPROPERTIES entries are 'key' = 'value' "
+                        f"pairs, got {pair.strip()!r}"
+                    )
+                props[str(_parse_lit(kv[0]))] = str(_parse_lit(kv[1]))
+            else:
+                props[str(_parse_lit(pair))] = None  # unset
+        meta = cat.set_properties(table, branch, **props)
+        return f"ALTER {verb} TBLPROPERTIES", table, meta
+    m = re.match(
         rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+TO\s+({_IDENT})$",
         q,
     )
@@ -958,10 +1088,11 @@ def _exec_alter(cat, spark, query: str, branch: str):
     raise ValueError(
         "unsupported ALTER shape; supported: ADD COLUMN <name> <type>, "
         "DROP COLUMN <name>, RENAME COLUMN <a> TO <b>, RENAME TO <u>, "
-        "WRITE ORDERED BY <cols>, WRITE UNORDERED, ADD|DROP PARTITION "
-        "FIELD <field> (Catalog.add_column/drop_column/rename_column/"
-        "rename_table/set_sort_order/evolve_partition_spec are the API "
-        "equivalents)"
+        "SET|UNSET TBLPROPERTIES (...), WRITE ORDERED BY <cols>, WRITE "
+        "UNORDERED, ADD|DROP PARTITION FIELD <field> (Catalog."
+        "add_column/drop_column/rename_column/rename_table/"
+        "set_properties/set_sort_order/evolve_partition_spec are the "
+        "API equivalents)"
     )
 
 
@@ -993,6 +1124,25 @@ def _exec_drop(cat, spark, query: str, branch: str):
     return "DROP TABLE", table, None
 
 
+def _exec_truncate(cat, spark, query: str, branch: str):
+    """TRUNCATE TABLE <t> — an empty 'overwrite' snapshot: O(metadata),
+    no data IO, and time travel to the pre-truncate snapshot still
+    works (files are reclaimed later by the maintenance window, like
+    every other historical layout)."""
+    m = re.match(
+        rf"(?is)^\s*TRUNCATE\s+TABLE\s+({_IDENT})\s*;?\s*$", query
+    )
+    if not m:
+        raise ValueError(
+            "unsupported TRUNCATE shape; expected TRUNCATE TABLE <t>"
+        )
+    table = _unquote(m.group(1))
+    meta = cat.load_table(table, branch)  # KeyError if unknown
+    empty = spark.createDataFrame([], meta.spark_schema)
+    meta = cat.overwrite(empty, table, branch)
+    return "TRUNCATE TABLE", table, meta
+
+
 def execute_dml(cat, spark, query: str, branch: str):
     """Route one DML statement; returns (operation, table, metadata)."""
     kind = dml_kind(query)
@@ -1010,6 +1160,8 @@ def execute_dml(cat, spark, query: str, branch: str):
         return _exec_alter(cat, spark, query, branch)
     if kind == "DROP":
         return _exec_drop(cat, spark, query, branch)
+    if kind == "TRUNCATE":
+        return _exec_truncate(cat, spark, query, branch)
     raise ValueError(f"not a DML statement: {query[:60]!r}")
 
 

@@ -455,8 +455,12 @@ def test_sql_schema_ddl(spark, warehouse):
     cat.sql(spark, "ALTER TABLE t DROP COLUMN rating")
     assert "rating" not in cat.read(spark, "t").columns
 
+    # SET TBLPROPERTIES is now routed (see test_sql_set_unset_
+    # tblproperties); a genuinely unsupported shape still refuses
+    cat.sql(spark, "ALTER TABLE t SET TBLPROPERTIES ('a'='b')")
+    assert cat.load_table("t").properties["a"] == "b"
     with pytest.raises(ValueError, match="unsupported ALTER"):
-        cat.sql(spark, "ALTER TABLE t SET TBLPROPERTIES ('a'='b')")
+        cat.sql(spark, "ALTER TABLE t CLUSTERED BY (id)")
 
     cat.sql(spark, "CREATE TABLE scratch AS SELECT * FROM t")
     assert cat.table_exists("scratch")
@@ -830,3 +834,81 @@ def test_sql_metadata_tables(spark, warehouse):
     # unknown table name -> Spark's own unresolved error
     with pytest.raises(Exception, match="nope|TABLE_OR_VIEW_NOT_FOUND"):
         cat.sql(spark, "SELECT * FROM `nope$files`").collect()
+
+
+def test_sql_create_table_column_ddl(spark, warehouse):
+    """CREATE TABLE with a column list parses through Spark's own DDL
+    grammar; PARTITIONED BY takes hidden-partitioning transforms;
+    TBLPROPERTIES land as table properties."""
+    cat = Catalog(warehouse)
+    st = cat.sql(
+        spark,
+        "CREATE TABLE ev (id BIGINT NOT NULL, name STRING, ts TIMESTAMP, "
+        "tags ARRAY<STRING>) USING parquet PARTITIONED BY (day(ts)) "
+        "TBLPROPERTIES ('bloom_cols' = 'id', 'owner' = 'etl')",
+    ).collect()[0]
+    assert st["operation"] == "CREATE"
+    meta = cat.load_table("ev")
+    assert [f.name for f in meta.spark_schema.fields] == [
+        "id", "name", "ts", "tags",
+    ]
+    assert meta.partition_by == ["day(ts)"]
+    assert meta.properties["owner"] == "etl"
+    assert meta.properties["bloom_cols"] == "id"
+
+    # IF NOT EXISTS is idempotent; a bare duplicate raises
+    cat.sql(spark, "CREATE TABLE IF NOT EXISTS ev (id BIGINT)")
+    assert len(cat.load_table("ev").spark_schema.fields) == 4
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, "CREATE TABLE ev (id BIGINT)")
+
+    # write/read through the new table (partition transform applies)
+    cat.sql(
+        spark,
+        "INSERT INTO ev SELECT 1, 'a', TIMESTAMP '2024-05-01 10:00:00', "
+        "array('x')",
+    )
+    got = cat.sql(spark, "SELECT id, name, tags[0] AS t0 FROM ev").collect()[0]
+    assert (got["id"], got["name"], got["t0"]) == (1, "a", "x")
+
+    # bad column list and unknown trailing clauses refuse clearly
+    with pytest.raises(ValueError, match="column list"):
+        cat.sql(spark, "CREATE TABLE bad (id NOTATYPE)")
+    with pytest.raises(ValueError, match="unsupported CREATE TABLE clause"):
+        cat.sql(spark, "CREATE TABLE bad (id BIGINT) CLUSTERED BY (id)")
+
+
+def test_sql_set_unset_tblproperties(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    cat.sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('owner' = 'etl', "
+        "'retention.days' = '7')",
+    )
+    props = cat.load_table("t").properties
+    assert props["owner"] == "etl" and props["retention.days"] == "7"
+    cat.sql(spark, "ALTER TABLE t UNSET TBLPROPERTIES ('owner')")
+    props = cat.load_table("t").properties
+    assert "owner" not in props and props["retention.days"] == "7"
+    with pytest.raises(ValueError, match="pairs"):
+        cat.sql(spark, "ALTER TABLE t SET TBLPROPERTIES ('k1')")
+
+
+def test_sql_truncate_table(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10), (2, "b", 20)])
+    before = cat.load_table("t").current_snapshot_id
+    st = cat.sql(spark, "TRUNCATE TABLE t").collect()[0]
+    assert st["operation"] == "TRUNCATE TABLE"
+    assert cat.row_count("t") == 0
+    assert cat.sql(spark, "SELECT count(*) AS c FROM t").collect()[0]["c"] == 0
+    # history intact: time travel to the pre-truncate snapshot
+    assert cat.read(spark, "t", snapshot_id=before).count() == 2
+    # refills normally
+    cat.sql(spark, "INSERT INTO t VALUES (9, 'z', 90)")
+    assert cat.row_count("t") == 1
+    # TRUNCATE of a non-catalog table falls through to spark.sql and
+    # raises its own error (no silent no-op)
+    with pytest.raises(Exception):
+        cat.sql(spark, "TRUNCATE TABLE not_a_table").collect()
