@@ -477,6 +477,52 @@ class Catalog:
             result = self.sql(spark, stmt, branch)
         return result
 
+    def sql_transaction(
+        self, spark: SparkSession, script: str, branch: str = MAIN
+    ):
+        """Run a multi-statement SQL script ATOMICALLY — the SQL face
+        of the WAP pattern itself: the statements execute on a hidden
+        staging branch forked from ``branch``; when every statement
+        succeeds, the branch fast-forwards into ``branch`` in ONE ref
+        CAS (all touched tables publish together — the same
+        multi-table atomic publish a WAP pipeline uses), and a failure
+        anywhere drops the staging branch so the target is never
+        touched, not even by the statements that succeeded. Returns
+        the last statement's DataFrame.
+
+        Semantics a warehouse user expects:
+
+        - statements see the transaction's OWN prior writes (they run
+          sequentially on the staging branch);
+        - readers of ``branch`` never observe a partial script;
+        - the publish is fast-forward-only, so a concurrent commit to
+          ``branch`` during the transaction raises
+          :class:`CommitConflict` at the end with the target left
+          exactly as the concurrent writer made it — re-run the
+          transaction (optimistic concurrency, same as every other
+          commit here);
+        - ``CALL`` branch/tag verbs inside a transaction act on the
+          catalog's shared ref space and are NOT transactional; table
+          DML/DDL is.
+
+        Scale shape: zero data movement at publish (the fast-forward
+        moves one ref) regardless of how many tables or rows the
+        script wrote.
+        """
+        name = f"sqltx-{uuid.uuid4().hex[:8]}"
+        self.create_branch(name, branch)
+        try:
+            result = self.sql_script(spark, script, branch=name)
+            self.merge(name, branch)
+        except BaseException:
+            try:
+                self.drop_branch(name)
+            except Exception:
+                pass  # cleanup only; the original error matters more
+            raise
+        self.drop_branch(name)
+        return result
+
     def load_table(self, table: str, branch: str = MAIN) -> TableMetadata:
         """Resolve branch → commit → metadata JSON → TableMetadata.
 

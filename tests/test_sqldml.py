@@ -912,3 +912,68 @@ def test_sql_truncate_table(spark, warehouse):
     # raises its own error (no silent no-op)
     with pytest.raises(Exception):
         cat.sql(spark, "TRUNCATE TABLE not_a_table").collect()
+
+
+def test_sql_transaction_atomic_commit(spark, warehouse):
+    """sql_transaction: every statement lands in ONE ref CAS (all
+    tables together) and later statements see earlier ones' writes."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+
+    out = cat.sql_transaction(
+        spark,
+        """
+        CREATE TABLE audit (id BIGINT, note STRING);
+        INSERT INTO t VALUES (2, 'b', 20);
+        INSERT INTO audit SELECT id, name FROM t;
+        SELECT count(*) AS n FROM audit
+        """,
+    )
+    assert out.collect()[0]["n"] == 2  # saw the in-transaction INSERT
+    assert sorted(_state(spark, cat)) == [1, 2]
+    assert cat.read(spark, "audit").count() == 2
+    # no staging branch left behind
+    assert cat.list_branches() == ["main"]
+
+
+def test_sql_transaction_rolls_back_on_failure(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    with pytest.raises(Exception, match="nonexistent"):
+        cat.sql_transaction(
+            spark,
+            """
+            INSERT INTO t VALUES (2, 'b', 20);
+            INSERT INTO t SELECT * FROM nonexistent_table
+            """,
+        )
+    # the successful first statement did NOT publish
+    assert sorted(_state(spark, cat)) == [1]
+    assert cat.list_branches() == ["main"]
+
+
+def test_sql_transaction_concurrent_writer_wins(spark, warehouse, monkeypatch):
+    """A commit landing on the target mid-transaction makes the
+    publish CAS fail; the target keeps the concurrent write, the
+    transaction's writes vanish with the staging branch."""
+    from no_jvm_wap_with_iceberg_spark.catalog import CommitConflict
+
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+
+    orig = Catalog.sql_script
+
+    def racing(self, spark_, script, branch="main"):
+        res = orig(self, spark_, script, branch=branch)
+        # a concurrent writer lands on main before the publish CAS
+        cat.append(
+            spark_.createDataFrame([(99, "race", 0)], SCHEMA), "t", "main"
+        )
+        return res
+
+    monkeypatch.setattr(Catalog, "sql_script", racing)
+    with pytest.raises(CommitConflict):
+        cat.sql_transaction(spark, "INSERT INTO t VALUES (2, 'b', 20)")
+    monkeypatch.undo()
+    assert sorted(_state(spark, cat)) == [1, 99]  # racer kept, tx gone
+    assert cat.list_branches() == ["main"]
