@@ -632,12 +632,15 @@ class Catalog:
         sort_by: list[str] | None = None,
         if_not_exists: bool = False,
         bloom_cols: list[str] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> bool:
         """Create an empty table on a branch from a Spark schema.
 
         Reference: lazy idempotent creation from the first batch's
         schema (``app.py:117-143``, ``pyiceberg_patch_nessie.py:102-148``).
         Returns True if created, False if it already existed.
+        ``properties`` land in the create commit itself (atomic — no
+        window where the table exists without them).
         """
         head = self._read_refs()[branch]
         if table in self._read_commit(head)["tables"]:
@@ -656,13 +659,16 @@ class Catalog:
                 parse_partition_spec(partition_by),
                 _T.StructType.fromJson(schema_json),
             )
+        props = dict(properties or {})
+        if bloom_cols:
+            props["bloom_cols"] = ",".join(bloom_cols)
         meta = TableMetadata(
             table=table,
             schema_json=schema_json,
             version=1,
             partition_by=partition_by,
             sort_by=sort_by,
-            properties={"bloom_cols": ",".join(bloom_cols)} if bloom_cols else None,
+            properties=props or None,
         )
         self._commit_table(table, branch, meta, head, f"CREATE TABLE {table}")
         return True
@@ -673,6 +679,12 @@ class Catalog:
         The reference leaves this ``NotImplementedError``
         (``pyiceberg_patch_nessie.py:230-264``); we support it.
         """
+        if branch in self._read_tags():
+            # every other mutator refuses tags via _commit_table; this
+            # path advances the ref directly, so guard here too — a
+            # DROP against a tag would silently mutate the pinned state
+            raise ValueError(f"ref {branch!r} is an immutable tag")
+
         def apply(refs: dict[str, str]) -> dict[str, str]:
             head = refs[branch]
             parent = self._read_commit(head)
@@ -2531,6 +2543,21 @@ class Catalog:
                 raise ValueError(
                     "cherrypick_snapshot: table schema diverged between "
                     "the source and target branches"
+                )
+            if meta.partition_by != src_meta.partition_by or (
+                meta.properties.get("past_partition_specs", "[]")
+                != src_meta.properties.get("past_partition_specs", "[]")
+            ):
+                # identity-partitioned files physically LACK the
+                # partition column (it is restored from the manifest
+                # through the TARGET's spec at read time) — a file
+                # written under a spec the target never had would
+                # silently null-fill that column
+                raise ValueError(
+                    "cherrypick_snapshot: partition spec (or its "
+                    "evolution history) diverged between the source "
+                    "and target branches; picked files would restore "
+                    "partition values through the wrong spec"
                 )
             have = {
                 f.path for s in meta.snapshots for f in s.added_files

@@ -523,15 +523,14 @@ def _exec_create_columns(cat, spark, q: str, branch: str, m: re.Match):
             "(supported: USING <fmt>, PARTITIONED BY (...), "
             "TBLPROPERTIES (...))"
         )
-    created = cat.create_table(
+    cat.create_table(
         table,
         schema,
         branch,
         partition_by=partition_by,
         if_not_exists=if_not_exists,
+        properties=props or None,
     )
-    if created and props:
-        cat.set_properties(table, branch, **props)
     return "CREATE", table, cat.load_table(table, branch)
 
 
@@ -882,7 +881,9 @@ def rewrite_metadata_tables(cat, spark, query: str, branch: str) -> str:
             table, kind = m.group(1), m.group(2)
             if not cat.table_exists(table, branch):
                 return m.group(0)
-            safe = f"{table}__{kind}"
+            # dunder-wrapped so the rewritten name cannot shadow (or be
+            # shadowed by) a real catalog table named e.g. t__snapshots
+            safe = f"__meta__{table}__{kind}__"
             cat.metadata_df(spark, table, kind, branch).createOrReplaceTempView(
                 safe
             )

@@ -921,3 +921,41 @@ def test_cherrypick_snapshot_via_sql_call(spark, warehouse):
     ).collect()[0]
     assert row["source_snapshot_id"] == sid
     assert cat.read(spark, "t").count() == 6
+
+
+def test_tags_immune_to_drop_and_rename_table(spark, warehouse):
+    """A tag ref must refuse EVERY mutator, including the two that
+    advance the ref directly (drop_table bypassed _commit_table's tag
+    guard before this test existed)."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_batch(spark, 3), "t")
+    cat.create_tag("v1")
+    with pytest.raises(ValueError, match="immutable tag"):
+        cat.drop_table("t", branch="v1")
+    with pytest.raises(ValueError, match="immutable tag"):
+        cat.rename_table("t", "u", branch="v1")
+    assert cat.row_count("t", "v1") == 3  # pinned state intact
+
+
+def test_cherrypick_refuses_diverged_partition_spec(spark, warehouse):
+    """A snapshot staged under a diverged partition spec must refuse
+    to cherry-pick (identity divergence is impossible — evolution
+    forbids it — but hidden-transform divergence isn't, and the guard
+    keys on ANY spec/history difference: belt and braces over the
+    read path's per-file key mapping)."""
+    cat = Catalog(warehouse)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    cat.create_table("p", schema)
+    cat.create_branch("wap")
+    # the BRANCH evolves a hidden transform, then appends under it
+    cat.evolve_partition_spec("p", ["bucket(4, id)"], "wap")
+    df = spark.range(4).select(
+        "id", F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("b")
+    )
+    cat.append(df, "p", "wap")
+    sid = cat.load_table("p", "wap").current_snapshot_id
+    with pytest.raises(ValueError, match="partition spec"):
+        cat.cherrypick_snapshot("p", sid, from_branch="wap")
