@@ -1820,3 +1820,112 @@ def catalog_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "sql_transaction_publish",
+    """
+    WITH seed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 5 = 0
+    ),
+    added AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 1
+    ),
+    final AS (
+      SELECT * FROM seed WHERE o_totalprice >= 50000
+      UNION ALL SELECT * FROM added
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="Atomic multi-statement SQL transaction (new r5 surface): a "
+    "DELETE and an INSERT ... SELECT run as ONE sql_transaction on a "
+    "hidden staging branch and publish in one fast-forward CAS; the "
+    "oracle is the combined final state (seed minus the deleted band "
+    "plus the doubled insert slice). Failure-atomicity and the "
+    "concurrent-writer CAS race are pytest-covered "
+    "(tests/test_sqldml.py::test_sql_transaction_*).",
+)
+def sql_transaction_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("sqltx_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 5 == 0), "ord_tx"
+    )
+    orders.filter(F.col("o_orderkey") % 5 == 1).createOrReplaceTempView(
+        "sqltx_src"
+    )
+    cat.sql_transaction(
+        spark,
+        """
+        DELETE FROM ord_tx WHERE o_totalprice < 50000;
+        INSERT INTO ord_tx
+          SELECT o_orderkey, o_orderstatus, o_totalprice * CAST(2 AS DOUBLE)
+          FROM sqltx_src
+        """,
+    )
+    return (
+        cat.read(spark, "ord_tx")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "catalog_metadata_sql",
+    """
+    WITH evens AS (
+      SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    odds AS (
+      SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+           CAST((SELECT n FROM evens) AS BIGINT) AS added_rows
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append',
+           CAST((SELECT n FROM odds) AS BIGINT)
+    ORDER BY snapshot_id
+    """,
+    doc="Iceberg-style metadata tables through the SQL front door "
+    "(new r5 surface): two appends (evens then odds), then SELECT "
+    "over `t$snapshots` — snapshot ids, operations, and added_rows "
+    "are fully deterministic, so the oracle reconstructs the listing "
+    "from plain COUNT(*)s over the same parquet. Metadata-only: the "
+    "listing never scans data.",
+)
+def catalog_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("metasql_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "ord_meta"
+    )
+    cat.append(orders.filter(F.col("o_orderkey") % 2 == 1), "ord_meta")
+    return cat.sql(
+        spark,
+        "SELECT snapshot_id, operation, added_rows "
+        "FROM `ord_meta$snapshots` ORDER BY snapshot_id",
+    )
