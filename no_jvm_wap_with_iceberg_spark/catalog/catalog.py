@@ -431,6 +431,7 @@ class Catalog:
             execute_dml,
             rewrite_metadata_tables,
             rewrite_time_travel,
+            show_create_table,
         )
 
         self.create_views(spark, branch)
@@ -443,6 +444,8 @@ class Catalog:
             # maintenance procedures return their own result rows
             # (orphan paths, before/after counts) — see execute_call
             return execute_call(self, spark, query, branch)
+        if kind == "SHOW":
+            return show_create_table(self, spark, query, branch)
         op, table, meta = execute_dml(self, spark, query, branch)
         sid = meta.current_snapshot_id if meta is not None else None
         return spark.createDataFrame(
@@ -2600,8 +2603,49 @@ class Catalog:
           partition values, pending-delete count).
         - ``snapshots``: one row per snapshot on the requested chain.
         - ``history``: one row per catalog commit on the branch.
+        - ``partitions``: live files aggregated per partition tuple
+          (Iceberg's ``t$partitions`` — the skew/size diagnosis
+          surface: one SELECT shows which partition holds the data).
+        - ``refs``: every branch and tag, whether it carries the
+          table, and the table's head snapshot there (Iceberg's
+          ``t$refs``).
         """
         meta = self.load_table(table, branch)
+        if kind == "partitions":
+            agg: dict[str, list[int]] = {}
+            for f, specs in meta.files_with_deletes(snapshot_id):
+                key = json.dumps(f.partition, sort_keys=True)
+                a = agg.setdefault(key, [0, 0, 0, 0])
+                a[0] += 1
+                a[1] += f.rows
+                a[2] += f.bytes
+                a[3] += len(specs)
+            rows = [
+                (k, a[0], a[1], a[2], a[3]) for k, a in sorted(agg.items())
+            ]
+            return spark.createDataFrame(
+                rows,
+                "partition string, file_count long, row_count long, "
+                "total_bytes long, n_pending_deletes long",
+            )
+        if kind == "refs":
+            tags = self._read_tags()
+            rows = []
+            for ref in sorted(self._read_refs()):
+                has = self.table_exists(table, ref)
+                sid = (
+                    self.load_table(table, ref).current_snapshot_id
+                    if has
+                    else None
+                )
+                rows.append(
+                    (ref, "tag" if ref in tags else "branch", has, sid)
+                )
+            return spark.createDataFrame(
+                rows,
+                "ref string, type string, has_table boolean, "
+                "snapshot_id long",
+            )
         if kind == "files":
             rows = [
                 (
@@ -2650,7 +2694,10 @@ class Catalog:
                 "commit_id string, parent_id string, message string, "
                 "timestamp_ms long",
             )
-        raise ValueError(f"kind must be files|snapshots|history, got {kind!r}")
+        raise ValueError(
+            f"kind must be files|snapshots|history|partitions|refs, "
+            f"got {kind!r}"
+        )
 
     def set_properties(
         self, table: str, branch: str = MAIN, **props: str | None

@@ -55,6 +55,11 @@ def dml_kind(query: str) -> str | None:
     if first in ("CREATE", "ALTER", "DROP", "TRUNCATE"):
         second = toks[1].upper() if len(toks) > 1 else ""
         return first if second == "TABLE" else None
+    if first == "SHOW":
+        # only SHOW CREATE TABLE routes (Spark refuses it on temp
+        # views); SHOW TABLES / SHOW COLUMNS etc. pass through
+        second = toks[1].upper() if len(toks) > 1 else ""
+        return "SHOW" if second == "CREATE" else None
     return first if first in _DML_KINDS else None
 
 
@@ -854,13 +859,14 @@ def _outside_quotes(s: str, idx: int) -> bool:
 
 
 _META_TABLE_PAT = re.compile(
-    r"`([A-Za-z_]\w*)\$(snapshots|files|history)`"
+    r"`([A-Za-z_]\w*)\$(snapshots|files|history|partitions|refs)`"
 )
 
 
 def rewrite_metadata_tables(cat, spark, query: str, branch: str) -> str:
     """Iceberg-style metadata tables in SQL: ```t$snapshots``` /
-    ```t$files``` / ```t$history``` (the Hive/Trino spelling — Spark
+    ```t$files``` / ```t$history``` / ```t$partitions``` /
+    ```t$refs``` (the Hive/Trino spelling — Spark
     identifiers cannot carry ``$``, so the token is necessarily
     backtick-quoted) register a :meth:`Catalog.metadata_df` view
     pinned at the branch's current head and rewrite to its name.
@@ -1123,6 +1129,58 @@ def _exec_drop(cat, spark, query: str, branch: str):
     # stale view and raise instead of no-opping
     spark.catalog.dropTempView(table)
     return "DROP TABLE", table, None
+
+
+_INTERNAL_PROPS = {
+    # bookkeeping the engine maintains itself — not user configuration,
+    # and not valid inputs to CREATE (re-setting them would corrupt
+    # rename/drop history)
+    "renamed_columns", "dropped_columns", "past_partition_specs",
+    "prior_names",
+}
+
+
+def show_create_table(cat, spark, query: str, branch: str):
+    """``SHOW CREATE TABLE t`` — synthesize re-executable DDL from the
+    table metadata (Spark's own SHOW CREATE refuses temp views, which
+    is what the front door's pinned reads are). The output ROUND-TRIPS:
+    feeding it back through :meth:`Catalog.sql` recreates an empty
+    table with the same schema, partition spec, and user properties.
+    Sort order is ALTER-level state (``WRITE ORDERED BY``) and engine
+    bookkeeping properties are omitted — neither is valid CREATE
+    input. Returns one row (``createtab_stmt``), like Spark."""
+    m = re.match(
+        rf"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$", query
+    )
+    if not m:
+        raise ValueError(
+            "unsupported SHOW shape; expected SHOW CREATE TABLE <t>"
+        )
+    table = _unquote(m.group(1))
+    meta = cat.load_table(table, branch)  # KeyError if unknown
+    # simpleString as-is: uppercasing it would also uppercase FIELD
+    # NAMES inside nested struct types (struct<x:int> -> STRUCT<X:INT>)
+    cols = ",\n".join(
+        f"  {f.name} {f.dataType.simpleString()}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in meta.spark_schema.fields
+    )
+    stmt = f"CREATE TABLE {table} (\n{cols})\nUSING parquet"
+    if meta.partition_by:
+        stmt += f"\nPARTITIONED BY ({', '.join(meta.partition_by)})"
+    user_props = {
+        k: v for k, v in meta.properties.items() if k not in _INTERNAL_PROPS
+    }
+    if user_props:
+
+        def q(s: str) -> str:  # doubled-quote escaping: round-trippable
+            return "'" + str(s).replace("'", "''") + "'"
+
+        pairs = ",\n".join(
+            f"  {q(k)} = {q(v)}" for k, v in sorted(user_props.items())
+        )
+        stmt += f"\nTBLPROPERTIES (\n{pairs})"
+    return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
 
 def _exec_truncate(cat, spark, query: str, branch: str):

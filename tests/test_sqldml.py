@@ -977,3 +977,90 @@ def test_sql_transaction_concurrent_writer_wins(spark, warehouse, monkeypatch):
     monkeypatch.undo()
     assert sorted(_state(spark, cat)) == [1, 99]  # racer kept, tx gone
     assert cat.list_branches() == ["main"]
+
+
+def test_sql_metadata_partitions_and_refs(spark, warehouse):
+    """`t$partitions` aggregates live files per partition tuple;
+    `t$refs` lists every branch/tag with the table's head there."""
+    cat = Catalog(warehouse)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    cat.create_table("p", schema, partition_by=["b"])
+    df = spark.range(10).select(
+        "id", F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("b")
+    )
+    cat.append(df, "p")
+    parts = {
+        r["partition"]: (r["file_count"], r["row_count"])
+        for r in cat.sql(
+            spark,
+            "SELECT partition, file_count, row_count FROM `p$partitions`",
+        ).collect()
+    }
+    assert parts['{"b": "even"}'][1] == 5 and parts['{"b": "odd"}'][1] == 5
+
+    cat.create_branch("aud")
+    cat.create_tag("v1")
+    refs = {
+        r["ref"]: (r["type"], r["has_table"], r["snapshot_id"])
+        for r in cat.sql(spark, "SELECT * FROM `p$refs`").collect()
+    }
+    assert refs["main"] == ("branch", True, 1)
+    assert refs["aud"] == ("branch", True, 1)
+    assert refs["v1"] == ("tag", True, 1)
+
+
+def test_sql_show_create_table_round_trips(spark, warehouse):
+    """SHOW CREATE TABLE output re-executes to an identical empty
+    table (schema, partition spec, user properties); engine
+    bookkeeping properties are omitted."""
+    cat = Catalog(warehouse)
+    cat.sql(
+        spark,
+        "CREATE TABLE src (id BIGINT NOT NULL, name STRING, ts TIMESTAMP) "
+        "PARTITIONED BY (day(ts)) TBLPROPERTIES ('owner' = 'etl')",
+    )
+    # engine bookkeeping appears after a rename; must NOT be rendered
+    cat.sql(spark, "ALTER TABLE src ADD COLUMN tmp INT")
+    cat.sql(spark, "ALTER TABLE src DROP COLUMN tmp")
+
+    stmt = cat.sql(spark, "SHOW CREATE TABLE src").collect()[0][
+        "createtab_stmt"
+    ]
+    assert "dropped_columns" not in stmt and "'owner' = 'etl'" in stmt
+    assert "id bigint NOT NULL" in stmt and "PARTITIONED BY (day(ts))" in stmt
+
+    recreated = stmt.replace("CREATE TABLE src", "CREATE TABLE dst", 1)
+    cat.sql(spark, recreated)
+    a, b = cat.load_table("src"), cat.load_table("dst")
+    assert a.schema_json == b.schema_json
+    assert a.partition_by == b.partition_by
+    assert b.properties.get("owner") == "etl"
+
+    # other SHOW forms still pass through to spark.sql
+    assert cat.sql(spark, "SHOW TABLES").count() >= 1
+    with pytest.raises(KeyError):
+        cat.sql(spark, "SHOW CREATE TABLE nope")
+
+
+def test_sql_show_create_table_nested_types_and_quotes(spark, warehouse):
+    """Nested struct field names keep their case; property values with
+    quotes render as round-trippable doubled-quote escapes."""
+    cat = Catalog(warehouse)
+    cat.sql(
+        spark,
+        "CREATE TABLE nt (id BIGINT, st STRUCT<xLow: INT, Yup: STRING>) "
+        "TBLPROPERTIES ('note' = 'it''s quoted')",
+    )
+    stmt = cat.sql(spark, "SHOW CREATE TABLE nt").collect()[0][
+        "createtab_stmt"
+    ]
+    assert "xLow" in stmt and "Yup" in stmt  # case preserved
+    assert "'it''s quoted'" in stmt
+    recreated = stmt.replace("CREATE TABLE nt", "CREATE TABLE nt2", 1)
+    cat.sql(spark, recreated)
+    assert (
+        cat.load_table("nt").schema_json == cat.load_table("nt2").schema_json
+    )
+    assert cat.load_table("nt2").properties["note"] == "it's quoted"
