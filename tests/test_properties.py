@@ -517,3 +517,49 @@ def test_sql_pruning_predicates_never_change_results(spark_h, cond, rows):
             f"pruning predicates changed DELETE semantics for {cond!r}: "
             f"{preds}"
         )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.data(),
+    n_cols=st.integers(min_value=1, max_value=5),
+)
+def test_show_create_table_round_trip_property(spark_h, tmp_path_factory, data, n_cols):
+    """SHOW CREATE TABLE output must re-execute to an IDENTICAL empty
+    table for any schema the column-DDL CREATE accepts — random column
+    types (incl. nested structs/arrays), nullability, and property
+    values containing quotes."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    types = st.sampled_from(
+        [
+            "bigint", "int", "double", "string", "boolean", "date",
+            "timestamp", "decimal(18,4)", "array<string>",
+            "map<string,bigint>", "struct<aA:int,bB:string>",
+        ]
+    )
+    cols = []
+    for i in range(n_cols):
+        t = data.draw(types)
+        nn = data.draw(st.booleans())
+        cols.append(f"c{i} {t}" + (" NOT NULL" if nn else ""))
+    prop_val = data.draw(
+        st.text(
+            alphabet=st.sampled_from("ab'c d_e"), min_size=0, max_size=12
+        )
+    )
+    wh = tmp_path_factory.mktemp("scrt")
+    cat = Catalog(str(wh))
+    cat.sql(
+        spark_h,
+        f"CREATE TABLE rt ({', '.join(cols)}) "
+        f"TBLPROPERTIES ('k' = '{prop_val.replace(chr(39), chr(39) * 2)}')",
+    )
+    stmt = cat.sql(spark_h, "SHOW CREATE TABLE rt").collect()[0][
+        "createtab_stmt"
+    ]
+    cat.sql(spark_h, stmt.replace("CREATE TABLE rt", "CREATE TABLE rt2", 1))
+    a, b = cat.load_table("rt"), cat.load_table("rt2")
+    assert a.schema_json == b.schema_json
+    assert a.properties == b.properties
+    assert b.properties["k"] == prop_val
