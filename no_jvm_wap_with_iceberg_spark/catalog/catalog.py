@@ -29,7 +29,11 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from no_jvm_wap_with_iceberg_spark.catalog.pruning import Predicate, prune_files
+from no_jvm_wap_with_iceberg_spark.catalog.pruning import (
+    Predicate,
+    file_all_match,
+    prune_files,
+)
 from no_jvm_wap_with_iceberg_spark.catalog.store import LocalFSStore, RefStore
 from no_jvm_wap_with_iceberg_spark.catalog.table import (
     DeleteSpec,
@@ -993,6 +997,7 @@ class Catalog:
         sql_condition: str,
         branch: str = MAIN,
         mode: str = "cow",
+        exact_condition: bool = False,
     ) -> TableMetadata:
         """Row-level DELETE. ``sql_condition`` is the row-exact filter
         (``predicates`` are its stats-pruning approximation).
@@ -1007,6 +1012,21 @@ class Catalog:
           those files. Commit cost O(metadata) — the right trade for
           update-heavy 100 TB tables; ``compact`` later folds pending
           deletes into a clean rewrite.
+
+        ``exact_condition=True`` declares that ``predicates`` are
+        EQUIVALENT to ``sql_condition`` (not merely implied by it —
+        ``sqldml.predicates_from_sql_exact`` derives the flag). That
+        unlocks the whole-file fast path (Iceberg's metadata delete):
+        files whose stats or partition values PROVE every live row
+        matches (:func:`..catalog.pruning.file_all_match`) leave the
+        layout via ``removed_paths`` — no read, no rewrite. An aligned
+        retention delete (``WHERE ts < cutoff`` on a ``day(ts)``-
+        partitioned or ts-sorted table) becomes O(metadata) at any
+        table size; only boundary-straddling files pay IO. The change
+        feed stays exact: COW replays the recorded condition over
+        ``removed_paths``; MoR keeps dropped files in the delete
+        spec's targets (replay reads parent-visible state) while the
+        read path skips them entirely.
         """
         from pyspark.sql import functions as F
 
@@ -1023,32 +1043,65 @@ class Catalog:
             )
             if not affected_raw:
                 return None, ""
+            whole_paths: set[str] = set()
+            if exact_condition:
+                whole_paths = {
+                    f.path
+                    for f in affected_raw
+                    if file_all_match(
+                        f,
+                        predicates,
+                        meta.all_partition_fields,
+                        name_history=meta.rename_history,
+                    )
+                }
+            summary_extra = (
+                {"metadata-deleted-files": len(whole_paths)}
+                if whole_paths
+                else {}
+            )
             if mode == "mor":
                 return (
                     meta.with_new_snapshot(
                         [],
                         "delete",
+                        # dropped files stay in the spec's targets so CDC
+                        # replay (parent-visible state) still emits their
+                        # rows; the live-file walk removes them first, so
+                        # reads never pay the NOT(condition) filter
+                        removed_paths=sorted(whole_paths),
                         deletes=[
                             {
                                 "condition": sql_condition,
                                 "targets": [f.path for f in affected_raw],
                             }
                         ],
+                        extra_summary=summary_extra,
                     ),
                     f"DELETE (MoR) FROM {table} WHERE {sql_condition}",
                 )
             affected_paths = {f.path for f in affected_raw}
-            affected = [(f, c) for f, c in with_conds if f.path in affected_paths]
-            keep = self._df_applying_deletes(spark, meta, affected).filter(
-                ~F.coalesce(F.expr(sql_condition), F.lit(False))
-            )
-            new_files = self._write_files(keep, meta, table)
+            rewrite = [
+                (f, c)
+                for f, c in with_conds
+                if f.path in affected_paths and f.path not in whole_paths
+            ]
+            new_files: list[FileEntry] = []
+            if rewrite:
+                keep = self._df_applying_deletes(spark, meta, rewrite).filter(
+                    ~F.coalesce(F.expr(sql_condition), F.lit(False))
+                )
+                new_files = self._write_files(keep, meta, table)
             return (
                 meta.with_new_snapshot(
                     new_files,
                     "rewrite",
                     removed_paths=sorted(affected_paths),
-                    extra_summary={"cdc": "delete", "condition": sql_condition},
+                    extra_summary={
+                        "cdc": "delete",
+                        "condition": sql_condition,
+                        **summary_extra,
+                    },
                 ),
                 f"DELETE FROM {table} WHERE {sql_condition}",
             )

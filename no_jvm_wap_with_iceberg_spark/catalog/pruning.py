@@ -18,7 +18,10 @@ import dataclasses
 import datetime as _dt
 from typing import Any, Iterable
 
-from no_jvm_wap_with_iceberg_spark.catalog.table import FileEntry
+from no_jvm_wap_with_iceberg_spark.catalog.table import (
+    _STATS_TRUNCATE,
+    FileEntry,
+)
 
 _OPS = ("is_null", "not_null", "eq", "lt", "le", "gt", "ge", "in")
 
@@ -158,3 +161,120 @@ def prune_files(
         if keep and all(_file_may_match(f, p, name_history) for p in preds):
             out.append(f)
     return out
+
+
+def _stats_all_match(
+    f: FileEntry, p: Predicate, name_history: dict[str, list[str]] | None = None
+) -> bool:
+    """Dual of :func:`_file_may_match`: True only when footer stats
+    PROVE every row of the raw file satisfies ``p`` under SQL
+    three-valued semantics (NULL satisfies nothing, so any value
+    comparison needs a ZERO null count).
+
+    The stored bound directions make one-sided proofs sound under
+    string truncation: a stored min is prefix-truncated (understates
+    the true min) and a stored max is truncate-and-incremented
+    (overstates the true max — ``table._truncate_string_max``), so
+    ``mx <= v`` still proves ``true_max <= v`` and ``mn >= v`` proves
+    ``true_min >= v``. Equality proofs additionally need the stored
+    min to be genuine (shorter than the truncation cap — a truncated
+    min is always exactly cap-length).
+
+    Floats are never proven: NaN rows are invisible to min/max stats
+    but fail every SQL comparison, so a bounds proof could over-delete
+    them.
+    """
+    if f.rows == 0:
+        return True
+    names = [p.column] + list((name_history or {}).get(p.column, ()))
+    st = next((f.columns[n] for n in names if n in f.columns), None)
+    if st is None:
+        return False
+    nulls, mn, mx = st.get("nulls"), st.get("min"), st.get("max")
+    if p.op == "is_null":
+        return nulls is not None and nulls == f.rows
+    if p.op == "not_null":
+        return nulls == 0
+    if nulls != 0:  # unknown (None) or >0: a NULL row fails the predicate
+        return False
+    if mn is None or mx is None:
+        return False
+    v = _norm(p.value)
+    if any(isinstance(x, float) for x in (mn, mx, v)):
+        return False
+    min_genuine = not (isinstance(mn, str) and len(mn) >= _STATS_TRUNCATE)
+    try:
+        if p.op == "lt":
+            return mx < v
+        if p.op == "le":
+            return mx <= v
+        if p.op == "gt":
+            return mn > v
+        if p.op == "ge":
+            return mn >= v
+        if p.op == "eq":
+            # mn genuine and mn == mx == v pins true_min == v and
+            # true_max <= mx == v (max overstates), so every row == v
+            return min_genuine and mn == mx == v
+        if p.op == "in":
+            vs = [_norm(x) for x in p.value]
+            if any(isinstance(x, float) for x in vs):
+                return False
+            return min_genuine and mn == mx and mn in vs
+    except TypeError:
+        return False
+    return False
+
+
+def file_all_match(
+    f: FileEntry,
+    predicates: Iterable[Predicate],
+    partition_fields: list | None = None,
+    name_history: dict[str, list[str]] | None = None,
+) -> bool:
+    """True only when EVERY row of the file provably satisfies EVERY
+    predicate — the whole-file DELETE fast path
+    (``Catalog.delete_where(exact_condition=True)``) drops such files
+    from the layout as pure metadata, no read, no rewrite. At 100 TB
+    this turns an aligned retention delete (``WHERE ts < cutoff`` on a
+    ``day(ts)``-partitioned or ts-sorted table) into an O(metadata)
+    commit.
+
+    Each predicate may be proven by footer stats OR by the file's
+    partition value (hidden transforms included); the conjunction is
+    proven when every conjunct is. Callers MUST only pass predicate
+    lists that are EQUIVALENT to the row-exact delete condition
+    (``predicates_from_sql_exact``), never the usual weaker
+    approximation — an implied-only predicate list would over-delete.
+    """
+    from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+        partition_all_match,
+    )
+
+    preds = list(predicates)
+    if not preds:
+        return False
+    by_source: dict[str, list] = {}
+    for fld in partition_fields or []:
+        by_source.setdefault(fld.source, []).append(fld)
+    for p in preds:
+        if _stats_all_match(f, p, name_history):
+            continue
+        proven = False
+        for fld in by_source.get(p.column, ()):
+            if fld.name in f.partition and partition_all_match(
+                fld, f.partition[fld.name], p.op, p.value
+            ):
+                proven = True
+                break
+        if (
+            not proven
+            and p.op == "eq"
+            and p.column in f.partition
+            and p.column not in by_source
+        ):
+            # legacy identity layout (partition key == raw column name)
+            proven = f.partition[p.column] == str(p.value)
+        if not proven:
+            return False
+    return True

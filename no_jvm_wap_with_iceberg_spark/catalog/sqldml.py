@@ -301,13 +301,30 @@ def predicates_from_sql(cond: str | None) -> list[Predicate]:
     Anything richer (OR at the top level, functions, non-literal
     sides) contributes nothing — pruning is an optimization, the
     row-exact condition still runs inside the primitive."""
+    return predicates_from_sql_exact(cond)[0]
+
+
+def predicates_from_sql_exact(
+    cond: str | None,
+) -> tuple[list[Predicate], bool]:
+    """Like :func:`predicates_from_sql`, plus an exactness flag.
+
+    ``exact=True`` certifies the predicate list is EQUIVALENT to the
+    condition — every top-level AND-conjunct translated, no residue,
+    no disjunction — which is the contract
+    ``Catalog.delete_where(exact_condition=True)`` requires before its
+    whole-file metadata fast path may fire (an implied-only list would
+    over-delete). Any untranslated conjunct, OR, NOT BETWEEN, or
+    unparseable literal flips the flag off; the predicates themselves
+    stay usable for ordinary (may-match) pruning either way."""
     if not cond or not cond.strip():
-        return []
+        return [], False
     cond = _strip_parens(cond)
     if _find_keyword(cond, "OR") >= 0:
-        return []  # a disjunction invalidates per-conjunct pruning
+        return [], False  # a disjunction invalidates per-conjunct pruning
     cond = _rewrite_between(cond)
     out: list[Predicate] = []
+    exact = True
     for part in _split_top(cond, "AND"):
         part = _strip_parens(part)
         try:
@@ -349,8 +366,10 @@ def predicates_from_sql(cond: str | None) -> list[Predicate]:
                 continue
         except ValueError:
             pass  # unparseable literal: prune nothing for it
-        # unrecognized conjunct: prune nothing for it
-    return out
+        # unrecognized conjunct: prune nothing for it (and the list is
+        # no longer equivalent to the condition)
+        exact = False
+    return out, exact
 
 
 # ----------------------------------------------------------------------
@@ -425,8 +444,9 @@ def _exec_delete(cat, spark, query: str, branch: str):
         cond = _strip_table_qualifier(rest[5:].strip(), table)
     else:
         cond = "true"
+    preds, exact = predicates_from_sql_exact(cond)
     meta = cat.delete_where(
-        spark, table, predicates_from_sql(cond), cond, branch
+        spark, table, preds, cond, branch, exact_condition=exact
     )
     return "DELETE", table, meta
 

@@ -289,3 +289,59 @@ def partition_may_match(
     except TypeError:
         return True
     return True
+
+
+def partition_all_match(
+    fld: PartitionField, raw: str | None, op: str, value: Any
+) -> bool:
+    """Dual of :func:`partition_may_match`: True only when the
+    partition value PROVES every row in the file satisfies the
+    predicate — the whole-file DELETE fast path
+    (``Catalog.delete_where(exact_condition=True)``) drops such files
+    from the layout without reading them. Conservative: False unless
+    proven.
+
+    Soundness: ``t(NULL)`` lands in the hive default partition and
+    nothing else does, so null-ness proofs hold for every transform.
+    Calendar/truncate transforms are monotonic non-decreasing, so a
+    STRICT inequality in partition space transfers to source space
+    (``t(r) < t(V)`` implies ``r < V`` by contraposition); equality in
+    partition space proves nothing (the bucket straddles ``V``).
+    Identity equality compares the hive string against ``str(value)``
+    — the same convention :func:`partition_may_match` prunes on.
+    ``bucket`` buckets are never single-valued: no proof.
+    """
+    marker_null = raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
+    if op == "is_null":
+        return marker_null
+    if op == "not_null":
+        return not marker_null
+    if marker_null:
+        return False  # an all-NULL file satisfies no value comparison
+    mapped = map_predicate_op(fld, op, value)
+    if mapped is None:
+        return False
+    mop, mval = mapped
+    sample = mval[0] if isinstance(mval, list) and mval else mval
+    pv = parse_partition_value(fld, raw, like=sample)
+    if pv is None:
+        return False
+    try:
+        if fld.transform == "identity":
+            if mop == "eq":
+                return pv == mval
+            if mop == "in":
+                return pv in mval
+            return False  # hive strings: inequality unsafe ("10" < "9")
+        if fld.transform == "bucket":
+            return False
+        # monotonic transforms arrive as le/ge (strict ops weaken on
+        # the way in — map_predicate_op); a strict partition-space
+        # comparison proves BOTH the strict and inclusive source op
+        if mop == "le":
+            return pv < mval
+        if mop == "ge":
+            return pv > mval
+        return False  # eq/in: a bucket holds many source values
+    except TypeError:
+        return False

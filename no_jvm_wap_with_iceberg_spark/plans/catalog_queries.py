@@ -1929,3 +1929,59 @@ def catalog_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT snapshot_id, operation, added_rows "
         "FROM `ord_meta$snapshots` ORDER BY snapshot_id",
     )
+
+
+@register(
+    "catalog_metadata_delete",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS metadata_only,
+           TRUE AS dropped_files
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+    doc="whole-file metadata DELETE (Iceberg's metadata delete): "
+    "orders lands month(o_orderdate)-partitioned, then a SQL "
+    "retention delete aligned to the month boundary routes through "
+    "Catalog.sql -> predicates_from_sql_exact -> "
+    "delete_where(exact_condition=True). Every affected file is "
+    "PROVEN all-match (partition value or footer stats — "
+    "pruning.file_all_match) and leaves the layout via "
+    "removed_paths: zero rows read, zero files written, O(metadata) "
+    "at any table size. The in-plan booleans assert exactly that "
+    "(added-files == 0, metadata-deleted-files >= 1) — a fast-path "
+    "regression fails the hash gate, not just a perf number. The "
+    "oracle recomputes the surviving state from raw parquet.",
+)
+def catalog_metadata_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("meta_del_"))
+    cat.create_table("o", orders.schema, partition_by=["month(o_orderdate)"])
+    cat.append(orders, "o")
+    cat.sql(
+        spark,
+        "DELETE FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'",
+    )
+    snap = cat.load_table("o").snapshots[-1]
+    metadata_only = snap.summary.get("added-files") == 0
+    dropped = snap.summary.get("metadata-deleted-files", 0) >= 1
+    return (
+        cat.read(spark, "o")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.lit(bool(metadata_only)).alias("metadata_only"),
+            F.lit(bool(dropped)).alias("dropped_files"),
+        )
+    )

@@ -563,3 +563,52 @@ def test_show_create_table_round_trip_property(spark_h, tmp_path_factory, data, 
     assert a.schema_json == b.schema_json
     assert a.properties == b.properties
     assert b.properties["k"] == prop_val
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    cond=_conds,
+    rows=st.integers(min_value=5, max_value=30),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+def test_exact_fast_path_never_changes_delete_results(
+    spark_h, cond, rows, mode
+):
+    """The whole-file metadata fast path
+    (``delete_where(exact_condition=True)``) must be invisible in the
+    result: for ANY condition the router certifies exact, deleting
+    with the fast path enabled equals deleting with no predicates at
+    all — a false all-match proof (truncation, nulls, partition
+    mapping, 3VL) would silently over-delete."""
+    import tempfile
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+        predicates_from_sql_exact,
+    )
+
+    df = spark_h.range(rows).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id") * 2)
+        .alias("b"),
+    )
+    preds, exact = predicates_from_sql_exact(cond)
+
+    with tempfile.TemporaryDirectory() as w1, tempfile.TemporaryDirectory() as w2:
+        res = []
+        for wh, p, ex in ((w1, preds, exact), (w2, [], False)):
+            cat = Catalog(wh)
+            cat.create_table_from_df(df.repartition(4), "t")
+            cat.delete_where(
+                spark_h, "t", p, cond, mode=mode, exact_condition=ex
+            )
+            res.append(
+                sorted(
+                    tuple(r) for r in cat.read(spark_h, "t").collect()
+                )
+            )
+        assert res[0] == res[1], (
+            f"exact fast path changed DELETE semantics for {cond!r} "
+            f"({mode}): {preds}"
+        )
