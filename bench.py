@@ -47,6 +47,10 @@ HEADLINE = [
     # every document payload — the multimodal scan-shaped workload)
     "multimodal_bmp_decode",
     "multimodal_wav_frame_features",
+    # round 5 late: whole-file metadata DELETE — a partitioned write +
+    # boundary-aligned retention delete whose delete step is O(metadata)
+    # (zero rows read/written); the row tracks the WRITE+commit cycle
+    "catalog_metadata_delete",
 ]
 
 

@@ -379,6 +379,141 @@ class Catalog:
     def table_exists(self, table: str, branch: str = MAIN) -> bool:
         return table in self.list_tables(branch)
 
+    # ------------------------------------------------------------------
+    # catalog-persisted SQL views (Iceberg view-spec parity)
+    # ------------------------------------------------------------------
+    def list_views(self, branch: str = MAIN) -> list[str]:
+        head = self._read_refs()[branch]
+        return sorted(self._read_commit(head).get("views", {}))
+
+    def load_view(self, name: str, branch: str = MAIN) -> dict[str, Any]:
+        """The view record: ``{"sql", "comment", "versions": [{"version",
+        "sql", "timestamp_ms"}, ...]}`` — REPLACE appends a version like
+        Iceberg's view spec, so definitions are auditable history."""
+        head = self._read_refs()[branch]
+        views = self._read_commit(head).get("views", {})
+        if name not in views:
+            raise KeyError(f"view {name!r} not found on branch {branch!r}")
+        return views[name]
+
+    def _commit_views(
+        self,
+        branch: str,
+        message: str,
+        mutate: Callable[[dict[str, Any]], dict[str, Any]],
+    ) -> None:
+        """CAS a views-map mutation onto the branch head. Metadata-only
+        (the map lives inline in the commit payload — view definitions
+        are a few hundred bytes, not manifests), so the commit is O(1)
+        at any table size, and a fast-forward publish carries views and
+        tables in the same atomic ref move."""
+        if branch in self._read_tags():
+            raise ValueError(f"ref {branch!r} is an immutable tag")
+
+        def apply(payload: dict[str, Any] | None) -> dict[str, Any]:
+            refs = dict(payload["refs"])
+            if branch not in refs:
+                raise KeyError(f"branch {branch!r} not found")
+            head = refs[branch]
+            parent = self._read_commit(head)
+            new_views = mutate(dict(parent.get("views", {})), parent["tables"])
+            new_id = uuid.uuid4().hex[:16]
+            self._write_commit(
+                {
+                    "id": new_id,
+                    "parent": head,
+                    "tables": parent["tables"],
+                    "views": new_views,
+                    "message": message,
+                }
+            )
+            refs[branch] = new_id
+            return {**payload, "refs": refs}
+
+        self._cas_update(_REFS, apply)
+
+    def create_view(
+        self,
+        name: str,
+        sql_text: str,
+        branch: str = MAIN,
+        replace: bool = False,
+        if_not_exists: bool = False,
+        comment: str | None = None,
+        spark: SparkSession | None = None,
+    ) -> None:
+        """Persist a named SQL view on a branch (``CREATE [OR REPLACE]
+        VIEW`` through :meth:`sql`). The definition is stored verbatim
+        in the commit payload — branch-addressed, versioned, published
+        atomically with table changes by the same fast-forward CAS.
+        Resolution happens per :meth:`sql` call (:meth:`create_views`
+        registers stored views over the snapshot-pinned table views),
+        so a view always reads the session's pinned snapshots — exactly
+        Iceberg's late-binding view semantics.
+
+        With ``spark`` given, the definition is validated up front
+        (plan-only — ``spark.sql(...).schema`` runs no job); without
+        it, a broken definition surfaces on first use. Views share the
+        table namespace: creating over an existing table (or table over
+        view) refuses.
+        """
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid view name {name!r}")
+        if replace and if_not_exists:
+            raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
+        if spark is not None:
+            spark.sql(sql_text).schema  # analysis-only validation
+        now_ms = int(time.time() * 1000)
+
+        def mutate(
+            views: dict[str, Any], tables: dict[str, Any]
+        ) -> dict[str, Any]:
+            if name in tables:
+                raise ValueError(
+                    f"a table named {name!r} exists on branch {branch!r}"
+                )
+            if name in views and not replace:
+                if if_not_exists:
+                    return views
+                raise ValueError(
+                    f"view {name!r} already exists on branch {branch!r} "
+                    "(use replace=True / CREATE OR REPLACE VIEW)"
+                )
+            prior = views.get(name, {}).get("versions", [])
+            views[name] = {
+                "sql": sql_text,
+                "comment": comment,
+                "versions": prior
+                + [
+                    {
+                        "version": len(prior) + 1,
+                        "sql": sql_text,
+                        "timestamp_ms": now_ms,
+                    }
+                ],
+            }
+            return views
+
+        self._commit_views(branch, f"CREATE VIEW {name}", mutate)
+
+    def drop_view(
+        self, name: str, branch: str = MAIN, if_exists: bool = False
+    ) -> None:
+        def mutate(
+            views: dict[str, Any], tables: dict[str, Any]
+        ) -> dict[str, Any]:
+            if name not in views:
+                if if_exists:
+                    return views
+                raise KeyError(
+                    f"view {name!r} not found on branch {branch!r}"
+                )
+            return {k: v for k, v in views.items() if k != name}
+
+        self._commit_views(branch, f"DROP VIEW {name}", mutate)
+
     def create_views(
         self,
         spark: SparkSession,
@@ -400,7 +535,44 @@ class Catalog:
         names = tables if tables is not None else self.list_tables(branch)
         for t in names:
             self.read(spark, t, branch).createOrReplaceTempView(t + suffix)
-        return [t + suffix for t in names]
+        registered = [t + suffix for t in names]
+        if tables is not None or suffix:
+            # a table subset can't support views (their SQL may reference
+            # anything), and suffixed registration would resolve a view's
+            # unsuffixed table references against the WRONG branch
+            return registered
+        head = self._read_refs()[branch]
+        stored = dict(self._read_commit(head).get("views", {}))
+        # a view this Catalog registered on an EARLIER call but that is
+        # no longer stored (API-level drop_view, branch rollback) must
+        # not keep resolving via its stale temp view
+        prev: set[str] = getattr(self, "_registered_view_names", set())
+        for gone in prev - set(stored):
+            spark.catalog.dropTempView(gone)
+        self._registered_view_names = set(stored)
+        pending = stored
+        # fixpoint: view-on-view definitions resolve in any declaration
+        # order; a view that still fails once nothing else progresses
+        # (dropped base table, syntax rot) is skipped — querying IT
+        # raises Spark's own TABLE_OR_VIEW_NOT_FOUND, every other query
+        # keeps working (late-binding view semantics, like Iceberg)
+        while pending:
+            progressed = False
+            for v in list(pending):
+                try:
+                    spark.sql(pending[v]["sql"]).createOrReplaceTempView(v)
+                except Exception:
+                    continue
+                registered.append(v)
+                del pending[v]
+                progressed = True
+            if not progressed:
+                break
+        for v in pending:
+            # a stale same-named temp view from an earlier sql() call
+            # must not satisfy references to the now-broken view
+            spark.catalog.dropTempView(v)
+        return registered
 
     def sql(self, spark: SparkSession, query: str, branch: str = MAIN):
         """One-shot SQL over a branch — reads AND writes.
@@ -584,6 +756,7 @@ class Catalog:
                 "id": new_id,
                 "parent": expected_head,
                 "tables": new_tables,
+                "views": parent.get("views", {}),
                 "message": message,
             }
         )
@@ -650,10 +823,15 @@ class Catalog:
         window where the table exists without them).
         """
         head = self._read_refs()[branch]
-        if table in self._read_commit(head)["tables"]:
+        head_payload = self._read_commit(head)
+        if table in head_payload["tables"]:
             if if_not_exists:
                 return False
             raise ValueError(f"table {table!r} already exists on {branch!r}")
+        if table in head_payload.get("views", {}):
+            raise ValueError(
+                f"a view named {table!r} exists on branch {branch!r}"
+            )
         schema_json = schema.jsonValue() if hasattr(schema, "jsonValue") else schema
         if partition_by:
             from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
@@ -704,6 +882,7 @@ class Catalog:
                     "id": new_id,
                     "parent": head,
                     "tables": new_tables,
+                    "views": parent.get("views", {}),
                     "message": f"DROP TABLE {table}",
                 }
             )
@@ -748,6 +927,10 @@ class Catalog:
                 raise ValueError(
                     f"table {new!r} already exists on branch {branch!r}"
                 )
+            if new in parent.get("views", {}):
+                raise ValueError(
+                    f"a view named {new!r} exists on branch {branch!r}"
+                )
             got, _token = self._store.get(tables[old])
             meta = TableMetadata.from_json(got)
             props = dict(meta.properties)
@@ -778,6 +961,7 @@ class Catalog:
                     "id": new_id,
                     "parent": head,
                     "tables": tables,
+                    "views": parent.get("views", {}),
                     "message": f"RENAME TABLE {old} -> {new}",
                 }
             )
@@ -831,6 +1015,52 @@ class Catalog:
                 writer = writer.withColumn(
                     fld.name, partition_expr(fld, types[fld.source])
                 )
+        checks = sorted(
+            (k[len("constraint."):], v)
+            for k, v in meta.properties.items()
+            if k.startswith("constraint.")
+        )
+        if checks:
+            # CHECK constraints (Delta-parity) fold into the write
+            # expression itself — zero extra pass over the batch, any
+            # violating row aborts the job before a file is committed
+            # (partial files are unreferenced orphans, reclaimed by the
+            # maintenance grace window). SQL semantics: NULL passes,
+            # only FALSE violates. Compaction re-writes data that was
+            # validated when the constraint was added, so it re-passes.
+            from pyspark.sql import functions as F
+
+            f0 = meta.spark_schema.fields[0]
+            guard = F.col(f0.name)
+            for cname, cexpr in checks:
+                ok = F.coalesce(F.expr(cexpr), F.lit(True))
+                guard = F.when(ok, guard).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"CHECK constraint {cname!r} violated: ({cexpr})"
+                        )
+                    ).cast(f0.dataType)
+                )
+            writer = writer.withColumn(f0.name, guard)
+        if pfields and not layout_done and not meta.sort_by:
+            # write distribution (Iceberg write.distribution-mode,
+            # default hash): without it every write task emits a file
+            # into EVERY partition it holds rows for — tasks×partitions
+            # files, the small-files explosion that kills 100 TB tables.
+            # One hash shuffle on the partition values clusters rows so
+            # each partition is written by as few tasks as possible.
+            # 'none' opts out (tiny single-partition batches, e.g. a
+            # per-trigger streaming append, can skip the shuffle);
+            # 'range' clusters AND orders partitions for calendar
+            # transforms (consecutive days land in consecutive tasks).
+            from pyspark.sql import functions as F
+
+            mode = meta.properties.get("write.distribution-mode", "hash")
+            pcols = [F.col(f.name) for f in pfields]
+            if mode == "range":
+                writer = writer.repartitionByRange(*pcols)
+            elif mode != "none":
+                writer = writer.repartition(*pcols)
         w = writer.write.mode("append")
         if pfields:
             w = w.partitionBy(*[f.name for f in pfields])
@@ -1289,11 +1519,32 @@ class Catalog:
             if n.endswith(".parquet")
         )
 
+    def _resolve_key(
+        self, table: str, branch: str, key: str | list[str] | None
+    ) -> str | list[str]:
+        """Default a keyed mutation's merge key to the table's Iceberg
+        identifier fields (``ALTER TABLE .. SET IDENTIFIER FIELDS``)
+        when the caller passes none."""
+        if key:
+            return key
+        meta = self.load_table(table, branch)
+        ids = [
+            c
+            for c in meta.properties.get("identifier_fields", "").split(",")
+            if c
+        ]
+        if not ids:
+            raise ValueError(
+                f"no merge key given and table {table!r} has no identifier "
+                "fields (ALTER TABLE .. SET IDENTIFIER FIELDS a, b)"
+            )
+        return ids
+
     def merge_rows(
         self,
         df: DataFrame,
         table: str,
-        key: str | list[str],
+        key: str | list[str] | None = None,
         branch: str = MAIN,
         delete_col: str | None = None,
         max_retries: int = 3,
@@ -1350,6 +1601,7 @@ class Catalog:
         meta0 = self.load_table(table, branch)
         # composite keys: normalize to a column list; specs store the
         # comma-joined form (DeleteSpec.key_cols splits it back)
+        key = self._resolve_key(table, branch, key)
         key_cols = [key] if isinstance(key, str) else list(key)
         key = ",".join(key_cols)
         if delete_col is not None:
@@ -1402,7 +1654,7 @@ class Catalog:
         self,
         source: DataFrame,
         table: str,
-        key: str | list[str],
+        key: str | list[str] | None = None,
         when_matched_update: str | None = "true",
         when_matched_delete: str | None = None,
         when_not_matched_insert: str | None = "true",
@@ -1456,6 +1708,7 @@ class Catalog:
         from pyspark.sql import functions as F
 
         spark = source.sparkSession
+        key = self._resolve_key(table, branch, key)
         key_cols = [key] if isinstance(key, str) else list(key)
         key = ",".join(key_cols)
         src_counts = source.groupBy(*key_cols).agg(
@@ -1570,7 +1823,7 @@ class Catalog:
         self,
         keys_df: DataFrame,
         table: str,
-        key: str | list[str],
+        key: str | list[str] | None = None,
         branch: str = MAIN,
         mode: str = "mor",
     ) -> TableMetadata:
@@ -1590,6 +1843,7 @@ class Catalog:
 
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be cow|mor, got {mode!r}")
+        key = self._resolve_key(table, branch, key)
         key_cols = [key] if isinstance(key, str) else list(key)
         key = ",".join(key_cols)
         kdf = keys_df.select(*key_cols).distinct()
@@ -2323,6 +2577,22 @@ class Catalog:
                     "evolve the spec first"
                 )
             word = re.compile(rf"\b{re.escape(name)}\b")
+            for k, v in meta.properties.items():
+                if k.startswith("constraint.") and word.search(v):
+                    raise ValueError(
+                        f"column {name!r} is referenced by CHECK constraint "
+                        f"{k[len('constraint.'):]!r}; drop the constraint first"
+                    )
+            id_fields = [
+                c
+                for c in meta.properties.get("identifier_fields", "").split(",")
+                if c
+            ]
+            if name in id_fields:
+                raise ValueError(
+                    f"column {name!r} is an identifier field; SET IDENTIFIER "
+                    "FIELDS first"
+                )
             for f, specs in meta.files_with_deletes():
                 for spec in specs:
                     ref = spec.condition or spec.key or ""
@@ -2423,6 +2693,23 @@ class Catalog:
                     "evolve the spec first"
                 )
             word = re.compile(rf"\b{re.escape(old)}\b")
+            for k, v in meta.properties.items():
+                if k.startswith("constraint.") and word.search(v):
+                    raise ValueError(
+                        f"column {old!r} is referenced by CHECK constraint "
+                        f"{k[len('constraint.'):]!r}; drop the constraint "
+                        "first and re-add it against the new name"
+                    )
+            id_fields = [
+                c
+                for c in meta.properties.get("identifier_fields", "").split(",")
+                if c
+            ]
+            if old in id_fields:
+                raise ValueError(
+                    f"column {old!r} is an identifier field; SET IDENTIFIER "
+                    "FIELDS first"
+                )
             for _f, specs in meta.files_with_deletes():
                 for spec in specs:
                     ref = spec.condition or spec.key or ""
@@ -2471,6 +2758,80 @@ class Catalog:
             )
 
         return self._optimistic_commit(table, branch, build)
+
+    def add_constraint(
+        self,
+        spark: SparkSession,
+        table: str,
+        name: str,
+        expr: str,
+        branch: str = MAIN,
+    ) -> TableMetadata:
+        """``ALTER TABLE .. ADD CONSTRAINT name CHECK (expr)`` (Delta
+        parity; Iceberg has no CHECK surface). The expression is stored
+        as property ``constraint.<name>`` and enforced INSIDE every
+        subsequent data-file write (``_write_files`` folds it into the
+        write expression — zero extra pass; a violating row aborts the
+        commit loudly). SQL semantics: NULL passes, only FALSE
+        violates. Existing rows are validated here first with one
+        stats-prunable scan + ``limit(1)`` probe — like Delta, adding a
+        constraint the current data violates refuses."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        from pyspark.sql import functions as F
+
+        meta = self.load_table(table, branch)
+        if f"constraint.{name}" in meta.properties:
+            raise ValueError(
+                f"constraint {name!r} already exists on table {table!r}"
+            )
+        bad = (
+            self.read(spark, table, branch)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r}: existing row "
+                f"violates ({expr}): {bad[0].asDict()}"
+            )
+        return self.set_properties(table, branch, **{f"constraint.{name}": expr})
+
+    def drop_constraint(
+        self, table: str, name: str, branch: str = MAIN, if_exists: bool = False
+    ) -> TableMetadata:
+        meta = self.load_table(table, branch)
+        if f"constraint.{name}" not in meta.properties:
+            if if_exists:
+                return meta
+            raise KeyError(
+                f"constraint {name!r} not found on table {table!r}"
+            )
+        return self.set_properties(table, branch, **{f"constraint.{name}": None})
+
+    def set_identifier_fields(
+        self, table: str, cols: list[str] | None, branch: str = MAIN
+    ) -> TableMetadata:
+        """Iceberg's ``ALTER TABLE .. SET IDENTIFIER FIELDS a, b``: the
+        table's natural row identity. Keyed mutations (:meth:`merge_rows`,
+        :meth:`merge_into`, :meth:`delete_keys`) default their merge key
+        to these columns when the caller passes none. ``None``/empty
+        clears (``DROP IDENTIFIER FIELDS``). Metadata-only."""
+        meta = self.load_table(table, branch)
+        if not cols:
+            return self.set_properties(table, branch, identifier_fields=None)
+        have = set(meta.spark_schema.fieldNames())
+        missing = [c for c in cols if c not in have]
+        if missing:
+            raise ValueError(
+                f"identifier fields {missing} not in table {table!r} schema"
+            )
+        return self.set_properties(
+            table, branch, identifier_fields=",".join(cols)
+        )
 
     def set_sort_order(
         self, table: str, sort_by: list[str], branch: str = MAIN

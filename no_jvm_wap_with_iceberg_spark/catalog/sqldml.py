@@ -46,14 +46,23 @@ def dml_kind(query: str) -> str | None:
     """The DML statement keyword, or None for read statements.
 
     ``CREATE``/``ALTER``/``DROP``/``TRUNCATE`` count only with a
-    ``TABLE`` operand: CREATE TEMP VIEW, DROP VIEW, ALTER VIEW and
-    friends fall through to plain ``spark.sql`` untouched. ``CALL``
-    routes to the maintenance-procedure surface
-    (:func:`execute_call`)."""
+    ``TABLE`` operand — except ``CREATE [OR REPLACE] VIEW`` and
+    ``DROP VIEW``, which route to the catalog's PERSISTED views
+    (branch-addressed, committed like tables). ``CREATE TEMP|
+    TEMPORARY|GLOBAL ... VIEW``, ALTER VIEW and friends still fall
+    through to plain ``spark.sql`` untouched (session-scoped views
+    stay Spark's business). ``CALL`` routes to the
+    maintenance-procedure surface (:func:`execute_call`)."""
     toks = query.lstrip().split(None, 2)
     first = toks[0].upper() if toks else ""
     if first in ("CREATE", "ALTER", "DROP", "TRUNCATE"):
         second = toks[1].upper() if len(toks) > 1 else ""
+        if first == "CREATE" and re.match(
+            r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", query
+        ):
+            return "CREATE_VIEW"
+        if first == "DROP" and second == "VIEW":
+            return "DROP_VIEW"
         return first if second == "TABLE" else None
     if first == "SHOW":
         # only SHOW CREATE TABLE routes (Spark refuses it on temp
@@ -1004,6 +1013,45 @@ def _exec_alter(cat, spark, query: str, branch: str):
         )
     m = re.match(
         rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        cols = [_unquote(c.strip()) for c in m.group(2).split(",")]
+        meta = cat.set_identifier_fields(table, cols, branch)
+        return "ALTER TABLE", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"DROP\s+IDENTIFIER\s+FIELDS\s*$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        meta = cat.set_identifier_fields(table, None, branch)
+        return "ALTER TABLE", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)\s*$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        meta = cat.add_constraint(
+            spark, table, _unquote(m.group(2)), m.group(3).strip(), branch
+        )
+        return "ALTER TABLE", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"DROP\s+CONSTRAINT\s+({_IDENT})\s*$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        meta = cat.drop_constraint(table, _unquote(m.group(2)), branch)
+        return "ALTER TABLE", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
         rf"ADD\s+COLUMN\s+({_IDENT})\s+([\w()<>,\s]+?)\s*$",
         q,
     )
@@ -1177,6 +1225,13 @@ def show_create_table(cat, spark, query: str, branch: str):
             "unsupported SHOW shape; expected SHOW CREATE TABLE <t>"
         )
     table = _unquote(m.group(1))
+    if table in cat.list_views(branch):
+        v = cat.load_view(table, branch)
+        stmt = f"CREATE VIEW {table}"
+        if v.get("comment"):
+            stmt += f" COMMENT '{v['comment'].replace(chr(39), chr(39) * 2)}'"
+        stmt += f" AS {v['sql']}"
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
     meta = cat.load_table(table, branch)  # KeyError if unknown
     # simpleString as-is: uppercasing it would also uppercase FIELD
     # NAMES inside nested struct types (struct<x:int> -> STRUCT<X:INT>)
@@ -1222,9 +1277,71 @@ def _exec_truncate(cat, spark, query: str, branch: str):
     return "TRUNCATE TABLE", table, meta
 
 
+def _exec_create_view(cat, spark, query: str, branch: str):
+    """``CREATE [OR REPLACE] VIEW [IF NOT EXISTS] <v> [COMMENT '..']
+    AS <select>`` — the definition persists in the catalog commit
+    (branch-addressed, versioned, published by the same fast-forward
+    CAS as table changes; ``Catalog.create_view`` is the API
+    equivalent). The body is stored VERBATIM and re-resolved against
+    snapshot-pinned views on every ``Catalog.sql`` call — Iceberg's
+    late-binding view semantics."""
+    m = re.match(
+        rf"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
+        rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
+        rf"(?:COMMENT\s+'((?:[^']|'')*)'\s+)?AS\s+(.+)$",
+        query.strip().rstrip(";"),
+    )
+    if not m:
+        raise ValueError(
+            "unsupported CREATE VIEW shape; expected CREATE [OR REPLACE] "
+            "VIEW [IF NOT EXISTS] <v> [COMMENT '...'] AS <select> "
+            "(Catalog.create_view is the API equivalent)"
+        )
+    name = _unquote(m.group(3))
+    comment = m.group(4).replace("''", "'") if m.group(4) else None
+    cat.create_view(
+        name,
+        m.group(5).strip(),
+        branch,
+        replace=bool(m.group(1)),
+        if_not_exists=bool(m.group(2)),
+        comment=comment,
+        spark=spark,
+    )
+    return "CREATE VIEW", name, None
+
+
+def _exec_drop_view(cat, spark, query: str, branch: str):
+    m = re.match(
+        rf"(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$",
+        query,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported DROP VIEW shape; expected DROP VIEW [IF EXISTS] <v>"
+        )
+    name = _unquote(m.group(2))
+    if name not in cat.list_views(branch):
+        # not a catalog view: pass through to Spark so session temp
+        # views still drop (same fall-through contract as DROP TABLE
+        # on a non-catalog name — a catalog-only no-op would report
+        # success while the temp view survived)
+        spark.sql(query)
+        return "DROP VIEW", name, None
+    cat.drop_view(name, branch, if_exists=bool(m.group(1)))
+    # the pinned temp view from this sql() call's registration must not
+    # survive the drop (DROP then SELECT would silently still resolve)
+    spark.catalog.dropTempView(name)
+    return "DROP VIEW", name, None
+
+
 def execute_dml(cat, spark, query: str, branch: str):
     """Route one DML statement; returns (operation, table, metadata)."""
     kind = dml_kind(query)
+    if kind == "CREATE_VIEW":
+        return _exec_create_view(cat, spark, query, branch)
+    if kind == "DROP_VIEW":
+        return _exec_drop_view(cat, spark, query, branch)
     if kind == "MERGE":
         return _exec_merge(cat, spark, query, branch)
     if kind == "UPDATE":

@@ -1985,3 +1985,115 @@ def catalog_metadata_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(dropped)).alias("dropped_files"),
         )
     )
+
+
+@register(
+    "catalog_sql_views",
+    """
+    WITH urgent AS (
+      SELECT o_custkey, o_totalprice FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM urgent GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM per_cust WHERE n_orders >= 2
+    """,
+    doc="catalog-persisted SQL views end-to-end (Iceberg view-spec "
+    "parity; the reference has no view surface): CREATE VIEW urgent "
+    "over the orders table, CREATE VIEW per_cust OVER the first view, "
+    "then aggregate through the outer view — definitions live in the "
+    "commit payload (branch-addressed, versioned, zero-copy, "
+    "published by the same fast-forward CAS as tables) and re-resolve "
+    "late-binding against snapshot-pinned table views on every "
+    "Catalog.sql call. The oracle inlines both definitions as CTEs.",
+)
+def catalog_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("sqlviews_"))
+    cat.create_table_from_df(orders, "orders")
+    cat.sql(
+        spark,
+        "CREATE VIEW urgent AS SELECT o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderpriority = '1-URGENT'",
+    )
+    cat.sql(
+        spark,
+        "CREATE VIEW per_cust AS SELECT o_custkey, "
+        "COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend "
+        "FROM urgent GROUP BY o_custkey",
+    )
+    return cat.sql(
+        spark,
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(SUM(n_orders) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend "
+        "FROM per_cust WHERE n_orders >= 2",
+    )
+
+
+@register(
+    "catalog_check_constraints",
+    """
+    WITH base AS (
+      SELECT * FROM orders WHERE o_totalprice > 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS violation_rejected,
+           TRUE AS nothing_partial
+    FROM base GROUP BY o_orderstatus
+    """,
+    doc="table CHECK constraints end-to-end (Delta parity; enforcement "
+    "folds into the write expression — zero extra passes at any batch "
+    "size): positive-price orders seed the table, ALTER TABLE ADD "
+    "CONSTRAINT CHECK (o_totalprice > 0) validates them, a poisoned "
+    "batch (one negated price) must abort with NOTHING committed, and "
+    "the in-plan booleans assert exactly that (violation raised AND "
+    "snapshot count unchanged). Oracle = the clean rows.",
+)
+def catalog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("checks_"))
+    clean = orders.filter(F.col("o_totalprice") > 0)
+    cat.create_table_from_df(clean, "o")
+    cat.sql(
+        spark,
+        "ALTER TABLE o ADD CONSTRAINT pos_price CHECK (o_totalprice > 0)",
+    )
+    before = cat.load_table("o").current_snapshot_id
+    poisoned = orders.limit(50).withColumn(
+        "o_totalprice", -F.abs(F.col("o_totalprice")) - F.lit(1.0)
+    )
+    rejected = False
+    try:
+        cat.append(poisoned, "o")
+    except Exception as ex:  # the constraint guard aborts the write job
+        rejected = "pos_price" in str(ex)
+    unchanged = cat.load_table("o").current_snapshot_id == before
+    return (
+        cat.read(spark, "o")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.lit(bool(rejected)).alias("violation_rejected"),
+            F.lit(bool(unchanged)).alias("nothing_partial"),
+        )
+    )

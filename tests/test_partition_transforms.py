@@ -376,3 +376,71 @@ def test_partition_evolution_compact_migrates_layout(spark, warehouse):
     assert sorted(map(tuple, cat.read(spark, "ev").collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+# ----------------------------------------------------------------------
+# write distribution (Iceberg write.distribution-mode)
+# ----------------------------------------------------------------------
+def _dist_df(spark):
+    # 8 round-robin input partitions, each holding rows of all 3 months:
+    # an unclustered write would emit up to 8 files PER month
+    return (
+        spark.createDataFrame(
+            [
+                (dt.datetime(2024, m, 1 + (i % 5), 6), i)
+                for i in range(60)
+                for m in (1, 2, 3)
+            ],
+            "ts timestamp, v long",
+        )
+        .repartition(8)
+    )
+
+
+def _n_files(cat, table):
+    return len(cat.load_table(table).files())
+
+
+def test_partitioned_write_clusters_by_default(spark, warehouse):
+    """Default hash distribution: one write task per partition value, so
+    the file count equals the partition count — not tasks x partitions
+    (the small-files explosion at 100 TB)."""
+    cat = Catalog(warehouse)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    cat.create_table("t", schema, partition_by=["month(ts)"])
+    cat.append(_dist_df(spark), "t")
+    assert _n_files(cat, "t") == 3
+    assert cat.read(spark, "t").count() == 180
+
+
+def test_distribution_mode_none_and_range(spark, warehouse):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "t_none",
+        schema,
+        partition_by=["month(ts)"],
+        properties={"write.distribution-mode": "none"},
+    )
+    cat.append(_dist_df(spark), "t_none")
+    assert _n_files(cat, "t_none") > 3  # unclustered: tasks x partitions
+    cat.create_table(
+        "t_range",
+        schema,
+        partition_by=["month(ts)"],
+        properties={"write.distribution-mode": "range"},
+    )
+    cat.append(_dist_df(spark), "t_range")
+    assert _n_files(cat, "t_range") == 3
+    # distribution is layout-only: results identical across modes
+    a = sorted(tuple(r) for r in cat.read(spark, "t_none").collect())
+    b = sorted(tuple(r) for r in cat.read(spark, "t_range").collect())
+    assert a == b and len(a) == 180

@@ -71,6 +71,8 @@ SINGLE_OK = {
     "catalog_schema_evolution",  # single-row final table summary
     "catalog_files_metadata",  # aggregate over O(files) manifest rows
     "catalog_rollback_read",  # single-row final table summary
+    "catalog_sql_views",  # single-row summary through the outer view
+    # (the per_cust inner view aggregates with a normal hash exchange)
 }
 
 
