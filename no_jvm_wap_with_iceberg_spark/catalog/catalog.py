@@ -3282,19 +3282,49 @@ class Catalog:
         branch: str = MAIN,
         target_file_mb: int = 128,
         min_files: int = 1,
+        mode: str = "full",
     ) -> TableMetadata:
         """Rewrite the table's live files into ~``target_file_mb`` files
         (small-file compaction). Contents are unchanged — the commit is
         an 'overwrite' snapshot holding the rewritten files, so readers
         of older snapshots still see the original layout.
+        ``mode="binpack"`` rewrites ONLY undersized or delete-carrying
+        files (Iceberg's binpack strategy — O(small + deleted) cost,
+        not O(table)); right-sized clean files carry over untouched in
+        a 'rewrite' commit.
 
         Streaming WAP ingest produces one small file set per
         micro-batch; at 100 TB uncompacted tables die by a thousand
         file-open costs. Run this off the write path (it's a normal
         optimistic commit — concurrent appends win or retry).
         """
+        if mode not in ("full", "binpack"):
+            raise ValueError(f"mode must be full|binpack, got {mode!r}")
+
         def build(meta: TableMetadata):
             with_conds = meta.files_with_deletes()
+            if mode == "binpack":
+                # Iceberg's binpack strategy: rewrite ONLY the files
+                # that need it — smaller than 3/4 of the target, or
+                # carrying pending MoR deletes — and carry the rest
+                # over untouched. At 100 TB a full rewrite to fix a
+                # thousand streaming micro-batch files is absurd;
+                # binpack's cost is O(small + deleted), not O(table).
+                # Trade-offs vs mode="full" (both documented Iceberg
+                # behavior): carried files keep overlapping sort-key
+                # ranges with the rewritten set (pruning is merely as
+                # good as before, never worse), and rename-history
+                # indirection only retires for the rewritten files.
+                thresh = target_file_mb * 1024 * 1024 * 3 // 4
+                with_conds = [
+                    (f, c)
+                    for f, c in with_conds
+                    if c or f.bytes < thresh
+                ]
+                if len(with_conds) < 2 and not any(
+                    c for _f, c in with_conds
+                ):
+                    return None, ""  # nothing worth rewriting
             files = [f for f, _ in with_conds]
             total_bytes = sum(f.bytes for f in files)
             n_out = max(
@@ -3331,6 +3361,24 @@ class Catalog:
                 df = df.repartition(n_out)
                 layout_done = False
             new_files = self._write_files(df, meta, table, layout_done=layout_done)
+            if mode == "binpack":
+                # 'rewrite' (not 'overwrite' — that is a chain barrier
+                # and would drop the carried files): inputs leave via
+                # removed_paths, carried files stay where they are.
+                # Rewritten rows get a NEW add-era, so pending delete
+                # specs (already folded in) cannot re-apply to them;
+                # specs keep applying to their remaining carried
+                # targets untouched.
+                return (
+                    meta.with_new_snapshot(
+                        new_files,
+                        "rewrite",
+                        removed_paths=sorted(f.path for f in files),
+                        extra_summary={"cdc": "none"},
+                    ),
+                    f"COMPACT BINPACK {table} "
+                    f"({len(files)} -> {len(new_files)} files)",
+                )
             return (
                 meta.with_new_snapshot(
                     new_files, "overwrite", extra_summary={"cdc": "none"}

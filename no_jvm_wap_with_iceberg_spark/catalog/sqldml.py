@@ -1429,8 +1429,11 @@ def execute_call(cat, spark, query: str, branch: str):
       ``orphan_file_location`` rows (Iceberg's output column). The
       grace window defaults to hours, exactly like the API — pass
       ``older_than_ms => 0`` only with no concurrent writers
-    - ``rewrite_data_files(table, target_file_mb, min_files)``
-      -> :meth:`Catalog.compact`; returns rewritten/added file counts
+    - ``rewrite_data_files(table, target_file_mb, min_files,
+      strategy)`` -> :meth:`Catalog.compact`; ``strategy`` is
+      ``'full'`` (alias ``'sort'``, Iceberg's clustered full pass) or
+      ``'binpack'`` (undersized/delete-carrying files only); returns
+      rewritten/added file counts
     - ``rollback_to_snapshot(table, snapshot_id)``
       -> :meth:`Catalog.rollback`; returns previous/current ids
     - ``cherrypick_snapshot(table, snapshot_id, source)``
@@ -1503,9 +1506,17 @@ def execute_call(cat, spark, query: str, branch: str):
         table = str(arg("table"))
         target = int(arg("target_file_mb", default=128))
         min_files = int(arg("min_files", default=1))
+        strategy = str(arg("strategy", default="full"))
+        if strategy == "sort":  # Iceberg's name for the full clustered pass
+            strategy = "full"
         before = len(cat.load_table(table, branch).files())
         meta = cat.compact(
-            spark, table, branch, target_file_mb=target, min_files=min_files
+            spark,
+            table,
+            branch,
+            target_file_mb=target,
+            min_files=min_files,
+            mode=strategy,
         )
         return done(
             [(table, before, len(meta.files()))],

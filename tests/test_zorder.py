@@ -206,3 +206,86 @@ def test_compact_ignores_stale_zorder_property(spark, warehouse):
     cat.compact(spark, "t", target_file_mb=1, min_files=4)
     cat.set_properties("t", zorder_by=None)
     assert "zorder_by" not in cat.load_table("t").properties
+
+
+# ----------------------------------------------------------------------
+# binpack compaction (Iceberg rewrite_data_files strategy=binpack)
+# ----------------------------------------------------------------------
+def test_binpack_rewrites_only_small_and_deleted(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("t", schema)
+    # one big file (incompressible values so it clears the MB-floor
+    # threshold), several small micro-batch files
+    cat.append(
+        spark.range(0, 200000).select(
+            F.col("id"), F.xxhash64(F.col("id")).alias("v")
+        ).coalesce(1),
+        "t",
+    )
+    big_path = cat.load_table("t").files()[0].path
+    for lo in (200000, 200010, 200020):
+        cat.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id"), F.xxhash64(F.col("id")).alias("v")
+            ).coalesce(1),
+            "t",
+        )
+    meta0 = cat.load_table("t")
+    assert len(meta0.files()) == 4
+    big_bytes = next(f.bytes for f in meta0.files() if f.path == big_path)
+    assert big_bytes > 1024 * 1024  # must clear the 0.75*target floor
+
+    # threshold below the big file: binpack must carry it byte-identical
+    target_mb = max(1, int(big_bytes / (1024 * 1024 * 0.75)))
+    meta = cat.compact(spark, "t", target_file_mb=target_mb, mode="binpack")
+    paths = {f.path for f in meta.files()}
+    assert big_path in paths  # carried, not rewritten
+    assert len(paths) == 2  # big + one packed file
+    assert meta.snapshots[-1].operation == "rewrite"
+    assert cat.read(spark, "t").count() == 200030
+    # a second binpack is a no-op (one small packed file left, clean)
+    v0 = cat.load_table("t").current_snapshot_id
+    cat.compact(spark, "t", target_file_mb=target_mb, mode="binpack")
+    assert cat.load_table("t").current_snapshot_id == v0
+
+
+def test_binpack_folds_pending_deletes_on_targeted_files(spark, warehouse):
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("t", schema)
+    cat.append(
+        spark.range(0, 100).select(F.col("id"), F.col("id").alias("v")).coalesce(1),
+        "t",
+    )
+    cat.append(
+        spark.range(100, 200).select(F.col("id"), F.col("id").alias("v")).coalesce(1),
+        "t",
+    )
+    cat.delete_where(
+        spark, "t", Predicate.between("id", 10, 19), "id BETWEEN 10 AND 19",
+        mode="mor",
+    )
+    meta = cat.compact(spark, "t", mode="binpack")
+    # the pending delete folded into the rewrite and no spec applies
+    # to any live file anymore
+    assert not meta.has_pending_deletes()
+    out = cat.read(spark, "t")
+    assert out.count() == 190
+    assert out.filter("id BETWEEN 10 AND 19").count() == 0
+    # re-inserting the deleted ids works (delete must not re-apply)
+    cat.append(
+        spark.range(10, 20).select(F.col("id"), F.lit(-1).alias("v")).coalesce(1),
+        "t",
+    )
+    assert cat.read(spark, "t").count() == 200
