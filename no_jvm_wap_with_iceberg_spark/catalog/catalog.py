@@ -1073,17 +1073,29 @@ class Catalog:
         )
 
     def _align_schema(self, df: DataFrame, meta: TableMetadata) -> DataFrame:
-        """Project/cast the batch to the table schema (strict names)."""
+        """Project/cast the batch to the table schema (strict names;
+        columns with a declared default may be omitted — the write
+        fills the default literal, Iceberg v3 write-default)."""
         from pyspark.sql import functions as F
 
         target = meta.spark_schema
         have = {f.name for f in df.schema.fields}
         need = [f.name for f in target.fields]
-        missing = [n for n in need if n not in have]
+        defaults = meta.column_defaults
+        missing = [n for n in need if n not in have and n not in defaults]
         if missing:
             raise ValueError(f"batch missing columns {missing} for table {meta.table!r}")
         return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+            *[
+                (
+                    F.expr(defaults[f.name])
+                    if f.name not in have
+                    else F.col(f.name)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in target.fields
+            ]
         )
 
     def append(
@@ -2224,6 +2236,64 @@ class Catalog:
         schema = meta.spark_schema
         hist = meta.rename_history
 
+        # column DEFAULTS (Iceberg v3 initial defaults): a file that
+        # physically LACKS the column was written before the column
+        # existed, so its rows read as the default literal, not NULL —
+        # and genuine NULLs in post-add files stay NULL (this is why a
+        # plain coalesce(col, default) would be WRONG). Physical
+        # presence comes from the manifest (FileEntry.columns holds one
+        # entry per footer column chunk; struct columns appear as
+        # dotted leaf paths). Identity partition columns are excluded —
+        # they are never in the data files (their value attaches from
+        # the manifest).
+        pcols_identity = set(meta.identity_partition_cols or [])
+        defaults = {
+            c: v
+            for c, v in meta.column_defaults.items()
+            if c not in pcols_identity
+        }
+        need_default: dict[str, set[str]] = {}
+        for c in defaults:
+            cnames = [c] + list(hist.get(c, ()))
+            lacking = {
+                f.path
+                for f in files
+                if not any(
+                    k == n or k.startswith(n + ".")
+                    for k in f.columns
+                    for n in cnames
+                )
+            }
+            if lacking:
+                need_default[c] = lacking
+        def attach_defaults(df: DataFrame, key_col: str) -> DataFrame:
+            """Join per-file has-column booleans on the url-decoded
+            absolute path in ``key_col`` (broadcast, O(files))."""
+            if not need_default:
+                return df
+            flags = list(need_default)
+            frame = spark.createDataFrame(
+                [
+                    tuple(
+                        [os.path.join(self.warehouse, f.path)]
+                        + [f.path not in need_default[c] for c in flags]
+                    )
+                    for f in files
+                ],
+                ", ".join(
+                    [f"{key_col} string"]
+                    + [f"__dflt_has_{i} boolean" for i in range(len(flags))]
+                ),
+            )
+            return df.join(F.broadcast(frame), key_col)
+
+        def with_default(f: T.StructField, expr):
+            if f.name not in need_default:
+                return expr
+            i = list(need_default).index(f.name)
+            d = F.expr(defaults[f.name]).cast(f.dataType)
+            return F.when(F.col(f"__dflt_has_{i}"), expr).otherwise(d)
+
         def scan_schema(base: T.StructType) -> T.StructType:
             if not hist:
                 return base
@@ -2236,14 +2306,15 @@ class Catalog:
 
         def fold(f: T.StructField):
             olds = hist.get(f.name, ())
-            if not olds:
-                return F.col(f.name)
-            return F.coalesce(F.col(f.name), *[F.col(o) for o in olds]).alias(
-                f.name
+            expr = (
+                F.coalesce(F.col(f.name), *[F.col(o) for o in olds])
+                if olds
+                else F.col(f.name)
             )
+            return with_default(f, expr).alias(f.name)
 
         def unrename(df: DataFrame, base: T.StructType) -> DataFrame:
-            if not hist:
+            if not hist and not need_default:
                 return df
             keep = [c for c in df.columns if c == "__mor_path"]
             return df.select(
@@ -2264,6 +2335,16 @@ class Catalog:
             # name alone) — a plain multi-path scan is exact, no
             # partition attach needed
             df = spark.read.schema(scan_schema(schema)).parquet(*paths)
+            if need_default:
+                # _metadata is unavailable past the join: derive the
+                # path BEFORE attaching, copy it for the MoR tag after
+                df = attach_defaults(
+                    df.withColumn("__dflt_path", _file_path_col()),
+                    "__dflt_path",
+                )
+                if with_path:
+                    df = df.withColumn("__mor_path", F.col("__dflt_path"))
+                return unrename(df, schema)
             if with_path:
                 df = df.withColumn("__mor_path", _file_path_col())
             return unrename(df, schema)
@@ -2308,6 +2389,8 @@ class Catalog:
                 .withColumn("__pf_path", _file_path_col())
                 .join(F.broadcast(pframe), "__pf_path")
             )
+            if need_default:
+                df = attach_defaults(df, "__pf_path")
             cols = []
             for f in schema.fields:
                 olds = hist.get(f.name, ())
@@ -2316,11 +2399,20 @@ class Catalog:
                     if olds
                     else F.col(f.name)
                 )
-                cols.append(expr.cast(f.dataType).alias(f.name))
+                cols.append(
+                    with_default(f, expr).cast(f.dataType).alias(f.name)
+                )
             if with_path:
                 cols.append(F.col("__pf_path").alias("__mor_path"))
             return df.select(*cols)
         df = spark.read.schema(scan_schema(schema)).parquet(*paths)
+        if need_default:
+            df = attach_defaults(
+                df.withColumn("__dflt_path", _file_path_col()), "__dflt_path"
+            )
+            if with_path:
+                df = df.withColumn("__mor_path", F.col("__dflt_path"))
+            return unrename(df, schema)
         if with_path:
             df = df.withColumn("__mor_path", _file_path_col())
         return unrename(df, schema)
@@ -2483,7 +2575,12 @@ class Catalog:
     # pyiceberg_patch_nessie.py:230-264; Iceberg-on-Spark has it native)
     # ------------------------------------------------------------------
     def add_column(
-        self, table: str, name: str, data_type: str, branch: str = MAIN
+        self,
+        table: str,
+        name: str,
+        data_type: str,
+        branch: str = MAIN,
+        default: str | None = None,
     ) -> TableMetadata:
         """Add a nullable column (metadata-only — no data rewrite).
 
@@ -2491,8 +2588,33 @@ class Catalog:
         table schema to the Parquet reader, which fills missing columns
         with NULLs — the same lazy widening Iceberg does. Appends after
         the change must include the column (alignment is strict).
+
+        ``default`` (a SQL LITERAL string, e.g. ``"5"``, ``"'eu'"``,
+        ``"TIMESTAMP '2024-01-01 00:00:00'"``) declares an Iceberg-v3
+        style default: rows in files written BEFORE the column existed
+        read as the literal (genuine NULLs written after stay NULL —
+        presence is per-file physical, via the manifest), and writers
+        may omit the column (the write fills it). Only literals are
+        accepted — an arbitrary expression could break every future
+        read of the table.
         """
         from pyspark.sql import types as T
+
+        if default is not None:
+            from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+                _parse_lit,
+            )
+
+            if default.strip().upper() == "NULL":
+                raise ValueError(
+                    "a NULL default is the no-default behavior; omit it"
+                )
+            try:
+                _parse_lit(default.strip())
+            except ValueError as ex:
+                raise ValueError(
+                    f"default for {name!r} must be a plain SQL literal: {ex}"
+                )
 
         def build(meta: TableMetadata):
             schema = meta.spark_schema
@@ -2518,6 +2640,9 @@ class Catalog:
                 schema.fields
                 + [T.StructField(name, T._parse_datatype_string(data_type), True)]
             )
+            props = dict(meta.properties)
+            if default is not None:
+                props[f"default.{name}"] = default.strip()
             return (
                 TableMetadata(
                     table=meta.table,
@@ -2527,7 +2652,7 @@ class Catalog:
                     version=meta.version + 1,
                     partition_by=meta.partition_by,
                     sort_by=meta.sort_by,
-                    properties=meta.properties,
+                    properties=props,
                 ),
                 f"ADD COLUMN {table}.{name}",
             )
@@ -2618,6 +2743,7 @@ class Catalog:
             if name not in seen_drops:
                 seen_drops.append(name)
             props["dropped_columns"] = ",".join(seen_drops)
+            props.pop(f"default.{name}", None)
             return (
                 TableMetadata(
                     table=meta.table,
@@ -2743,6 +2869,8 @@ class Catalog:
                 props["bloom_cols"] = ",".join(
                     new if c == old else c for c in blooms
                 )
+            if f"default.{old}" in props:
+                props[f"default.{new}"] = props.pop(f"default.{old}")
             return (
                 TableMetadata(
                     table=meta.table,

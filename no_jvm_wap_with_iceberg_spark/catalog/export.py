@@ -96,6 +96,8 @@ def duckdb_view_sql(
             and all(p in known for p in pf)  # dropped cols = extra
             for pf in per_file  # EVERY file must match the schema
         )
+        defaults = meta.column_defaults
+        need_filename = False
         if uniform:
             proj, union = star, ""
         else:
@@ -104,18 +106,39 @@ def duckdb_view_sql(
                 if f in identity:
                     items.append(f)
                     continue
-                carried = [
-                    c for c in [f] + list(hist.get(f, ())) if c in present
+                names = [f] + list(hist.get(f, ()))
+                carried = [c for c in names if c in present]
+                dflt = defaults.get(f)
+                # files in THIS group lacking the column physically:
+                # their rows read as the default, matching the Spark
+                # read path exactly (genuine NULLs stay NULL)
+                lacking = [
+                    os.path.join(cat.warehouse, e.path)
+                    for e, pf in zip(entries, per_file)
+                    if not any(n in pf for n in names)
                 ]
                 if not carried:
-                    items.append(f"NULL AS {f}")
-                elif carried == [f]:
-                    items.append(f)
+                    items.append(
+                        f"{dflt} AS {f}" if dflt is not None else f"NULL AS {f}"
+                    )
+                    continue
+                if carried == [f]:
+                    expr = f
                 elif len(carried) == 1:
-                    items.append(f"{carried[0]} AS {f}")
+                    expr = carried[0]
                 else:
-                    items.append(f"COALESCE({', '.join(carried)}) AS {f}")
+                    expr = f"COALESCE({', '.join(carried)})"
+                if dflt is not None and lacking:
+                    need_filename = True
+                    in_list = ", ".join(_sql_quote(p) for p in sorted(lacking))
+                    expr = (
+                        f"CASE WHEN filename IN ({in_list}) "
+                        f"THEN {dflt} ELSE {expr} END"
+                    )
+                items.append(f"{expr} AS {f}" if expr != f else f)
             proj, union = ", ".join(items), ", union_by_name = true"
+        if need_filename:
+            union += ", filename = true"
         file_list = ", ".join(_sql_quote(p) for p in sorted(paths))
         # composite equality deletes need a correlated NOT EXISTS
         # (DuckDB's IN-subquery is single-column only), which needs an

@@ -1052,13 +1052,18 @@ def _exec_alter(cat, spark, query: str, branch: str):
         return "ALTER TABLE", table, meta
     m = re.match(
         rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
-        rf"ADD\s+COLUMN\s+({_IDENT})\s+([\w()<>,\s]+?)\s*$",
+        rf"ADD\s+COLUMN\s+({_IDENT})\s+([\w()<>,\s]+?)"
+        rf"(?:\s+DEFAULT\s+({_LIT}))?\s*$",
         q,
     )
     if m:
         table = _unquote(m.group(1))
         meta = cat.add_column(
-            table, _unquote(m.group(2)), m.group(3).strip(), branch
+            table,
+            _unquote(m.group(2)),
+            m.group(3).strip(),
+            branch,
+            default=m.group(4),
         )
         return "ALTER ADD COLUMN", table, meta
     m = re.match(

@@ -440,6 +440,18 @@ class TableMetadata:
     def row_count(self, snapshot_id: int | None = None) -> int:
         return sum(f.rows for f in self.files(snapshot_id))
 
+    @property
+    def column_defaults(self) -> dict[str, str]:
+        """``{column: SQL literal text}`` from ``default.<col>``
+        properties (Iceberg v3 initial/write defaults): rows written
+        before the column existed read as the literal instead of NULL,
+        and writers may omit the column."""
+        return {
+            k[len("default."):]: v
+            for k, v in self.properties.items()
+            if k.startswith("default.")
+        }
+
     def null_count(self, column: str, snapshot_id: int | None = None) -> int | None:
         """Exact null count from file stats, or None if any file lacks them."""
         names = [column] + list(self.rename_history.get(column, ()))

@@ -2097,3 +2097,57 @@ def catalog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(unchanged)).alias("nothing_partial"),
         )
     )
+
+
+@register(
+    "catalog_column_defaults",
+    """
+    WITH pre AS (
+      SELECT o_orderkey, o_totalprice, 'unrated' AS tier
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    post AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice >= 150000 THEN 'high' END AS tier
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+    SELECT COALESCE(tier, '<null>') AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM unioned GROUP BY COALESCE(tier, '<null>')
+    """,
+    doc="column DEFAULT values (Iceberg v3 initial+write defaults): "
+    "even orders land BEFORE the column exists, ADD COLUMN tier "
+    "DEFAULT 'unrated' commits metadata-only, odd orders land after "
+    "with explicit values INCLUDING genuine NULLs. Pre-add rows must "
+    "read the default while post-add NULLs stay NULL — per-file "
+    "physical presence from the manifest, never value coalescing. "
+    "The oracle rebuilds both eras with plain SQL.",
+)
+def catalog_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("defaults_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o"
+    )
+    cat.sql(spark, "ALTER TABLE o ADD COLUMN tier string DEFAULT 'unrated'")
+    cat.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "tier",
+            F.when(F.col("o_totalprice") >= 150000, F.lit("high")),
+        ),
+        "o",
+    )
+    return (
+        cat.read(spark, "o")
+        .groupBy(F.coalesce(F.col("tier"), F.lit("<null>")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+    )
