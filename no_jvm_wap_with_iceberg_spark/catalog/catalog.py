@@ -3579,7 +3579,7 @@ class Catalog:
         return self._optimistic_commit(table, branch, build)
 
     def expire_snapshots(
-        self, table: str, branch: str = MAIN, keep_last: int = 1
+        self, table: str, branch: str = MAIN, keep_last: int | None = None
     ) -> TableMetadata:
         """Squash history older than the last ``keep_last`` snapshots
         into a synthetic base snapshot (metadata-only; data files are
@@ -3587,12 +3587,36 @@ class Catalog:
 
         Keeps snapshot ids stable for the retained tail so incremental
         readers holding a recent snapshot id keep working.
+
+        ``keep_last=None`` resolves the retention policy from Iceberg's
+        table properties: at least
+        ``history.expire.min-snapshots-to-keep`` (default 1) are kept,
+        extended to cover every snapshot younger than
+        ``history.expire.max-snapshot-age-ms`` when that is set — so a
+        cron-driven ``maintain`` honors per-table retention without
+        per-call tuning.
         """
         def build(meta: TableMetadata):
             snaps = sorted(meta.snapshots, key=lambda s: s.snapshot_id)
-            if len(snaps) <= keep_last:
+            keep = keep_last
+            if keep is None:
+                keep = int(
+                    meta.properties.get(
+                        "history.expire.min-snapshots-to-keep", 1
+                    )
+                )
+                max_age = meta.properties.get(
+                    "history.expire.max-snapshot-age-ms"
+                )
+                if max_age is not None:
+                    cutoff_ms = int(time.time() * 1000) - int(max_age)
+                    young = sum(
+                        1 for s in snaps if s.timestamp_ms >= cutoff_ms
+                    )
+                    keep = max(keep, young)
+            if len(snaps) <= keep:
                 return None, ""
-            kept = snaps[-keep_last:]
+            kept = snaps[-keep:]
             cutoff = kept[0]
             new_snaps = []
             # An 'overwrite' cutoff already carries the full live file set —
@@ -3679,7 +3703,7 @@ class Catalog:
                             timestamp_ms=cutoff.timestamp_ms,
                             operation="overwrite" if prev_id is None else op,
                             added_files=era_files,
-                            summary={"expired-history": len(snaps) - keep_last},
+                            summary={"expired-history": len(snaps) - keep},
                             deletes=dels,
                         )
                     )
@@ -3826,9 +3850,21 @@ class Catalog:
                 branch,
                 target_file_mb=target_file_mb,
                 min_files=1,
+                mode=meta.properties.get("compaction.strategy", "full"),
             )
             report["compacted"] = True
-        self.expire_snapshots(table, branch, keep_last=keep_last_snapshots)
+        # declared per-table retention properties take precedence over
+        # the call-site default (the cron body shouldn't need tuning)
+        has_policy = any(
+            k in meta.properties
+            for k in (
+                "history.expire.min-snapshots-to-keep",
+                "history.expire.max-snapshot-age-ms",
+            )
+        )
+        self.expire_snapshots(
+            table, branch, keep_last=None if has_policy else keep_last_snapshots
+        )
         orphans = self.remove_orphan_files(
             table, dry_run=not delete_orphans, older_than_ms=orphan_grace_ms
         )

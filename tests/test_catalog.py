@@ -959,3 +959,90 @@ def test_cherrypick_refuses_diverged_partition_spec(spark, warehouse):
     sid = cat.load_table("p", "wap").current_snapshot_id
     with pytest.raises(ValueError, match="partition spec"):
         cat.cherrypick_snapshot("p", sid, from_branch="wap")
+
+
+# ----------------------------------------------------------------------
+# retention policy table properties (Iceberg history.expire.*)
+# ----------------------------------------------------------------------
+def test_expire_honors_retention_properties(spark, warehouse):
+    import time as _time
+
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "t",
+        schema,
+        properties={"history.expire.min-snapshots-to-keep": "2"},
+    )
+    for lo in range(0, 50, 10):
+        cat.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id"), F.col("id").alias("v")
+            ).coalesce(1),
+            "t",
+        )
+    assert len(cat.load_table("t").snapshots) == 5
+    cat.expire_snapshots("t")  # keep_last=None -> property (2)
+    meta = cat.load_table("t")
+    # 2 retained + the squashed synthetic base
+    assert len(meta.snapshots) <= 3
+    assert cat.read(spark, "t").count() == 50
+    # age-based extension: everything is younger than 1 h, so a
+    # max-age policy keeps ALL snapshots despite min-keep=2
+    cat2 = Catalog(str(warehouse) + "2")
+    cat2.create_table(
+        "t",
+        schema,
+        properties={
+            "history.expire.min-snapshots-to-keep": "1",
+            "history.expire.max-snapshot-age-ms": str(3600 * 1000),
+        },
+    )
+    for lo in (0, 10, 20):
+        cat2.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id"), F.col("id").alias("v")
+            ).coalesce(1),
+            "t",
+        )
+    cat2.expire_snapshots("t")
+    assert len(cat2.load_table("t").snapshots) == 3  # all young: kept
+    # explicit keep_last still overrides the policy
+    cat2.expire_snapshots("t", keep_last=1)
+    assert cat2.read(spark, "t").count() == 30
+
+
+def test_maintain_uses_declared_policy_and_strategy(spark, warehouse):
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "t",
+        schema,
+        properties={
+            "history.expire.min-snapshots-to-keep": "4",
+            "compaction.strategy": "binpack",
+        },
+    )
+    for lo in range(0, 60, 10):
+        cat.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id"), F.col("id").alias("v")
+            ).coalesce(1),
+            "t",
+        )
+    rep = cat.maintain(spark, "t", small_file_threshold=4)
+    assert rep["compacted"]
+    meta = cat.load_table("t")
+    # binpack commits a 'rewrite', never an 'overwrite' barrier
+    assert all(s.operation != "overwrite" for s in meta.snapshots[6:])
+    # the declared min-keep=4 won over maintain's keep_last default
+    assert len(meta.snapshots) >= 4
+    assert cat.read(spark, "t").count() == 60
