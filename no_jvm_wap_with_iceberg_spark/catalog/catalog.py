@@ -32,7 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import (
     Predicate,
     file_all_match,
+    file_all_match_any,
     prune_files,
+    prune_files_any,
 )
 from no_jvm_wap_with_iceberg_spark.catalog.store import LocalFSStore, RefStore
 from no_jvm_wap_with_iceberg_spark.catalog.table import (
@@ -1240,6 +1242,7 @@ class Catalog:
         branch: str = MAIN,
         mode: str = "cow",
         exact_condition: bool = False,
+        predicate_groups: list[list[Predicate]] | None = None,
     ) -> TableMetadata:
         """Row-level DELETE. ``sql_condition`` is the row-exact filter
         (``predicates`` are its stats-pruning approximation).
@@ -1269,30 +1272,41 @@ class Catalog:
         ``removed_paths``; MoR keeps dropped files in the delete
         spec's targets (replay reads parent-visible state) while the
         read path skips them entirely.
+
+        ``predicate_groups`` (a DNF — OR of AND-groups,
+        ``sqldml.predicate_groups_from_sql``) extends both pruning and
+        the fast path to disjunctive conditions: files may-matching NO
+        group are skipped, and with ``exact_condition=True`` a file
+        proven all-match on ANY single group drops whole.
         """
         from pyspark.sql import functions as F
 
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be cow|mor, got {mode!r}")
+        groups = (
+            [list(g) for g in predicate_groups]
+            if predicate_groups
+            else ([list(predicates)] if predicates else [])
+        )
 
         def build(meta: TableMetadata):
             with_conds = meta.files_with_deletes()
-            affected_raw = prune_files(
+            affected_raw = prune_files_any(
                 [f for f, _ in with_conds],
-                predicates,
+                groups,
                 meta.all_partition_fields,
                 name_history=meta.rename_history,
             )
             if not affected_raw:
                 return None, ""
             whole_paths: set[str] = set()
-            if exact_condition:
+            if exact_condition and groups:
                 whole_paths = {
                     f.path
                     for f in affected_raw
-                    if file_all_match(
+                    if file_all_match_any(
                         f,
-                        predicates,
+                        groups,
                         meta.all_partition_fields,
                         name_history=meta.rename_history,
                     )
@@ -1358,6 +1372,7 @@ class Catalog:
         sql_condition: str,
         set_exprs: dict[str, str],
         branch: str = MAIN,
+        predicate_groups: list[list[Predicate]] | None = None,
     ) -> TableMetadata:
         """Row-level UPDATE (SQL ``UPDATE t SET .. WHERE ..``),
         copy-on-write: rewrite ONLY the files whose stats/partitions
@@ -1385,9 +1400,10 @@ class Catalog:
             if bad:
                 raise ValueError(f"SET columns not in schema: {bad}")
             with_conds = meta.files_with_deletes()
-            affected_raw = prune_files(
+            affected_raw = prune_files_any(
                 [f for f, _ in with_conds],
-                predicates,
+                predicate_groups
+                or ([list(predicates)] if predicates else []),
                 meta.all_partition_fields,
                 name_history=meta.rename_history,
             )

@@ -278,3 +278,45 @@ def file_all_match(
         if not proven:
             return False
     return True
+
+
+def prune_files_any(
+    files: Iterable[FileEntry],
+    groups: Iterable[Iterable[Predicate]],
+    partition_fields: list | None = None,
+    name_history: dict[str, list[str]] | None = None,
+) -> list[FileEntry]:
+    """DNF pruning: keep files that may match ANY group (each group is
+    a conjunction; the groups are OR-ed —
+    ``sqldml.predicate_groups_from_sql``). A row matching the original
+    disjunction satisfies some group, and that group's
+    :func:`prune_files` keeps the row's file, so the union is sound.
+    An empty/universal group keeps everything (prunes nothing).
+    Driver-side O(groups × files) manifest comparisons — no Spark."""
+    files = list(files)
+    gs = [list(g) for g in groups]
+    if not gs or any(not g for g in gs):
+        return files
+    keep: set[str] = set()
+    for g in gs:
+        keep.update(
+            f.path for f in prune_files(files, g, partition_fields, name_history)
+        )
+    return [f for f in files if f.path in keep]
+
+
+def file_all_match_any(
+    f: FileEntry,
+    groups: Iterable[Iterable[Predicate]],
+    partition_fields: list | None = None,
+    name_history: dict[str, list[str]] | None = None,
+) -> bool:
+    """Whole-file proof for a DISJUNCTION: every row satisfies the OR
+    if every row provably satisfies any ONE group (sufficient, not
+    necessary — a file straddling two groups row-by-row is simply not
+    proven and gets the ordinary rewrite)."""
+    return any(
+        file_all_match(f, g, partition_fields, name_history)
+        for g in (list(g) for g in groups)
+        if g
+    )

@@ -304,12 +304,137 @@ def _rewrite_between(cond: str) -> str:
     return "".join(out)
 
 
+_NOT_BETWEEN_PAT = re.compile(
+    rf"(?i)(?<![\w.`])(?P<col>{_IDENT})\s+NOT\s+"
+    rf"BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})"
+)
+
+
+def _rewrite_not_between(cond: str) -> str:
+    """``col NOT BETWEEN a AND b`` -> ``(col < a OR col > b)`` —
+    EXACT (SQL 3VL agrees: NULL col yields NULL either way), and the
+    DNF layer turns the disjunction into two prunable groups. Runs
+    before :func:`_rewrite_between` so the plain-BETWEEN pass never
+    sees (and mangles) the postfix-NOT form."""
+    mask = _quote_mask(cond, backticks=False)
+    out, pos = [], 0
+    for m in _NOT_BETWEEN_PAT.finditer(cond):
+        if m.start() < pos or mask[m.start("col")]:
+            continue
+        out.append(cond[pos : m.start()])
+        col, lo, hi = m.group("col"), m.group("lo"), m.group("hi")
+        out.append(f"({col} < {lo} OR {col} > {hi})")
+        pos = m.end()
+    out.append(cond[pos:])
+    return "".join(out)
+
+
+def _parse_atom(part: str) -> Predicate | None:
+    """One comparison/IS NULL/IN atom -> a Predicate, or None when the
+    text is anything richer (function call, subquery, non-literal
+    side, backslash-escaped literal)."""
+    try:
+        m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NOT\s+NULL$", part)
+        if m:
+            return Predicate.not_null(_unquote(m.group(1)))
+        m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NULL$", part)
+        if m:
+            return Predicate.is_null(_unquote(m.group(1)))
+        m = re.match(
+            rf"(?i)^({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$",
+            part,
+        )
+        if m:
+            vals = [_parse_lit(v) for v in _split_commas(m.group(2))]
+            return Predicate("in", _unquote(m.group(1)), vals)
+        m = re.match(rf"^({_IDENT})\s*(==|<=|>=|=|<|>)\s*({_LIT})$", part)
+        if m:
+            return Predicate(
+                _CMP[m.group(2)], _unquote(m.group(1)), _parse_lit(m.group(3))
+            )
+        m = re.match(rf"^({_LIT})\s*(==|<=|>=|=|<|>)\s*({_IDENT})$", part)
+        if m:
+            return Predicate(
+                _FLIP[_CMP[m.group(2)]],
+                _unquote(m.group(3)),
+                _parse_lit(m.group(1)),
+            )
+    except ValueError:
+        return None  # unparseable literal: prune nothing for it
+    return None
+
+
+_DNF_CAP = 16  # distribution blow-up guard: beyond this, prune nothing
+
+
+def _dnf(text: str) -> tuple[list[list[Predicate]], bool]:
+    """Recursive DNF: OR of AND-groups. An unrecognized atom becomes
+    the UNIVERSAL group member (matches everything — sound for
+    may-match pruning) and flips ``exact`` off."""
+    text = _strip_parens(text)
+    ors = _split_top(text, "OR")
+    if len(ors) > 1:
+        gs: list[list[Predicate]] = []
+        exact = True
+        for d in ors:
+            g, e = _dnf(d)
+            exact = exact and e
+            gs.extend(g)
+            if len(gs) > _DNF_CAP:
+                return [[]], False
+        return gs, exact
+    ands = _split_top(text, "AND")
+    if len(ands) > 1:
+        groups: list[list[Predicate]] = [[]]
+        exact = True
+        for part in ands:
+            g, e = _dnf(part)
+            exact = exact and e
+            groups = [a + b for a in groups for b in g]
+            if len(groups) > _DNF_CAP:
+                return [[]], False
+        return groups, exact
+    p = _parse_atom(text)
+    if p is None:
+        return [[]], False
+    return [[p]], True
+
+
+def predicate_groups_from_sql(
+    cond: str | None,
+) -> tuple[list[list[Predicate]], bool]:
+    """Disjunctive normal form of a WHERE condition for file pruning:
+    a list of AND-groups whose OR covers the condition. A file can
+    hold matching rows only if it may-match SOME group, so pruning
+    unions per-group survivors — sound for arbitrary AND/OR/paren
+    mixes (``pruning.prune_files_any``). ``exact=True`` certifies the
+    groups are EQUIVALENT to the condition (every atom translated,
+    DNF expansion under the cap): the whole-file DELETE fast path may
+    then drop any file PROVEN all-match on a single group (sufficient
+    for the disjunction). A group that collapsed to universal (an
+    unrecognized disjunct) makes the whole DNF prune nothing."""
+    if not cond or not cond.strip():
+        return [], False
+    cond = _rewrite_not_between(cond)
+    cond = _rewrite_between(cond)
+    groups, exact = _dnf(cond)
+    if any(not g for g in groups):
+        # a universal disjunct admits every file; drop ONLY when it
+        # poisons pruning entirely (single-group callers still see the
+        # partial conjunction below)
+        if len(groups) > 1:
+            return [], False
+    return groups, exact
+
+
 def predicates_from_sql(cond: str | None) -> list[Predicate]:
     """Conjunctions of simple comparisons -> file-pruning predicates.
 
-    Anything richer (OR at the top level, functions, non-literal
-    sides) contributes nothing — pruning is an optimization, the
-    row-exact condition still runs inside the primitive."""
+    Anything richer (a top-level OR the DNF layer cannot certify, a
+    function, a non-literal side) contributes nothing — pruning is an
+    optimization, the row-exact condition still runs inside the
+    primitive. Disjunction-aware callers use
+    :func:`predicate_groups_from_sql` instead."""
     return predicates_from_sql_exact(cond)[0]
 
 
@@ -319,66 +444,16 @@ def predicates_from_sql_exact(
     """Like :func:`predicates_from_sql`, plus an exactness flag.
 
     ``exact=True`` certifies the predicate list is EQUIVALENT to the
-    condition — every top-level AND-conjunct translated, no residue,
-    no disjunction — which is the contract
-    ``Catalog.delete_where(exact_condition=True)`` requires before its
-    whole-file metadata fast path may fire (an implied-only list would
-    over-delete). Any untranslated conjunct, OR, NOT BETWEEN, or
-    unparseable literal flips the flag off; the predicates themselves
-    stay usable for ordinary (may-match) pruning either way."""
-    if not cond or not cond.strip():
-        return [], False
-    cond = _strip_parens(cond)
-    if _find_keyword(cond, "OR") >= 0:
-        return [], False  # a disjunction invalidates per-conjunct pruning
-    cond = _rewrite_between(cond)
-    out: list[Predicate] = []
-    exact = True
-    for part in _split_top(cond, "AND"):
-        part = _strip_parens(part)
-        try:
-            m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NOT\s+NULL$", part)
-            if m:
-                out.append(Predicate.not_null(_unquote(m.group(1))))
-                continue
-            m = re.match(rf"(?i)^({_IDENT})\s+IS\s+NULL$", part)
-            if m:
-                out.append(Predicate.is_null(_unquote(m.group(1))))
-                continue
-            m = re.match(
-                rf"(?i)^({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$",
-                part,
-            )
-            if m:
-                vals = [_parse_lit(v) for v in _split_commas(m.group(2))]
-                out.append(Predicate("in", _unquote(m.group(1)), vals))
-                continue
-            m = re.match(rf"^({_IDENT})\s*(==|<=|>=|=|<|>)\s*({_LIT})$", part)
-            if m:
-                out.append(
-                    Predicate(
-                        _CMP[m.group(2)],
-                        _unquote(m.group(1)),
-                        _parse_lit(m.group(3)),
-                    )
-                )
-                continue
-            m = re.match(rf"^({_LIT})\s*(==|<=|>=|=|<|>)\s*({_IDENT})$", part)
-            if m:
-                out.append(
-                    Predicate(
-                        _FLIP[_CMP[m.group(2)]],
-                        _unquote(m.group(3)),
-                        _parse_lit(m.group(1)),
-                    )
-                )
-                continue
-        except ValueError:
-            pass  # unparseable literal: prune nothing for it
-        # unrecognized conjunct: prune nothing for it (and the list is
-        # no longer equivalent to the condition)
-        exact = False
-    return out, exact
+    condition — the contract ``Catalog.delete_where(
+    exact_condition=True)`` requires before its whole-file metadata
+    fast path may fire (an implied-only list would over-delete). Any
+    untranslated conjunct, uncertifiable disjunction, or unparseable
+    literal flips the flag off; the predicates themselves stay usable
+    for ordinary (may-match) pruning either way."""
+    groups, exact = predicate_groups_from_sql(cond)
+    if len(groups) == 1:
+        return groups[0], exact and bool(groups[0])
+    return [], False
 
 
 # ----------------------------------------------------------------------
@@ -432,8 +507,15 @@ def _exec_update(cat, spark, query: str, branch: str):
         k: _strip_table_qualifier(v, table)
         for k, v in _parse_assignments(sets_text, table).items()
     }
+    groups, _exact = predicate_groups_from_sql(cond)
     meta = cat.update_where(
-        spark, table, predicates_from_sql(cond), cond, sets, branch
+        spark,
+        table,
+        groups[0] if len(groups) == 1 else [],
+        cond,
+        sets,
+        branch,
+        predicate_groups=groups if len(groups) > 1 else None,
     )
     return "UPDATE", table, meta
 
@@ -453,9 +535,15 @@ def _exec_delete(cat, spark, query: str, branch: str):
         cond = _strip_table_qualifier(rest[5:].strip(), table)
     else:
         cond = "true"
-    preds, exact = predicates_from_sql_exact(cond)
+    groups, exact = predicate_groups_from_sql(cond)
     meta = cat.delete_where(
-        spark, table, preds, cond, branch, exact_condition=exact
+        spark,
+        table,
+        groups[0] if len(groups) == 1 else [],
+        cond,
+        branch,
+        exact_condition=exact,
+        predicate_groups=groups if len(groups) > 1 else None,
     )
     return "DELETE", table, meta
 

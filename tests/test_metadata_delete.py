@@ -210,9 +210,12 @@ def test_nulls_block_the_fast_path(spark, warehouse):
 
 
 def test_inexact_condition_never_fast_paths(spark, warehouse):
+    """A condition the router cannot CERTIFY (a function call in a
+    disjunct) must never unlock the fast path — plain ORs of simple
+    comparisons are certified by the DNF layer and MAY fast-path."""
     cat = Catalog(warehouse)
     _seed_ranges(cat, spark, "t", [(0, 100)])
-    cat.sql(spark, "DELETE FROM t WHERE id < 100 OR name = 'zzz'")
+    cat.sql(spark, "DELETE FROM t WHERE id < 100 OR lower(name) = 'zzz'")
     meta = cat.load_table("t").snapshots[-1]
     assert "metadata-deleted-files" not in meta.summary
     assert cat.read(spark, "t").count() == 0  # still row-exact
@@ -331,3 +334,71 @@ def test_expire_then_orphan_reclaim_frees_dropped_files(spark, warehouse):
     removed = cat.remove_orphan_files("t", older_than_ms=0)
     assert len(removed) >= 1  # the dropped file is reclaimable now
     assert cat.read(spark, "t").count() == 110
+
+
+# ----------------------------------------------------------------------
+# DNF (OR-aware) pruning + fast path
+# ----------------------------------------------------------------------
+def test_predicate_groups_shapes():
+    from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+        predicate_groups_from_sql,
+    )
+
+    g, exact = predicate_groups_from_sql("id < 5 OR id > 90")
+    assert exact and [len(x) for x in g] == [1, 1]
+    g, exact = predicate_groups_from_sql("(a = 1 AND b = 2) OR c IS NULL")
+    assert exact and sorted(len(x) for x in g) == [1, 2]
+    # distribution: a = 1 AND (b = 2 OR b = 3)
+    g, exact = predicate_groups_from_sql("a = 1 AND (b = 2 OR b = 3)")
+    assert exact and [len(x) for x in g] == [2, 2]
+    # NOT BETWEEN is an exact two-group disjunction now
+    g, exact = predicate_groups_from_sql("x NOT BETWEEN 1 AND 5")
+    assert exact and {p[0].op for p in g} == {"lt", "gt"}
+    # an unrecognized disjunct poisons pruning entirely
+    g, exact = predicate_groups_from_sql("lower(x) = 'a' OR a = 1")
+    assert g == [] and not exact
+    # ...but an unrecognized CONJUNCT only weakens its group
+    g, exact = predicate_groups_from_sql("a = 1 AND lower(x) = 'a'")
+    assert not exact and [p.column for p in g[0]] == ["a"]
+    # literals containing OR stay opaque
+    g, exact = predicate_groups_from_sql("name = 'a OR b' AND id = 1")
+    assert exact and len(g) == 1 and len(g[0]) == 2
+
+
+def test_or_delete_drops_both_edges_metadata_only(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed_ranges(cat, spark, "t", [(0, 100), (100, 200), (200, 300)])
+    files_before = _data_files(warehouse)
+    cat.sql(spark, "DELETE FROM t WHERE id < 100 OR id >= 200")
+    meta = cat.load_table("t").snapshots[-1]
+    assert meta.summary["metadata-deleted-files"] == 2
+    assert meta.summary["added-files"] == 0
+    assert _data_files(warehouse) == files_before  # zero data IO
+    out = cat.read(spark, "t")
+    assert out.count() == 100
+    assert out.agg(F.min("id"), F.max("id")).collect()[0][0:2] == (100, 199)
+
+
+def test_not_between_delete_is_exact_and_fast(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed_ranges(cat, spark, "t", [(0, 100), (100, 200), (200, 300)])
+    cat.sql(spark, "DELETE FROM t WHERE id NOT BETWEEN 100 AND 199")
+    meta = cat.load_table("t").snapshots[-1]
+    assert meta.summary["metadata-deleted-files"] == 2
+    assert meta.summary["added-files"] == 0
+    assert cat.read(spark, "t").count() == 100
+
+
+def test_or_update_prunes_but_stays_row_exact(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed_ranges(cat, spark, "t", [(0, 100), (100, 200), (200, 300)])
+    cat.sql(
+        spark,
+        "UPDATE t SET name = 'edge' WHERE id < 50 OR id >= 250",
+    )
+    # the middle file may-matches neither group: carried untouched
+    snap = cat.load_table("t").snapshots[-1]
+    assert snap.summary["removed-files"] == 2
+    out = cat.read(spark, "t")
+    assert out.filter("name = 'edge'").count() == 100
+    assert out.filter("name = 'x'").count() == 200

@@ -565,9 +565,26 @@ def test_show_create_table_round_trip_property(spark_h, tmp_path_factory, data, 
     assert b.properties["k"] == prop_val
 
 
-@settings(max_examples=8, deadline=None)
+_or_conds = st.lists(
+    st.one_of(_cmp_cond, _rev_cond, _misc_cond), min_size=1, max_size=2
+).map(lambda cs: " AND ".join(cs))
+_dnf_conds = st.one_of(
+    _conds,
+    st.lists(_or_conds, min_size=2, max_size=3).map(
+        lambda ds: " OR ".join(f"({d})" for d in ds)
+    ),
+    st.builds(
+        lambda col, lo, hi: f"{col} NOT BETWEEN {lo} AND {hi}",
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=-5, max_value=12),
+        st.integers(min_value=5, max_value=25),
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
 @given(
-    cond=_conds,
+    cond=_dnf_conds,
     rows=st.integers(min_value=5, max_value=30),
     mode=st.sampled_from(["cow", "mor"]),
 )
@@ -576,15 +593,16 @@ def test_exact_fast_path_never_changes_delete_results(
 ):
     """The whole-file metadata fast path
     (``delete_where(exact_condition=True)``) must be invisible in the
-    result: for ANY condition the router certifies exact, deleting
-    with the fast path enabled equals deleting with no predicates at
-    all — a false all-match proof (truncation, nulls, partition
-    mapping, 3VL) would silently over-delete."""
+    result — including for DNF conditions (ORs, NOT BETWEEN): for ANY
+    condition the router certifies exact, deleting with the fast path
+    and DNF pruning enabled equals deleting with no predicates at all.
+    A false all-match proof (truncation, nulls, partition mapping,
+    3VL, a group-union bug) would silently over- or under-delete."""
     import tempfile
 
     from no_jvm_wap_with_iceberg_spark.catalog import Catalog
     from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
-        predicates_from_sql_exact,
+        predicate_groups_from_sql,
     )
 
     df = spark_h.range(rows).select(
@@ -593,15 +611,21 @@ def test_exact_fast_path_never_changes_delete_results(
         .otherwise(F.col("id") * 2)
         .alias("b"),
     )
-    preds, exact = predicates_from_sql_exact(cond)
+    groups, exact = predicate_groups_from_sql(cond)
 
     with tempfile.TemporaryDirectory() as w1, tempfile.TemporaryDirectory() as w2:
         res = []
-        for wh, p, ex in ((w1, preds, exact), (w2, [], False)):
+        for wh, gs, ex in ((w1, groups, exact), (w2, None, False)):
             cat = Catalog(wh)
             cat.create_table_from_df(df.repartition(4), "t")
             cat.delete_where(
-                spark_h, "t", p, cond, mode=mode, exact_condition=ex
+                spark_h,
+                "t",
+                gs[0] if gs and len(gs) == 1 else [],
+                cond,
+                mode=mode,
+                exact_condition=ex,
+                predicate_groups=gs if gs and len(gs) > 1 else None,
             )
             res.append(
                 sorted(
@@ -610,5 +634,5 @@ def test_exact_fast_path_never_changes_delete_results(
             )
         assert res[0] == res[1], (
             f"exact fast path changed DELETE semantics for {cond!r} "
-            f"({mode}): {preds}"
+            f"({mode}): {groups}"
         )
