@@ -1688,6 +1688,9 @@ class Catalog:
         when_not_matched_insert: str | None = "true",
         update_set: dict[str, str] | None = None,
         insert_values: dict[str, str] | None = None,
+        when_not_matched_by_source_delete: str | None = None,
+        when_not_matched_by_source_update: str | None = None,
+        update_by_source_set: dict[str, str] | None = None,
         branch: str = MAIN,
         write_partitions: int | None = 1,
         max_retries: int = 3,
@@ -1732,6 +1735,20 @@ class Catalog:
         aggregation carries a per-key count whose max rides the
         bounds aggregate ``_files_overlapping_keys`` runs anyway —
         no separate O(batch) pre-pass (VERDICT r4 #5).
+
+        ``when_not_matched_by_source_delete`` /
+        ``when_not_matched_by_source_update`` (Delta / Spark 3.4
+        ``WHEN NOT MATCHED BY SOURCE``) act on TARGET rows whose key
+        has no source match — conditions read ``t.*`` only; updates
+        take ``update_by_source_set`` (defaulting unmentioned columns
+        to the target value). These clauses scan the live table
+        filtered by the condition (Catalyst pushes it into the scan),
+        not just key-overlapping files — inherent to the semantics;
+        cost is O(cond-matching data). DELETE evaluates before UPDATE,
+        like the matched pair. Target rows whose key contains NULL
+        cannot ride an equality delete, so selecting one raises
+        (use :meth:`delete_where` for them) rather than silently
+        skipping it.
         """
         from pyspark.sql import functions as F
 
@@ -1780,6 +1797,54 @@ class Catalog:
                     for c in cols
                 ]
             )
+            if when_not_matched_by_source_delete or when_not_matched_by_source_update:
+                # target rows with NO source key: the full live state
+                # (the clause can touch any file), condition pushed
+                # into the scan by Catalyst
+                cur_all = self._df_applying_deletes(
+                    spark, meta0, meta0.files_with_deletes()
+                ).alias("t")
+                t_unmatched = cur_all.join(
+                    source.select(*key_cols).distinct(), key_cols, "left_anti"
+                )
+                bs_del = (
+                    F.coalesce(
+                        F.expr(when_not_matched_by_source_delete), F.lit(False)
+                    )
+                    if when_not_matched_by_source_delete
+                    else F.lit(False)
+                )
+                bs_upd = (
+                    F.coalesce(
+                        F.expr(when_not_matched_by_source_update), F.lit(False)
+                    )
+                    if when_not_matched_by_source_update
+                    else F.lit(False)
+                ) & ~bs_del
+                bs_selected = t_unmatched.filter(bs_del | bs_upd)
+                null_key = bs_selected.filter(
+                    " OR ".join(f"`{k}` IS NULL" for k in key_cols)
+                ).limit(1)
+                if null_key.count() > 0:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE selected a target row "
+                        f"with a NULL merge key {key_cols}: equality "
+                        "deletes cannot address it (use delete_where)"
+                    )
+                changed_keys = changed_keys.unionByName(
+                    bs_selected.select(*[F.col(k) for k in key_cols]).distinct()
+                ).distinct()
+                bs_sets = update_by_source_set or {}
+                updated = updated.unionByName(
+                    t_unmatched.filter(bs_upd).select(
+                        *[
+                            F.expr(bs_sets.get(c, f"t.`{c}`"))
+                            .cast(types[c])
+                            .alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
             ivals = insert_values or {}
             not_matched = source.alias("s").join(
                 cur.select(*key_cols), key_cols, "left_anti"

@@ -849,9 +849,12 @@ def _exec_merge(cat, spark, query: str, branch: str):
         return _rewrite_alias(expr, "__wap_tgt__", "t")
 
     upd_cond = del_cond = ins_cond = None
+    bs_upd_cond = bs_del_cond = None
     update_set: dict[str, str] | None = None
     insert_values: dict[str, str] | None = None
+    update_by_source_set: dict[str, str] | None = None
     order: list[str] = []  # matched-clause order for first-match-wins
+    bs_order: list[str] = []  # same, for the BY SOURCE pair
     # lazy one-shot metadata load shared by the UPDATE SET and INSERT
     # validation branches: a MERGE with neither (DELETE + INSERT *)
     # pays zero router-side loads; merge_into loads its own fresh
@@ -868,15 +871,59 @@ def _exec_merge(cat, spark, query: str, branch: str):
     for clause in _split_top(clause_part, "WHEN")[1:]:
         c = clause.strip().rstrip(";").strip()
         mm = re.match(
-            r"(?is)^(NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
+            r"(?is)^(NOT\s+MATCHED\s+BY\s+SOURCE"
+            r"|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
             r"(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
             c,
         )
         if not mm:
             raise ValueError(f"cannot parse MERGE clause WHEN {c!r}")
-        matched = mm.group(1).upper() == "MATCHED"
+        kind = re.sub(r"\s+", " ", mm.group(1).upper())
+        matched = kind == "MATCHED"
+        by_source = kind == "NOT MATCHED BY SOURCE"
         cond = canon(mm.group(2).strip()) if mm.group(2) else "true"
         action = mm.group(3).strip()
+        if by_source and re.match(r"(?is)^DELETE$", action):
+            if bs_del_cond is not None:
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED BY SOURCE ... DELETE clause"
+                )
+            bs_del_cond = cond
+            bs_order.append("delete")
+            continue
+        if by_source and re.match(r"(?is)^UPDATE\s+SET\s+", action):
+            if bs_upd_cond is not None:
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED BY SOURCE ... UPDATE clause"
+                )
+            bs_upd_cond = cond
+            body_txt = re.match(r"(?is)^UPDATE\s+SET\s+(.*)$", action).group(1)
+            if body_txt.strip() == "*":
+                raise ValueError(
+                    "UPDATE SET * is meaningless in WHEN NOT MATCHED BY "
+                    "SOURCE (there is no source row); list the columns"
+                )
+            given_bs = {
+                k: canon(v)
+                for k, v in _parse_assignments(body_txt, t_alias).items()
+            }
+            names = {f.name for f in schema_fields()}
+            bad = sorted(set(given_bs) - names)
+            if bad:
+                raise ValueError(
+                    f"UPDATE SET names {bad} are not columns of {table!r}"
+                )
+            update_by_source_set = {
+                f.name: given_bs.get(f.name, f"t.`{f.name}`")
+                for f in schema_fields()
+            }
+            bs_order.append("update")
+            continue
+        if by_source:
+            raise ValueError(
+                f"cannot parse NOT MATCHED BY SOURCE action {action!r}; "
+                "use DELETE or UPDATE SET col = expr, ..."
+            )
         if matched and re.match(r"(?is)^DELETE$", action):
             if del_cond is not None:
                 raise ValueError("at most one WHEN MATCHED ... DELETE clause")
@@ -954,6 +1001,10 @@ def _exec_merge(cat, spark, query: str, branch: str):
     # the delete condition must exclude rows the update already took
     if order == ["update", "delete"] and del_cond is not None:
         del_cond = f"({del_cond}) AND NOT coalesce(({upd_cond}), false)"
+    if bs_order == ["update", "delete"] and bs_del_cond is not None:
+        bs_del_cond = (
+            f"({bs_del_cond}) AND NOT coalesce(({bs_upd_cond}), false)"
+        )
 
     source_df = spark.sql(f"SELECT * FROM {source_rel} AS __merge_src")
     meta = cat.merge_into(
@@ -965,6 +1016,9 @@ def _exec_merge(cat, spark, query: str, branch: str):
         when_not_matched_insert=ins_cond,
         update_set=update_set,
         insert_values=insert_values,
+        when_not_matched_by_source_delete=bs_del_cond,
+        when_not_matched_by_source_update=bs_upd_cond,
+        update_by_source_set=update_by_source_set,
         branch=branch,
     )
     return "MERGE", table, meta

@@ -2151,3 +2151,81 @@ def catalog_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("sum_key"),
         )
     )
+
+
+@register(
+    "sql_merge_by_source",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    tgt AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT t.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                  THEN s.o_totalprice * CAST(1.1 AS DOUBLE)
+                  ELSE t.o_totalprice END AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NULL
+                       AND t.o_orderstatus = 'O' THEN 'X'
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             s.o_orderkey AS matched
+      FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NULL AND t.o_orderstatus = 'F')
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="WHEN NOT MATCHED BY SOURCE end-to-end (Delta / Spark 3.4 "
+    "MERGE clause the round-4 surface lacked): even orders seed the "
+    "target, every-third orders form the source; matched rows get a "
+    "+10% price, unmatched-by-source 'F' rows are DELETED and "
+    "unmatched 'O' rows are re-flagged 'X' via UPDATE SET — one "
+    "merge-on-read commit, CDC-replayable. The oracle rebuilds the "
+    "final state with a LEFT JOIN + CASE. DECIMAL(18,4): derived "
+    "price carries an extra digit (headroom rule).",
+)
+def sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    cat = Catalog(_tmp_warehouse("mergebs_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "t"
+    )
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        "s",
+    )
+    cat.sql(
+        spark,
+        """
+        MERGE INTO t USING s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET
+          o_totalprice = s.o_totalprice * CAST(1.1 AS DOUBLE)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O'
+          THEN UPDATE SET o_orderstatus = 'X'
+        """,
+    )
+    return (
+        cat.read(spark, "t")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
