@@ -1657,6 +1657,25 @@ def execute_call(cat, spark, query: str, branch: str):
         if strategy == "sort":  # Iceberg's name for the full clustered pass
             strategy = "full"
         before = len(cat.load_table(table, branch).files())
+        if strategy == "zorder":
+            # Iceberg spells this strategy => 'sort', sort_order =>
+            # 'zorder(a, b)'; accept the flat form too
+            so = str(arg("sort_order"))
+            mz = re.match(r"(?is)^\s*(?:zorder\s*\(\s*)?([\w`,\s]+?)\s*\)?\s*$", so)
+            cols = [_unquote(c.strip()) for c in mz.group(1).split(",")]
+            meta = cat.zorder(
+                spark,
+                table,
+                cols,
+                branch,
+                target_file_mb=target,
+                min_files=min_files,
+            )
+            return done(
+                [(table, before, len(meta.files()))],
+                "table string, rewritten_data_files_count long, "
+                "added_data_files_count long",
+            )
         meta = cat.compact(
             spark,
             table,

@@ -252,12 +252,40 @@ def map_predicate_op(fld: PartitionField, op: str, value: Any):
         return ("in", [t(x) for x in value])
     # non-injective monotonic transform: strict bounds weaken to
     # inclusive in partition space (rows below the bound can share the
-    # truncated value with rows above it)
-    if op in ("lt", "le"):
+    # truncated value with rows above it) — EXCEPT when the constant
+    # sits exactly on a bucket boundary: every row of bucket t(V) is
+    # then >= V, so `col < V` excludes the bucket entirely. This is
+    # the retention-delete shape (`ts < midnight-of-a-month-start`),
+    # where inclusive mapping needlessly kept/rewrote the cutoff's own
+    # partition.
+    if op == "lt":
+        return ("lt" if is_bucket_start(fld, value) else "le", t(value))
+    if op == "le":
         return ("le", t(value))
     if op in ("gt", "ge"):
         return ("ge", t(value))
     return None
+
+
+def is_bucket_start(fld: PartitionField, v: Any) -> bool:
+    """True when ``v`` is exactly the first value of its own bucket
+    under a monotonic transform — i.e. the transform round-trips to
+    ``v`` itself. Conservative False on anything unparseable."""
+    try:
+        if fld.transform in _CALENDAR:
+            if isinstance(v, str):
+                v = _dt.datetime.fromisoformat(v)
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                v = _dt.datetime(v.year, v.month, v.day)
+            fmt = _CALENDAR[fld.transform][1]
+            return _dt.datetime.strptime(v.strftime(fmt), fmt) == v
+        if fld.transform == "truncate":
+            if isinstance(v, int):
+                return v % fld.param == 0
+            return len(str(v)) <= fld.param
+    except (ValueError, TypeError):
+        return False
+    return False
 
 
 def partition_may_match(
@@ -282,6 +310,8 @@ def partition_may_match(
             return pv == mval
         if mop == "in":
             return pv in mval
+        if mop == "lt":  # boundary-strict mapping (see map_predicate_op)
+            return pv < mval
         if mop == "le":
             return pv <= mval
         if mop == "ge":
@@ -335,13 +365,19 @@ def partition_all_match(
             return False  # hive strings: inequality unsafe ("10" < "9")
         if fld.transform == "bucket":
             return False
-        # monotonic transforms arrive as le/ge (strict ops weaken on
-        # the way in — map_predicate_op); a strict partition-space
-        # comparison proves BOTH the strict and inclusive source op
-        if mop == "le":
+        # monotonic transforms arrive as lt/le/ge (strict ops weaken
+        # on the way in unless the constant is a bucket boundary —
+        # map_predicate_op); a strict partition-space comparison
+        # proves BOTH the strict and inclusive source op
+        if mop in ("lt", "le"):
             return pv < mval
         if mop == "ge":
-            return pv > mval
+            # bucket t(V) starts at V when V is its boundary: every
+            # row of that bucket satisfies `col >= V` (but NOT `> V`,
+            # hence the original-op check)
+            return pv > mval or (
+                op == "ge" and pv == mval and is_bucket_start(fld, value)
+            )
         return False  # eq/in: a bucket holds many source values
     except TypeError:
         return False

@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark's legacy default INT96 timestamps carry NO footer
+        # statistics (deprecated type, stats deliberately ignored), so
+        # every engine-written TIMESTAMP column was invisible to
+        # manifest min/max pruning and the whole-file DELETE proofs.
+        # TIMESTAMP_MICROS is the modern type Iceberg/Delta require
+        # and restores per-file ts bounds everywhere.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # parquet TIMESTAMP(NANOS) is illegal in vanilla Spark; read as
         # int64 nanos and convert explicitly (sources/registry.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

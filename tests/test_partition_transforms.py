@@ -16,6 +16,7 @@ from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
 from no_jvm_wap_with_iceberg_spark.catalog.pruning import prune_files
 from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
     parse_partition_spec,
+    partition_all_match,
     partition_may_match,
     transform_value,
 )
@@ -135,11 +136,12 @@ def test_day_range_prunes_files_exactly(spark, warehouse):
         "2024-01-02",
         "2024-01-03",
     }
-    # strict bound: the PARTITION layer weakens lt to le (day 02 may
-    # match), then the stats layer proves day 02's min ts is not
-    # below the bound — the two layers compose to the exact answer
+    # strict bound AT A BUCKET BOUNDARY: the partition layer alone is
+    # now exact (day 02 cannot hold rows before its own midnight); a
+    # mid-bucket bound still weakens to le and composes with stats
     fld = meta.partition_fields[0]
-    assert partition_may_match(fld, "2024-01-02", "lt", dt.datetime(2024, 1, 2))
+    assert not partition_may_match(fld, "2024-01-02", "lt", dt.datetime(2024, 1, 2))
+    assert partition_may_match(fld, "2024-01-02", "lt", dt.datetime(2024, 1, 2, 5))
     kept2 = prune_files(
         files,
         [Predicate("lt", "ts", dt.datetime(2024, 1, 2))],
@@ -444,3 +446,71 @@ def test_distribution_mode_none_and_range(spark, warehouse):
     a = sorted(tuple(r) for r in cat.read(spark, "t_none").collect())
     b = sorted(tuple(r) for r in cat.read(spark, "t_range").collect())
     assert a == b and len(a) == 180
+
+
+def test_boundary_strict_pruning_and_proofs():
+    """A constant on a bucket boundary makes partition-space mapping
+    STRICT: `ts < month-start` excludes the cutoff's own month (the
+    retention-delete shape used to keep/rewrite it needlessly), and
+    `ts >= month-start` proves the month whole."""
+    (fld,) = parse_partition_spec(["month(ts)"])
+    V = dt.datetime(2024, 4, 1)
+    assert not partition_may_match(fld, "2024-04", "lt", V)
+    assert partition_may_match(fld, "2024-03", "lt", V)
+    # a mid-bucket constant keeps the inclusive (sound) mapping
+    assert partition_may_match(fld, "2024-04", "lt", dt.datetime(2024, 4, 1, 5))
+    assert partition_all_match(fld, "2024-04", "ge", V)
+    assert not partition_all_match(fld, "2024-04", "gt", V)
+    assert not partition_all_match(
+        fld, "2024-04", "ge", dt.datetime(2024, 4, 1, 5)
+    )
+    (tr,) = parse_partition_spec(["truncate(10, v)"])
+    assert not partition_may_match(tr, "20", "lt", 20)
+    assert partition_may_match(tr, "20", "lt", 21)
+    assert partition_all_match(tr, "20", "ge", 20)
+
+
+def test_boundary_retention_delete_touches_nothing_extra(spark, warehouse):
+    """End-to-end: a month-boundary DELETE drops whole months as
+    metadata and the cutoff's own month is not even AFFECTED (no
+    rewrite, no removal) — plus engine-written timestamp files now
+    carry footer stats (TIMESTAMP_MICROS), so the ts column prunes
+    by stats as well as by partition."""
+    cat = Catalog(warehouse)
+    schema = _ts_schema()
+    cat.create_table("t", schema, partition_by=["month(ts)"])
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, m, d, 6), m * 100 + d)
+            for m in (1, 2, 3, 4)
+            for d in (1, 10, 20)
+        ],
+        schema,
+    )
+    cat.append(df, "t")
+    meta0 = cat.load_table("t")
+    # TIMESTAMP_MICROS footer stats present on engine-written files
+    assert all(
+        f.columns.get("ts", {}).get("min") is not None
+        for f in meta0.files()
+    )
+    cat.sql(spark, "DELETE FROM t WHERE ts < TIMESTAMP '2024-04-01 00:00:00'")
+    snap = cat.load_table("t").snapshots[-1]
+    assert snap.summary["metadata-deleted-files"] == 3
+    assert snap.summary["added-files"] == 0
+    # ONLY the three dropped months were touched at all
+    assert snap.summary["removed-files"] == 3
+    out = cat.read(spark, "t")
+    assert out.count() == 3
+    assert out.agg(F.min("ts")).collect()[0][0] == dt.datetime(2024, 4, 1, 6)
+
+
+def _ts_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )

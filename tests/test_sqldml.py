@@ -1064,3 +1064,42 @@ def test_sql_show_create_table_nested_types_and_quotes(spark, warehouse):
         cat.load_table("nt").schema_json == cat.load_table("nt2").schema_json
     )
     assert cat.load_table("nt2").properties["note"] == "it's quoted"
+
+
+def test_call_rewrite_data_files_zorder(spark, warehouse):
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import prune_files
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("grid", schema)
+    side = 64
+    cat.append(
+        spark.range(side * side).select(
+            F.col("id"),
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"),
+        ),
+        "grid",
+    )
+    out = cat.sql(
+        spark,
+        "CALL system.rewrite_data_files(table => 'grid', "
+        "strategy => 'zorder', sort_order => 'zorder(x, y)', "
+        "min_files => 16)",
+    ).collect()[0]
+    assert out["added_data_files_count"] >= 8
+    files = cat.load_table("grid").files()
+    # the z-layout prunes on EITHER clustered column
+    for col in ("x", "y"):
+        kept = prune_files(files, [Predicate.eq(col, 3)])
+        assert len(kept) < len(files), col
+    assert cat.read(spark, "grid").count() == side * side

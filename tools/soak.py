@@ -78,6 +78,7 @@ def main() -> None:
     merge_soak(spark)
     merge_into_soak(spark)
     merge_into_scale_soak(spark)
+    metadata_delete_scale_soak(spark)
     changefeed_soak(spark)
     incremental_agg_soak(spark)
     stream_plan_soak(spark)
@@ -437,3 +438,68 @@ def stream_plan_soak(spark, histories=(10, 200)):
 
 if __name__ == "__main__":
     main()
+
+
+def metadata_delete_scale_soak(spark, sizes=(100_000, 400_000, 1_600_000)):
+    """The O(metadata) claim for the whole-file DELETE fast path,
+    MEASURED: the same month-boundary retention delete against bases
+    16x apart. The exact-condition SQL path drops whole files via
+    removed_paths (zero rows read/written), so wall time must stay
+    flat in table size; the CONTROL is the same condition made
+    uncertifiable (a redundant function conjunct forces the ordinary
+    COW rewrite), whose cost grows with the data it rewrites."""
+    import datetime as dt
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    for rows in sizes:
+        res = {}
+        for label, cond in (
+            ("fast", "ts < TIMESTAMP '2024-04-01 00:00:00'"),
+            (
+                "cow",
+                "ts < TIMESTAMP '2024-04-01 00:00:00' "
+                "AND length('x') = 1",  # uncertifiable: forces rewrite
+            ),
+        ):
+            with tempfile.TemporaryDirectory() as wh:
+                cat = Catalog(wh)
+                cat.create_table("t", schema, partition_by=["month(ts)"])
+                cat.append(
+                    spark.range(rows).select(
+                        (
+                            F.lit(base)
+                            + F.make_interval(
+                                mins=(F.col("id") % (6 * 30 * 24 * 60))
+                            )
+                        ).alias("ts"),
+                        F.col("id").alias("v"),
+                    ),
+                    "t",
+                )
+                t0 = _time.time()
+                cat.sql(spark, f"DELETE FROM t WHERE {cond}")
+                took = _time.time() - t0
+                snap = cat.load_table("t").snapshots[-1]
+                res[label] = (
+                    took,
+                    snap.summary.get("metadata-deleted-files", 0),
+                    snap.summary.get("added-files"),
+                )
+        f, c = res["fast"], res["cow"]
+        print(
+            f"metadata-delete {rows} rows: fast={f[0]:.2f}s "
+            f"(dropped {f[1]} files, wrote {f[2]}) "
+            f"cow={c[0]:.2f}s (wrote {c[2]})"
+        )
