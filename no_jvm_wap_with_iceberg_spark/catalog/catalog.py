@@ -2991,23 +2991,47 @@ class Catalog:
             raise ValueError(f"invalid constraint name {name!r}")
         from pyspark.sql import functions as F
 
-        meta = self.load_table(table, branch)
-        if f"constraint.{name}" in meta.properties:
-            raise ValueError(
-                f"constraint {name!r} already exists on table {table!r}"
+        def build(meta: TableMetadata):
+            if f"constraint.{name}" in meta.properties:
+                raise ValueError(
+                    f"constraint {name!r} already exists on table {table!r}"
+                )
+            # validation runs INSIDE the optimistic commit, pinned to
+            # the exact snapshot the CAS will land on — a concurrent
+            # append moves the head, fails the CAS, and the retry
+            # re-validates against the new rows (otherwise a violating
+            # batch could slip between the scan and the property
+            # commit, wedging every later rewrite of that file)
+            bad = (
+                self.read(
+                    spark, table, branch, snapshot_id=meta.current_snapshot_id
+                )
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .collect()
             )
-        bad = (
-            self.read(spark, table, branch)
-            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            raise ValueError(
-                f"cannot add CHECK constraint {name!r}: existing row "
-                f"violates ({expr}): {bad[0].asDict()}"
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name!r}: existing row "
+                    f"violates ({expr}): {bad[0].asDict()}"
+                )
+            new_props = dict(meta.properties)
+            new_props[f"constraint.{name}"] = expr
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=meta.schema_json,
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=meta.sort_by,
+                    properties=new_props,
+                ),
+                f"ADD CONSTRAINT {name} CHECK ({expr}) ON {table}",
             )
-        return self.set_properties(table, branch, **{f"constraint.{name}": expr})
+
+        return self._optimistic_commit(table, branch, build)
 
     def drop_constraint(
         self, table: str, name: str, branch: str = MAIN, if_exists: bool = False
@@ -3566,9 +3590,15 @@ class Catalog:
                     n_out, *sort_by
                 ).sortWithinPartitions(*sort_by)
                 layout_done = True
+            elif meta.partition_fields:
+                # partitioned, unsorted: _write_files' hash distribution
+                # is the (single) shuffle that decides layout — a
+                # repartition(n_out) here would be immediately re-shuffled
+                # by it (two full shuffles, n_out discarded)
+                layout_done = False
             else:
                 df = df.repartition(n_out)
-                layout_done = False
+                layout_done = True  # round-robin IS the final layout
             new_files = self._write_files(df, meta, table, layout_done=layout_done)
             if mode == "binpack":
                 # 'rewrite' (not 'overwrite' — that is a chain barrier
@@ -3695,6 +3725,10 @@ class Catalog:
                         1 for s in snaps if s.timestamp_ms >= cutoff_ms
                     )
                     keep = max(keep, young)
+            # floor at 1: the current snapshot is always retained (a
+            # declared/passed 0 would invert to keep-everything via
+            # snaps[-0:] and commit a spurious rewrite per run)
+            keep = max(1, keep)
             if len(snaps) <= keep:
                 return None, ""
             kept = snaps[-keep:]
@@ -3790,6 +3824,25 @@ class Catalog:
                     )
                     prev_id = pid
             new_snaps.extend(kept)
+
+            def shape(ss):
+                return [
+                    (
+                        s.snapshot_id,
+                        s.parent_snapshot_id,
+                        s.operation,
+                        sorted(f.path for f in s.added_files),
+                        s.removed_paths,
+                        s.deletes,
+                    )
+                    for s in sorted(ss, key=lambda s: s.snapshot_id)
+                ]
+
+            if shape(new_snaps) == shape(meta.snapshots):
+                # idempotence: re-squashing an already-squashed chain
+                # reproduces it exactly — a maintain cron must not
+                # commit a spurious history rewrite per run
+                return None, ""
             return (
                 TableMetadata(
                     table=meta.table,

@@ -1439,6 +1439,16 @@ def _exec_create_view(cat, spark, query: str, branch: str):
         query.strip().rstrip(";"),
     )
     if not m:
+        if re.match(
+            rf"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
+            rf"(IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s*\.",
+            query,
+        ):
+            # qualified name (global_temp.v, db.v): not ours — Spark's
+            # own view machinery handles it, as before the router grew
+            # catalog views
+            spark.sql(query)
+            return "CREATE VIEW", "(spark)", None
         raise ValueError(
             "unsupported CREATE VIEW shape; expected CREATE [OR REPLACE] "
             "VIEW [IF NOT EXISTS] <v> [COMMENT '...'] AS <select> "
@@ -1464,6 +1474,11 @@ def _exec_drop_view(cat, spark, query: str, branch: str):
         query,
     )
     if not m:
+        if re.match(
+            rf"(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?{_IDENT}\s*\.", query
+        ):
+            spark.sql(query)  # qualified name: Spark's view, not ours
+            return "DROP VIEW", "(spark)", None
         raise ValueError(
             "unsupported DROP VIEW shape; expected DROP VIEW [IF EXISTS] <v>"
         )
@@ -1654,14 +1669,33 @@ def execute_call(cat, spark, query: str, branch: str):
         target = int(arg("target_file_mb", default=128))
         min_files = int(arg("min_files", default=1))
         strategy = str(arg("strategy", default="full"))
-        if strategy == "sort":  # Iceberg's name for the full clustered pass
+        sort_order = arg("sort_order", default=None)
+        # Iceberg's canonical z-order spelling is strategy => 'sort',
+        # sort_order => 'zorder(a, b)' — the sort_order argument wins
+        # the dispatch, so that form z-orders rather than committing a
+        # plain full pass and then choking on the unconsumed argument
+        if sort_order is not None and re.match(
+            r"(?is)^\s*zorder\s*\(", str(sort_order)
+        ):
+            strategy = "zorder"
+        if strategy == "sort":  # without zorder: the full clustered pass
             strategy = "full"
         before = len(cat.load_table(table, branch).files())
         if strategy == "zorder":
-            # Iceberg spells this strategy => 'sort', sort_order =>
-            # 'zorder(a, b)'; accept the flat form too
-            so = str(arg("sort_order"))
-            mz = re.match(r"(?is)^\s*(?:zorder\s*\(\s*)?([\w`,\s]+?)\s*\)?\s*$", so)
+            if sort_order is None:
+                raise ValueError(
+                    "strategy 'zorder' needs sort_order => 'zorder(a, b)'"
+                )
+            so = str(sort_order)
+            mz = re.match(
+                r"(?is)^\s*(?:zorder\s*\(\s*)?([\w`\s]+(?:\s*,\s*[\w`\s]+)*?)"
+                r"\s*\)?\s*$",
+                so,
+            )
+            if not mz:
+                raise ValueError(
+                    f"cannot parse sort_order {so!r}; use 'zorder(a, b)'"
+                )
             cols = [_unquote(c.strip()) for c in mz.group(1).split(",")]
             meta = cat.zorder(
                 spark,

@@ -69,7 +69,17 @@ def _json_safe(value: Any, bound: str | None = None) -> Any:
     truncate-and-increment for a max (see ``_truncate_string_max``).
     ``None`` means "bound unknown" and the caller must not prune on it.
     """
-    if isinstance(value, (_dt.datetime, _dt.date)):
+    if isinstance(value, _dt.datetime):
+        # TIMESTAMP_MICROS footers decode tz-AWARE (UTC) datetimes;
+        # isoformat would then carry '+00:00', which string-compares
+        # GREATER than the naive form of the same instant — equal
+        # instants diverge and eq-pruning silently drops matching
+        # files. Normalize to naive UTC (the engine's session TZ and
+        # the form every predicate/manifest value uses).
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return value.isoformat()
+    if isinstance(value, _dt.date):
         return value.isoformat()
     if isinstance(value, bytes):
         try:

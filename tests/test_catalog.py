@@ -1046,3 +1046,60 @@ def test_maintain_uses_declared_policy_and_strategy(spark, warehouse):
     # the declared min-keep=4 won over maintain's keep_last default
     assert len(meta.snapshots) >= 4
     assert cat.read(spark, "t").count() == 60
+
+
+def test_expire_keep_zero_floors_to_one(spark, warehouse):
+    """keep_last=0 (or a declared '0' policy) must not invert to
+    keep-everything via snaps[-0:] slicing."""
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table(
+        "t",
+        schema,
+        properties={"history.expire.min-snapshots-to-keep": "0"},
+    )
+    for lo in (0, 10, 20):
+        cat.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id"), F.col("id").alias("v")
+            ).coalesce(1),
+            "t",
+        )
+    cat.expire_snapshots("t")  # policy "0" -> floor 1
+    assert len(cat.load_table("t").snapshots) <= 2
+    v = cat.load_table("t").version
+    cat.expire_snapshots("t")  # second run: nothing left to expire
+    cat.expire_snapshots("t", keep_last=0)  # explicit 0: same floor
+    assert cat.load_table("t").version <= v + 1
+    assert cat.read(spark, "t").count() == 30
+
+
+def test_compact_partitioned_unsorted_single_distribution(spark, warehouse):
+    """Compaction of a partitioned, unsorted table must not
+    double-shuffle: the write distribution is the only exchange, and
+    the result is one file per partition."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("t", schema, partition_by=["month(ts)"])
+    for d in (1, 10, 20):
+        cat.append(
+            spark.createDataFrame(
+                [(dt.datetime(2024, m, d, 6), m) for m in (1, 2)], schema
+            ),
+            "t",
+        )
+    assert len(cat.load_table("t").files()) == 6
+    cat.compact(spark, "t")
+    meta = cat.load_table("t")
+    assert len(meta.files()) == 2  # one per month
+    assert cat.read(spark, "t").count() == 6

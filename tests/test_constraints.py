@@ -161,3 +161,37 @@ def test_identifier_fields_validated_and_guard_rename(spark, warehouse):
         cat.drop_column("t", "id")
     cat.set_identifier_fields("t", None)
     cat.rename_column("t", "id", "pk")
+
+
+def test_add_constraint_revalidates_on_concurrent_append(spark, warehouse):
+    """The validation scan runs INSIDE the optimistic commit: a
+    violating batch landing between the scan and the property CAS must
+    make the retry re-validate and REFUSE — otherwise the table wedges
+    (every later rewrite of the violating file aborts)."""
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    cat.append(_df(spark, [(1, 5)]), "t")
+
+    real_update = cat._update_refs
+    raced = {"done": False}
+
+    def racing_update(fn, max_retries=64):
+        if not raced["done"]:
+            raced["done"] = True
+            # a violating append lands while add_constraint is between
+            # its validation scan and its ref CAS
+            cat._update_refs = real_update
+            cat.append(_df(spark, [(2, -9)]), "t")
+            cat._update_refs = racing_update
+        return real_update(fn, max_retries)
+
+    cat._update_refs = racing_update
+    try:
+        with pytest.raises(ValueError, match="existing row"):
+            cat.add_constraint(spark, "t", "pos", "qty > 0")
+    finally:
+        cat._update_refs = real_update
+    assert "constraint.pos" not in cat.load_table("t").properties
+    # both rows present; writes (incl. compaction) still work
+    cat.compact(spark, "t")
+    assert cat.read(spark, "t").count() == 2

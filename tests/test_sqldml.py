@@ -1103,3 +1103,93 @@ def test_call_rewrite_data_files_zorder(spark, warehouse):
         kept = prune_files(files, [Predicate.eq(col, 3)])
         assert len(kept) < len(files), col
     assert cat.read(spark, "grid").count() == side * side
+
+
+def test_call_rewrite_iceberg_sort_zorder_spelling(spark, warehouse):
+    """Iceberg's canonical z-order: strategy => 'sort' with
+    sort_order => 'zorder(a,b)' must z-order (the sort_order wins the
+    dispatch), never commit a plain pass then choke on the argument."""
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog, Predicate
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import prune_files
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("grid", schema)
+    side = 64
+    cat.append(
+        spark.range(side * side).select(
+            F.col("id"),
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"),
+        ),
+        "grid",
+    )
+    cat.sql(
+        spark,
+        "CALL system.rewrite_data_files(table => 'grid', "
+        "strategy => 'sort', sort_order => 'zorder(x, y)', "
+        "min_files => 16)",
+    )
+    files = cat.load_table("grid").files()
+    for col in ("x", "y"):
+        assert len(prune_files(files, [Predicate.eq(col, 3)])) < len(files)
+    # malformed sort_order raises a pointed error, not AttributeError
+    with pytest.raises(ValueError, match="sort_order"):
+        cat.sql(
+            spark,
+            "CALL system.rewrite_data_files(table => 'grid', "
+            "strategy => 'zorder', sort_order => 'zorder()')",
+        )
+    with pytest.raises(ValueError, match="sort_order"):
+        cat.sql(
+            spark,
+            "CALL system.rewrite_data_files(table => 'grid', "
+            "strategy => 'zorder')",
+        )
+
+
+def test_view_statements_with_qualified_names_pass_through(spark, warehouse):
+    """CREATE/DROP VIEW on a QUALIFIED name (global_temp.v, db.v) is
+    Spark's business, exactly as before the router grew catalog views."""
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(warehouse)
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE VIEW default.wap_qv AS SELECT 7 AS seven",
+    )
+    try:
+        assert (
+            spark.sql("SELECT seven FROM default.wap_qv").collect()[0][0] == 7
+        )
+        assert cat.list_views() == []  # not a catalog view
+    finally:
+        cat.sql(spark, "DROP VIEW default.wap_qv")
+    assert "wap_qv" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_soak_main_guard_is_last_statement():
+    """tools/soak.py must define every soak BEFORE the __main__ guard
+    runs main() (a def appended after the guard crashes script mode
+    with NameError mid-run)."""
+    import ast
+    import pathlib
+
+    tree = ast.parse(
+        pathlib.Path("tools/soak.py").read_text(encoding="utf-8")
+    )
+    guard_idx = [
+        i
+        for i, n in enumerate(tree.body)
+        if isinstance(n, ast.If)
+        and getattr(getattr(n.test, "left", None), "id", "") == "__name__"
+    ]
+    assert guard_idx and guard_idx[-1] == len(tree.body) - 1

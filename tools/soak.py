@@ -436,8 +436,6 @@ def stream_plan_soak(spark, histories=(10, 200)):
             )
 
 
-if __name__ == "__main__":
-    main()
 
 
 def metadata_delete_scale_soak(spark, sizes=(100_000, 400_000, 1_600_000)):
@@ -503,3 +501,7 @@ def metadata_delete_scale_soak(spark, sizes=(100_000, 400_000, 1_600_000)):
             f"(dropped {f[1]} files, wrote {f[2]}) "
             f"cow={c[0]:.2f}s (wrote {c[2]})"
         )
+
+
+if __name__ == "__main__":
+    main()
