@@ -604,6 +604,7 @@ class Catalog:
         primitive's full CAS/retry semantics.
         """
         from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+            describe_history,
             dml_kind,
             execute_call,
             execute_dml,
@@ -624,6 +625,8 @@ class Catalog:
             return execute_call(self, spark, query, branch)
         if kind == "SHOW":
             return show_create_table(self, spark, query, branch)
+        if kind == "DESCRIBE_HISTORY":
+            return describe_history(self, spark, query, branch)
         op, table, meta = execute_dml(self, spark, query, branch)
         sid = meta.current_snapshot_id if meta is not None else None
         return spark.createDataFrame(

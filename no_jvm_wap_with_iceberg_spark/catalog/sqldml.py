@@ -68,7 +68,15 @@ def dml_kind(query: str) -> str | None:
         # only SHOW CREATE TABLE routes (Spark refuses it on temp
         # views); SHOW TABLES / SHOW COLUMNS etc. pass through
         second = toks[1].upper() if len(toks) > 1 else ""
+        if second == "TBLPROPERTIES":
+            return "SHOW"  # Spark refuses it on temp views too
         return "SHOW" if second == "CREATE" else None
+    if first == "DESCRIBE" or first == "DESC":
+        # DESCRIBE HISTORY t (the Delta spelling of t$history);
+        # plain DESCRIBE <t> keeps passing through (temp views
+        # support it natively)
+        second = toks[1].upper() if len(toks) > 1 else ""
+        return "DESCRIBE_HISTORY" if second == "HISTORY" else None
     return first if first in _DML_KINDS else None
 
 
@@ -1355,7 +1363,32 @@ _INTERNAL_PROPS = {
 }
 
 
+def describe_history(cat, spark, query: str, branch: str):
+    """``DESCRIBE HISTORY <t>`` (the Delta spelling) -> the table's
+    ``t$history`` metadata listing, metadata-only at any size."""
+    m = re.match(
+        rf"(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+({_IDENT})\s*;?\s*$", query
+    )
+    if not m:
+        raise ValueError(
+            "unsupported DESCRIBE shape; expected DESCRIBE HISTORY <t>"
+        )
+    return cat.metadata_df(spark, _unquote(m.group(1)), "history", branch)
+
+
 def show_create_table(cat, spark, query: str, branch: str):
+    m = re.match(
+        rf"(?is)^\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", query
+    )
+    if m:
+        # Spark's own SHOW TBLPROPERTIES refuses temp views (the front
+        # door's pinned reads), so serve it from table metadata —
+        # internal bookkeeping keys and all, like Iceberg does
+        meta = cat.load_table(_unquote(m.group(1)), branch)
+        rows = sorted(meta.properties.items())
+        if rows:
+            return spark.createDataFrame(rows, "key string, value string")
+        return spark.createDataFrame([], "key string, value string")
     """``SHOW CREATE TABLE t`` — synthesize re-executable DDL from the
     table metadata (Spark's own SHOW CREATE refuses temp views, which
     is what the front door's pinned reads are). The output ROUND-TRIPS:

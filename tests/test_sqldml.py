@@ -1193,3 +1193,32 @@ def test_soak_main_guard_is_last_statement():
         and getattr(getattr(n.test, "left", None), "id", "") == "__name__"
     ]
     assert guard_idx and guard_idx[-1] == len(tree.body) - 1
+
+
+def test_show_tblproperties_and_describe_history(spark, warehouse):
+    """SHOW TBLPROPERTIES serves from table metadata (Spark's own
+    refuses temp views); DESCRIBE HISTORY is the Delta spelling of the
+    t$history metadata listing — both metadata-only."""
+    from pyspark.sql import functions as F, types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(warehouse)
+    cat.create_table("t", schema, properties={"owner": "pipeline-a"})
+    cat.append(spark.range(5).select(F.col("id"), F.col("id").alias("v")), "t")
+    cat.append(spark.range(5, 9).select(F.col("id"), F.col("id").alias("v")), "t")
+    props = {
+        r["key"]: r["value"]
+        for r in cat.sql(spark, "SHOW TBLPROPERTIES t").collect()
+    }
+    assert props["owner"] == "pipeline-a"
+    hist = cat.sql(spark, "DESCRIBE HISTORY t").collect()
+    # full commit history: root + create + the two appends
+    assert sum("APPEND" in r["message"] for r in hist) == 2
+    assert cat.sql(spark, "DESC HISTORY t").count() == len(hist)
+    # plain DESCRIBE still passes through to Spark (temp-view native)
+    cols = {r["col_name"] for r in cat.sql(spark, "DESCRIBE t").collect()}
+    assert {"id", "v"} <= cols
