@@ -465,6 +465,18 @@ class Catalog:
             raise ValueError(f"invalid view name {name!r}")
         if replace and if_not_exists:
             raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
+        from no_jvm_wap_with_iceberg_spark.catalog.sqldml import dml_kind
+
+        if dml_kind(sql_text) is not None:
+            # create_views EXECUTES every stored body via spark.sql on
+            # each Catalog.sql call — a DML body (INSERT into a Spark
+            # managed table, CALL, ...) would run as a side effect of
+            # every later read. Reject at definition time, with or
+            # without a SparkSession to validate against.
+            raise ValueError(
+                f"view {name!r} body must be a query, not a "
+                f"{dml_kind(sql_text)} statement"
+            )
         if spark is not None:
             spark.sql(sql_text).schema  # analysis-only validation
         now_ms = int(time.time() * 1000)
@@ -606,6 +618,7 @@ class Catalog:
         from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
             describe_history,
             dml_kind,
+            dml_target,
             execute_call,
             execute_dml,
             rewrite_metadata_tables,
@@ -619,6 +632,21 @@ class Catalog:
         kind = dml_kind(query)
         if kind is None:
             return spark.sql(query)
+        if kind in (
+            "INSERT", "UPDATE", "DELETE", "MERGE", "TRUNCATE",
+            "SHOW", "DESCRIBE_HISTORY",
+        ):
+            target = dml_target(query, kind)
+            if (
+                target is not None
+                and not self.table_exists(target, branch)
+                and target not in self.list_views(branch)
+            ):
+                # names the catalog doesn't own pass through to Spark
+                # (its temp views / managed tables), the pre-router
+                # contract and _exec_drop's — instead of dying in
+                # load_table with a KeyError
+                return spark.sql(query)
         if kind == "CALL":
             # maintenance procedures return their own result rows
             # (orphan paths, before/after counts) — see execute_call
@@ -1794,12 +1822,19 @@ class Catalog:
                 .distinct()
             )
             sets = update_set or {}
-            updated = joined.filter(upd_cond).select(
-                *[
-                    F.expr(sets.get(c, f"s.`{c}`")).cast(types[c]).alias(c)
-                    for c in cols
-                ]
-            )
+            if when_matched_update:
+                updated = joined.filter(upd_cond).select(
+                    *[
+                        F.expr(sets.get(c, f"s.`{c}`")).cast(types[c]).alias(c)
+                        for c in cols
+                    ]
+                )
+            else:
+                # no matched-update clause: don't even BUILD the arm —
+                # its default s.<col> projection fails analysis when
+                # the source schema is narrower than the target (an
+                # INSERT-only MERGE from a narrow source is legal)
+                updated = spark.createDataFrame([], meta0.spark_schema)
             if when_not_matched_by_source_delete or when_not_matched_by_source_update:
                 # target rows with NO source key: the full live state
                 # (the clause can touch any file), condition pushed

@@ -62,7 +62,14 @@ class Predicate:
 
 
 def _norm(v: Any) -> Any:
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        # stats store naive-UTC isoformat (_json_safe); an API-passed
+        # tz-aware datetime must normalize the same way or equal
+        # instants string-compare unequal (see sqldml._parse_lit)
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return v
 
@@ -273,8 +280,17 @@ def file_all_match(
             and p.column in f.partition
             and p.column not in by_source
         ):
-            # legacy identity layout (partition key == raw column name)
-            proven = f.partition[p.column] == str(p.value)
+            # legacy identity layout (partition key == raw column name).
+            # The hive null marker means every row is NULL — NULL
+            # satisfies no equality under SQL 3VL, so it proves
+            # nothing even when the literal IS the marker string
+            # (mirrors partition_all_match's marker_null guard)
+            pv = f.partition[p.column]
+            proven = (
+                pv is not None
+                and pv != "__HIVE_DEFAULT_PARTITION__"
+                and pv == str(p.value)
+            )
         if not proven:
             return False
     return True

@@ -80,6 +80,28 @@ def dml_kind(query: str) -> str | None:
     return first if first in _DML_KINDS else None
 
 
+def dml_target(query: str, kind: str) -> str | None:
+    """Target table of a table-addressed DML statement, or None when
+    the kind doesn't name one up-front / the shape is unrecognized.
+    Used by :meth:`Catalog.sql` to fall through to plain ``spark.sql``
+    for names the catalog doesn't own (Spark temp views, managed
+    tables) — the pre-router contract, matching ``_exec_drop``."""
+    pats = {
+        "INSERT": rf"(?is)^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})",
+        "UPDATE": rf"(?is)^\s*UPDATE\s+({_IDENT})",
+        "DELETE": rf"(?is)^\s*DELETE\s+FROM\s+({_IDENT})",
+        "MERGE": rf"(?is)^\s*MERGE\s+INTO\s+({_IDENT})",
+        "TRUNCATE": rf"(?is)^\s*TRUNCATE\s+TABLE\s+({_IDENT})",
+        "SHOW": rf"(?is)^\s*SHOW\s+(?:CREATE\s+TABLE|TBLPROPERTIES)\s+({_IDENT})",
+        "DESCRIBE_HISTORY": rf"(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+({_IDENT})",
+    }
+    pat = pats.get(kind)
+    if pat is None:
+        return None
+    m = re.match(pat, query)
+    return _unquote(m.group(1)) if m else None
+
+
 # ----------------------------------------------------------------------
 # top-level scanning (quote- and paren-aware)
 #
@@ -254,7 +276,16 @@ def _parse_lit(text: str) -> Any:
         # raw string against isoformat stats
         if m.group(1).upper() == "DATE":
             return _dt.date.fromisoformat(raw).isoformat()
-        return _dt.datetime.fromisoformat(raw).isoformat()
+        ts = _dt.datetime.fromisoformat(raw)
+        # file stats are NAIVE-UTC isoformat strings (_json_safe
+        # normalizes tz-aware footer values the same way); a literal
+        # that keeps its offset string-compares unequal to the same
+        # instant ('...00:00+00:00' > '...00:00'), which corrupts BOTH
+        # directions — may-match pruning skips matching files and
+        # exact whole-file proofs over-delete at the boundary
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return ts.isoformat()
     if text.startswith("'"):
         raw = text[1:-1]
         if "\\" in raw:
@@ -717,7 +748,12 @@ def _exec_insert(cat, spark, query: str, branch: str):
     if not re.match(r"(?is)^(SELECT|VALUES|TABLE|WITH|\()", rest):
         raise ValueError(f"cannot parse INSERT source {rest!r}")
     df = spark.sql(rest)
-    schema = cat.load_table(table, branch).spark_schema
+    tmeta = cat.load_table(table, branch)
+    schema = tmeta.spark_schema
+    # declared write-defaults (add_column's contract: writers may omit
+    # the column; the write fills it) — SQL INSERT honors them exactly
+    # like the API path (Catalog._align_schema)
+    defaults = tmeta.column_defaults
     if cols is not None:
         if len(cols) != len(df.columns):
             raise ValueError(
@@ -740,22 +776,33 @@ def _exec_insert(cat, spark, query: str, branch: str):
             *[
                 F.col(by_name[f.name]).cast(f.dataType).alias(f.name)
                 if f.name in by_name
-                else F.lit(None).cast(f.dataType).alias(f.name)
+                else (
+                    F.expr(defaults[f.name])
+                    if f.name in defaults
+                    else F.lit(None)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
                 for f in schema.fields
             ]
         )
     else:
-        if len(df.columns) != len(schema.fields):
+        # positional INSERT may omit TRAILING defaulted columns (the
+        # standard-SQL shape); any other arity mismatch is an error
+        n = len(df.columns)
+        if n > len(schema.fields) or (
+            n < len(schema.fields)
+            and any(f.name not in defaults for f in schema.fields[n:])
+        ):
             raise ValueError(
                 f"INSERT query produces {len(df.columns)} columns but "
                 f"{table!r} has {len(schema.fields)}"
             )
-        df = df.select(
-            *[
-                F.col(dc).cast(f.dataType).alias(f.name)
-                for dc, f in zip(df.columns, schema.fields)
-            ]
-        )
+        exprs = []
+        for i, f in enumerate(schema.fields):
+            src = F.col(df.columns[i]) if i < n else F.expr(defaults[f.name])
+            exprs.append(src.cast(f.dataType).alias(f.name))
+        df = df.select(*exprs)
     if overwrite:
         meta = cat.overwrite(df, table, branch)
         return "INSERT OVERWRITE", table, meta
@@ -869,12 +916,13 @@ def _exec_merge(cat, spark, query: str, branch: str):
     # copy per CAS attempt regardless
     _schema_cache: list = []
 
-    def schema_fields():
+    def _table_meta():
         if not _schema_cache:
-            _schema_cache.append(
-                cat.load_table(table, branch).spark_schema.fields
-            )
+            _schema_cache.append(cat.load_table(table, branch))
         return _schema_cache[0]
+
+    def schema_fields():
+        return _table_meta().spark_schema.fields
 
     for clause in _split_top(clause_part, "WHEN")[1:]:
         c = clause.strip().rstrip(";").strip()
@@ -995,10 +1043,13 @@ def _exec_merge(cat, spark, query: str, branch: str):
                         f"INSERT column names {bad} are not columns of "
                         f"{table!r}"
                     )
-                # SQL semantics: unmentioned columns become NULL (the
-                # primitive's default would be the source's column)
+                # SQL semantics: unmentioned columns take the table's
+                # declared write-default when one exists (same contract
+                # as INSERT INTO / the API's _align_schema), else NULL
+                # (the primitive's default would be the source's column)
+                tdefs = _table_meta().column_defaults
                 insert_values = {
-                    f.name: given.get(f.name, "NULL")
+                    f.name: given.get(f.name, tdefs.get(f.name, "NULL"))
                     for f in schema_fields()
                 }
         else:
@@ -1080,9 +1131,10 @@ def rewrite_metadata_tables(cat, spark, query: str, branch: str) -> str:
 
 def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
     """SQL time travel (the Spark+Iceberg surface): rewrite
-    ``<table> VERSION AS OF <snapshot_id>`` and ``<table> TIMESTAMP
-    AS OF '<ts>'`` references into snapshot-pinned temp views backed
-    by :meth:`Catalog.read` / :meth:`Catalog.read_as_of`. Works at
+    ``<table> VERSION AS OF <snapshot_id>``, ``<table> VERSION AS OF
+    '<branch-or-tag>'`` and ``<table> TIMESTAMP AS OF '<ts>'``
+    references into snapshot-pinned temp views backed by
+    :meth:`Catalog.read` / :meth:`Catalog.read_as_of`. Works at
     any subquery depth (MERGE USING included); naive timestamps are
     taken as UTC, matching the commit log's epoch-ms clock. A
     time-travel reference to a name the catalog doesn't know raises
@@ -1092,7 +1144,7 @@ def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
 
     out = query
     pat_v = re.compile(
-        rf"(?is)({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)"
+        rf"(?is)({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+|{_STR})"
     )
     pat_t = re.compile(
         rf"(?is)({_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+({_STR})"
@@ -1109,22 +1161,44 @@ def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
         if m is None:
             return out
         table = _unquote(m.group(1))
-        if not cat.table_exists(table, branch):
-            raise KeyError(
-                f"time-travel reference to unknown table {table!r} "
-                f"on branch {branch!r}"
-            )
         ref = m.group(2)
-        if ref.startswith("'"):
-            ts = _dt.datetime.fromisoformat(ref[1:-1].replace("''", "'"))
-            if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=_dt.timezone.utc)
-            ms = int(ts.timestamp() * 1000)
-            df = cat.read_as_of(spark, table, ms, branch)
-            view = f"{table}__asof_{ms}"
+        if m.re is pat_v and ref.startswith("'"):
+            # VERSION AS OF '<branch-or-tag>' (Iceberg's Spark
+            # spelling for ref-name time travel) — the forensic-read
+            # shape the reference's dashboard uses (branch-addressed
+            # reads of an open audit branch, quality_app.py:64-76):
+            # one statement can join main against a failed branch
+            name = ref[1:-1].replace("''", "'")
+            if not cat.branch_exists(name):
+                raise KeyError(
+                    f"VERSION AS OF {name!r}: no branch or tag with "
+                    "that name"
+                )
+            if not cat.table_exists(table, name):
+                raise KeyError(
+                    f"time-travel reference to unknown table {table!r} "
+                    f"on ref {name!r}"
+                )
+            df = cat.read(spark, table, name)
+            view = f"{table}__ref_{re.sub(r'[^A-Za-z0-9_]', '_', name)}"
         else:
-            df = cat.read(spark, table, branch, snapshot_id=int(ref))
-            view = f"{table}__v{ref}"
+            if not cat.table_exists(table, branch):
+                raise KeyError(
+                    f"time-travel reference to unknown table {table!r} "
+                    f"on branch {branch!r}"
+                )
+            if ref.startswith("'"):
+                ts = _dt.datetime.fromisoformat(
+                    ref[1:-1].replace("''", "'")
+                )
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                ms = int(ts.timestamp() * 1000)
+                df = cat.read_as_of(spark, table, ms, branch)
+                view = f"{table}__asof_{ms}"
+            else:
+                df = cat.read(spark, table, branch, snapshot_id=int(ref))
+                view = f"{table}__v{ref}"
         df.createOrReplaceTempView(view)
         out = out[: m.start()] + view + out[m.end() :]
 

@@ -2229,3 +2229,86 @@ def sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "sql_wap_lifecycle",
+    """
+    WITH seed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+    ),
+    staged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1
+    ),
+    final AS (
+      SELECT * FROM seed UNION ALL SELECT * FROM staged
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST((SELECT COUNT(*) FROM staged) AS BIGINT) AS audited_delta
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="the reference's ENTIRE WAP lifecycle expressed purely as SQL "
+    "statements (round-6 surface; reference: write->audit->publish "
+    "loop src/serverless/app.py:235-317 + branch-addressed forensic "
+    "reads src/quality_app.py:64-76): CALL create_branch stages a "
+    "zero-copy audit branch, INSERT lands the batch on it, the audit "
+    "SELECT joins the OPEN branch against main in ONE statement via "
+    "VERSION AS OF '<branch>' (Iceberg's ref-name time-travel "
+    "spelling, new this round in rewrite_time_travel), CALL "
+    "fast_forward publishes, CALL drop_branch cleans up. The audited "
+    "row delta measured across the branch boundary is folded into "
+    "the hash-gated result, so a broken branch isolation or a "
+    "mis-published merge fails correctness, not just a soft check. "
+    "The oracle rebuilds both states from the same parquet.",
+)
+def sql_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("sqlwap_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "ord_wap"
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 1).createOrReplaceTempView(
+        "sqlwap_src"
+    )
+    # --- WAP, every step a SQL statement ---
+    cat.sql(spark, "CALL create_branch('audit_wap')")
+    cat.sql(
+        spark,
+        "INSERT INTO ord_wap SELECT * FROM sqlwap_src",
+        branch="audit_wap",
+    )
+    # audit across the branch boundary in ONE statement on main:
+    # the staged (branch) row count minus the published (main) count
+    audited_delta = cat.sql(
+        spark,
+        """
+        SELECT b.n - m.n AS d
+        FROM (SELECT COUNT(*) AS n
+              FROM ord_wap VERSION AS OF 'audit_wap') b
+        CROSS JOIN (SELECT COUNT(*) AS n FROM ord_wap) m
+        """,
+    ).collect()[0]["d"]
+    cat.sql(spark, "CALL fast_forward('audit_wap', 'main')")
+    cat.sql(spark, "CALL drop_branch('audit_wap')")
+    return (
+        cat.read(spark, "ord_wap")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("audited_delta", F.lit(int(audited_delta)))
+    )

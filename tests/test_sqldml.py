@@ -1040,7 +1040,12 @@ def test_sql_show_create_table_round_trips(spark, warehouse):
 
     # other SHOW forms still pass through to spark.sql
     assert cat.sql(spark, "SHOW TABLES").count() >= 1
-    with pytest.raises(KeyError):
+    # unknown names fall through to spark.sql (ADVICE r5: the
+    # pre-router contract), so the error is Spark's own
+    # TABLE_OR_VIEW_NOT_FOUND rather than a KeyError from load_table
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="nope"):
         cat.sql(spark, "SHOW CREATE TABLE nope")
 
 
@@ -1222,3 +1227,68 @@ def test_show_tblproperties_and_describe_history(spark, warehouse):
     # plain DESCRIBE still passes through to Spark (temp-view native)
     cols = {r["col_name"] for r in cat.sql(spark, "DESCRIBE t").collect()}
     assert {"id", "v"} <= cols
+
+
+def test_sql_version_as_of_ref_name(spark, warehouse):
+    """VERSION AS OF '<branch-or-tag>' (Iceberg's ref-name spelling,
+    round-6): one statement can join main against an open branch —
+    the reference's forensic-read shape (quality_app.py:64-76)."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10), (2, "b", 20)])
+    cat.create_tag("before_etl")
+    cat.create_branch("etl_audit")
+    cat.sql(spark, "INSERT INTO t VALUES (3, 'c', 30)", branch="etl_audit")
+
+    # branch read: sees the staged row; main does not
+    got = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'etl_audit'"
+    ).collect()[0]["n"]
+    assert got == 3
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 2
+
+    # one statement joining main against the open branch
+    staged = cat.sql(
+        spark,
+        """
+        SELECT b.id FROM (SELECT id FROM t VERSION AS OF 'etl_audit') b
+        LEFT ANTI JOIN t m ON b.id = m.id
+        """,
+    ).collect()
+    assert [r["id"] for r in staged] == [3]
+
+    # tag read pins the tagged state even after main advances
+    cat.sql(spark, "INSERT INTO t VALUES (4, 'd', 40)")
+    got_tag = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'before_etl'"
+    ).collect()[0]["n"]
+    assert got_tag == 2
+
+    # unknown ref raises, naming the ref
+    with pytest.raises(KeyError, match="no branch or tag"):
+        cat.sql(spark, "SELECT * FROM t VERSION AS OF 'ghost_ref'")
+
+    # a quoted literal containing the phrase stays untouched
+    lit = cat.sql(
+        spark, "SELECT 't VERSION AS OF ''x''' AS s FROM t LIMIT 1"
+    ).collect()[0]["s"]
+    assert lit == "t VERSION AS OF 'x'"
+
+
+def test_sql_only_wap_lifecycle(spark, warehouse):
+    """create branch -> INSERT on it -> audit across the boundary ->
+    fast_forward -> drop, every step a SQL statement."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    cat.sql(spark, "CALL create_branch('wap')")
+    cat.sql(spark, "INSERT INTO t VALUES (2, 'b', 20)", branch="wap")
+    d = cat.sql(
+        spark,
+        "SELECT b.n - m.n AS d FROM "
+        "(SELECT COUNT(*) AS n FROM t VERSION AS OF 'wap') b CROSS JOIN "
+        "(SELECT COUNT(*) AS n FROM t) m",
+    ).collect()[0]["d"]
+    assert d == 1
+    cat.sql(spark, "CALL fast_forward('wap', 'main')")
+    cat.sql(spark, "CALL drop_branch('wap')")
+    assert _state(spark, cat) == {1: ("a", 10), 2: ("b", 20)}
+    assert "wap" not in cat.list_branches()
