@@ -28,37 +28,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records exactly the first 50 registered queries
-# (confirmed r1-r3), so ordering is load-bearing and the head is
-# curated by hand each round. Round-5 rotation (VERDICT r4 #2 +
-# NOTES round-5 guidance): r4 was a perfect 46/46+4 gate, so the
-# head is (1) the canary, (2) the three NEW r5 queries
-# (sql_merge_into, multimodal_bmp_decode, multimodal_wav_decode),
-# (3) the four r4 queries whose SUBSYSTEMS changed this round
-# (merge_into dup-gate fold -> merge_into_conditional,
-# merge_lineitem_composite; changefeed lineage spans ->
-# streaming_changefeed_merge; Catalog.sql DML routing ->
-# catalog_sql_interface), then (4) the stalest-evidence fill: every
-# query whose latest driver evidence is r2 (the q-tail, fn suites,
-# window_ranking, agg_orders_cube, multimodal stubs, corpus/text r2
-# tail, dedup family). Everything green in r3/r4 rotates to the
-# tail — after this head lands, every oracle-backed query's driver
-# evidence is r3 or newer.
+# (confirmed r1-r5), so ordering is load-bearing and the head is
+# curated by hand each round. Round-6 rotation (VERDICT r5 #1 +
+# NOTES round-6 guidance, cross-checked against the union of
+# CORRECTNESS_r01..r05): r5 was a perfect 50/50 gate, so the head is
+# (1) the canary, (2) every query with NO driver evidence yet — the
+# seven late-r5 gates plus the new r6 sql_wap_lifecycle, (3) the two
+# queries still on r2 evidence, (4) the five r5-greens whose
+# SUBSYSTEMS changed this round (merge update-arm build + INSERT
+# defaults -> sql_merge_into / merge_into_conditional /
+# merge_lineitem_composite; rewrite_time_travel ref-names ->
+# sql_time_travel; Catalog.sql routing fallthrough ->
+# catalog_sql_interface), then (5) a 34-query fill from the 39 whose
+# latest evidence is r3 (the five left behind — events_hourly_rollup,
+# events_value_percentiles, window_running_revenue,
+# window_moving_avg_daily_revenue, window_event_gaps — sit in the mid
+# for the r7 head). Everything green in r4/r5 rotates to the tail.
 _HEAD = [
     "q1_pricing_summary",  # canary: green every round, sub-second
-    # --- new in round 5 ---
+    # --- no driver evidence yet (late-r5 gates + new r6 surface) ---
+    "sql_wap_lifecycle",
+    "sql_transaction_publish",
+    "catalog_metadata_sql",
+    "catalog_metadata_delete",
+    "catalog_sql_views",
+    "catalog_check_constraints",
+    "catalog_column_defaults",
+    "sql_merge_by_source",
+    # --- stalest evidence (latest driver green is r2) ---
+    "corpus_chunk_windows",
+    "window_top3_orders_per_customer",
+    # --- r5 greens whose subsystems changed in r6 ---
     "sql_merge_into",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    "multimodal_bmp_resize_real",
-    "multimodal_wav_frame_features",
-    "sql_time_travel",
-    "streaming_backfill_slices",
-    # --- r4 greens whose subsystems changed in r5 ---
     "merge_into_conditional",
     "merge_lineitem_composite",
-    "streaming_changefeed_merge",
+    "sql_time_travel",
     "catalog_sql_interface",
-    # --- stalest evidence (latest driver green is r2) ---
+    # --- r3-evidence fill ---
+    "agg_collect_ordered",
+    "asof_purchase_last_click",
+    "catalog_incremental_read",
+    "catalog_mor_delete_read",
+    "catalog_schema_evolution",
+    "catalog_time_travel",
+    "dedup_cluster_representatives",
+    "dedup_components",
+    "dedup_exact_keep_first",
+    "dedup_exact_stats",
+    "dedup_normalized_fingerprints",
+    "dedup_source_matrix",
+    "embedding_quantize_int8",
+    "events_anomaly_iqr",
+    "events_json_extract",
+    "events_user_funnel",
+    "histogram_order_totals",
+    "join_semi_anti",
+    "merge_orders_cdc",
+    "pivot_orders_status_by_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_pair_volume",
+    "range_join_price_bands",
+    "rollup_nation_region",
+    "setops_customer_cohorts",
+    "streaming_windowed_counts",
+    "subquery_parts_above_brand_avg",
+    "topk_expensive_items",
+    "unpivot_nation_measures",
+    "wap_audit_gate",
+]
+_TAIL = [
+    # rotated out of the head (r4/r5-green — freshest evidence goes to
+    # the end of the line); order only matters if the gate ever reads
+    # past slot 50
     "q3_shipping_priority",
     "q4_order_priority",
     "q8_market_share",
@@ -78,6 +123,10 @@ _HEAD = [
     "audit_profile_lineitem",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "multimodal_bmp_resize_real",
+    "multimodal_wav_frame_features",
     "corpus_repetition_profile",
     "corpus_stratified_sample",
     "corpus_pack_sequences",
@@ -94,56 +143,11 @@ _HEAD = [
     "text_bpe_token_counts",
     "dedup_substring_spans",
     "dedup_ngram_jaccard",
-    # --- new late-r5 surface (rename + CALL procedures + cherry-pick) ---
     "catalog_table_rename",
     "sql_call_maintenance",
     "catalog_cherrypick",
-    # dedup_normalized_fingerprints / dedup_cluster_representatives /
-    # dedup_source_matrix / dedup_components dropped from the head to
-    # stay at 50 slots (components has r3 driver evidence; the others
-    # were in the judge's 30/30 re-verified set). dedup_exact_keep_first
-    # / dedup_exact_stats / corpus_chunk_windows yielded their slots to
-    # the three late-r5 gates (all three were judge-re-verified 30/30
-    # in r4; rotate them into the r6 head — the only three oracle-backed
-    # queries left on r2 driver evidence)
-]
-_TAIL = [
-    # rotated out of the head (r3/r4-green redundancy); order only
-    # matters if the gate ever reads past slot 50
-    "q5_local_supplier_volume",
-    "q18_large_orders",
-    "q6_revenue_forecast",
-    "q7_nation_pair_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "window_running_revenue",
-    "window_moving_avg_daily_revenue",
-    "window_event_gaps",
-    "window_top3_orders_per_customer",
-    "join_semi_anti",
-    "range_join_price_bands",
-    "topk_expensive_items",
-    "setops_customer_cohorts",
-    "subquery_parts_above_brand_avg",
-    "rollup_nation_region",
-    "pivot_orders_status_by_priority",
-    "unpivot_nation_measures",
-    "events_value_percentiles",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_anomaly_iqr",
-    "events_user_funnel",
-    "asof_purchase_last_click",
-    "streaming_windowed_counts",
-    "histogram_order_totals",
-    "agg_collect_ordered",
-    "merge_orders_cdc",
-    "wap_audit_gate",
-    "catalog_time_travel",
-    "catalog_incremental_read",
-    "catalog_schema_evolution",
-    "catalog_mor_delete_read",
-    "embedding_quantize_int8",
+    "streaming_backfill_slices",
+    "streaming_changefeed_merge",
 ]
 
 
