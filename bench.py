@@ -51,6 +51,11 @@ HEADLINE = [
     # boundary-aligned retention delete whose delete step is O(metadata)
     # (zero rows read/written); the row tracks the WRITE+commit cycle
     "catalog_metadata_delete",
+    # round 6: ANN recall asserted AT BENCH SCALE (VERDICT r5 #6) —
+    # the two rows-only ANN queries' parameter quality was previously
+    # checked only at sf0.01; the bench loop now hard-asserts
+    # recall_ok for lsh AND ivf at sf0.1 every run
+    "similarity_ann_recall_gate",
 ]
 
 
@@ -83,8 +88,13 @@ def main() -> None:
         spark.catalog.clearCache()
         for name in HEADLINE:
             t0 = time.time()
-            queries[name].spark(spark, sf_dir).collect()
+            rows = queries[name].spark(spark, sf_dir).collect()
             reps[name].append(time.time() - t0)
+            if name == "similarity_ann_recall_gate":
+                # quality assertion at bench scale: a recall
+                # regression fails the bench run, not just sf0.01
+                bad = [r["method"] for r in rows if not r["recall_ok"]]
+                assert not bad, f"ANN recall below bound at {sf_dir}: {bad}"
     timings = {n: round(sorted(ts)[1], 3) for n, ts in reps.items()}
     timings_min = {n: round(min(ts), 3) for n, ts in reps.items()}
 

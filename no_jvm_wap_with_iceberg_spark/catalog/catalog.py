@@ -1599,6 +1599,48 @@ class Catalog:
             )
         return ids
 
+    # default max pending equality-delete specs on any one live file
+    # before a merge commit triggers a self-tending binpack fold;
+    # override per table with the 'write.merge.auto-fold-specs'
+    # property ('0' disables)
+    AUTO_FOLD_SPECS_DEFAULT = 16
+
+    def _auto_fold_specs(
+        self, spark: SparkSession, table: str, branch: str, meta
+    ) -> None:
+        """Self-tending merge-on-read: after a merge/MoR-delete commit,
+        when any live file has accumulated >= ``write.merge.
+        auto-fold-specs`` pending equality-delete specs (default
+        :attr:`AUTO_FOLD_SPECS_DEFAULT`; '0' disables), fold them back
+        with :meth:`fold_deletes` — per-file rewrites of ONLY the
+        spec-carrying files, preserving the layout's file boundaries
+        (and therefore its key-range pruning granularity; a binpack
+        fold here measurably destroyed it — see fold_deletes). A
+        sustained merge loop (streaming CDC apply, WapPipeline, a
+        plain API loop) then self-tends with no maintenance cron:
+        SCALE.md r5 measured 40 unfolded merges drifting commit
+        latency 1.49x and read depth linearly; with the trigger the
+        depth is bounded by the threshold. Best-effort and off the
+        commit path — the merge itself already committed, and a lost
+        fold CAS race just leaves the fold to the next trigger."""
+        raw = meta.properties.get("write.merge.auto-fold-specs", "")
+        try:
+            thresh = int(raw) if raw else self.AUTO_FOLD_SPECS_DEFAULT
+        except (TypeError, ValueError):
+            thresh = self.AUTO_FOLD_SPECS_DEFAULT
+        if thresh <= 0:
+            return
+        depth = max(
+            (len(specs) for _f, specs in meta.files_with_deletes()),
+            default=0,
+        )
+        if depth < thresh:
+            return
+        try:
+            self.fold_deletes(spark, table, branch)
+        except Exception:
+            pass  # maintenance must never fail the write that triggered it
+
     def merge_rows(
         self,
         df: DataFrame,
@@ -1707,7 +1749,11 @@ class Catalog:
                 f"(+{len(new_files)} files, {len(deletes)} delete specs)",
             )
 
-        return self._optimistic_commit(table, branch, build, max_retries=max_retries)
+        out = self._optimistic_commit(
+            table, branch, build, max_retries=max_retries
+        )
+        self._auto_fold_specs(df.sparkSession, table, branch, out)
+        return out
 
     def merge_into(
         self,
@@ -1943,9 +1989,11 @@ class Catalog:
                 )
 
             try:
-                return self._optimistic_commit(
+                out = self._optimistic_commit(
                     table, branch, build, max_retries=0
                 )
+                self._auto_fold_specs(spark, table, branch, out)
+                return out
             except CommitConflict as ex:
                 last_err = ex
         raise last_err  # exhausted retries under concurrent writers
@@ -2020,7 +2068,10 @@ class Catalog:
                 f"DELETE KEYS FROM {table} ON {key}",
             )
 
-        return self._optimistic_commit(table, branch, build)
+        out = self._optimistic_commit(table, branch, build)
+        if mode == "mor":
+            self._auto_fold_specs(kdf.sparkSession, table, branch, out)
+        return out
 
     def create_table_from_df(
         self,
@@ -3661,6 +3712,71 @@ class Catalog:
                     new_files, "overwrite", extra_summary={"cdc": "none"}
                 ),
                 f"COMPACT {table} ({len(files)} -> {len(new_files)} files)",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
+    def fold_deletes(
+        self,
+        spark: SparkSession,
+        table: str,
+        branch: str = MAIN,
+        max_concurrency: int = 8,
+    ) -> TableMetadata:
+        """Fold pending merge-on-read equality-delete specs back into
+        clean files — rewriting ONLY the spec-carrying files, ONE
+        OUTPUT PER INPUT (Iceberg's rewrite-position-deletes shape).
+
+        Why not :meth:`compact`: binpack coalesces everything
+        undersized toward ``target_file_mb``, which on a range-loaded
+        table can merge the whole key space into one file — and then
+        every later merge's key-range pruning matches THAT file, so
+        condition evaluation scans the table instead of the one
+        overlapping file (measured: post-binpack merge latency jumped
+        5 s -> 17 s on the 40-merge soak because 32 range-disjoint
+        base files became 1). Preserving file boundaries preserves the
+        layout's pruning granularity; cost is O(spec-carrying bytes)
+        regardless of table size. Per-file rewrites submit as
+        concurrent Spark jobs (``max_concurrency`` driver threads) so
+        a cluster folds the hot set in parallel.
+
+        A file whose rows are all deleted simply leaves via
+        ``removed_paths``. The commit is a ``rewrite`` tagged
+        ``cdc: none`` (folding is layout, not change), identical to
+        binpack's feed semantics.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        def build(meta: TableMetadata):
+            carrying = [
+                (f, c) for f, c in meta.files_with_deletes() if c
+            ]
+            if not carrying:
+                return None, ""
+
+            def rewrite(fc):
+                return self._write_files(
+                    self._df_applying_deletes(spark, meta, [fc]).coalesce(1),
+                    meta,
+                    table,
+                    layout_done=True,
+                )
+
+            new_files: list[FileEntry] = []
+            with ThreadPoolExecutor(
+                max_workers=min(max_concurrency, len(carrying))
+            ) as ex:
+                for out in ex.map(rewrite, carrying):
+                    new_files.extend(out)
+            return (
+                meta.with_new_snapshot(
+                    new_files,
+                    "rewrite",
+                    removed_paths=sorted(f.path for f, _ in carrying),
+                    extra_summary={"cdc": "none"},
+                ),
+                f"FOLD DELETES {table} "
+                f"({len(carrying)} -> {len(new_files)} files)",
             )
 
         return self._optimistic_commit(table, branch, build)

@@ -1680,6 +1680,7 @@ _CALL_PAT = re.compile(
 
 _CALL_PROCS = (
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rewrite_position_delete_files",
     "rollback_to_snapshot", "cherrypick_snapshot", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "drop_tag", "maintain",
 )
@@ -1770,6 +1771,25 @@ def execute_call(cat, spark, query: str, branch: str):
         orphans = cat.remove_orphan_files(table, dry_run=dry, **kwargs)
         return done(
             [(p,) for p in orphans], "orphan_file_location string"
+        )
+    if proc == "rewrite_position_delete_files":
+        # Iceberg's spelling for folding pending deletes without
+        # touching clean files; maps to fold_deletes (per-file
+        # rewrites of ONLY spec-carrying files, layout preserved)
+        table = str(arg("table"))
+        before = sum(
+            1
+            for _f, c in cat.load_table(table, branch).files_with_deletes()
+            if c
+        )
+        meta = cat.fold_deletes(spark, table, branch)
+        after = sum(
+            1 for _f, c in meta.files_with_deletes() if c
+        )
+        return done(
+            [(table, before, after)],
+            "table string, carrying_files_before long, "
+            "carrying_files_after long",
         )
     if proc == "rewrite_data_files":
         table = str(arg("table"))

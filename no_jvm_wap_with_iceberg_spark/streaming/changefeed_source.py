@@ -56,7 +56,17 @@ control — after the first planned batch, each micro-batch advances
 at most N commits, so a stream that falls behind a busy table
 catches up in bounded batches instead of one lag-sized batch
 (measured: N commits landing mid-query drain as N one-commit
-batches). The FIRST planned batch is uncapped: the engine prefetches
+batches). ``maxBytesPerTrigger``: byte-weighted admission control at
+FILE granularity WITHIN a commit — one huge commit (a backfill
+append landing hundreds of files) drains as several bounded batches
+instead of one unbounded one. Offsets grow a ``sub`` field while a
+commit is partially emitted (``{"snapshot_id": N, "sub": K}`` = the
+first K file-units of commit N are done); fully-emitted commits
+encode as before, so pre-existing checkpoints stay readable, and the
+unit order is a pure function of the immutable snapshot record, so a
+restart replans byte-identical batches. Both caps compose: the
+commit cap bounds the span, the byte cap splits within it. The
+FIRST planned batch is uncapped: the engine prefetches
 ``latestOffset`` before the reader ever learns its start offset, and
 the only anchor-less answer that can never rewind a restarted
 checkpoint (head >= every committed offset) is the head itself — an
@@ -165,7 +175,17 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # capped.
         mc = options.get("maxcommitspertrigger")
         self._max_commits = int(mc) if mc is not None else None
-        self._planned: int | None = None
+        # maxBytesPerTrigger: byte-weighted admission control at FILE
+        # granularity WITHIN a commit (VERDICT r5 #5) — a single huge
+        # commit (a big backfill append) splits into bounded
+        # micro-batches instead of landing as one unbounded batch.
+        # The offset grows a "sub" field (units of the commit already
+        # emitted); a fully-emitted commit encodes without it, so
+        # checkpoints written before this feature stay readable.
+        mb = options.get("maxbytespertrigger")
+        self._max_bytes = int(mb) if mb is not None else None
+        # rate-limit anchor: (snapshot_id, units_emitted_of_that_id)
+        self._planned: tuple[int, int] | None = None
 
     def _dbg(self, msg: str) -> None:
         p = os.environ.get("WAP_CFS_DEBUG_LOG")
@@ -217,6 +237,23 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         out.reverse()
         return out
 
+    @staticmethod
+    def _enc(sid: int, sub: int) -> dict:
+        """Offset encoding: a fully-emitted commit omits ``sub`` so the
+        format (and old checkpoints) match the pre-split encoding."""
+        return {"snapshot_id": sid, "sub": sub} if sub else {"snapshot_id": sid}
+
+    @staticmethod
+    def _dec(off: dict) -> tuple[int, int]:
+        return off["snapshot_id"], off.get("sub", 0)
+
+    @staticmethod
+    def _pos_key(pos: tuple[int, int]) -> tuple[int, float]:
+        """Ordering key: sub == 0 means commit FULLY emitted, which is
+        LATER than any partial sub > 0 of the same commit — plain
+        tuple comparison would get that backwards."""
+        return (pos[0], pos[1] if pos[1] else float("inf"))
+
     def initialOffset(self) -> dict:
         if self.starting == "earliest":
             off = 0
@@ -225,7 +262,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         else:
             head = self._meta().current_snapshot_id
             off = head if head is not None else 0
-        self._planned = off
+        self._planned = (off, 0)
         self._dbg(f"initialOffset -> {off}")
         return {"snapshot_id": off}
 
@@ -233,7 +270,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         meta = self._meta()
         head = meta.current_snapshot_id
         head = head if head is not None else 0
-        if self._planned is not None and head < self._planned:
+        if self._planned is not None and head < self._planned[0]:
             # a rollback moved the branch head BEHIND the stream's
             # progress. Returning the lower head would make the engine
             # log an offset behind its checkpoint and re-emit the span
@@ -242,43 +279,105 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # un-emitted (standard CDC semantics); the stream resumes
             # at the next post-rollback commit (snapshot ids stay
             # monotone across rollbacks by construction).
-            head = self._planned
+            p_sid, p_sub = self._planned
+            self._dbg(f"latestOffset hold at {self._planned}")
+            return self._enc(p_sid, p_sub)
         if self._max_commits is not None and self._planned is not None:
             # lineage walk, not id range: after a rollback the log
             # still holds rolled-back snapshots, and capping onto one
             # of those ids would plan a batch ending off-lineage
             span = [
                 s.snapshot_id
-                for s in self._lineage_span(meta, self._planned, head)
+                for s in self._lineage_span(meta, self._planned[0], head)
             ]
             if len(span) > self._max_commits:
                 head = span[self._max_commits - 1]
+        if self._max_bytes is not None and self._planned is not None:
+            out = self._byte_capped_offset(meta, self._planned, head)
+            self._dbg(f"latestOffset planned={self._planned} -> {out}")
+            return out
         self._dbg(f"latestOffset planned={self._planned} -> {head}")
         return {"snapshot_id": head}
 
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+    def _byte_capped_offset(
+        self, meta, planned: tuple[int, int], head: int
+    ) -> dict:
+        """Advance from ``planned`` by whole emission units (one unit =
+        one file-scoped partition) until ``maxBytesPerTrigger`` is
+        spent — stopping MID-commit when one commit alone exceeds the
+        budget. Always admits at least one unit so the stream makes
+        progress; unit order is the deterministic plan order
+        (``_commit_parts``), so a restart replans the identical batch.
+        """
+        p_sid, p_sub = planned
+        span = self._lineage_span(
+            meta, p_sid - 1 if p_sub else p_sid, head
+        )
+        if not span:
+            return self._enc(p_sid, p_sub)
+        ctx = self._plan_ctx(meta)
+        budget = self._max_bytes
+        took = 0
+        out_sid, out_sub = p_sid, p_sub
+        for s in span:
+            units = self._commit_parts(meta, ctx, s)
+            i = p_sub if (s.snapshot_id == p_sid and p_sub) else 0
+            while i < len(units):
+                if took > 0 and budget <= 0:
+                    return self._enc(s.snapshot_id, i)
+                budget -= units[i][1]
+                i += 1
+                took += 1
+            out_sid, out_sub = s.snapshot_id, 0
+            if budget <= 0:
+                break
+        return self._enc(out_sid, out_sub)
+
+    def _plan_ctx(self, meta) -> dict[str, Any]:
+        """Precomputed schema/rename context shared by every commit's
+        plan; cached per metadata object (latestOffset polls build it
+        once per head change, not per trigger)."""
+        cached = getattr(self, "_ctx_cache", None)
+        if cached is not None and cached[0] is meta:
+            return cached[1]
         from pyspark.sql.pandas.types import to_arrow_schema
 
         import pyspark.sql.types as T
 
-        meta = self._meta()
-        lo, hi = start["snapshot_id"], end["snapshot_id"]
-        span = self._lineage_span(meta, lo, hi)
         user_fields = [
             f for f in self._spark_schema.fields
             if f.name not in ("_change_type", "_snapshot_id")
         ]
         arrow_schema = to_arrow_schema(T.StructType(user_fields))
-        schema_bytes = arrow_schema.serialize().to_pybytes()
         hist = meta.rename_history
-        old_to_new = {o: c for c, olds in hist.items() for o in olds}
-        aliases = [(o, c) for c, olds in hist.items() for o in olds]
-        col_sources = [
-            (f.name, [f.name] + list(hist.get(f.name, ())))
-            for f in user_fields
-        ]
-        user_names = {f.name for f in user_fields}
-        by_path = {}  # parent-visible FileEntry by path, refreshed per snapshot
+        ctx = {
+            "schema_bytes": arrow_schema.serialize().to_pybytes(),
+            "old_to_new": {
+                o: c for c, olds in hist.items() for o in olds
+            },
+            "aliases": [(o, c) for c, olds in hist.items() for o in olds],
+            "col_sources": [
+                (f.name, [f.name] + list(hist.get(f.name, ())))
+                for f in user_fields
+            ],
+            "user_names": {f.name for f in user_fields},
+        }
+        self._ctx_cache = (meta, ctx)
+        return ctx
+
+    def _commit_parts(
+        self, meta, ctx: dict[str, Any], s
+    ) -> list[tuple[InputPartition, int]]:
+        """ONE commit's emission units in deterministic plan order,
+        each with its byte weight (the scanned file's size) — the unit
+        of both planning and byte-weighted admission control. The
+        order is a pure function of the immutable snapshot record, so
+        a restarted checkpoint replans identical batches."""
+        schema_bytes = ctx["schema_bytes"]
+        old_to_new = ctx["old_to_new"]
+        aliases = ctx["aliases"]
+        col_sources = ctx["col_sources"]
+        user_names = ctx["user_names"]
 
         def part_values(fe) -> dict[str, str]:
             # pre-rename files recorded the partition dir under the
@@ -302,25 +401,27 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 "key_files": [abs_path(p) for p in d["key_files"]],
             }
 
-        def insert_parts(s, files) -> list[InputPartition]:
+        def insert_parts(files) -> list[tuple[InputPartition, int]]:
             return [
-                _FilePartition(
-                    abs_path(f.path),
-                    s.snapshot_id,
-                    schema_bytes,
-                    col_sources,
-                    part_values(f),
+                (
+                    _FilePartition(
+                        abs_path(f.path),
+                        s.snapshot_id,
+                        schema_bytes,
+                        col_sources,
+                        part_values(f),
+                    ),
+                    f.bytes,
                 )
                 for f in files
             ]
 
         def replay_parts(
-            s,
             target_paths: list[str] | None,
             change: str,
             apply_spec: dict[str, Any] | None,
             set_exprs: dict[str, str] | None = None,
-        ) -> list[InputPartition]:
+        ) -> list[tuple[InputPartition, int]]:
             """One partition per parent-visible target file."""
             parent = meta.files_with_deletes(s.parent_snapshot_id)
             want = set(target_paths) if target_paths is not None else None
@@ -329,74 +430,88 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 if want is not None and f.path not in want:
                     continue
                 out.append(
-                    _ReplayPartition(
-                        abs_path(f.path),
-                        s.snapshot_id,
-                        change,
-                        schema_bytes,
-                        col_sources,
-                        part_values(f),
-                        [norm_spec(sp.to_json()) for sp in specs],
-                        apply_spec,
-                        set_exprs,
-                        aliases,
+                    (
+                        _ReplayPartition(
+                            abs_path(f.path),
+                            s.snapshot_id,
+                            change,
+                            schema_bytes,
+                            col_sources,
+                            part_values(f),
+                            [norm_spec(sp.to_json()) for sp in specs],
+                            apply_spec,
+                            set_exprs,
+                            aliases,
+                        ),
+                        f.bytes,
                     )
                 )
             return out
 
-        self._planned = hi  # rate-limit anchor (also after restarts)
-        self._dbg(f"partitions {lo}..{hi}")
+        cdc = s.summary.get("cdc")
+        if cdc == "none":
+            return []  # compaction/z-order: layout, not change
+        if cdc == "unsupported" or (s.operation == "rewrite" and not cdc):
+            raise ValueError(
+                f"snapshot {s.snapshot_id} ({s.operation}) carries no "
+                "CDC record; use merge_rows/delete_where/update_where "
+                "for change-feed-readable mutations"
+            )
+        parts: list[tuple[InputPartition, int]] = []
+        if s.operation == "append":
+            parts += insert_parts(s.added_files)
+        elif s.operation == "overwrite":
+            parts += replay_parts(None, "delete", None)
+            parts += insert_parts(s.added_files)
+        elif s.operation in ("delete", "merge"):  # merge-on-read
+            for d in s.deletes:
+                parts += replay_parts(d.get("targets"), "delete", norm_spec(d))
+            if s.operation == "merge":
+                parts += insert_parts(s.added_files)
+        elif s.operation == "rewrite":
+            if cdc == "delete":
+                spec = {"condition": _translate_cond(s.summary["condition"])}
+                parts += replay_parts(s.removed_paths, "delete", spec)
+            elif cdc == "delete_keys":
+                spec = norm_spec(
+                    {
+                        "key": s.summary["key"],
+                        "key_files": json.loads(s.summary["key_files"]),
+                    }
+                )
+                parts += replay_parts(s.removed_paths, "delete", spec)
+            elif cdc == "update":
+                spec = {"condition": _translate_cond(s.summary["condition"])}
+                sets = {
+                    old_to_new.get(k, k): _translate_cond(v)
+                    for k, v in json.loads(s.summary["set"]).items()
+                }
+                parts += replay_parts(s.removed_paths, "delete", spec)
+                parts += replay_parts(s.removed_paths, "insert", spec, sets)
+            else:
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} carries unknown cdc tag "
+                    f"{cdc!r}; consume it with Catalog.read_changes"
+                )
+        return parts
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        meta = self._meta()
+        lo, sub0 = self._dec(start)
+        hi, sub1 = self._dec(end)
+        # a partially-emitted start commit must itself be in the span
+        # (snapshot ids are monotone integers, so lo-1 re-admits
+        # exactly lo on the lineage walk)
+        span = self._lineage_span(meta, lo - 1 if sub0 else lo, hi)
+        ctx = self._plan_ctx(meta)
+        self._planned = (hi, sub1)  # rate-limit anchor (also restarts)
+        self._dbg(f"partitions {lo}.{sub0}..{hi}.{sub1}")
         parts: list[InputPartition] = []
         for s in span:
-            cdc = s.summary.get("cdc")
-            if cdc == "none":
-                continue  # compaction/z-order: layout, not change
-            if cdc == "unsupported" or (s.operation == "rewrite" and not cdc):
-                raise ValueError(
-                    f"snapshot {s.snapshot_id} ({s.operation}) carries no "
-                    "CDC record; use merge_rows/delete_where/update_where "
-                    "for change-feed-readable mutations"
-                )
-            sid = s.snapshot_id
-            if s.operation == "append":
-                parts += insert_parts(s, s.added_files)
-            elif s.operation == "overwrite":
-                parts += replay_parts(s, None, "delete", None)
-                parts += insert_parts(s, s.added_files)
-            elif s.operation in ("delete", "merge"):  # merge-on-read
-                for d in s.deletes:
-                    parts += replay_parts(
-                        s, d.get("targets"), "delete", norm_spec(d)
-                    )
-                if s.operation == "merge":
-                    parts += insert_parts(s, s.added_files)
-            elif s.operation == "rewrite":
-                if cdc == "delete":
-                    spec = {"condition": _translate_cond(s.summary["condition"])}
-                    parts += replay_parts(s, s.removed_paths, "delete", spec)
-                elif cdc == "delete_keys":
-                    spec = norm_spec(
-                        {
-                            "key": s.summary["key"],
-                            "key_files": json.loads(s.summary["key_files"]),
-                        }
-                    )
-                    parts += replay_parts(s, s.removed_paths, "delete", spec)
-                elif cdc == "update":
-                    spec = {"condition": _translate_cond(s.summary["condition"])}
-                    sets = {
-                        old_to_new.get(k, k): _translate_cond(v)
-                        for k, v in json.loads(s.summary["set"]).items()
-                    }
-                    parts += replay_parts(s, s.removed_paths, "delete", spec)
-                    parts += replay_parts(
-                        s, s.removed_paths, "insert", spec, sets
-                    )
-                else:
-                    raise ValueError(
-                        f"snapshot {sid} carries unknown cdc tag {cdc!r}; "
-                        "consume it with Catalog.read_changes"
-                    )
+            units = self._commit_parts(meta, ctx, s)
+            a = sub0 if (s.snapshot_id == lo and sub0) else 0
+            b = sub1 if (s.snapshot_id == hi and sub1) else len(units)
+            parts += [p for p, _nbytes in units[a:b]]
         return parts
 
     # ------------------------------------------------------------------
@@ -551,8 +666,11 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # checkpoint owns progress; the table log needs no ack — but
         # the completed offset re-anchors the rate limiter
-        if self._planned is None or end["snapshot_id"] > self._planned:
-            self._planned = end["snapshot_id"]
+        pos = self._dec(end)
+        if self._planned is None or self._pos_key(pos) > self._pos_key(
+            self._planned
+        ):
+            self._planned = pos
 
     def stop(self) -> None:
         pass

@@ -540,3 +540,186 @@ def test_backfill_then_stream_bounded_cold_start(spark, warehouse, tmp_path):
     got = spark.read.parquet(str(tmp_path / "sink")).collect()
     assert {r["name"] for r in got} == {"post"}
     assert len(got) == 5
+
+
+def test_stream_source_byte_capped_splits_one_commit(spark, warehouse):
+    """maxBytesPerTrigger (VERDICT r5 #5): ONE commit landing many
+    files drains in several bounded micro-batches — offsets grow a
+    'sub' field mid-commit — and the union of the split batches is
+    identical to the uncapped plan."""
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    # ONE append commit carrying 10 files
+    cat.append(_df(spark, 0, 1000).repartition(10), "t")
+    meta = cat.load_table("t")
+    assert len(meta.files()) == 10
+    head = meta.current_snapshot_id
+
+    schema = T.StructType(
+        SCHEMA.fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+
+    def mk(opts):
+        return ChangeFeedStreamReader(
+            schema,
+            {
+                "warehouse": warehouse,
+                "table": "t",
+                "startingoffsets": "earliest",
+                **opts,
+            },
+        )
+
+    # budget below any single file: one file-unit per trigger
+    r = mk({"maxbytespertrigger": "1"})
+    start = r.initialOffset()
+    batches = []
+    for _ in range(50):
+        end = r.latestOffset()
+        if end == start:
+            break
+        parts = r.partitions(start, end)
+        batches.append((start, end, parts))
+        start = end
+    assert len(batches) == 10, f"10 files -> 10 unit batches, got {len(batches)}"
+    assert all(len(p) == 1 for _s, _e, p in batches)
+    # mid-commit offsets carry 'sub'; the final offset doesn't
+    assert batches[0][1] == {"snapshot_id": head, "sub": 1}
+    assert batches[-1][1] == {"snapshot_id": head}
+    # drained: latestOffset holds
+    assert r.latestOffset() == {"snapshot_id": head}
+
+    # union identical to the uncapped plan (same paths, same order)
+    r_all = mk({})
+    full = r_all.partitions({"snapshot_id": 0}, {"snapshot_id": head})
+    split_paths = [p.path for _s, _e, ps in batches for p in ps]
+    assert split_paths == [p.path for p in full]
+
+    # and byte-identical data: reading the split plan yields the same
+    # rows as reading the full plan
+    def rows_of(parts, reader):
+        out = []
+        for p in parts:
+            for rb in reader.read(p):
+                out.extend(rb.to_pylist())
+        return sorted(
+            (r["id"], r["name"], r["_change_type"]) for r in out
+        )
+
+    assert rows_of(split_paths and [p for _s, _e, ps in batches for p in ps], r) == rows_of(full, r_all)
+
+    # a mid-size budget takes multiple files per batch but stays bounded
+    r2 = mk({"maxbytespertrigger": str(3 * meta.files()[0].bytes)})
+    start = r2.initialOffset()
+    sizes = []
+    for _ in range(50):
+        end = r2.latestOffset()
+        if end == start:
+            break
+        sizes.append(len(r2.partitions(start, end)))
+        start = end
+    assert sum(sizes) == 10
+    assert 1 < len(sizes) < 10
+    assert max(sizes) <= 4  # ~3 files + the one that tips the budget
+
+    # restart determinism: a FRESH reader replans an identical batch
+    # for the same checkpointed (start, end) offsets
+    s0, e0, p0 = batches[3]
+    r3 = mk({"maxbytespertrigger": "1"})
+    assert [p.path for p in r3.partitions(s0, e0)] == [p.path for p in p0]
+
+
+def test_stream_source_byte_cap_spans_commits_and_merge(spark, warehouse):
+    """Byte budget also merges ACROSS small commits (several tiny
+    commits per batch) and splits merge commits at unit granularity;
+    the spliced replay equals the uncapped replay."""
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    cat = Catalog(warehouse)
+    cat.create_table("t", SCHEMA)
+    for i in range(3):
+        cat.append(_df(spark, i * 10, i * 10 + 10).coalesce(1), "t")
+    # a merge commit: replay unit(s) + insert unit(s)
+    cat.merge_rows(_df(spark, 5, 15, "upd").coalesce(1), "t", key="id")
+    head = cat.load_table("t").current_snapshot_id
+
+    schema = T.StructType(
+        SCHEMA.fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+    r = ChangeFeedStreamReader(
+        schema,
+        {
+            "warehouse": warehouse,
+            "table": "t",
+            "startingoffsets": "earliest",
+            "maxbytespertrigger": "1",
+        },
+    )
+    r_all = ChangeFeedStreamReader(
+        schema,
+        {"warehouse": warehouse, "table": "t", "startingoffsets": "earliest"},
+    )
+    start = r.initialOffset()
+    split_parts = []
+    n_batches = 0
+    for _ in range(100):
+        end = r.latestOffset()
+        if end == start:
+            break
+        parts = r.partitions(start, end)
+        assert len(parts) == 1  # 1-byte budget: single unit per batch
+        split_parts += parts
+        start = end
+        n_batches += 1
+    full = r_all.partitions({"snapshot_id": 0}, {"snapshot_id": head})
+    assert n_batches == len(full) > 4
+    assert [p.path for p in split_parts] == [p.path for p in full]
+
+    def rows_of(parts, reader):
+        out = []
+        for p in parts:
+            for rb in reader.read(p):
+                out.extend(rb.to_pylist())
+        return sorted(
+            (x["id"], x["name"], x["_change_type"], x["_snapshot_id"])
+            for x in out
+        )
+
+    assert rows_of(split_parts, r) == rows_of(full, r_all)
+
+
+def test_stream_source_offset_ordering_complete_beats_partial():
+    """commit() anchor ordering: {'snapshot_id': N} (fully emitted)
+    must rank AFTER {'snapshot_id': N, 'sub': K} (partial)."""
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    r = ChangeFeedStreamReader.__new__(ChangeFeedStreamReader)
+    r._planned = None
+    r.commit({"snapshot_id": 5, "sub": 2})
+    assert r._planned == (5, 2)
+    r.commit({"snapshot_id": 5})  # complete: must advance
+    assert r._planned == (5, 0)
+    r.commit({"snapshot_id": 5, "sub": 3})  # stale partial: must NOT
+    assert r._planned == (5, 0)
+    r.commit({"snapshot_id": 6, "sub": 1})
+    assert r._planned == (6, 1)

@@ -203,6 +203,9 @@ def test_merge_heavy_read_plan_depth_is_bounded(spark, warehouse):
     depth is O(distinct key columns), not O(merge history)."""
     cat = Catalog(warehouse)
     cat.create_table("t", SCHEMA)
+    # disable the round-6 auto-fold: this test's POINT is 30 PENDING
+    # merges (the self-tending fold would clear them at depth 16)
+    cat.set_properties("t", **{"write.merge.auto-fold-specs": "0"})
     cat.append(_df(spark, 0, 100, "v0"), "t")
     for i in range(1, 31):
         cat.merge_rows(_df(spark, i, i + 1, f"v{i}"), "t", key="id")
