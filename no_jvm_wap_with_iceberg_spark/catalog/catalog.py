@@ -4130,8 +4130,9 @@ class Catalog:
             "files_before": n_files,
             "pending_deletes": pending,
             "compacted": False,
+            "folded": False,
         }
-        if n_files >= small_file_threshold or pending:
+        if n_files >= small_file_threshold:
             self.compact(
                 spark,
                 table,
@@ -4141,6 +4142,15 @@ class Catalog:
                 mode=meta.properties.get("compaction.strategy", "full"),
             )
             report["compacted"] = True
+        elif pending:
+            # pending specs but NO small-file problem: fold in place
+            # (per-file rewrites of only the spec-carrying files) —
+            # at 100 TB a full/binpack rewrite to clear a handful of
+            # specs is the wrong cost, and binpack coalescing can
+            # destroy the layout's key-range pruning granularity
+            # (measured — see fold_deletes)
+            self.fold_deletes(spark, table, branch)
+            report["folded"] = True
         # declared per-table retention properties take precedence over
         # the call-site default (the cron body shouldn't need tuning)
         has_policy = any(

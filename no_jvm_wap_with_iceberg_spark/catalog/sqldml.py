@@ -1143,11 +1143,15 @@ def rewrite_time_travel(cat, spark, query: str, branch: str) -> str:
     import datetime as _dt
 
     out = query
+    # both Spark spellings: `t VERSION AS OF x` and the SQL-2011 form
+    # `t FOR SYSTEM_VERSION AS OF x` (same for TIMESTAMP/SYSTEM_TIME)
     pat_v = re.compile(
-        rf"(?is)({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+|{_STR})"
+        rf"(?is)({_IDENT})\s+(?:FOR\s+SYSTEM_VERSION\s+AS\s+OF"
+        rf"|VERSION\s+AS\s+OF)\s+(\d+|{_STR})"
     )
     pat_t = re.compile(
-        rf"(?is)({_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+({_STR})"
+        rf"(?is)({_IDENT})\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF"
+        rf"|TIMESTAMP\s+AS\s+OF)\s+({_STR})"
     )
     while True:
         m = next(

@@ -164,3 +164,20 @@ def test_call_rewrite_position_delete_files(spark, warehouse):
         for r in cat.read(spark, "c").filter(F.col("id") < 35).collect()
     }
     assert all(got[i] == 7 for i in range(30))
+
+
+def test_maintain_folds_when_only_specs_pend(spark, warehouse):
+    """maintain(): pending specs WITHOUT a small-file problem fold in
+    place (fold_deletes) instead of triggering a table rewrite."""
+    cat = Catalog(warehouse)
+    _seed(cat, spark, "w", {"write.merge.auto-fold-specs": "0"})
+    cat.merge_rows(
+        spark.range(0, 30).select(F.col("id"), F.lit(1).alias("v")),
+        "w",
+        key="id",
+    )
+    assert _spec_depth(cat, "w") == 1
+    rep = cat.maintain(spark, "w", small_file_threshold=1000)
+    assert rep["folded"] and not rep["compacted"]
+    assert _spec_depth(cat, "w") == 0
+    assert not cat.load_table("w").has_pending_deletes()
