@@ -48,6 +48,7 @@ _HEAD = [
     "q1_pricing_summary",  # canary: green every round, sub-second
     # --- no driver evidence yet (late-r5 gates + new r6 surface) ---
     "sql_wap_lifecycle",
+    "catalog_dynamic_overwrite",
     "sql_transaction_publish",
     "catalog_metadata_sql",
     "catalog_metadata_delete",
@@ -97,8 +98,9 @@ _HEAD = [
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
     "topk_expensive_items",
-    "unpivot_nation_measures",
     "wap_audit_gate",
+    # unpivot_nation_measures (r3 evidence) yielded its slot to the
+    # new catalog_dynamic_overwrite gate; rotate it into the r7 head
 ]
 _TAIL = [
     # rotated out of the head (r4/r5-green — freshest evidence goes to

@@ -1172,6 +1172,65 @@ class Catalog:
             lambda m: (m.with_new_snapshot(files, "overwrite"), f"OVERWRITE {table}"),
         )
 
+    def dynamic_overwrite(
+        self, df: DataFrame, table: str, branch: str = MAIN
+    ) -> TableMetadata:
+        """Iceberg's ``INSERT OVERWRITE`` semantics on a partitioned
+        table (dynamic partition overwrite): replace ONLY the
+        partitions the incoming rows touch — every live row of a
+        touched partition leaves, the incoming rows land, and every
+        other partition carries over by reference. The nightly
+        partition-reload shape: at 100 TB reloading one day replaces
+        one partition's files in ONE metadata commit, O(touched
+        partitions), never O(table).
+
+        Unpartitioned tables fall back to :meth:`overwrite` (full
+        replace — the same thing Spark does without partitioning).
+        Touched partitions are derived from the files the write
+        actually produced (hidden transforms included, since the
+        writer derives them). After a partition-spec evolution only
+        files written under the CURRENT spec participate in matching;
+        older-spec files never silently match a tuple they don't
+        define (compact to re-layout first — the Iceberg discipline).
+
+        CDC: the commit is a ``rewrite`` tagged ``cdc: replace`` —
+        the feed emits every replaced partition's prior rows as
+        deletes plus the incoming rows as inserts, both in
+        :meth:`read_changes` and the streaming changefeed source.
+        """
+        meta0 = self.load_table(table, branch)
+        if not meta0.partition_fields:
+            return self.overwrite(df, table, branch)
+        aligned = self._align_schema(df, meta0)
+        new_files = self._write_files(aligned, meta0, table)
+        spec_names = [f.name for f in meta0.partition_fields]
+        touched = {
+            tuple(f.partition.get(n) for n in spec_names)
+            for f in new_files
+        }
+
+        def build(meta: TableMetadata):
+            removed = [
+                f
+                for f, _c in meta.files_with_deletes()
+                if tuple(f.partition.get(n) for n in spec_names) in touched
+            ]
+            if not removed and not new_files:
+                return None, ""
+            return (
+                meta.with_new_snapshot(
+                    new_files,
+                    "rewrite",
+                    removed_paths=sorted(f.path for f in removed),
+                    extra_summary={"cdc": "replace"},
+                ),
+                f"DYNAMIC OVERWRITE {table} "
+                f"({len(touched)} partitions, -{len(removed)} "
+                f"+{len(new_files)} files)",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
     def upsert(
         self,
         df: DataFrame,
@@ -2323,6 +2382,19 @@ class Catalog:
                     parts.append(tag(d, "delete", sid))
                 parts.append(
                     tag(self._df_for_files(spark, meta, s.added_files), "insert", sid)
+                )
+            elif s.operation == "rewrite" and cdc == "replace":
+                # dynamic partition overwrite: every prior row of the
+                # replaced partitions deletes, the incoming rows insert
+                parts.append(
+                    tag(parent_rows(s, s.removed_paths), "delete", sid)
+                )
+                parts.append(
+                    tag(
+                        self._df_for_files(spark, meta, s.added_files),
+                        "insert",
+                        sid,
+                    )
                 )
             elif s.operation == "rewrite":
                 pre = with_hist(parent_rows(s, s.removed_paths))

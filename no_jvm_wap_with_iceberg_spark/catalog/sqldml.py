@@ -804,7 +804,10 @@ def _exec_insert(cat, spark, query: str, branch: str):
             exprs.append(src.cast(f.dataType).alias(f.name))
         df = df.select(*exprs)
     if overwrite:
-        meta = cat.overwrite(df, table, branch)
+        # Iceberg semantics: on a partitioned table INSERT OVERWRITE
+        # replaces only the partitions the incoming rows touch
+        # (dynamic partition overwrite); unpartitioned replaces all
+        meta = cat.dynamic_overwrite(df, table, branch)
         return "INSERT OVERWRITE", table, meta
     meta = cat.append(df, table, branch)
     return "INSERT", table, meta

@@ -2312,3 +2312,65 @@ def sql_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("audited_delta", F.lit(int(audited_delta)))
     )
+
+
+@register(
+    "catalog_dynamic_overwrite",
+    """
+    WITH reloaded AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+    ),
+    kept AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderstatus <> 'F'
+    ),
+    final AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM reloaded
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="dynamic partition overwrite (round-6 surface; Iceberg's "
+    "INSERT OVERWRITE semantics on partitioned tables): orders lands "
+    "o_orderstatus-partitioned, then INSERT OVERWRITE with a doubled-"
+    "price reload slice touching ONLY the 'F' partition replaces that "
+    "partition's rows and carries every other partition over by "
+    "reference — the nightly partition-reload shape, O(touched "
+    "partitions) at any table size. The oracle rebuilds the final "
+    "state as untouched-partitions UNION the reload slice. "
+    "DECIMAL(18,4): doubled price carries an extra digit (headroom "
+    "rule).",
+)
+def catalog_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("dynover_"))
+    cat.create_table_from_df(orders, "ord_dyn", partition_by=["o_orderstatus"])
+    orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
+    ).createOrReplaceTempView("dynover_src")
+    cat.sql(spark, "INSERT OVERWRITE ord_dyn SELECT * FROM dynover_src")
+    return (
+        cat.read(spark, "ord_dyn")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -469,7 +469,12 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             if s.operation == "merge":
                 parts += insert_parts(s.added_files)
         elif s.operation == "rewrite":
-            if cdc == "delete":
+            if cdc == "replace":
+                # dynamic partition overwrite: replaced partitions'
+                # prior rows delete (whole-file), incoming rows insert
+                parts += replay_parts(s.removed_paths, "delete", None)
+                parts += insert_parts(s.added_files)
+            elif cdc == "delete":
                 spec = {"condition": _translate_cond(s.summary["condition"])}
                 parts += replay_parts(s.removed_paths, "delete", spec)
             elif cdc == "delete_keys":
