@@ -1173,7 +1173,11 @@ class Catalog:
         )
 
     def dynamic_overwrite(
-        self, df: DataFrame, table: str, branch: str = MAIN
+        self,
+        df: DataFrame,
+        table: str,
+        branch: str = MAIN,
+        replace_partitions: list[dict[str, str]] | None = None,
     ) -> TableMetadata:
         """Iceberg's ``INSERT OVERWRITE`` semantics on a partitioned
         table (dynamic partition overwrite): replace ONLY the
@@ -1208,6 +1212,13 @@ class Catalog:
             tuple(f.partition.get(n) for n in spec_names)
             for f in new_files
         }
+        # ``replace_partitions``: partition-value dicts (field name ->
+        # hive string value) forced into the replacement set even when
+        # the incoming data doesn't touch them — the SQL router's
+        # fully-static PARTITION clause uses this so an empty source
+        # still truncates the named partition (Spark semantics)
+        for d in replace_partitions or []:
+            touched.add(tuple(d.get(n) for n in spec_names))
 
         def build(meta: TableMetadata):
             removed = [

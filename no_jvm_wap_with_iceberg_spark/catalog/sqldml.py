@@ -725,6 +725,28 @@ def _exec_insert(cat, spark, query: str, branch: str):
         )
     overwrite = m.group(1).upper() == "OVERWRITE"
     table, rest = _unquote(m.group(2)), m.group(3).strip().rstrip(";")
+    # static partition spec (the Spark spelling): INSERT INTO|OVERWRITE
+    # t PARTITION (p = 'x'[, q]) — assigned names are constants filled
+    # into every row (and omitted from the select list); bare names
+    # are declared-dynamic (values come from the data, same as not
+    # naming them). Only identity partition columns may be assigned.
+    static_part: dict[str, Any] = {}
+    mp = re.match(r"(?is)^PARTITION\s*\((.*?)\)\s*(.*)$", rest)
+    if mp:
+        for item in _split_commas(mp.group(1)):
+            item = item.strip()
+            ma = re.match(rf"(?is)^({_IDENT})\s*=\s*(.+)$", item)
+            if ma:
+                static_part[_unquote(ma.group(1))] = _parse_lit(
+                    ma.group(2).strip()
+                )
+            elif re.fullmatch(_IDENT, item):
+                pass  # dynamic partition column: value from the data
+            else:
+                raise ValueError(
+                    f"cannot parse PARTITION clause item {item!r}"
+                )
+        rest = mp.group(2).strip()
     cols: list[str] | None = None
     if rest.startswith("("):
         # quote-aware paren matching: a ')' inside a backtick-quoted
@@ -754,6 +776,29 @@ def _exec_insert(cat, spark, query: str, branch: str):
     # the column; the write fills it) — SQL INSERT honors them exactly
     # like the API path (Catalog._align_schema)
     defaults = tmeta.column_defaults
+    if static_part:
+        idset = {
+            f.source
+            for f in tmeta.partition_fields
+            if f.transform == "identity"
+        }
+        bad = sorted(set(static_part) - idset)
+        if bad:
+            raise ValueError(
+                f"PARTITION clause assigns {bad}; only identity "
+                f"partition columns of {table!r} may be static "
+                f"({sorted(idset) or 'none — table is not partitioned'})"
+            )
+
+    def fill_expr(fname: str):
+        """Unmentioned-column fill order: static partition constant,
+        then declared write-default, then NULL."""
+        if fname in static_part:
+            return F.lit(static_part[fname])
+        if fname in defaults:
+            return F.expr(defaults[fname])
+        return F.lit(None)
+
     if cols is not None:
         if len(cols) != len(df.columns):
             raise ValueError(
@@ -772,42 +817,62 @@ def _exec_insert(cat, spark, query: str, branch: str):
             raise ValueError(
                 f"INSERT column names {bad} are not columns of {table!r}"
             )
+        clash = sorted(set(cols) & set(static_part))
+        if clash:
+            raise ValueError(
+                f"columns {clash} appear both in the column list and "
+                "as static PARTITION assignments"
+            )
         df = df.select(
             *[
                 F.col(by_name[f.name]).cast(f.dataType).alias(f.name)
                 if f.name in by_name
-                else (
-                    F.expr(defaults[f.name])
-                    if f.name in defaults
-                    else F.lit(None)
-                )
-                .cast(f.dataType)
-                .alias(f.name)
+                else fill_expr(f.name).cast(f.dataType).alias(f.name)
                 for f in schema.fields
             ]
         )
     else:
-        # positional INSERT may omit TRAILING defaulted columns (the
-        # standard-SQL shape); any other arity mismatch is an error
+        # positional INSERT: static partition columns are omitted from
+        # the select list (the Spark shape), and TRAILING defaulted
+        # columns may be omitted (standard SQL); any other arity
+        # mismatch is an error
+        tgt = [f for f in schema.fields if f.name not in static_part]
         n = len(df.columns)
-        if n > len(schema.fields) or (
-            n < len(schema.fields)
-            and any(f.name not in defaults for f in schema.fields[n:])
+        if n > len(tgt) or (
+            n < len(tgt)
+            and any(f.name not in defaults for f in tgt[n:])
         ):
             raise ValueError(
                 f"INSERT query produces {len(df.columns)} columns but "
-                f"{table!r} has {len(schema.fields)}"
+                f"{table!r} expects {len(tgt)}"
+                + (" (after static PARTITION columns)" if static_part else "")
             )
+        pos = {f.name: df.columns[i] for i, f in enumerate(tgt[:n])}
         exprs = []
-        for i, f in enumerate(schema.fields):
-            src = F.col(df.columns[i]) if i < n else F.expr(defaults[f.name])
+        for f in schema.fields:
+            src = (
+                F.col(pos[f.name]) if f.name in pos else fill_expr(f.name)
+            )
             exprs.append(src.cast(f.dataType).alias(f.name))
         df = df.select(*exprs)
     if overwrite:
         # Iceberg semantics: on a partitioned table INSERT OVERWRITE
         # replaces only the partitions the incoming rows touch
-        # (dynamic partition overwrite); unpartitioned replaces all
-        meta = cat.dynamic_overwrite(df, table, branch)
+        # (dynamic partition overwrite); unpartitioned replaces all.
+        # A FULLY-static PARTITION clause forces its tuple into the
+        # replacement set, so `INSERT OVERWRITE t PARTITION (p='x')
+        # SELECT ... WHERE false` truncates that partition (Spark's
+        # static-overwrite semantics) instead of no-op-ing.
+        forced = None
+        if static_part and set(static_part) == {
+            f.source for f in tmeta.partition_fields
+        }:
+            forced = [
+                {c: str(v) for c, v in static_part.items()}
+            ]
+        meta = cat.dynamic_overwrite(
+            df, table, branch, replace_partitions=forced
+        )
         return "INSERT OVERWRITE", table, meta
     meta = cat.append(df, table, branch)
     return "INSERT", table, meta

@@ -176,3 +176,61 @@ def test_dynamic_overwrite_cdc_stream_source(spark, warehouse):
         (1, "a", 0, "delete"),
         (5, "a", 3, "insert"),
     }
+
+
+def test_insert_partition_static_clause(spark, warehouse):
+    """INSERT INTO t PARTITION (part='x'): the static column is a
+    constant filled into every row and omitted from the select list."""
+    cat = Catalog(warehouse)
+    cat.create_table("s", SCHEMA, partition_by=["part"])
+    cat.sql(spark, "INSERT INTO s PARTITION (part = 'a') VALUES (1, 10), (2, 20)")
+    assert _state(cat, spark, "s") == {(1, "a", 10), (2, "a", 20)}
+    # column-list form: static name may not repeat in the list
+    import pytest
+
+    with pytest.raises(ValueError, match="both"):
+        cat.sql(
+            spark,
+            "INSERT INTO s PARTITION (part='a') (id, part, v) "
+            "VALUES (3, 'a', 30)",
+        )
+    # non-partition column in PARTITION clause refuses
+    with pytest.raises(ValueError, match="identity partition"):
+        cat.sql(spark, "INSERT INTO s PARTITION (v = 1) VALUES (3, 'b')")
+
+
+def test_insert_overwrite_static_partition(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table("s", SCHEMA, partition_by=["part"])
+    cat.append(_rows(spark, "a", range(2)), "s")
+    cat.append(_rows(spark, "b", range(10, 12)), "s")
+    # static overwrite replaces exactly that partition
+    cat.sql(
+        spark,
+        "INSERT OVERWRITE s PARTITION (part = 'a') VALUES (7, 77)",
+    )
+    assert _state(cat, spark, "s") == {
+        (7, "a", 77),
+        (10, "b", 0),
+        (11, "b", 0),
+    }
+    # empty source + fully-static clause TRUNCATES the partition
+    cat.sql(
+        spark,
+        "INSERT OVERWRITE s PARTITION (part = 'b') "
+        "SELECT CAST(1 AS BIGINT) AS id, CAST(1 AS BIGINT) AS v "
+        "WHERE false",
+    )
+    assert _state(cat, spark, "s") == {(7, "a", 77)}
+
+
+def test_insert_partition_mixed_static_dynamic(spark, warehouse):
+    """PARTITION (part) — declared-dynamic name: values come from the
+    data (same as omitting the clause)."""
+    cat = Catalog(warehouse)
+    cat.create_table("s", SCHEMA, partition_by=["part"])
+    cat.sql(
+        spark,
+        "INSERT INTO s PARTITION (part) VALUES (1, 'a', 10), (2, 'b', 20)",
+    )
+    assert _state(cat, spark, "s") == {(1, "a", 10), (2, "b", 20)}
