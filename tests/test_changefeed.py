@@ -723,3 +723,99 @@ def test_stream_source_offset_ordering_complete_beats_partial():
     assert r._planned == (5, 0)
     r.commit({"snapshot_id": 6, "sub": 1})
     assert r._planned == (6, 1)
+
+
+def test_stream_source_byte_cap_grid_all_op_kinds(spark, warehouse):
+    """Grid robustness: a history mixing every CDC op kind (append,
+    MoR merge, MoR delete, COW update, dynamic partition overwrite)
+    drains under several byte budgets; for EVERY budget the spliced
+    plan is unit-for-unit identical to the uncapped plan, and a
+    restarted reader replans each batch identically."""
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Predicate
+    from no_jvm_wap_with_iceberg_spark.streaming.changefeed_source import (
+        ChangeFeedStreamReader,
+    )
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+
+    def prow(spark, lo, hi, part="p0", name="x"):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.lit(part).alias("part"), F.lit(name).alias("name")
+        )
+
+    cat = Catalog(warehouse)
+    cat.create_table("g", sch, partition_by=["part"])
+    cat.set_properties("g", **{"write.merge.auto-fold-specs": "0"})
+    cat.append(prow(spark, 0, 30).repartition(3), "g")       # 3 insert units
+    cat.append(prow(spark, 100, 110, part="p1"), "g")        # second partition
+    cat.merge_rows(prow(spark, 5, 12, name="upd").coalesce(1), "g", key="id")
+    cat.delete_keys(
+        spark.range(0, 3).select("id"), "g", key="id", mode="mor"
+    )
+    cat.update_where(
+        spark,
+        "g",
+        [Predicate("ge", "id", 100)],
+        "id >= 100",
+        {"name": "'u'"},
+    )
+    cat.dynamic_overwrite(prow(spark, 200, 203, part="p1", name="re"), "g")
+    head = cat.load_table("g").current_snapshot_id
+
+    schema = T.StructType(
+        sch.fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+
+    def mk(**opts):
+        return ChangeFeedStreamReader(
+            schema,
+            {
+                "warehouse": warehouse,
+                "table": "g",
+                "startingoffsets": "earliest",
+                **{k.lower(): v for k, v in opts.items()},
+            },
+        )
+
+    r_all = mk()
+    full = r_all.partitions({"snapshot_id": 0}, {"snapshot_id": head})
+    full_keys = [(p.path, p.snapshot_id, type(p).__name__) for p in full]
+    assert len(full) > 6  # every op kind contributed units
+
+    sizes = [f.bytes for f in cat.load_table("g").files()]
+    budgets = ["1", str(min(sizes)), str(2 * max(sizes)), str(10**9)]
+    for budget in budgets:
+        r = mk(maxBytesPerTrigger=budget)
+        start = r.initialOffset()
+        batches = []
+        for _ in range(200):
+            end = r.latestOffset()
+            if end == start:
+                break
+            parts = r.partitions(start, end)
+            batches.append((start, end, parts))
+            start = end
+        spliced = [
+            (p.path, p.snapshot_id, type(p).__name__)
+            for _s, _e, ps in batches
+            for p in ps
+        ]
+        assert spliced == full_keys, f"budget={budget}"
+        # restart determinism: every batch replans identically on a
+        # FRESH reader given the same checkpointed offsets
+        for s0, e0, p0 in batches:
+            r2 = mk(maxBytesPerTrigger=budget)
+            replanned = r2.partitions(s0, e0)
+            assert [p.path for p in replanned] == [p.path for p in p0]
