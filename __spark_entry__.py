@@ -49,6 +49,7 @@ _HEAD = [
     # --- no driver evidence yet (late-r5 gates + new r6 surface) ---
     "sql_wap_lifecycle",
     "catalog_dynamic_overwrite",
+    "sql_delta_maintenance",
     "sql_transaction_publish",
     "catalog_metadata_sql",
     "catalog_metadata_delete",
@@ -97,10 +98,10 @@ _HEAD = [
     "setops_customer_cohorts",
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
-    "topk_expensive_items",
     "wap_audit_gate",
-    # unpivot_nation_measures (r3 evidence) yielded its slot to the
-    # new catalog_dynamic_overwrite gate; rotate it into the r7 head
+    # unpivot_nation_measures and topk_expensive_items (r3 evidence)
+    # yielded their slots to the new catalog_dynamic_overwrite and
+    # sql_delta_maintenance gates; rotate both into the r7 head
 ]
 _TAIL = [
     # rotated out of the head (r4/r5-green — freshest evidence goes to

@@ -620,6 +620,7 @@ class Catalog:
             dml_kind,
             dml_target,
             execute_call,
+            execute_delta_verb,
             execute_dml,
             rewrite_metadata_tables,
             rewrite_time_travel,
@@ -627,14 +628,20 @@ class Catalog:
         )
 
         self.create_views(spark, branch)
-        query = rewrite_time_travel(self, spark, query, branch)
-        query = rewrite_metadata_tables(self, spark, query, branch)
         kind = dml_kind(query)
+        if kind != "RESTORE":
+            # RESTORE TABLE t TO VERSION AS OF n would otherwise be
+            # mis-read as a time-travel reference on a table named
+            # 'TO'; every other statement kind may legitimately embed
+            # time-travel subqueries (MERGE USING, INSERT SELECT, ...)
+            query = rewrite_time_travel(self, spark, query, branch)
+            query = rewrite_metadata_tables(self, spark, query, branch)
         if kind is None:
             return spark.sql(query)
         if kind in (
             "INSERT", "UPDATE", "DELETE", "MERGE", "TRUNCATE",
-            "SHOW", "DESCRIBE_HISTORY",
+            "SHOW", "DESCRIBE_HISTORY", "DESCRIBE_DETAIL",
+            "OPTIMIZE", "VACUUM", "RESTORE",
         ):
             target = dml_target(query, kind)
             if (
@@ -655,6 +662,10 @@ class Catalog:
             return show_create_table(self, spark, query, branch)
         if kind == "DESCRIBE_HISTORY":
             return describe_history(self, spark, query, branch)
+        if kind in ("OPTIMIZE", "VACUUM", "RESTORE", "DESCRIBE_DETAIL"):
+            # the Delta-spelling maintenance verbs (same primitives as
+            # the Iceberg CALL procedures)
+            return execute_delta_verb(self, spark, query, branch)
         op, table, meta = execute_dml(self, spark, query, branch)
         sid = meta.current_snapshot_id if meta is not None else None
         return spark.createDataFrame(

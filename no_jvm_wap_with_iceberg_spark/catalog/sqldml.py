@@ -72,11 +72,21 @@ def dml_kind(query: str) -> str | None:
             return "SHOW"  # Spark refuses it on temp views too
         return "SHOW" if second == "CREATE" else None
     if first == "DESCRIBE" or first == "DESC":
-        # DESCRIBE HISTORY t (the Delta spelling of t$history);
-        # plain DESCRIBE <t> keeps passing through (temp views
-        # support it natively)
+        # DESCRIBE HISTORY t (the Delta spelling of t$history) and
+        # DESCRIBE DETAIL t (Delta's table-summary row); plain
+        # DESCRIBE <t> keeps passing through (temp views support it
+        # natively)
         second = toks[1].upper() if len(toks) > 1 else ""
-        return "DESCRIBE_HISTORY" if second == "HISTORY" else None
+        if second == "HISTORY":
+            return "DESCRIBE_HISTORY"
+        if second == "DETAIL":
+            return "DESCRIBE_DETAIL"
+        return None
+    if first in ("OPTIMIZE", "VACUUM", "RESTORE"):
+        # the Delta maintenance verbs, mapped to the same primitives
+        # the CALL procedures reach (compact/zorder, orphan reclaim,
+        # rollback)
+        return first
     return first if first in _DML_KINDS else None
 
 
@@ -94,6 +104,10 @@ def dml_target(query: str, kind: str) -> str | None:
         "TRUNCATE": rf"(?is)^\s*TRUNCATE\s+TABLE\s+({_IDENT})",
         "SHOW": rf"(?is)^\s*SHOW\s+(?:CREATE\s+TABLE|TBLPROPERTIES)\s+({_IDENT})",
         "DESCRIBE_HISTORY": rf"(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+({_IDENT})",
+        "DESCRIBE_DETAIL": rf"(?is)^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+({_IDENT})",
+        "OPTIMIZE": rf"(?is)^\s*OPTIMIZE\s+({_IDENT})",
+        "VACUUM": rf"(?is)^\s*VACUUM\s+({_IDENT})",
+        "RESTORE": rf"(?is)^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})",
     }
     pat = pats.get(kind)
     if pat is None:
@@ -1988,3 +2002,116 @@ def execute_call(cat, spark, query: str, branch: str):
             "key string, value string",
         )
     raise AssertionError("unreachable")
+
+
+# ----------------------------------------------------------------------
+# Delta-spelling maintenance verbs — the statements a Delta Lake user
+# types for the SAME primitives the Iceberg CALL procedures reach.
+# Reference note: the reference has no maintenance surface at all; a
+# user of either ecosystem keeps their muscle memory here.
+# ----------------------------------------------------------------------
+def execute_delta_verb(cat, spark, query: str, branch: str):
+    """Route OPTIMIZE / VACUUM / RESTORE TABLE / DESCRIBE DETAIL.
+
+    - ``OPTIMIZE t`` -> binpack compact (Delta's OPTIMIZE is binpack);
+      ``OPTIMIZE t ZORDER BY (a, b)`` -> :meth:`Catalog.zorder`.
+    - ``VACUUM t [RETAIN n HOURS] [DRY RUN]`` ->
+      :meth:`Catalog.remove_orphan_files` (default retention 168 h,
+      Delta's default; the engine's in-flight-writer grace argument
+      applies identically).
+    - ``RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'``
+      -> :meth:`Catalog.rollback` (undoable — newer snapshots stay in
+      the log until expiry, same as Delta RESTORE's history behavior).
+    - ``DESCRIBE DETAIL t`` -> one summary row from table metadata
+      (format/location/file and byte counts/layout/snapshot info),
+      metadata-only.
+    """
+    q = query.strip().rstrip(";")
+    m = re.match(
+        rf"(?is)^OPTIMIZE\s+({_IDENT})"
+        rf"(?:\s+ZORDER\s+BY\s*\((.*?)\))?\s*$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        before = len(cat.load_table(table, branch).files())
+        if m.group(2):
+            cols = [_unquote(c.strip()) for c in _split_commas(m.group(2))]
+            meta = cat.zorder(spark, table, cols, branch)
+        else:
+            meta = cat.compact(spark, table, branch, mode="binpack")
+        after = len(meta.files())
+        return spark.createDataFrame(
+            [(table, before, after)],
+            "table string, files_before long, files_after long",
+        )
+    m = re.match(
+        rf"(?is)^VACUUM\s+({_IDENT})"
+        rf"(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*$",
+        q,
+    )
+    if m:
+        table = _unquote(m.group(1))
+        hours = int(m.group(2)) if m.group(2) else 168  # Delta default
+        dry = m.group(3) is not None
+        paths = cat.remove_orphan_files(
+            table, dry_run=dry, older_than_ms=hours * 3_600_000
+        )
+        return spark.createDataFrame([(p,) for p in paths], "path string")
+    m = re.match(
+        rf"(?is)^RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+        rf"(?:VERSION\s+AS\s+OF\s+(\d+)"
+        rf"|TIMESTAMP\s+AS\s+OF\s+({_STR}))\s*$",
+        q,
+    )
+    if m:
+        import datetime as _dt
+
+        table = _unquote(m.group(1))
+        if m.group(2):
+            sid = int(m.group(2))
+        else:
+            ts = _dt.datetime.fromisoformat(
+                m.group(3)[1:-1].replace("''", "'")
+            )
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            sid = cat.snapshot_as_of(
+                table, int(ts.timestamp() * 1000), branch
+            )
+            if sid is None:
+                raise ValueError(
+                    f"no snapshot of {table!r} at or before {m.group(3)}"
+                )
+        meta = cat.rollback(table, sid, branch)
+        return spark.createDataFrame(
+            [("RESTORE", table, meta.current_snapshot_id)],
+            "operation string, table string, snapshot_id long",
+        )
+    m = re.match(rf"(?is)^(?:DESCRIBE|DESC)\s+DETAIL\s+({_IDENT})\s*$", q)
+    if m:
+        table = _unquote(m.group(1))
+        meta = cat.load_table(table, branch)
+        files = meta.files()
+        return spark.createDataFrame(
+            [
+                (
+                    "wap",
+                    f"{cat.warehouse}/tables/{table}",
+                    table,
+                    len(files),
+                    sum(f.bytes for f in files),
+                    ",".join(meta.partition_by or []),
+                    ",".join(meta.sort_by or []),
+                    len(meta.snapshots),
+                    meta.current_snapshot_id
+                    if meta.current_snapshot_id is not None
+                    else -1,
+                )
+            ],
+            "format string, location string, name string, "
+            "num_files long, size_in_bytes long, "
+            "partition_columns string, sort_columns string, "
+            "num_snapshots long, current_snapshot_id long",
+        )
+    raise ValueError(f"unsupported maintenance statement {q[:60]!r}")

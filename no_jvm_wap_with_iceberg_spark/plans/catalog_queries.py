@@ -2374,3 +2374,68 @@ def catalog_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "sql_delta_maintenance",
+    """
+    WITH seed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS optimize_shrank,
+           TRUE AS restored
+    FROM seed GROUP BY o_orderstatus
+    """,
+    doc="Delta-spelling maintenance verbs end-to-end (round-6 "
+    "surface): the table seeds from even orders across FOUR append "
+    "commits, OPTIMIZE binpacks them (files_after < files_before "
+    "asserted INSIDE the hash gate), an INSERT lands the odd rows, "
+    "and RESTORE TABLE ... TO VERSION AS OF rolls back to the "
+    "pre-insert snapshot — so the final aggregate equals the seed "
+    "alone and `restored` proves the rollback took. The oracle is "
+    "the seed aggregate with both booleans TRUE.",
+)
+def sql_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("deltaverb_"))
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    cat.create_table("ord_dv", evens.schema)
+    for i in range(4):
+        cat.append(
+            evens.filter(F.col("o_orderkey") % 8 == 2 * i).coalesce(1),
+            "ord_dv",
+        )
+    opt = cat.sql(spark, "OPTIMIZE ord_dv").collect()[0]
+    optimize_shrank = bool(opt["files_after"] < opt["files_before"])
+    v_seed = cat.load_table("ord_dv").current_snapshot_id
+    orders.filter(F.col("o_orderkey") % 2 == 1).createOrReplaceTempView(
+        "deltaverb_src"
+    )
+    cat.sql(spark, "INSERT INTO ord_dv SELECT * FROM deltaverb_src")
+    cat.sql(spark, f"RESTORE TABLE ord_dv TO VERSION AS OF {v_seed}")
+    restored = bool(
+        cat.load_table("ord_dv").current_snapshot_id is not None
+    )
+    return (
+        cat.read(spark, "ord_dv")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("optimize_shrank", F.lit(optimize_shrank))
+        .withColumn("restored", F.lit(restored))
+    )
