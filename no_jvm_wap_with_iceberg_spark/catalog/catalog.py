@@ -857,6 +857,7 @@ class Catalog:
         if_not_exists: bool = False,
         bloom_cols: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        or_replace: bool = False,
     ) -> bool:
         """Create an empty table on a branch from a Spark schema.
 
@@ -865,10 +866,22 @@ class Catalog:
         Returns True if created, False if it already existed.
         ``properties`` land in the create commit itself (atomic — no
         window where the table exists without them).
+
+        ``or_replace`` (``CREATE OR REPLACE TABLE``): when the table
+        exists, REPLACE it — schema, layout, properties, contents —
+        in the SAME single ref CAS a create uses (no drop+create
+        window where the name is missing). Divergence from Iceberg,
+        documented: snapshot history starts over at the replace
+        (this engine keeps ONE schema per table version, so carrying
+        old-schema snapshots forward would corrupt time-travel reads
+        of them); the old metadata and files stay on disk for
+        forensics until orphan reclaim.
         """
+        if or_replace and if_not_exists:
+            raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
         head = self._read_refs()[branch]
         head_payload = self._read_commit(head)
-        if table in head_payload["tables"]:
+        if table in head_payload["tables"] and not or_replace:
             if if_not_exists:
                 return False
             raise ValueError(f"table {table!r} already exists on {branch!r}")
@@ -899,7 +912,10 @@ class Catalog:
             sort_by=sort_by,
             properties=props or None,
         )
-        self._commit_table(table, branch, meta, head, f"CREATE TABLE {table}")
+        verb = (
+            "REPLACE" if table in head_payload["tables"] else "CREATE"
+        )
+        self._commit_table(table, branch, meta, head, f"{verb} TABLE {table}")
         return True
 
     def drop_table(self, table: str, branch: str = MAIN) -> None:
@@ -2161,10 +2177,53 @@ class Catalog:
         branch: str = MAIN,
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
+        or_replace: bool = False,
     ) -> TableMetadata:
-        """CTAS convenience: create from the DataFrame's schema + append."""
+        """CTAS convenience: create from the DataFrame's schema + append.
+
+        ``or_replace`` (``CREATE OR REPLACE TABLE ... AS SELECT``):
+        when the table exists, the new schema AND the query's rows
+        land in ONE ref CAS — no window where an observer sees the
+        replaced table empty (or missing, as a drop+create would
+        leave). See :meth:`create_table` for the history semantics.
+        """
+        if or_replace and self.table_exists(table, branch):
+            proto = TableMetadata(
+                table=table,
+                schema_json=df.schema.jsonValue(),
+                version=1,
+                partition_by=partition_by,
+                sort_by=sort_by,
+            )
+            files = self._write_files(
+                self._align_schema(df, proto), proto, table
+            )
+            new_meta = proto.with_new_snapshot(files, "append")
+            last: Exception | None = None
+            for _attempt in range(4):
+                head = self._read_refs()[branch]
+                if table not in self._read_commit(head)["tables"]:
+                    break  # dropped concurrently: plain create below
+                try:
+                    self._commit_table(
+                        table,
+                        branch,
+                        new_meta,
+                        head,
+                        f"REPLACE TABLE {table} AS SELECT",
+                    )
+                    return new_meta
+                except CommitConflict as ex:
+                    last = ex
+            else:
+                raise last  # type: ignore[misc]
         self.create_table(
-            table, df.schema, branch, partition_by=partition_by, sort_by=sort_by
+            table,
+            df.schema,
+            branch,
+            partition_by=partition_by,
+            sort_by=sort_by,
+            or_replace=or_replace,
         )
         return self.append(df, table, branch)
 

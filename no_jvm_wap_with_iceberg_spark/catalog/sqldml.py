@@ -61,6 +61,10 @@ def dml_kind(query: str) -> str | None:
             r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", query
         ):
             return "CREATE_VIEW"
+        if first == "CREATE" and re.match(
+            r"(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\b", query
+        ):
+            return "CREATE"
         if first == "DROP" and second == "VIEW":
             return "DROP_VIEW"
         return first if second == "TABLE" else None
@@ -613,38 +617,50 @@ def _exec_create(cat, spark, query: str, branch: str):
     (there is exactly one storage format here, parquet)."""
     q = query.strip().rstrip(";")
     m = re.match(
-        rf"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\(",
+        rf"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\(",
         q,
     )
     if m and _outside_quotes(q, m.end() - 1):  # the opening paren
         return _exec_create_columns(cat, spark, q, branch, m)
     m = re.match(
-        rf"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+(.*)$",
+        rf"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+(.*)$",
         q,
     )
     if not m:
         raise ValueError(
             "unsupported CREATE shape; expected "
-            "CREATE TABLE [IF NOT EXISTS] <table> AS SELECT ... or "
-            "CREATE TABLE [IF NOT EXISTS] <table> (<col> <type>, ...) "
+            "CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <table> "
+            "AS SELECT ... or "
+            "CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <table> "
+            "(<col> <type>, ...) "
             "[USING <fmt>] [PARTITIONED BY (...)] [TBLPROPERTIES (...)] "
             "(Catalog.create_table_from_df / create_table are the API "
             "equivalents)"
         )
-    if_not_exists = m.group(1) is not None
-    table, qtext = _unquote(m.group(2)), m.group(3).strip()
-    if cat.table_exists(table, branch):
+    or_replace = m.group(1) is not None
+    if_not_exists = m.group(2) is not None
+    if or_replace and if_not_exists:
+        raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
+    table, qtext = _unquote(m.group(3)), m.group(4).strip()
+    if cat.table_exists(table, branch) and not or_replace:
         if if_not_exists:
             return "CREATE", table, cat.load_table(table, branch)
         raise ValueError(f"table {table!r} already exists on {branch!r}")
-    meta = cat.create_table_from_df(spark.sql(qtext), table, branch)
-    return "CREATE", table, meta
+    meta = cat.create_table_from_df(
+        spark.sql(qtext), table, branch, or_replace=or_replace
+    )
+    return ("REPLACE" if or_replace else "CREATE"), table, meta
 
 
 def _exec_create_columns(cat, spark, q: str, branch: str, m: re.Match):
     """The column-DDL CREATE shape (see :func:`_exec_create`)."""
-    if_not_exists = m.group(1) is not None
-    table = _unquote(m.group(2))
+    or_replace = m.group(1) is not None
+    if_not_exists = m.group(2) is not None
+    if or_replace and if_not_exists:
+        raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
+    table = _unquote(m.group(3))
     paren = m.end() - 1
     # quote-aware paren matching for the column list (a ')' inside a
     # backtick-quoted name or string default must not close it)
@@ -705,8 +721,13 @@ def _exec_create_columns(cat, spark, q: str, branch: str, m: re.Match):
         partition_by=partition_by,
         if_not_exists=if_not_exists,
         properties=props or None,
+        or_replace=or_replace,
     )
-    return "CREATE", table, cat.load_table(table, branch)
+    return (
+        ("REPLACE" if or_replace else "CREATE"),
+        table,
+        cat.load_table(table, branch),
+    )
 
 
 def _match_paren_span(s: str, open_idx: int) -> tuple[str, str]:

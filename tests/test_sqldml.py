@@ -1292,3 +1292,52 @@ def test_sql_only_wap_lifecycle(spark, warehouse):
     cat.sql(spark, "CALL drop_branch('wap')")
     assert _state(spark, cat) == {1: ("a", 10), 2: ("b", 20)}
     assert "wap" not in cat.list_branches()
+
+
+def test_create_or_replace_table(spark, warehouse):
+    """CREATE OR REPLACE TABLE: schema, layout, and contents replace
+    in ONE ref CAS (no empty/missing window); history starts over
+    (documented divergence — one schema per table version here)."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    old_sid = cat.load_table("t").current_snapshot_id
+
+    # CTAS replace: different column set entirely
+    spark.createDataFrame(
+        [(5, 2.5), (6, 3.5)], "k long, score double"
+    ).createOrReplaceTempView("corr_src")
+    st = cat.sql(
+        spark, "CREATE OR REPLACE TABLE t AS SELECT * FROM corr_src"
+    )
+    assert st.collect()[0]["operation"] == "REPLACE"
+    meta = cat.load_table("t")
+    assert [f.name for f in meta.spark_schema.fields] == ["k", "score"]
+    got = {(r["k"], r["score"]) for r in cat.read(spark, "t").collect()}
+    assert got == {(5, 2.5), (6, 3.5)}
+    # fresh history: the old snapshot id is gone from this table's log
+    assert all(
+        s.snapshot_id != old_sid or s is meta.snapshots[0]
+        for s in meta.snapshots
+    )
+    assert len(meta.snapshots) == 1
+
+    # column-DDL replace with a partition spec
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE t (id BIGINT, part STRING) "
+        "PARTITIONED BY (part)",
+    )
+    meta = cat.load_table("t")
+    assert meta.partition_by == ["part"]
+    assert cat.read(spark, "t").count() == 0
+
+    # replace on a MISSING table is a plain create
+    cat.sql(spark, "CREATE OR REPLACE TABLE fresh AS SELECT 1 AS x")
+    assert cat.read(spark, "fresh").count() == 1
+
+    # exclusive with IF NOT EXISTS
+    with pytest.raises(ValueError, match="exclusive"):
+        cat.sql(
+            spark,
+            "CREATE OR REPLACE TABLE IF NOT EXISTS t AS SELECT 1 AS x",
+        )
