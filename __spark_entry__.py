@@ -83,25 +83,27 @@ _HEAD = [
     "events_anomaly_iqr",
     "events_json_extract",
     "events_user_funnel",
-    "histogram_order_totals",
     "join_semi_anti",
     "merge_orders_cdc",
-    "pivot_orders_status_by_priority",
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q7_nation_pair_volume",
-    "range_join_price_bands",
     "rollup_nation_region",
     "setops_customer_cohorts",
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
     "wap_audit_gate",
-    # unpivot_nation_measures and topk_expensive_items (r3 evidence)
-    # yielded their slots to the new catalog_dynamic_overwrite and
-    # sql_delta_maintenance gates; rotate both into the r7 head
+    # --- new r6 surface (clone / copy-into / CDF TVF) ---
+    "sql_shallow_clone",
+    "sql_copy_into",
+    "cdc_table_changes",
+    # unpivot_nation_measures, topk_expensive_items,
+    # histogram_order_totals, pivot_orders_status_by_priority and
+    # range_join_price_bands (all r3 evidence) yielded their slots to
+    # the five new r6 gates; rotate them into the r7 head
 ]
 _TAIL = [
     # rotated out of the head (r4/r5-green — freshest evidence goes to

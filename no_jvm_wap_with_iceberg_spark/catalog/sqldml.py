@@ -74,6 +74,10 @@ def dml_kind(query: str) -> str | None:
         second = toks[1].upper() if len(toks) > 1 else ""
         if second == "TBLPROPERTIES":
             return "SHOW"  # Spark refuses it on temp views too
+        if second == "PARTITIONS":
+            # manifest-backed partition listing (Spark's verb; falls
+            # through for tables the catalog doesn't own)
+            return "SHOW_PARTITIONS"
         return "SHOW" if second == "CREATE" else None
     if first == "DESCRIBE" or first == "DESC":
         # DESCRIBE HISTORY t (the Delta spelling of t$history) and
@@ -91,6 +95,12 @@ def dml_kind(query: str) -> str | None:
         # the CALL procedures reach (compact/zorder, orphan reclaim,
         # rollback)
         return first
+    if first == "COPY":
+        # COPY INTO t FROM '<dir>' — the Databricks idempotent bulk
+        # load verb (Catalog.copy_into); plain Spark has no COPY, so
+        # no fall-through concern
+        second = toks[1].upper() if len(toks) > 1 else ""
+        return "COPY" if second == "INTO" else None
     return first if first in _DML_KINDS else None
 
 
@@ -107,6 +117,7 @@ def dml_target(query: str, kind: str) -> str | None:
         "MERGE": rf"(?is)^\s*MERGE\s+INTO\s+({_IDENT})",
         "TRUNCATE": rf"(?is)^\s*TRUNCATE\s+TABLE\s+({_IDENT})",
         "SHOW": rf"(?is)^\s*SHOW\s+(?:CREATE\s+TABLE|TBLPROPERTIES)\s+({_IDENT})",
+        "SHOW_PARTITIONS": rf"(?is)^\s*SHOW\s+PARTITIONS\s+({_IDENT})",
         "DESCRIBE_HISTORY": rf"(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+({_IDENT})",
         "DESCRIBE_DETAIL": rf"(?is)^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+({_IDENT})",
         "OPTIMIZE": rf"(?is)^\s*OPTIMIZE\s+({_IDENT})",
@@ -605,6 +616,64 @@ def _exec_delete(cat, spark, query: str, branch: str):
     return "DELETE", table, meta
 
 
+_CLONE_RE = re.compile(
+    rf"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+    rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
+    rf"(SHALLOW\s+|DEEP\s+)?CLONE\s+({_IDENT})"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+    rf"|\s+TIMESTAMP\s+AS\s+OF\s+({_STR}))?\s*;?\s*$"
+)
+
+
+def is_clone_stmt(query: str) -> bool:
+    """True for ``CREATE TABLE ... [SHALLOW] CLONE ...`` — the caller
+    must skip the time-travel rewrite for these (the statement's own
+    ``VERSION AS OF`` clause belongs to the clone, not to a read)."""
+    return _CLONE_RE.match(query.strip()) is not None
+
+
+def _exec_clone(cat, spark, q: str, branch: str, m: re.Match):
+    """The Delta clone shape: ``CREATE [OR REPLACE] TABLE [IF NOT
+    EXISTS] <target> [SHALLOW|DEEP] CLONE <source> [VERSION AS OF n |
+    TIMESTAMP AS OF '<ts>']``. Bare ``CLONE`` is deep (Delta's
+    default); ``SHALLOW CLONE`` is the zero-copy metadata clone
+    (:meth:`Catalog.clone_table`)."""
+    import datetime as _dt
+
+    or_replace = m.group(1) is not None
+    if_not_exists = m.group(2) is not None
+    target = _unquote(m.group(3))
+    mode = (m.group(4) or "").strip().upper()
+    shallow = mode == "SHALLOW"
+    source = _unquote(m.group(5))
+    snapshot_id: int | None = None
+    if m.group(6) is not None:
+        snapshot_id = int(m.group(6))
+    elif m.group(7) is not None:
+        ts = _dt.datetime.fromisoformat(m.group(7)[1:-1].replace("''", "'"))
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        snapshot_id = cat.snapshot_as_of(
+            source, int(ts.timestamp() * 1000), branch
+        )
+        if snapshot_id is None:
+            raise ValueError(
+                f"CLONE {source!r} TIMESTAMP AS OF: table had no "
+                "snapshot at that time"
+            )
+    meta = cat.clone_table(
+        source,
+        target,
+        branch,
+        snapshot_id=snapshot_id,
+        shallow=shallow,
+        if_not_exists=if_not_exists,
+        or_replace=or_replace,
+        spark=spark,
+    )
+    return "CLONE", target, meta
+
+
 def _exec_create(cat, spark, query: str, branch: str):
     """CREATE TABLE [IF NOT EXISTS] <t> AS <query> — the CTAS shape
     (Catalog.create_table_from_df is the API equivalent) — or column
@@ -616,6 +685,9 @@ def _exec_create(cat, spark, query: str, branch: str):
     structs, NOT NULL — is accepted; USING is accepted and ignored
     (there is exactly one storage format here, parquet)."""
     q = query.strip().rstrip(";")
+    mc = _CLONE_RE.match(q)
+    if mc:
+        return _exec_clone(cat, spark, q, branch, mc)
     m = re.match(
         rf"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
         rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\(",
@@ -1557,6 +1629,43 @@ def describe_history(cat, spark, query: str, branch: str):
     return cat.metadata_df(spark, _unquote(m.group(1)), "history", branch)
 
 
+def show_partitions(cat, spark, query: str, branch: str):
+    """``SHOW PARTITIONS <t>`` — Spark's verb, answered from the
+    MANIFEST (distinct live-file partition tuples), zero data IO.
+    Rows are hive-style ``k=v[/k2=v2]`` strings in spec-field order,
+    sorted — byte-compatible with Spark's own output for identity
+    partitions; hidden-transform fields show their TRANSFORM values
+    (``ts_day=2024-01-01``), which is what actually partitions the
+    storage (Iceberg's ``t$partitions`` equivalent). At 100 TB this
+    is an O(files) metadata scan, never a table scan."""
+    m = re.match(
+        rf"(?is)^\s*SHOW\s+PARTITIONS\s+({_IDENT})\s*;?\s*$", query
+    )
+    if not m:
+        raise ValueError(
+            "unsupported SHOW PARTITIONS shape; expected "
+            "SHOW PARTITIONS <table>"
+        )
+    table = _unquote(m.group(1))
+    meta = cat.load_table(table, branch)
+    fields = [f.name for f in meta.partition_fields]
+    if not fields:
+        raise ValueError(
+            f"SHOW PARTITIONS: table {table!r} is not partitioned"
+        )
+    tuples = {
+        tuple(
+            (k, f.partition.get(k, "__HIVE_DEFAULT_PARTITION__"))
+            for k in fields
+        )
+        for f in meta.files()
+    }
+    rows = sorted(
+        ("/".join(f"{k}={v}" for k, v in t),) for t in tuples
+    )
+    return spark.createDataFrame(rows, "partition string")
+
+
 def show_create_table(cat, spark, query: str, branch: str):
     m = re.match(
         rf"(?is)^\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", query
@@ -1790,6 +1899,7 @@ _CALL_PROCS = (
     "rewrite_position_delete_files",
     "rollback_to_snapshot", "cherrypick_snapshot", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "drop_tag", "maintain",
+    "create_changelog_view",
 )
 
 
@@ -1858,6 +1968,49 @@ def execute_call(cat, spark, query: str, branch: str):
         if used["n"] < len(pos):
             raise ValueError(f"CALL {proc}: too many positional arguments")
         return spark.createDataFrame(rows, schema)
+
+    if proc == "create_changelog_view":
+        # Iceberg's spelling for a queryable CDC view
+        # (spark.sql("CALL system.create_changelog_view(table => 't',
+        # ...)") then SELECT from the view). Columns follow Iceberg's
+        # changelog contract: the user schema plus _change_type
+        # (INSERT | DELETE — updates replay as a DELETE+INSERT pair,
+        # Iceberg's own representation without compute_updates),
+        # _change_ordinal (commit order inside the span) and
+        # _commit_snapshot_id. start_snapshot_id is EXCLUSIVE (the
+        # anchor you already hold); omitted = the full history.
+        from pyspark.sql import functions as F
+
+        table = str(arg("table"))
+        start = arg("start_snapshot_id", default=None)
+        end = arg("end_snapshot_id", default=None)
+        view = str(arg("changelog_view", default=f"{table}_changes"))
+        df = cat.read_changes(
+            spark,
+            table,
+            int(start) if start is not None else None,
+            int(end) if end is not None else None,
+            branch=branch,
+        )
+        meta = cat.load_table(table, branch)
+        order = sorted(s.snapshot_id for s in meta.snapshots)
+        ord_pairs = [
+            x
+            for i, sid in enumerate(order)
+            for x in (F.lit(sid), F.lit(i))
+        ]
+        df = (
+            df.withColumn("_change_type", F.upper(F.col("_change_type")))
+            .withColumn(
+                "_change_ordinal",
+                F.element_at(
+                    F.create_map(*ord_pairs), F.col("_snapshot_id")
+                ),
+            )
+            .withColumnRenamed("_snapshot_id", "_commit_snapshot_id")
+        )
+        df.createOrReplaceTempView(view)
+        return done([(view,)], "changelog_view string")
 
     if proc == "expire_snapshots":
         table = str(arg("table"))
@@ -2136,3 +2289,148 @@ def execute_delta_verb(cat, spark, query: str, branch: str):
             "num_snapshots long, current_snapshot_id long",
         )
     raise ValueError(f"unsupported maintenance statement {q[:60]!r}")
+
+
+# ----------------------------------------------------------------------
+# COPY INTO — Databricks' idempotent bulk-load verb, mapped onto
+# Catalog.copy_into (rows + exactly-once file ledger in ONE commit).
+# ----------------------------------------------------------------------
+
+_COPY_RE = re.compile(
+    rf"(?is)^\s*COPY\s+INTO\s+({_IDENT})\s+FROM\s+({_STR})\s+"
+    rf"FILEFORMAT\s*=\s*([A-Za-z]+)\s*(.*?);?\s*$"
+)
+
+
+def _parse_opt_block(rest: str, word: str) -> tuple[dict[str, str], str]:
+    """Parse ``WORD('k' = 'v', ...)`` out of ``rest`` (quote-aware);
+    returns (options, rest-without-the-block)."""
+    m = re.search(rf"(?is)\b{word}\s*\(", rest)
+    if not m or not _outside_quotes(rest, m.start()):
+        return {}, rest
+    inner, after = _match_paren_span(rest, m.end() - 1)
+    opts: dict[str, str] = {}
+    for part in _split_commas(inner):
+        kv = re.match(rf"(?s)^\s*({_STR})\s*=\s*({_STR})\s*$", part)
+        if not kv:
+            raise ValueError(f"bad {word} entry {part!r}; expected 'k' = 'v'")
+        opts[kv.group(1)[1:-1].replace("''", "'")] = (
+            kv.group(2)[1:-1].replace("''", "'")
+        )
+    return opts, rest[: m.start()] + after
+
+
+def execute_copy_into(cat, spark, query: str, branch: str):
+    """``COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+    [PATTERN = '<glob>'] [FORMAT_OPTIONS('k' = 'v', ...)]
+    [COPY_OPTIONS('force' = 'true')]`` — see :meth:`Catalog.copy_into`
+    for semantics. Returns the Databricks-shaped result row plus this
+    engine's ledger counters."""
+    m = _COPY_RE.match(query)
+    if not m:
+        raise ValueError(
+            "unsupported COPY shape; expected COPY INTO <table> FROM "
+            "'<dir>' FILEFORMAT = PARQUET|CSV|JSON [PATTERN = '<glob>'] "
+            "[FORMAT_OPTIONS(...)] [COPY_OPTIONS(...)]"
+        )
+    table = _unquote(m.group(1))
+    source = m.group(2)[1:-1].replace("''", "'")
+    fmt = m.group(3).lower()
+    rest = m.group(4) or ""
+    fmt_opts, rest = _parse_opt_block(rest, "FORMAT_OPTIONS")
+    copy_opts, rest = _parse_opt_block(rest, "COPY_OPTIONS")
+    pm = re.search(rf"(?is)\bPATTERN\s*=\s*({_STR})", rest)
+    pattern = (
+        pm.group(1)[1:-1].replace("''", "'")
+        if pm and _outside_quotes(rest, pm.start())
+        else None
+    )
+    force = copy_opts.get("force", "false").lower() == "true"
+    stats = cat.copy_into(
+        spark,
+        table,
+        source,
+        file_format=fmt,
+        pattern=pattern,
+        format_options=fmt_opts or None,
+        force=force,
+        branch=branch,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                stats["rows_loaded"],
+                stats["rows_loaded"],
+                stats["files_loaded"],
+                stats["files_skipped"],
+                stats["snapshot_id"],
+            )
+        ],
+        "num_affected_rows long, num_inserted_rows long, "
+        "files_loaded long, files_skipped long, snapshot_id long",
+    )
+
+
+# ----------------------------------------------------------------------
+# table_changes(...) — Delta's CDF table-valued function, mapped onto
+# Catalog.read_changes and usable anywhere a table reference is
+# (FROM, JOIN, subqueries inside DML).
+# ----------------------------------------------------------------------
+
+_TC_RE = re.compile(r"(?i)\btable_changes\s*\(")
+
+
+def rewrite_table_changes(cat, spark, query: str, branch: str) -> str:
+    """Rewrite every ``table_changes('<table>', <from_sid>[,
+    <to_sid>])`` reference into a temp view over
+    :meth:`Catalog.read_changes`. Column surface is Delta's CDF
+    contract: the user schema plus ``_change_type``,
+    ``_commit_version`` (= this engine's snapshot id; also kept under
+    its native ``_snapshot_id`` name) and ``_commit_timestamp``.
+    Documented divergence from Delta: the anchor ``<from_sid>`` is
+    EXCLUSIVE (Iceberg incremental-read style — "changes since the
+    snapshot I already hold", exactly what a chained consumer stores),
+    not Delta's inclusive start version; snapshot ids come from
+    ``t$history``."""
+    from pyspark.sql import functions as F
+
+    out = query
+    while True:
+        m = next(
+            (
+                mm
+                for mm in _TC_RE.finditer(out)
+                if _outside_quotes(out, mm.start())
+            ),
+            None,
+        )
+        if m is None:
+            return out
+        inner, rest = _match_paren_span(out, m.end() - 1)
+        args = [_parse_call_lit(p) for p in _split_commas(inner)]
+        if not 2 <= len(args) <= 3 or not isinstance(args[0], str):
+            raise ValueError(
+                "table_changes expects ('<table>', <from_snapshot_id>"
+                "[, <to_snapshot_id>])"
+            )
+        table = args[0]
+        start = int(args[1])
+        end = int(args[2]) if len(args) == 3 else None
+        df = cat.read_changes(spark, table, start, end, branch=branch)
+        meta = cat.load_table(table, branch)
+        ts_pairs = [
+            x
+            for s in meta.snapshots
+            for x in (F.lit(s.snapshot_id), F.lit(s.timestamp_ms))
+        ]
+        df = df.withColumn(
+            "_commit_version", F.col("_snapshot_id")
+        ).withColumn(
+            "_commit_timestamp",
+            (F.element_at(F.create_map(*ts_pairs), F.col("_snapshot_id")) / 1000)
+            .cast("timestamp"),
+        )
+        view = f"__table_changes_{table}_{start}_{end if end is not None else 'head'}"
+        view = re.sub(r"[^A-Za-z0-9_]", "_", view)
+        df.createOrReplaceTempView(view)
+        out = out[: m.start()] + view + " " + rest

@@ -2439,3 +2439,224 @@ def sql_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("optimize_shrank", F.lit(optimize_shrank))
         .withColumn("restored", F.lit(restored))
     )
+
+
+@register(
+    "sql_shallow_clone",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+    ),
+    src_final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    clone_final AS (
+      SELECT * FROM base WHERE o_orderkey % 4 <> 0
+    ),
+    labeled AS (
+      SELECT 'src' AS rel, * FROM src_final
+      UNION ALL SELECT 'clone' AS rel, * FROM clone_final
+    )
+    SELECT rel, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS zero_copy
+    FROM labeled GROUP BY rel, o_orderstatus
+    """,
+    doc="SHALLOW CLONE end-to-end (round-6 surface; Delta's zero-copy "
+    "clone — the reference has no table-management verbs at all, "
+    "pyiceberg_patch_nessie.py:230-264): the source seeds with even "
+    "orders, CREATE TABLE ... SHALLOW CLONE pins that state, then the "
+    "SOURCE gains the odd rows (INSERT) and the CLONE loses "
+    "o_orderkey%4=0 (DELETE) — two independent futures from one "
+    "shared base, zero data files copied (`zero_copy` asserts every "
+    "file the clone's base lists lives under the source's directory, "
+    "INSIDE the hash gate). The oracle rebuilds both ends from "
+    "predicates. At 100 TB the clone commit is O(commit chain) "
+    "metadata.",
+)
+def sql_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("shclone_"))
+    cat.create_table_from_df(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "ord_src"
+    )
+    cat.sql(spark, "CREATE TABLE ord_clone SHALLOW CLONE ord_src")
+    zero_copy = bool(
+        _data := cat.load_table("ord_clone").files()
+    ) and all(p.path.startswith("tables/ord_src/") for p in _data)
+    orders.filter(F.col("o_orderkey") % 2 == 1).createOrReplaceTempView(
+        "shclone_odds"
+    )
+    cat.sql(spark, "INSERT INTO ord_src SELECT * FROM shclone_odds")
+    cat.sql(spark, "DELETE FROM ord_clone WHERE o_orderkey % 4 = 0")
+    src = cat.read(spark, "ord_src").withColumn("rel", F.lit("src"))
+    clone = cat.read(spark, "ord_clone").withColumn("rel", F.lit("clone"))
+    return (
+        src.unionByName(clone)
+        .groupBy("rel", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("zero_copy", F.lit(zero_copy))
+    )
+
+
+@register(
+    "sql_copy_into",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS first_load_ok,
+           TRUE AS rerun_skipped_all,
+           TRUE AS increment_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="COPY INTO end-to-end (round-6 surface; Databricks' idempotent "
+    "bulk-load verb): even orders land as one staged parquet file and "
+    "COPY INTO loads them (first_load_ok: files_loaded=1, ledgered "
+    "atomically with the rows); the SAME statement re-runs and loads "
+    "NOTHING (rerun_skipped_all: files_loaded=0, files_skipped=1 — "
+    "exactly-once per file); the odd rows arrive as a second staged "
+    "file and only IT loads (increment_ok). All three booleans sit "
+    "inside the hash gate; the final table equals all of orders, "
+    "which is the oracle. At 100 TB the dedup check is an O(commits) "
+    "metadata walk and only NEW files are ever read.",
+)
+def sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = _tmp_warehouse("copyinto_")
+    land = _os.path.join(wh, "landing")
+    cat = Catalog(_os.path.join(wh, "cat"))
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        _os.path.join(land, "b1")
+    )
+    stmt = f"COPY INTO ord_cp FROM '{land}' FILEFORMAT = PARQUET"
+    r1 = cat.sql(spark, stmt).collect()[0]
+    first_load_ok = bool(
+        r1["files_loaded"] == 1 and r1["files_skipped"] == 0
+    )
+    r2 = cat.sql(spark, stmt).collect()[0]
+    rerun_skipped_all = bool(
+        r2["files_loaded"] == 0
+        and r2["files_skipped"] == 1
+        and r2["num_inserted_rows"] == 0
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        _os.path.join(land, "b2")
+    )
+    r3 = cat.sql(spark, stmt).collect()[0]
+    increment_ok = bool(
+        r3["files_loaded"] == 1 and r3["files_skipped"] == 1
+    )
+    return (
+        cat.read(spark, "ord_cp")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("first_load_ok", F.lit(first_load_ok))
+        .withColumn("rerun_skipped_all", F.lit(rerun_skipped_all))
+        .withColumn("increment_ok", F.lit(increment_ok))
+    )
+
+
+@register(
+    "cdc_table_changes",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice * CAST(2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 3
+    ),
+    ins AS (
+      SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus,
+             o_totalprice FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    changes AS (
+      SELECT 'insert' AS _change_type, * FROM ins
+      UNION ALL SELECT 'insert' AS _change_type, * FROM upd
+      UNION ALL
+      SELECT 'delete' AS _change_type, o_orderkey, o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 3
+    )
+    SELECT _change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM changes GROUP BY _change_type, o_orderstatus
+    """,
+    doc="table_changes() TVF (round-6 surface; Delta's CDF spelling "
+    "over Catalog.read_changes): orders seeds the table, then an "
+    "append (o_orderkey%5=0, shifted keys) and a merge-on-read update "
+    "(o_orderkey%11=3, doubled price) commit; one SQL statement reads "
+    "table_changes('t', <base>) and aggregates by _change_type — the "
+    "update replays as delete(old)+insert(new), the append as "
+    "inserts, reconstructed by the oracle from the same predicates. "
+    "DECIMAL(18,4): the doubled price needs headroom. Cost is "
+    "O(changed files), never O(table).",
+)
+def cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(_tmp_warehouse("tcgate_"))
+    cat.create_table_from_df(orders, "ord_tc")
+    base = cat.load_table("ord_tc").current_snapshot_id
+    cat.append(
+        orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        ),
+        "ord_tc",
+    )
+    cat.merge_rows(
+        orders.filter(F.col("o_orderkey") % 11 == 3).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
+        ),
+        "ord_tc",
+        key="o_orderkey",
+    )
+    return cat.sql(
+        spark,
+        f"""
+        SELECT _change_type, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_price
+        FROM table_changes('ord_tc', {base})
+        GROUP BY _change_type, o_orderstatus
+        """,
+    )
