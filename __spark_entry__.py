@@ -81,7 +81,6 @@ _HEAD = [
     "dedup_source_matrix",
     "embedding_quantize_int8",
     "events_anomaly_iqr",
-    "events_json_extract",
     "events_user_funnel",
     "join_semi_anti",
     "merge_orders_cdc",
@@ -96,14 +95,16 @@ _HEAD = [
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
     "wap_audit_gate",
-    # --- new r6 surface (clone / copy-into / CDF TVF) ---
+    # --- new r6 surface (clone / copy-into / CDF TVF / add-files) ---
     "sql_shallow_clone",
     "sql_copy_into",
     "cdc_table_changes",
+    "catalog_add_files",
     # unpivot_nation_measures, topk_expensive_items,
-    # histogram_order_totals, pivot_orders_status_by_priority and
-    # range_join_price_bands (all r3 evidence) yielded their slots to
-    # the five new r6 gates; rotate them into the r7 head
+    # histogram_order_totals, pivot_orders_status_by_priority,
+    # range_join_price_bands and events_json_extract (all r3
+    # evidence) yielded their slots to the six new r6 gates; rotate
+    # them into the r7 head
 ]
 _TAIL = [
     # rotated out of the head (r4/r5-green — freshest evidence goes to

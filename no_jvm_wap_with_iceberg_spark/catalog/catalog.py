@@ -2446,6 +2446,125 @@ class Catalog:
         )
         return new_meta
 
+    def add_files(
+        self,
+        spark: SparkSession,
+        table: str,
+        source_dir: str,
+        branch: str = MAIN,
+        pattern: str | None = None,
+        check_duplicate_files: bool = True,
+    ) -> dict[str, Any]:
+        """Register EXISTING parquet files as table data without
+        rewriting them — Iceberg's ``add_files`` procedure, the
+        zero-copy onboarding path: pointing the catalog at 100 TB of
+        historical parquet costs one footer read per file (stats for
+        pruning) and one metadata commit, never a data rewrite.
+
+        Hive-style ``k=v`` directory segments under ``source_dir``
+        become partition values; for a partitioned table they must
+        cover exactly the table's identity partition fields (the
+        manifest is what attaches partition values at read time, same
+        as engine-written files). The files stay where they are,
+        recorded under their ABSOLUTE paths: the orphan sweep only
+        walks the warehouse's own table directories, so externally
+        registered data is never reclaimed by maintenance — dropping
+        the table leaves the source directory untouched.
+
+        A missing table is created from the directory's inferred
+        schema (partitioned by the hive keys found). With
+        ``check_duplicate_files`` (Iceberg's default) re-adding an
+        already-live path raises; pass False to skip those files
+        instead.
+        """
+        import fnmatch
+
+        from no_jvm_wap_with_iceberg_spark.catalog.table import FileEntry
+
+        root = os.path.abspath(source_dir)
+        if not os.path.isdir(root):
+            raise ValueError(
+                f"add_files source {source_dir!r} is not a directory"
+            )
+        paths: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = sorted(
+                d for d in dirnames if not d.startswith((".", "_"))
+            )
+            for fn in sorted(filenames):
+                if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                if pattern and not fnmatch.fnmatch(
+                    os.path.relpath(full, root), pattern
+                ):
+                    continue
+                paths.append(full)
+        if not paths:
+            raise ValueError(
+                f"add_files: no parquet files under {source_dir!r}"
+            )
+
+        import dataclasses as _dc
+
+        # footer-only stats; path recorded absolute (external files
+        # resolve through os.path.join unchanged on every read path)
+        entries = [
+            _dc.replace(FileEntry.from_parquet(p, root), path=p)
+            for p in paths
+        ]
+
+        if not self.table_exists(table, branch):
+            inferred = spark.read.parquet(root)
+            part_keys = [
+                k for k in entries[0].partition if k in inferred.columns
+            ]
+            self.create_table(
+                table,
+                inferred.schema,
+                branch,
+                partition_by=part_keys or None,
+                if_not_exists=True,
+            )
+
+        stats: dict[str, Any] = {}
+
+        def build(meta: TableMetadata):
+            pfields = {f.name for f in meta.partition_fields}
+            for e in entries:
+                if set(e.partition) != pfields:
+                    raise ValueError(
+                        f"add_files: file {e.path!r} carries partition "
+                        f"keys {sorted(e.partition)} but table "
+                        f"{table!r} is partitioned by {sorted(pfields)}"
+                    )
+            live = {f.path for f in meta.files()}
+            dup = [e for e in entries if e.path in live]
+            if dup and check_duplicate_files:
+                raise ValueError(
+                    f"add_files: {len(dup)} file(s) already registered "
+                    f"(first: {dup[0].path!r}); pass "
+                    "check_duplicate_files=False to skip them"
+                )
+            fresh = [e for e in entries if e.path not in live]
+            stats["files_added"] = len(fresh)
+            stats["files_skipped"] = len(entries) - len(fresh)
+            stats["rows_added"] = sum(e.rows for e in fresh)
+            if not fresh:
+                return None, ""
+            return (
+                meta.with_new_snapshot(fresh, "append"),
+                f"ADD FILES {table} ({len(fresh)} external files)",
+            )
+
+        meta = self._optimistic_commit(table, branch, build)
+        stats["snapshot_id"] = (
+            meta.current_snapshot_id
+            if meta.current_snapshot_id is not None
+            else -1
+        )
+        return stats
+
     @staticmethod
     def _copy_into_loaded(meta: TableMetadata) -> set[str]:
         """Union of every ``copy-into-files`` ledger entry on the

@@ -1899,7 +1899,7 @@ _CALL_PROCS = (
     "rewrite_position_delete_files",
     "rollback_to_snapshot", "cherrypick_snapshot", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "drop_tag", "maintain",
-    "create_changelog_view",
+    "create_changelog_view", "add_files",
 )
 
 
@@ -1968,6 +1968,37 @@ def execute_call(cat, spark, query: str, branch: str):
         if used["n"] < len(pos):
             raise ValueError(f"CALL {proc}: too many positional arguments")
         return spark.createDataFrame(rows, schema)
+
+    if proc == "add_files":
+        # Iceberg's zero-copy onboarding procedure: register existing
+        # parquet under the table without rewriting (footer reads +
+        # one metadata commit). source_table accepts Iceberg's
+        # `parquet`.`/path` spelling or a plain directory path.
+        table = str(arg("table"))
+        src = str(arg("source_table", "source_dir"))
+        m_src = re.match(r"(?is)^\s*`?parquet`?\s*\.\s*`([^`]+)`\s*$", src)
+        if m_src:
+            src = m_src.group(1)
+        kwargs = {}
+        pat = arg("pattern", default=None)
+        if pat is not None:
+            kwargs["pattern"] = str(pat)
+        chk = arg("check_duplicate_files", default=None)
+        if chk is not None:
+            kwargs["check_duplicate_files"] = bool(chk)
+        stats = cat.add_files(spark, table, src, branch, **kwargs)
+        return done(
+            [
+                (
+                    stats["files_added"],
+                    stats["files_skipped"],
+                    stats["rows_added"],
+                    stats["snapshot_id"],
+                )
+            ],
+            "added_files_count long, skipped_files_count long, "
+            "added_rows_count long, snapshot_id long",
+        )
 
     if proc == "create_changelog_view":
         # Iceberg's spelling for a queryable CDC view

@@ -2660,3 +2660,77 @@ def cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY _change_type, o_orderstatus
         """,
     )
+
+
+@register(
+    "catalog_add_files",
+    """
+    WITH staged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS zero_copy,
+           TRUE AS dedup_ok
+    FROM staged GROUP BY o_orderstatus
+    """,
+    doc="CALL add_files end-to-end (round-6 surface; Iceberg's "
+    "zero-copy onboarding procedure): even orders land as an EXTERNAL "
+    "hive-partitioned parquet directory, add_files registers them by "
+    "footer reads + one metadata commit (auto-creating the "
+    "o_orderstatus-partitioned table), a re-run with "
+    "check_duplicate_files => false skips everything (dedup_ok), and "
+    "`zero_copy` asserts the warehouse gained NO data directory — "
+    "both booleans inside the hash gate. The oracle is the staged "
+    "slice's aggregate. This is the 100 TB migration shape: "
+    "onboarding cost is O(files) footers, never a rewrite.",
+)
+def catalog_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = _tmp_warehouse("addfiles_")
+    ext = _os.path.join(wh, "external")
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.partitionBy(
+        "o_orderstatus"
+    ).parquet(ext)
+    cat = Catalog(_os.path.join(wh, "cat"))
+    cat.sql(
+        spark,
+        f"CALL add_files(table => 'ord_ext', "
+        f"source_table => '`parquet`.`{ext}`')",
+    )
+    zero_copy = not _os.path.isdir(
+        _os.path.join(cat.warehouse, "tables", "ord_ext", "data")
+    )
+    rerun = cat.sql(
+        spark,
+        f"CALL add_files(table => 'ord_ext', "
+        f"source_table => '`parquet`.`{ext}`', "
+        f"check_duplicate_files => false)",
+    ).collect()[0]
+    dedup_ok = bool(
+        rerun["added_files_count"] == 0
+        and rerun["skipped_files_count"] > 0
+    )
+    return (
+        cat.read(spark, "ord_ext")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("zero_copy", F.lit(zero_copy))
+        .withColumn("dedup_ok", F.lit(dedup_ok))
+    )
