@@ -82,6 +82,7 @@ def main() -> None:
     changefeed_soak(spark)
     incremental_agg_soak(spark)
     stream_plan_soak(spark)
+    clone_onboard_scale_soak(spark)
 
 
 def merge_soak(spark, n_merges: int = 50, base_rows: int = 500_000):
@@ -501,6 +502,46 @@ def metadata_delete_scale_soak(spark, sizes=(100_000, 400_000, 1_600_000)):
             f"(dropped {f[1]} files, wrote {f[2]}) "
             f"cow={c[0]:.2f}s (wrote {c[2]})"
         )
+
+
+def clone_onboard_scale_soak(spark, sizes=(100_000, 400_000, 1_600_000)):
+    """SHALLOW CLONE and add_files must be O(metadata), flat in table
+    size: clone cost is the commit-chain copy + one ref CAS; add_files
+    cost is one footer read per file + one commit. Measured across 16x
+    row growth at a FIXED file count (so the add_files footer work is
+    constant and any size-dependence would be a data-path leak)."""
+    import tempfile as _tf
+    import time as _time
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    for rows in sizes:
+        with _tf.TemporaryDirectory(prefix="clonesoak_") as d:
+            cat = Catalog(os.path.join(d, "wh"))
+            ext = os.path.join(d, "ext")
+            spark.range(rows).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartition(16).write.parquet(ext)
+            t0 = _time.time()
+            r = cat.add_files(spark, "t", ext)
+            t_add = _time.time() - t0
+            # grow history so the clone copies a realistic chain
+            for i in range(10):
+                cat.append(
+                    spark.range(i, i + 10).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") * 2).alias("v"),
+                    ),
+                    "t",
+                )
+            t0 = _time.time()
+            cat.clone_table("t", "t2")
+            t_clone = _time.time() - t0
+            assert cat.row_count("t2") == rows + 100
+            print(
+                f"clone-onboard {rows} rows: add_files={t_add:.2f}s "
+                f"({r['files_added']} files) shallow_clone={t_clone:.3f}s"
+            )
 
 
 if __name__ == "__main__":
