@@ -651,6 +651,7 @@ class Catalog:
             "INSERT", "UPDATE", "DELETE", "MERGE", "TRUNCATE",
             "SHOW", "SHOW_PARTITIONS", "DESCRIBE_HISTORY",
             "DESCRIBE_DETAIL", "OPTIMIZE", "VACUUM", "RESTORE",
+            "ANALYZE",
         ):
             target = dml_target(query, kind)
             if (
@@ -673,7 +674,10 @@ class Catalog:
             return show_partitions(self, spark, query, branch)
         if kind == "DESCRIBE_HISTORY":
             return describe_history(self, spark, query, branch)
-        if kind in ("OPTIMIZE", "VACUUM", "RESTORE", "DESCRIBE_DETAIL"):
+        if kind in (
+            "OPTIMIZE", "VACUUM", "RESTORE", "DESCRIBE_DETAIL",
+            "ANALYZE",
+        ):
             # the Delta-spelling maintenance verbs (same primitives as
             # the Iceberg CALL procedures)
             return execute_delta_verb(self, spark, query, branch)
@@ -4052,6 +4056,86 @@ class Catalog:
             f"kind must be files|snapshots|history|partitions|refs, "
             f"got {kind!r}"
         )
+
+    def analyze_table(
+        self,
+        spark: SparkSession,
+        table: str,
+        columns: list[str] | str | None = None,
+        branch: str = MAIN,
+    ) -> dict[str, Any]:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]``
+        — table-level stats (row count, total bytes) come FREE from
+        the manifest; column stats (approximate NDV + null count, the
+        inputs a cost-based planner and a skew diagnosis need) cost
+        ONE aggregation pass over exactly the requested columns
+        (column-pruned scan). Results persist as ``stats.*`` table
+        properties stamped with the analyzed snapshot id, so a reader
+        can tell stale stats from fresh (Iceberg stores the same
+        shapes in Puffin files; properties are this engine's
+        metadata-file equivalent). ``columns='*'`` expands to every
+        atomic-typed column.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        meta = self.load_table(table, branch)
+        rows = self.row_count(table, branch, spark=spark)
+        size = sum(f.bytes for f in meta.files())
+        props: dict[str, str] = {
+            "stats.numRows": str(rows),
+            "stats.totalSize": str(size),
+            "stats.analyzedSnapshot": str(
+                meta.current_snapshot_id
+                if meta.current_snapshot_id is not None
+                else -1
+            ),
+        }
+        cols: list[str] = []
+        if columns == "*":
+            cols = [
+                f.name
+                for f in meta.spark_schema.fields
+                if not isinstance(
+                    f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                )
+            ]
+        elif columns:
+            known = {f.name for f in meta.spark_schema.fields}
+            bad = [c for c in columns if c not in known]
+            if bad:
+                raise ValueError(
+                    f"ANALYZE: unknown column(s) {bad} on {table!r}"
+                )
+            cols = list(columns)
+        if cols:
+            aggs = []
+            for c in cols:
+                aggs.append(
+                    F.approx_count_distinct(c).alias(f"__ndv_{c}")
+                )
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(
+                        f"__nulls_{c}"
+                    )
+                )
+            row = (
+                self.read(spark, table, branch)
+                .select(*cols)
+                .agg(*aggs)
+                .collect()[0]
+            )
+            for c in cols:
+                props[f"stats.col.{c}.ndv"] = str(row[f"__ndv_{c}"])
+                props[f"stats.col.{c}.nullCount"] = str(
+                    row[f"__nulls_{c}"] or 0
+                )
+        self.set_properties(table, branch, **props)
+        return {
+            "num_rows": rows,
+            "total_size": size,
+            "analyzed_columns": cols,
+        }
 
     def set_properties(
         self, table: str, branch: str = MAIN, **props: str | None

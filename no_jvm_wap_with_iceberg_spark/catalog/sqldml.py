@@ -95,6 +95,10 @@ def dml_kind(query: str) -> str | None:
         # the CALL procedures reach (compact/zorder, orphan reclaim,
         # rollback)
         return first
+    if first == "ANALYZE":
+        # ANALYZE TABLE t COMPUTE STATISTICS [FOR [ALL] COLUMNS ...]
+        second = toks[1].upper() if len(toks) > 1 else ""
+        return "ANALYZE" if second == "TABLE" else None
     if first == "COPY":
         # COPY INTO t FROM '<dir>' — the Databricks idempotent bulk
         # load verb (Catalog.copy_into); plain Spark has no COPY, so
@@ -123,6 +127,7 @@ def dml_target(query: str, kind: str) -> str | None:
         "OPTIMIZE": rf"(?is)^\s*OPTIMIZE\s+({_IDENT})",
         "VACUUM": rf"(?is)^\s*VACUUM\s+({_IDENT})",
         "RESTORE": rf"(?is)^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})",
+        "ANALYZE": rf"(?is)^\s*ANALYZE\s+TABLE\s+({_IDENT})",
     }
     pat = pats.get(kind)
     if pat is None:
@@ -2232,6 +2237,38 @@ def execute_delta_verb(cat, spark, query: str, branch: str):
       metadata-only.
     """
     q = query.strip().rstrip(";")
+    m = re.match(
+        rf"(?is)^ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+        rf"(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+(.+?)))?\s*$",
+        q,
+    )
+    if m:
+        # ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS |
+        # FOR COLUMNS a, b] -> Catalog.analyze_table (manifest-free
+        # table stats; one column-pruned pass for NDV/null counts)
+        table = _unquote(m.group(1))
+        columns: Any = None
+        if m.group(2):
+            if m.group(2).upper().startswith("ALL"):
+                columns = "*"
+            else:
+                columns = [
+                    _unquote(c.strip())
+                    for c in _split_commas(m.group(3))
+                ]
+        stats = cat.analyze_table(spark, table, columns, branch)
+        return spark.createDataFrame(
+            [
+                (
+                    table,
+                    stats["num_rows"],
+                    stats["total_size"],
+                    ",".join(stats["analyzed_columns"]),
+                )
+            ],
+            "table string, num_rows long, total_size long, "
+            "analyzed_columns string",
+        )
     m = re.match(
         rf"(?is)^OPTIMIZE\s+({_IDENT})"
         rf"(?:\s+ZORDER\s+BY\s*\((.*?)\))?\s*$",

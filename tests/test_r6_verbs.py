@@ -181,3 +181,66 @@ def test_changelog_view_defaults_full_history_and_name(spark, warehouse):
         (0, 3),
         (1, 2),
     ]
+
+
+# ----------------------------------------------------------------------
+# ANALYZE TABLE
+# ----------------------------------------------------------------------
+
+
+def test_analyze_table_stats_persist(spark, warehouse):
+    cat = Catalog(warehouse)
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("v"),
+    )
+    cat.create_table_from_df(df, "t")
+    out = cat.sql(
+        spark, "ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS"
+    ).collect()[0]
+    assert out["num_rows"] == 100
+    assert out["analyzed_columns"] == "k,grp,v"
+    props = cat.load_table("t").properties
+    assert props["stats.numRows"] == "100"
+    assert props["stats.col.grp.ndv"] == "7"
+    assert props["stats.col.v.nullCount"] == "10"
+    # stamped with the snapshot it measured, so staleness is visible
+    assert props["stats.analyzedSnapshot"] == str(
+        cat.load_table("t").current_snapshot_id
+    )
+
+
+def test_analyze_table_column_subset_and_validation(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+        "t",
+    )
+    out = cat.sql(
+        spark, "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS g"
+    ).collect()[0]
+    assert out["analyzed_columns"] == "g"
+    props = cat.load_table("t").properties
+    assert props["stats.col.g.ndv"] == "3"
+    assert "stats.col.k.ndv" not in props
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.sql(
+            spark, "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS nope"
+        )
+
+
+def test_analyze_table_metadata_only_without_columns(spark, warehouse):
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.range(50).select(F.col("id").alias("k")), "t"
+    )
+    out = cat.sql(
+        spark, "ANALYZE TABLE t COMPUTE STATISTICS"
+    ).collect()[0]
+    assert out["num_rows"] == 50 and out["analyzed_columns"] == ""
+    assert out["total_size"] > 0
