@@ -2417,18 +2417,47 @@ class Catalog:
         if not shallow:
             if spark is None:
                 raise ValueError("deep clone requires a SparkSession")
+            # write the copy FIRST, then land schema + data in ONE ref
+            # CAS (same discipline as CREATE OR REPLACE ... AS SELECT:
+            # no observer window where the target exists empty, and a
+            # failed write leaves an existing target untouched)
             df = self.read(spark, source, src_branch, snapshot_id=pin)
-            created = self.create_table(
-                target,
-                src.schema_json,
-                branch,
+            proto = TableMetadata(
+                table=target,
+                schema_json=src.schema_json,
+                version=1,
                 partition_by=src.partition_by or None,
                 sort_by=src.sort_by or None,
                 properties=props,
-                or_replace=or_replace,
             )
-            assert created
-            return self.append(df, target, branch)
+            files = self._write_files(
+                self._align_schema(df, proto), proto, target
+            )
+            new_meta = (
+                proto.with_new_snapshot(files, "append") if files else proto
+            )
+            last: Exception | None = None
+            for _attempt in range(4):
+                head = self._read_refs()[branch]
+                payload = self._read_commit(head)
+                now_exists = target in payload["tables"]
+                if now_exists and not or_replace:
+                    raise ValueError(
+                        f"table {target!r} already exists on {branch!r}"
+                    )
+                try:
+                    self._commit_table(
+                        target,
+                        branch,
+                        new_meta,
+                        head,
+                        f"{'REPLACE' if now_exists else 'CREATE'} "
+                        f"TABLE {target} CLONE {source}",
+                    )
+                    return new_meta
+                except CommitConflict as ex:
+                    last = ex
+            raise last  # type: ignore[misc]
 
         # shallow: round-trip the source metadata (properties carry
         # rename history, defaults, constraints, partition-spec eras —
@@ -2489,6 +2518,18 @@ class Catalog:
         if not os.path.isdir(root):
             raise ValueError(
                 f"add_files source {source_dir!r} is not a directory"
+            )
+        wh_root = os.path.abspath(self.warehouse)
+        if root == wh_root or root.startswith(wh_root + os.sep):
+            # warehouse-internal files are identified by RELATIVE path
+            # in every manifest; registering them again under an
+            # absolute spelling would give one physical file two
+            # identities — the orphan sweep and duplicate guard would
+            # each see only one of them (silent reclaim hazard)
+            raise ValueError(
+                "add_files source must be outside the warehouse; "
+                "warehouse-internal files are already table-managed "
+                "(use SHALLOW CLONE to share data between tables)"
             )
         paths: list[str] = []
         for dirpath, dirnames, filenames in os.walk(root):
@@ -2649,10 +2690,15 @@ class Catalog:
             r = spark.read.format(fmt)
             for k, v in (format_options or {}).items():
                 r = r.option(k, v)
-            if meta is not None and fmt in ("csv", "json"):
-                # pin the table schema: per-batch inference could
-                # drift types between loads (and costs an extra pass)
-                r = r.schema(meta.spark_schema)
+            if fmt in ("csv", "json"):
+                if meta is not None:
+                    # pin the table schema: per-batch inference could
+                    # drift types between loads (and costs a pass)
+                    r = r.schema(meta.spark_schema)
+                elif "inferSchema" not in (format_options or {}):
+                    # auto-create path: without inference a CSV would
+                    # silently create an all-string table
+                    r = r.option("inferSchema", "true")
             return r
 
         if not self.table_exists(table, branch):

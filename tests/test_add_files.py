@@ -121,3 +121,16 @@ def test_maintenance_never_reclaims_external_files(
     # dropping the table leaves the source directory intact
     cat.drop_table("t")
     assert spark.read.parquet(ext).count() == len(want)
+
+
+def test_add_files_refuses_warehouse_internal_sources(
+    spark, warehouse, tmp_path
+):
+    cat = Catalog(warehouse)
+    ext = _ext(spark, tmp_path)
+    cat.add_files(spark, "t", ext)
+    inner = os.path.join(warehouse, "tables", "t")
+    with pytest.raises(ValueError, match="outside the warehouse"):
+        cat.add_files(spark, "t2", warehouse)
+    with pytest.raises(ValueError, match="outside the warehouse"):
+        cat.add_files(spark, "t2", inner)

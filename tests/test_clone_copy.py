@@ -349,3 +349,41 @@ def test_table_changes_inside_string_literal_untouched(spark, warehouse):
         spark, "SELECT 'table_changes(''t'', 1)' AS s"
     ).collect()
     assert out[0]["s"] == "table_changes('t', 1)"
+
+
+def test_deep_clone_replace_is_atomic(spark, warehouse):
+    """CREATE OR REPLACE ... CLONE writes the copy FIRST and lands
+    schema+data in one CAS: a failed copy leaves the existing target
+    untouched (no drop+create window, no empty-table state)."""
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(_df(spark, 0, 5), "src")
+    cat.create_table_from_df(_df(spark, 100, 103), "tgt")
+    before = _state(cat, spark, "tgt")
+    # sabotage the copy: a CHECK constraint the source rows violate
+    # (installed via raw properties so the write path is what trips)
+    cat.set_properties("src", **{"constraint.bad": "k > 100"})
+    with pytest.raises(Exception, match="bad"):
+        cat.sql(spark, "CREATE OR REPLACE TABLE tgt CLONE src")
+    assert _state(cat, spark, "tgt") == before
+    # and the healthy path replaces in one commit
+    cat.set_properties("src", **{"constraint.bad": None})
+    cat.sql(spark, "CREATE OR REPLACE TABLE tgt CLONE src")
+    assert _state(cat, spark, "tgt") == _state(cat, spark, "src")
+
+
+def test_copy_into_csv_autocreate_infers_types(spark, warehouse, tmp_path):
+    cat = Catalog(warehouse)
+    p = str(tmp_path / "csvauto")
+    _df(spark, 0, 4).coalesce(1).write.option("header", "true").csv(p)
+    cat.copy_into(
+        spark, "t", p, file_format="csv",
+        format_options={"header": "true"},
+    )
+    types = {
+        f.name: f.dataType.typeName()
+        for f in cat.load_table("t").spark_schema.fields
+    }
+    assert types == {"k": "integer", "v": "integer"} or types == {
+        "k": "long",
+        "v": "long",
+    }
