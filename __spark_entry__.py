@@ -67,7 +67,6 @@ _HEAD = [
     "sql_time_travel",
     "catalog_sql_interface",
     # --- r3-evidence fill ---
-    "agg_collect_ordered",
     "asof_purchase_last_click",
     "catalog_incremental_read",
     "catalog_mor_delete_read",
@@ -91,20 +90,23 @@ _HEAD = [
     "q6_revenue_forecast",
     "q7_nation_pair_volume",
     "rollup_nation_region",
-    "setops_customer_cohorts",
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
     "wap_audit_gate",
-    # --- new r6 surface (clone / copy-into / CDF TVF / add-files) ---
+    # --- new r6 surface (clone / copy-into / CDF TVF / add-files /
+    #     DML subqueries) ---
     "sql_shallow_clone",
     "sql_copy_into",
     "cdc_table_changes",
     "catalog_add_files",
+    "sql_delete_in_subquery",
+    "sql_merge_schema_evolution",
     # unpivot_nation_measures, topk_expensive_items,
     # histogram_order_totals, pivot_orders_status_by_priority,
-    # range_join_price_bands and events_json_extract (all r3
-    # evidence) yielded their slots to the six new r6 gates; rotate
-    # them into the r7 head
+    # range_join_price_bands, events_json_extract,
+    # agg_collect_ordered and setops_customer_cohorts (all r3
+    # evidence) yielded their slots to the eight new r6 gates;
+    # rotate them into the r7 head
 ]
 _TAIL = [
     # rotated out of the head (r4/r5-green — freshest evidence goes to

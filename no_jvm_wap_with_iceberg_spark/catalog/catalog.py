@@ -1217,6 +1217,48 @@ class Catalog:
             max_retries=max_retries,
         )
 
+    def _schema_evolved_by(
+        self, m: TableMetadata, src_schema, table: str
+    ) -> TableMetadata:
+        """``m`` with the source schema's extra TOP-LEVEL columns
+        appended (nullable, source types) — the additive half of
+        Delta's schema evolution, shared by ``append(merge_schema=
+        True)`` and ``merge_into(schema_evolution=True)``. Returns
+        ``m`` itself when nothing is new (identity check is
+        load-bearing: callers skip the commit on no-op appends).
+        Re-adding a previously dropped name raises (old data files
+        still carry the bytes — zombie-column hazard)."""
+        from pyspark.sql import types as T
+
+        have = {f.name for f in m.spark_schema.fields}
+        extra = [f for f in src_schema.fields if f.name not in have]
+        if not extra:
+            return m
+        dropped = {
+            c for c in m.properties.get("dropped_columns", "").split(",") if c
+        }
+        zombie = [f.name for f in extra if f.name in dropped]
+        if zombie:
+            raise ValueError(
+                f"schema evolution would re-add previously dropped "
+                f"column(s) {zombie} on {table!r}; old data files "
+                "still carry them (zombie-column hazard) — use new names"
+            )
+        new_schema = T.StructType(
+            m.spark_schema.fields
+            + [T.StructField(f.name, f.dataType, True) for f in extra]
+        )
+        return TableMetadata(
+            table=m.table,
+            schema_json=new_schema.jsonValue(),
+            snapshots=m.snapshots,
+            current_snapshot_id=m.current_snapshot_id,
+            version=m.version,
+            partition_by=m.partition_by,
+            sort_by=m.sort_by,
+            properties=m.properties,
+        )
+
     def _append_merge_schema(
         self,
         df: DataFrame,
@@ -1227,43 +1269,9 @@ class Catalog:
     ) -> TableMetadata:
         """The ``merge_schema=True`` append path: evolve the schema by
         the batch's extra columns and land rows + schema in ONE commit."""
-        from pyspark.sql import types as T
 
         def evolved(m: TableMetadata) -> TableMetadata:
-            have = {f.name for f in m.spark_schema.fields}
-            extra = [f for f in df.schema.fields if f.name not in have]
-            if not extra:
-                return m
-            dropped = {
-                c
-                for c in m.properties.get("dropped_columns", "").split(",")
-                if c
-            }
-            zombie = [f.name for f in extra if f.name in dropped]
-            if zombie:
-                raise ValueError(
-                    f"mergeSchema would re-add previously dropped "
-                    f"column(s) {zombie} on {table!r}; old data files "
-                    "still carry them (zombie-column hazard) — use new "
-                    "names"
-                )
-            new_schema = T.StructType(
-                m.spark_schema.fields
-                + [
-                    T.StructField(f.name, f.dataType, True)
-                    for f in extra
-                ]
-            )
-            return TableMetadata(
-                table=m.table,
-                schema_json=new_schema.jsonValue(),
-                snapshots=m.snapshots,
-                current_snapshot_id=m.current_snapshot_id,
-                version=m.version,
-                partition_by=m.partition_by,
-                sort_by=m.sort_by,
-                properties=m.properties,
-            )
+            return self._schema_evolved_by(m, df.schema, table)
 
         proto = evolved(meta)
         files = self._write_files(
@@ -1965,6 +1973,7 @@ class Catalog:
         branch: str = MAIN,
         write_partitions: int | None = 1,
         max_retries: int = 3,
+        schema_evolution: bool = False,
     ) -> TableMetadata:
         """Full conditional ``MERGE INTO`` (the Iceberg/Delta clause
         surface; :meth:`merge_rows` is the unconditional
@@ -2020,6 +2029,20 @@ class Catalog:
         cannot ride an equality delete, so selecting one raises
         (use :meth:`delete_where` for them) rather than silently
         skipping it.
+
+        ``schema_evolution=True`` (Delta's ``MERGE WITH SCHEMA
+        EVOLUTION`` / ``schema.autoMerge``): the source's extra
+        TOP-LEVEL columns are ADDED to the target schema (nullable,
+        source types) in the SAME commit as the merged rows — updated
+        and inserted rows carry source values, untouched rows read
+        back NULL (old files simply lack the column). Additive only:
+        nested-struct evolution and type widening are out of scope
+        (document the cast instead); re-adding a dropped name raises
+        (zombie-column hazard, shared with ``append(merge_schema=
+        True)``). The evolution is re-derived per CAS attempt from the
+        fresh head, so a concurrent writer adding the same column is
+        benign (idempotent union) and a same-name/different-type race
+        surfaces as a cast error rather than silent corruption.
         """
         from pyspark.sql import functions as F
 
@@ -2033,7 +2056,32 @@ class Catalog:
         last_err: CommitConflict | None = None
         for _attempt in range(max_retries + 1):
             meta0 = self.load_table(table, branch)
+            base_names = {f.name for f in meta0.spark_schema.fields}
+            if schema_evolution:
+                meta0 = self._schema_evolved_by(meta0, source.schema, table)
             cols = [f.name for f in meta0.spark_schema.fields]
+
+            def _upd_default(c: str) -> str:
+                # Delta's explicit-SET-list semantics under evolution:
+                # an UNMENTIONED new column keeps the target value
+                # (NULL on old rows); SET * takes every source column
+                if (
+                    schema_evolution
+                    and update_set is not None
+                    and c not in base_names
+                ):
+                    return f"t.`{c}`"
+                return f"s.`{c}`"
+
+            def _ins_default(c: str) -> str:
+                # explicit INSERT list: unmentioned new column -> NULL
+                if (
+                    schema_evolution
+                    and insert_values is not None
+                    and c not in base_names
+                ):
+                    return "NULL"
+                return f"`{c}`"
             types = {f.name: f.dataType for f in meta0.spark_schema.fields}
             affected0 = self._files_overlapping_keys(
                 meta0, key_cols, src_counts, dup_guard="_dup_n"
@@ -2065,7 +2113,9 @@ class Catalog:
             if when_matched_update:
                 updated = joined.filter(upd_cond).select(
                     *[
-                        F.expr(sets.get(c, f"s.`{c}`")).cast(types[c]).alias(c)
+                        F.expr(sets.get(c, _upd_default(c)))
+                        .cast(types[c])
+                        .alias(c)
                         for c in cols
                     ]
                 )
@@ -2132,7 +2182,7 @@ class Catalog:
                     F.coalesce(F.expr(when_not_matched_insert), F.lit(False))
                 ).select(
                     *[
-                        F.expr(ivals.get(c, f"`{c}`"))
+                        F.expr(ivals.get(c, _ins_default(c)))
                         .cast(types[c])
                         .alias(c)
                         for c in cols
@@ -2174,10 +2224,27 @@ class Catalog:
                                 "targets": [f.path for f, _ in affected],
                             }
                         ]
-                if not deletes and sum(f.rows for f in new_files) == 0:
+                if (
+                    not deletes
+                    and sum(f.rows for f in new_files) == 0
+                    and not schema_evolution
+                ):
                     return None, ""
+                committed = (
+                    self._schema_evolved_by(meta, source.schema, table)
+                    if schema_evolution
+                    else meta
+                )
+                if (
+                    not deletes
+                    and sum(f.rows for f in new_files) == 0
+                    and committed is meta
+                ):
+                    return None, ""  # no rows AND no new columns
                 return (
-                    meta.with_new_snapshot(new_files, "merge", deletes=deletes),
+                    committed.with_new_snapshot(
+                        new_files, "merge", deletes=deletes
+                    ),
                     f"MERGE INTO {table} ON {key} (conditional, "
                     f"+{len(new_files)} files, {len(deletes)} delete specs)",
                 )

@@ -118,7 +118,8 @@ def dml_target(query: str, kind: str) -> str | None:
         "INSERT": rf"(?is)^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})",
         "UPDATE": rf"(?is)^\s*UPDATE\s+({_IDENT})",
         "DELETE": rf"(?is)^\s*DELETE\s+FROM\s+({_IDENT})",
-        "MERGE": rf"(?is)^\s*MERGE\s+INTO\s+({_IDENT})",
+        "MERGE": rf"(?is)^\s*MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+        rf"INTO\s+({_IDENT})",
         "TRUNCATE": rf"(?is)^\s*TRUNCATE\s+TABLE\s+({_IDENT})",
         "SHOW": rf"(?is)^\s*SHOW\s+(?:CREATE\s+TABLE|TBLPROPERTIES)\s+({_IDENT})",
         "SHOW_PARTITIONS": rf"(?is)^\s*SHOW\s+PARTITIONS\s+({_IDENT})",
@@ -561,6 +562,183 @@ def _strip_table_qualifier(text: str, table: str) -> str:
     return _sub_outside_quotes(pat, "", text)
 
 
+# ----------------------------------------------------------------------
+# statement-time subquery resolution for UPDATE/DELETE WHERE
+# ----------------------------------------------------------------------
+_SUBQ_INLINE_CAP = 10_000  # distinct tuples an IN-subquery may inline
+
+
+def _render_inline_lit(v) -> str:
+    """One collected subquery value -> a SQL literal the row filter
+    (``F.expr``), the pruning parser, and the recorded CDC condition
+    can all consume. Temporal values normalize to naive UTC exactly
+    like ``_parse_lit`` / footer stats do, so pruning comparisons stay
+    sound."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(
+                "cannot inline NaN/Infinity subquery value as a SQL literal"
+            )
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, _dt.date):
+        return "DATE '" + v.isoformat() + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex().upper() + "'"
+    raise ValueError(
+        f"cannot inline subquery value of type {type(v).__name__} "
+        "as a SQL literal"
+    )
+
+
+def _find_subquery_spans(cond: str) -> list[tuple[int, int]]:
+    """Non-overlapping ``(start, end)`` spans of outermost
+    ``(SELECT ...)`` groups outside string literals. Nested subqueries
+    stay inside their enclosing span (Spark evaluates the whole
+    text)."""
+    mask = _quote_mask(cond, backticks=True)
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(cond)
+    while i < n:
+        if mask[i] or cond[i] != "(":
+            i += 1
+            continue
+        j = i + 1
+        while j < n and cond[j].isspace():
+            j += 1
+        nxt = cond[j + 6] if j + 6 < n else " "
+        if cond[j : j + 6].upper() != "SELECT" or nxt.isalnum() or nxt in "_`":
+            i += 1
+            continue
+        depth, k = 0, i
+        while k < n:
+            if not mask[k]:
+                if cond[k] == "(":
+                    depth += 1
+                elif cond[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            k += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced parentheses in condition {cond!r}")
+        spans.append((i, k + 1))
+        i = k + 1
+    return spans
+
+
+def resolve_subqueries(spark, cond: str) -> str:
+    """Resolve subqueries inside an UPDATE/DELETE WHERE condition at
+    STATEMENT time (Iceberg's and Delta's Spark surfaces both accept
+    them; a stored ``F.expr`` condition cannot).
+
+    ``[NOT] IN (SELECT ...)``, ``[NOT] EXISTS (SELECT ...)`` and
+    scalar ``(SELECT ...)`` comparisons are evaluated once against the
+    snapshot-pinned views :meth:`Catalog.sql` registered for the
+    statement, then inlined as typed literals — the executed condition
+    stays a pure expression, so stats pruning, the whole-file metadata
+    fast path (a partition-aligned ``IN`` still proves files), MoR
+    delete specs, and CDC replay keep exact semantics. (A recorded
+    condition re-evaluated at replay/read time would otherwise see
+    LATER state of the subquery's tables — silent corruption.)
+
+    Literal lists sort deterministically and cap at
+    ``_SUBQ_INLINE_CAP`` distinct tuples; larger keysets belong to the
+    anti-join scale paths (``MERGE INTO`` / ``Catalog.delete_keys``).
+    Correlated subqueries cannot be snapshot-resolved -> ``ValueError``
+    pointing at MERGE INTO. Empty results keep SQL 3VL exactly:
+    ``x IN (empty)`` is constant FALSE (even for NULL ``x``),
+    ``x NOT IN (empty)`` constant TRUE, an empty scalar is NULL.
+    """
+    for start, end in reversed(_find_subquery_spans(cond)):
+        prefix = cond[:start]
+        sub = cond[start + 1 : end - 1]
+        try:
+            df = spark.sql(sub)
+        except Exception as e:  # AnalysisException: correlated / bad ref
+            raise ValueError(
+                "cannot evaluate subquery at statement time (correlated "
+                "subqueries are not supported in UPDATE/DELETE WHERE — "
+                f"use MERGE INTO): {sub.strip()!r}: {e}"
+            ) from e
+        m_ex = re.search(r"(?is)\b(NOT\s+)?(EXISTS)\s*$", prefix)
+        m_in = re.search(
+            rf"(?is)((?:{_IDENT}|\([^()]*\))\s+)?(NOT\s+)?(?<![\w`])(IN)\s*$",
+            prefix,
+        )
+        if m_ex:
+            exists = bool(df.limit(1).collect())
+            cond = (
+                cond[: m_ex.start(2)]
+                + ("TRUE" if exists else "FALSE")
+                + cond[end:]
+            )
+        elif m_in and m_in.group(3):
+            rows = df.distinct().limit(_SUBQ_INLINE_CAP + 1).collect()
+            if len(rows) > _SUBQ_INLINE_CAP:
+                raise ValueError(
+                    f"IN-subquery produced more than {_SUBQ_INLINE_CAP} "
+                    "distinct values; use MERGE INTO ... WHEN MATCHED "
+                    "THEN DELETE/UPDATE or Catalog.delete_keys (anti-join "
+                    "scale path) instead of inlining"
+                )
+            if rows:
+                if len(df.columns) == 1:
+                    lits = sorted(_render_inline_lit(r[0]) for r in rows)
+                else:
+                    lits = sorted(
+                        "(" + ", ".join(_render_inline_lit(v) for v in r) + ")"
+                        for r in rows
+                    )
+                cond = cond[:start] + "(" + ", ".join(lits) + ")" + cond[end:]
+            else:
+                # the whole atom collapses to a constant; requires the
+                # left operand (a column or a bare tuple, not the tail
+                # of a call like lower(name)) to be rewritable
+                lead = m_in.start(1) if m_in.group(1) else -1
+                if m_in.group(1) is None or (
+                    lead > 0 and (prefix[lead - 1].isalnum()
+                                  or prefix[lead - 1] in "_`.)")
+                ):
+                    raise ValueError(
+                        "cannot rewrite empty IN-subquery with a "
+                        "non-trivial left operand; simplify the condition"
+                    )
+                const = "TRUE" if m_in.group(2) else "FALSE"
+                cond = cond[: m_in.start(1)] + const + cond[end:]
+        else:
+            if len(df.columns) != 1:
+                raise ValueError(
+                    "scalar subquery in UPDATE/DELETE WHERE must return "
+                    f"exactly one column, got {len(df.columns)}"
+                )
+            rows = df.limit(2).collect()
+            if len(rows) > 1:
+                raise ValueError(
+                    "scalar subquery in UPDATE/DELETE WHERE returned "
+                    "more than one row"
+                )
+            lit = _render_inline_lit(rows[0][0]) if rows else "NULL"
+            cond = cond[:start] + "(" + lit + ")" + cond[end:]
+    return cond
+
+
 def _exec_update(cat, spark, query: str, branch: str):
     m = re.match(rf"(?is)^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*)$", query.strip())
     if not m:
@@ -575,6 +753,7 @@ def _exec_update(cat, spark, query: str, branch: str):
         sets_text, cond = rest[:wh], rest[wh + 5 :].strip().rstrip(";").strip()
     else:
         sets_text, cond = rest.rstrip().rstrip(";"), "true"
+    cond = resolve_subqueries(spark, cond)
     cond = _strip_table_qualifier(cond, table)
     sets = {
         k: _strip_table_qualifier(v, table)
@@ -605,7 +784,8 @@ def _exec_delete(cat, spark, query: str, branch: str):
     if rest:
         if not re.match(r"(?is)^WHERE\s", rest):
             raise ValueError(f"cannot parse DELETE tail {rest!r}")
-        cond = _strip_table_qualifier(rest[5:].strip(), table)
+        cond = resolve_subqueries(spark, rest[5:].strip())
+        cond = _strip_table_qualifier(cond, table)
     else:
         cond = "true"
     groups, exact = predicate_groups_from_sql(cond)
@@ -1028,9 +1208,12 @@ def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
 
 def _exec_merge(cat, spark, query: str, branch: str):
     q = query.strip().rstrip(";")
-    m = re.match(r"(?is)^\s*MERGE\s+INTO\s+", q)
+    m = re.match(
+        r"(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+", q
+    )
     if not m:
         raise ValueError("unsupported MERGE shape")
+    schema_evolution = m.group(1) is not None
     body = q[m.end() :]
     i_using = _find_keyword(body, "USING")
     i_on = _find_keyword(body, "ON", i_using + 5 if i_using >= 0 else 0)
@@ -1054,8 +1237,15 @@ def _exec_merge(cat, spark, query: str, branch: str):
         if not toks:
             raise ValueError(f"cannot parse MERGE relation {part!r}")
         rel = toks.group(1).strip()
-        alias = _unquote(toks.group(2)) if toks.group(2) else default_alias
-        return rel, alias
+        if toks.group(2):
+            return rel, _unquote(toks.group(2))
+        # no explicit alias: an un-aliased relation is addressable by
+        # its own name (Spark semantics) — `MERGE INTO t USING src ON
+        # t.id = src.id` must canonicalize; subqueries keep the
+        # positional default
+        if not rel.startswith("("):
+            return rel, _unquote(rel)
+        return rel, default_alias
 
     target_rel, t_alias = name_alias(target_part, "t")
     source_rel, s_alias = name_alias(source_part, "s")
@@ -1179,7 +1369,7 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 }
                 names = {f.name for f in schema_fields()}
                 bad = sorted(set(given_set) - names)
-                if bad:
+                if bad and not schema_evolution:
                     raise ValueError(
                         f"UPDATE SET names {bad} are not columns of "
                         f"{table!r}"
@@ -1192,6 +1382,13 @@ def _exec_merge(cat, spark, query: str, branch: str):
                     f.name: given_set.get(f.name, f"t.`{f.name}`")
                     for f in schema_fields()
                 }
+                # WITH SCHEMA EVOLUTION: SET may assign brand-new
+                # source columns — pass them through; the primitive
+                # adds them to the schema (or fails analysis if the
+                # source lacks them too)
+                update_set.update(
+                    {k: v for k, v in given_set.items() if k not in names}
+                )
             order.append("update")
         elif not matched and re.match(r"(?is)^INSERT\b", action):
             if ins_cond is not None:
@@ -1218,7 +1415,7 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 given = dict(zip(names, exprs))
                 known = {f.name for f in schema_fields()}
                 bad = sorted(set(given) - known)
-                if bad:
+                if bad and not schema_evolution:
                     raise ValueError(
                         f"INSERT column names {bad} are not columns of "
                         f"{table!r}"
@@ -1232,6 +1429,11 @@ def _exec_merge(cat, spark, query: str, branch: str):
                     f.name: given.get(f.name, tdefs.get(f.name, "NULL"))
                     for f in schema_fields()
                 }
+                # WITH SCHEMA EVOLUTION: values may target brand-new
+                # source columns
+                insert_values.update(
+                    {k: v for k, v in given.items() if k not in known}
+                )
         else:
             raise ValueError(f"cannot parse MERGE action {action!r}")
 
@@ -1259,6 +1461,7 @@ def _exec_merge(cat, spark, query: str, branch: str):
         when_not_matched_by_source_update=bs_upd_cond,
         update_by_source_set=update_by_source_set,
         branch=branch,
+        schema_evolution=schema_evolution,
     )
     return "MERGE", table, meta
 

@@ -651,6 +651,121 @@ def catalog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_delete_in_subquery",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    )
+    GROUP BY o_orderstatus
+    """,
+    doc="DELETE with an IN-subquery through the SQL front door "
+    "(Iceberg/Delta Spark parity): the keyset resolves ONCE at "
+    "statement time against the same snapshot-pinned views the "
+    "statement sees and inlines as typed literals "
+    "(sqldml.resolve_subqueries), so the recorded condition stays a "
+    "pure expression — pruning, the whole-file metadata fast path, "
+    "MoR specs, and CDC replay keep exact semantics. The oracle is "
+    "the complementary NOT IN aggregate over the raw parquet.",
+)
+def sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cat = Catalog(_tmp_warehouse("del_subq_"))
+    cat.create_table_from_df(orders, "orders_sq")
+    cat.create_table_from_df(customer, "customer_sq")
+    cat.sql(
+        spark,
+        "DELETE FROM orders_sq WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer_sq "
+        "WHERE c_mktsegment = 'AUTOMOBILE')",
+    )
+    return (
+        cat.read(spark, "orders_sq")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "sql_merge_schema_evolution",
+    """
+    SELECT o_orderstatus,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                ELSE NULL END AS priority_flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus, priority_flag
+    """,
+    doc="MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge spelling "
+    "through the SQL front door): the source carries a brand-new "
+    "priority_flag column; the merge adds it to the target schema "
+    "(nullable) in the SAME commit as the updated rows — matched "
+    "urgent orders take the source values (+10% price, flag set), "
+    "every untouched row reads the new column back as NULL (old "
+    "files simply lack it; the reader fills from the table schema). "
+    "The oracle rebuilds the merged state with CASE expressions over "
+    "the raw parquet. DECIMAL(18,4): derived price carries an extra "
+    "digit (NOTES.md headroom rule).",
+)
+def sql_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("merge_evo_"))
+    cat.create_table_from_df(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "orders_evo",
+    )
+    src = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * F.lit(1.1).cast("double")).alias(
+                "o_totalprice"
+            ),
+            F.lit("urgent").alias("priority_flag"),
+        )
+    )
+    src.createOrReplaceTempView("urgent_src_evo")
+    cat.sql(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO orders_evo USING urgent_src_evo s "
+        "ON orders_evo.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    return (
+        cat.read(spark, "orders_evo")
+        .groupBy("o_orderstatus", "priority_flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
     "catalog_changelog",
     """
     WITH half2 AS (
