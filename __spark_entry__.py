@@ -79,7 +79,6 @@ _HEAD = [
     "dedup_normalized_fingerprints",
     "dedup_source_matrix",
     "embedding_quantize_int8",
-    "events_anomaly_iqr",
     "events_user_funnel",
     "join_semi_anti",
     "merge_orders_cdc",
@@ -89,7 +88,6 @@ _HEAD = [
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q7_nation_pair_volume",
-    "rollup_nation_region",
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
     "wap_audit_gate",
@@ -101,12 +99,15 @@ _HEAD = [
     "catalog_add_files",
     "sql_delete_in_subquery",
     "sql_merge_schema_evolution",
+    "agg_grouping_sets",
+    "dedup_incremental_index",
     # unpivot_nation_measures, topk_expensive_items,
     # histogram_order_totals, pivot_orders_status_by_priority,
     # range_join_price_bands, events_json_extract,
-    # agg_collect_ordered and setops_customer_cohorts (all r3
-    # evidence) yielded their slots to the eight new r6 gates;
-    # rotate them into the r7 head
+    # agg_collect_ordered, setops_customer_cohorts,
+    # rollup_nation_region and events_anomaly_iqr (all r3 evidence)
+    # yielded their slots to the ten new r6 gates; rotate them into
+    # the r7 head
 ]
 _TAIL = [
     # rotated out of the head (r4/r5-green — freshest evidence goes to

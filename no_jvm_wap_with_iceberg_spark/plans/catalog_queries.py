@@ -766,6 +766,62 @@ def sql_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_index",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    first_b AS (SELECT norm, MIN(b) AS fb FROM d GROUP BY norm),
+    kept AS (
+      SELECT d.norm, MIN(d.doc_id) AS keep_id
+      FROM d JOIN first_b ON d.norm = first_b.norm AND d.b = first_b.fb
+      GROUP BY d.norm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep_id) AS BIGINT) AS sum_keep_ids,
+           CAST(SUM(LENGTH(norm)) AS BIGINT) AS sum_norm_len
+    FROM kept
+    """,
+    doc="incremental cross-batch dedup against the persisted "
+    "fingerprint index (pipelines/incremental_dedup.py): the corpus "
+    "arrives as three batches (doc_id % 3); each ingest keeps-first "
+    "within the batch, probes the digest-sorted+bloomed index table "
+    "through the catalog's shared key-pruning pass (O(batch + "
+    "bloom-hit files), never O(corpus)), and publishes surviving "
+    "docs + fingerprints ATOMICALLY via a staging branch. The oracle "
+    "replays the admission order in SQL: a normalized content wins "
+    "in its EARLIEST batch, min doc_id within it.",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = Catalog(_tmp_warehouse("inc_dedup_"))
+    for b in range(3):
+        dedup_ingest(
+            spark,
+            cat,
+            docs.filter(F.col("doc_id") % 3 == b),
+            "docs_dd",
+            "fp_index",
+        )
+    kept = cat.read(spark, "docs_dd").select(
+        F.col("doc_id").alias("keep_id"),
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("norm"),
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep_id").alias("sum_keep_ids"),
+        F.sum(F.length("norm")).alias("sum_norm_len"),
+    )
+
+
+@register(
     "catalog_changelog",
     """
     WITH half2 AS (

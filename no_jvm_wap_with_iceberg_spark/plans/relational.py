@@ -143,6 +143,46 @@ def agg_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    doc="GROUP BY GROUPING SETS with a grouping_id disambiguator: "
+    "three aggregation grains in ONE pass (detail, per-status, grand "
+    "total) — Spark expands the sets with a single Expand node over "
+    "one shuffle, which at 100 TB beats three separate scans+shuffles "
+    "by ~3x. gid distinguishes a genuinely-NULL group key from a "
+    "rolled-up one (the classic grouping-sets trap). DuckDB's "
+    "GROUPING() bit order matches Spark's (left-to-right, "
+    "most-significant first) once spelled explicitly per column.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 +
+                    GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@register(
     "audit_profile_lineitem",
     """
     SELECT COUNT(*) AS n_rows,

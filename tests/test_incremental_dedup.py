@@ -1,0 +1,130 @@
+"""Incremental cross-batch exact dedup against the persisted
+fingerprint index (pipelines/incremental_dedup.py).
+
+- within-batch keep-first (min key per digest);
+- cross-batch: a digest admitted once is never admitted again;
+- normalization folds case + whitespace runs;
+- docs and index publish ATOMICALLY (never one without the other);
+- a RACING ingest that publishes first forces the loser's retry to
+  re-probe the fresh index, so the same digest cannot land twice.
+"""
+
+import pytest
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+    dedup_ingest,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_three_batch_ingest(spark, warehouse):
+    cat = Catalog(warehouse)
+    r1 = dedup_ingest(
+        spark, cat, _df(spark, [(1, "aa"), (2, "bb"), (3, "aa")]),
+        "docs", "fp_index",
+    )
+    assert (r1.published, r1.rows_in, r1.in_batch_dups, r1.seen_dups,
+            r1.rows_published) == (True, 3, 1, 0, 2)
+    r2 = dedup_ingest(
+        spark, cat, _df(spark, [(4, "bb"), (5, "cc"), (6, "cc")]),
+        "docs", "fp_index",
+    )
+    assert (r2.published, r2.in_batch_dups, r2.seen_dups,
+            r2.rows_published) == (True, 1, 1, 1)
+    r3 = dedup_ingest(
+        spark, cat, _df(spark, [(7, "aa"), (8, "cc")]), "docs", "fp_index"
+    )
+    assert (r3.published, r3.rows_published) == (False, 0)
+    docs = {(r.doc_id, r.text) for r in cat.read(spark, "docs").collect()}
+    assert docs == {(1, "aa"), (2, "bb"), (5, "cc")}
+    assert cat.read(spark, "fp_index").count() == 3
+
+
+def test_normalization_folds_case_and_whitespace(spark, warehouse):
+    cat = Catalog(warehouse)
+    dedup_ingest(spark, cat, _df(spark, [(1, "Hello  World")]), "d", "i")
+    r = dedup_ingest(
+        spark, cat, _df(spark, [(2, "hello world "), (3, "HELLO\tWORLD")]),
+        "d", "i",
+    )
+    assert r.rows_published == 0
+    strict = Catalog(warehouse + "_s")
+    strict_r1 = dedup_ingest(
+        spark, strict, _df(spark, [(1, "Hello  World")]), "d", "i",
+        normalize=False,
+    )
+    strict_r2 = dedup_ingest(
+        spark, strict, _df(spark, [(2, "hello world")]), "d", "i",
+        normalize=False,
+    )
+    assert strict_r1.rows_published == 1 and strict_r2.rows_published == 1
+
+
+def test_docs_and_index_stay_consistent(spark, warehouse):
+    cat = Catalog(warehouse)
+    for i in range(4):
+        rows = [(10 * i + j, f"doc-{(i * 2 + j) % 5}") for j in range(4)]
+        dedup_ingest(spark, cat, _df(spark, rows), "docs", "fp_index")
+    n_docs = cat.read(spark, "docs").count()
+    idx = cat.read(spark, "fp_index")
+    assert idx.count() == n_docs
+    assert idx.select("fingerprint").distinct().count() == n_docs
+
+
+def test_racing_ingest_cannot_admit_digest_twice(spark, warehouse):
+    cat = Catalog(warehouse)
+    dedup_ingest(spark, cat, _df(spark, [(1, "base")]), "docs", "fp_index")
+
+    original_merge = Catalog.merge
+    fired = {"done": False}
+
+    def racing_merge(self, from_branch, to_branch="main"):
+        if not fired["done"]:
+            fired["done"] = True
+            # a competitor lands the SAME new digest on main between
+            # our probe and our publish: our fast-forward must fail
+            dedup_ingest(
+                spark, cat, _df(spark, [(50, "contested")]),
+                "docs", "fp_index",
+            )
+        return original_merge(self, from_branch, to_branch)
+
+    import no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup as mod
+
+    try:
+        Catalog.merge = racing_merge
+        r = dedup_ingest(
+            spark, cat, _df(spark, [(9, "contested")]), "docs", "fp_index"
+        )
+    finally:
+        Catalog.merge = original_merge
+    # the loser re-probed and found the digest already admitted
+    assert r.published is False and r.attempts == 2
+    docs = cat.read(spark, "docs")
+    assert docs.filter("text = 'contested'").count() == 1
+    assert {r.doc_id for r in docs.filter("text = 'contested'").collect()} == {50}
+    assert cat.read(spark, "fp_index").count() == docs.count()
+
+
+def test_index_probe_prunes_files(spark, warehouse):
+    # appended index files are digest-sorted with blooms: a probe for
+    # digests absent from the corpus must touch ZERO files
+    cat = Catalog(warehouse)
+    for i in range(3):
+        rows = [(100 * i + j, f"t-{i}-{j}") for j in range(50)]
+        dedup_ingest(spark, cat, _df(spark, rows), "docs", "fp_index")
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        fingerprint_expr,
+    )
+
+    meta = cat.load_table("fp_index")
+    probe = (
+        _df(spark, [(1, "never-seen-content-xyz")])
+        .select(fingerprint_expr("text").alias("fingerprint"))
+    )
+    affected = cat._files_overlapping_keys(meta, ["fingerprint"], probe)
+    assert not affected  # range/bloom pruning proved absence
