@@ -83,8 +83,6 @@ _HEAD = [
     "join_semi_anti",
     "merge_orders_cdc",
     "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q7_nation_pair_volume",
@@ -101,13 +99,15 @@ _HEAD = [
     "sql_merge_schema_evolution",
     "agg_grouping_sets",
     "dedup_incremental_index",
+    "sql_replace_where",
+    "catalog_widen_column",
     # unpivot_nation_measures, topk_expensive_items,
     # histogram_order_totals, pivot_orders_status_by_priority,
     # range_join_price_bands, events_json_extract,
     # agg_collect_ordered, setops_customer_cohorts,
-    # rollup_nation_region and events_anomaly_iqr (all r3 evidence)
-    # yielded their slots to the ten new r6 gates; rotate them into
-    # the r7 head
+    # rollup_nation_region, events_anomaly_iqr, q14_promo_revenue
+    # and q18_large_orders (all r3 evidence) yielded their slots to
+    # the twelve new r6 gates; rotate them into the r7 head
 ]
 _TAIL = [
     # rotated out of the head (r4/r5-green — freshest evidence goes to

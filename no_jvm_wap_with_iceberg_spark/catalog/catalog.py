@@ -1374,6 +1374,114 @@ class Catalog:
 
         return self._optimistic_commit(table, branch, build)
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        table: str,
+        condition: str,
+        branch: str = MAIN,
+    ) -> TableMetadata:
+        """Delta's ``INSERT INTO ... REPLACE WHERE`` / ``replaceWhere``
+        write option: atomically delete every row matching
+        ``condition`` and insert ``df`` — ONE snapshot, no window
+        where the range is empty. The idempotent date-range reload
+        shape: re-running the same slice lands the same final state.
+
+        Cost is O(condition-matching data), never O(table): files the
+        stats/partitions prove clean carry over by reference; files
+        PROVEN all-match (``file_all_match_any``, e.g. a
+        partition-aligned range predicate) drop via metadata with no
+        read; only straddling files rewrite their kept rows.
+
+        Every incoming row MUST satisfy ``condition`` (Delta's default
+        enforcement) — not only the sane-pipeline contract but what
+        makes the change feed exact: the commit's new files mix kept
+        rows (all failing ``condition``) with incoming rows (all
+        passing), so CDC replay separates them by re-applying the
+        recorded condition (``cdc: replace_where`` in read_changes and
+        the streaming source).
+        """
+        from pyspark.sql import functions as F
+
+        from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+            predicate_groups_from_sql,
+        )
+
+        groups, exact = predicate_groups_from_sql(condition)
+        spark = df.sparkSession
+
+        def build(meta: TableMetadata):
+            d = self._align_schema(df, meta)
+            bad = (
+                d.filter(~F.coalesce(F.expr(condition), F.lit(False)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"REPLACE WHERE: incoming row violates the predicate "
+                    f"{condition!r}: {tuple(bad[0])!r}"
+                )
+            with_conds = meta.files_with_deletes()
+            affected = (
+                prune_files_any(
+                    [f for f, _ in with_conds],
+                    groups,
+                    meta.all_partition_fields,
+                    name_history=meta.rename_history,
+                )
+                if groups
+                else [f for f, _ in with_conds]
+            )
+            affected_paths = {f.path for f in affected}
+            whole: set[str] = set()
+            if exact and groups:
+                whole = {
+                    f.path
+                    for f in affected
+                    if file_all_match_any(
+                        f,
+                        groups,
+                        meta.all_partition_fields,
+                        name_history=meta.rename_history,
+                    )
+                }
+            rewrite = [
+                (f, c)
+                for f, c in with_conds
+                if f.path in affected_paths and f.path not in whole
+            ]
+            to_write = d
+            if rewrite:
+                keep = self._df_applying_deletes(
+                    spark, meta, rewrite
+                ).filter(~F.coalesce(F.expr(condition), F.lit(False)))
+                to_write = keep.unionByName(d)
+            new_files = self._write_files(to_write, meta, table)
+            if not affected_paths and sum(f.rows for f in new_files) == 0:
+                return None, ""
+            return (
+                meta.with_new_snapshot(
+                    new_files,
+                    "rewrite",
+                    removed_paths=sorted(affected_paths),
+                    extra_summary={
+                        "cdc": "replace_where",
+                        "condition": condition,
+                        **(
+                            {"metadata-deleted-files": len(whole)}
+                            if whole
+                            else {}
+                        ),
+                    },
+                ),
+                f"REPLACE WHERE {condition} INTO {table} "
+                f"(-{len(affected_paths)} +{len(new_files)} files, "
+                f"{len(whole)} metadata drops)",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
     def upsert(
         self,
         df: DataFrame,
@@ -3059,6 +3167,33 @@ class Catalog:
                         sid,
                     )
                 )
+            elif s.operation == "rewrite" and cdc == "replace_where":
+                # predicate-scoped replace: prior matching rows delete,
+                # incoming rows insert. The commit's new files mix kept
+                # rows with incoming ones — the ENFORCED predicate
+                # separates them exactly (kept rows all fail it,
+                # incoming all pass)
+                rw_cond = F.coalesce(
+                    F.expr(s.summary.get("condition", "false")), F.lit(False)
+                )
+                parts.append(
+                    tag(
+                        with_hist(parent_rows(s, s.removed_paths)).filter(
+                            rw_cond
+                        ),
+                        "delete",
+                        sid,
+                    )
+                )
+                parts.append(
+                    tag(
+                        with_hist(
+                            self._df_for_files(spark, meta, s.added_files)
+                        ).filter(rw_cond),
+                        "insert",
+                        sid,
+                    )
+                )
             elif s.operation == "rewrite":
                 pre = with_hist(parent_rows(s, s.removed_paths))
                 cond = F.coalesce(
@@ -3560,6 +3695,92 @@ class Catalog:
                     properties=props,
                 ),
                 f"ADD COLUMN {table}.{name}",
+            )
+
+        return self._optimistic_commit(table, branch, build)
+
+    def widen_column(
+        self, table: str, name: str, new_type: str, branch: str = MAIN
+    ) -> TableMetadata:
+        """Widen a column's type (metadata-only — no data rewrite).
+
+        Iceberg's safe type-promotion set: integer widening
+        (byte -> short -> int -> long, any upward hop),
+        float -> double, and decimal PRECISION increase at the SAME
+        scale. Spark's parquet reader upcasts these natively when the
+        table schema is wider than the file's (probe-verified on this
+        Spark build; test-locked per promotion in
+        tests/test_widen_column.py), so old files need no rewrite at
+        any table size — exactly Iceberg's lazy promotion.
+
+        Safety notes, each enforced or test-locked:
+        - partition transforms stay consistent: ``bucket`` hashes the
+          STRING form (type-independent) and integer ``truncate``
+          computes in long space, so files written before the widening
+          keep pruning correctly;
+        - file stats compare as numbers after ``_norm`` regardless of
+          width;
+        - anything narrowing, scale-changing, or cross-family raises
+          (a narrowing read would silently corrupt — Iceberg refuses
+          too).
+        """
+        from pyspark.sql import types as T
+
+        _INT_ORDER = ["byte", "short", "integer", "long"]
+
+        def _ok(old: T.DataType, new: T.DataType) -> bool:
+            os_, ns = old.simpleString(), new.simpleString()
+            if os_ in ("tinyint", "smallint", "int", "bigint"):
+                names = {"tinyint": "byte", "smallint": "short",
+                         "int": "integer", "bigint": "long"}
+                os_, ns2 = names.get(os_, os_), names.get(ns, ns)
+                return (
+                    ns2 in _INT_ORDER
+                    and _INT_ORDER.index(ns2) > _INT_ORDER.index(os_)
+                )
+            if os_ == "float":
+                return ns == "double"
+            if isinstance(old, T.DecimalType) and isinstance(
+                new, T.DecimalType
+            ):
+                return new.scale == old.scale and new.precision > old.precision
+            return False
+
+        def build(meta: TableMetadata):
+            schema = meta.spark_schema
+            if name not in schema.fieldNames():
+                raise ValueError(f"no column {name!r} on {table!r}")
+            target = T._parse_datatype_string(new_type)
+            fields = []
+            for f in schema.fields:
+                if f.name != name:
+                    fields.append(f)
+                    continue
+                if f.dataType == target:
+                    raise ValueError(
+                        f"column {name!r} already has type {new_type}"
+                    )
+                if not _ok(f.dataType, target):
+                    raise ValueError(
+                        f"cannot widen {name!r} from "
+                        f"{f.dataType.simpleString()} to "
+                        f"{target.simpleString()}: only int-widening, "
+                        "float->double, and decimal precision increase "
+                        "(same scale) are safe promotions"
+                    )
+                fields.append(T.StructField(f.name, target, f.nullable))
+            return (
+                TableMetadata(
+                    table=meta.table,
+                    schema_json=T.StructType(fields).jsonValue(),
+                    snapshots=meta.snapshots,
+                    current_snapshot_id=meta.current_snapshot_id,
+                    version=meta.version + 1,
+                    partition_by=meta.partition_by,
+                    sort_by=meta.sort_by,
+                    properties=meta.properties,
+                ),
+                f"WIDEN COLUMN {table}.{name} -> {new_type}",
             )
 
         return self._optimistic_commit(table, branch, build)

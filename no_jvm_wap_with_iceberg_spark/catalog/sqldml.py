@@ -1039,6 +1039,36 @@ def _exec_insert(cat, spark, query: str, branch: str):
                     f"cannot parse PARTITION clause item {item!r}"
                 )
         rest = mp.group(2).strip()
+    # Delta's REPLACE WHERE: atomically delete matching rows + insert
+    # the query's rows in ONE snapshot (Catalog.replace_where)
+    replace_cond: str | None = None
+    mr = re.match(r"(?is)^REPLACE\s+WHERE\s+(.*)$", rest)
+    if mr:
+        if overwrite or static_part:
+            raise ValueError(
+                "REPLACE WHERE combines with neither OVERWRITE nor a "
+                "static PARTITION clause (it IS the predicate-scoped "
+                "overwrite)"
+            )
+        body = mr.group(1)
+        cuts = [
+            i
+            for i in (
+                _find_keyword(body, w)
+                for w in ("SELECT", "VALUES", "TABLE", "WITH")
+            )
+            if i >= 0
+        ]
+        if not cuts:
+            raise ValueError(
+                "REPLACE WHERE needs a SELECT/VALUES source query "
+                "after the predicate"
+            )
+        replace_cond = body[: min(cuts)].strip()
+        if not replace_cond:
+            raise ValueError("REPLACE WHERE predicate is empty")
+        replace_cond = resolve_subqueries(spark, replace_cond)
+        rest = body[min(cuts) :].strip()
     cols: list[str] | None = None
     if rest.startswith("("):
         # quote-aware paren matching: a ')' inside a backtick-quoted
@@ -1147,6 +1177,9 @@ def _exec_insert(cat, spark, query: str, branch: str):
             )
             exprs.append(src.cast(f.dataType).alias(f.name))
         df = df.select(*exprs)
+    if replace_cond is not None:
+        meta = cat.replace_where(df, table, replace_cond, branch)
+        return "INSERT REPLACE WHERE", table, meta
     if overwrite:
         # Iceberg semantics: on a partitioned table INSERT OVERWRITE
         # replaces only the partitions the incoming rows touch
@@ -1686,6 +1719,19 @@ def _exec_alter(cat, spark, query: str, branch: str):
         table = _unquote(m.group(1))
         meta = cat.drop_column(table, _unquote(m.group(2)), branch)
         return "ALTER DROP COLUMN", table, meta
+    m = re.match(
+        rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+        rf"ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+([\w()<>,\s]+?)\s*$",
+        q,
+    )
+    if m:
+        # Iceberg's safe type promotion (int widening, float->double,
+        # decimal precision increase) — metadata-only
+        table = _unquote(m.group(1))
+        meta = cat.widen_column(
+            table, _unquote(m.group(2)), m.group(3).strip(), branch
+        )
+        return "ALTER COLUMN TYPE", table, meta
     m = re.match(
         rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
         rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})$",

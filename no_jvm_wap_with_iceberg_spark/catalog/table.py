@@ -151,7 +151,18 @@ class FileEntry:
                 if st is None or not st.has_min_max:
                     flags["min"] = flags["max"] = False
                     continue
-                mn, mx = _json_safe(st.min, "min"), _json_safe(st.max, "max")
+                try:
+                    mn = _json_safe(st.min, "min")
+                    mx = _json_safe(st.max, "max")
+                except Exception:
+                    # pyarrow cannot extract bounds for every physical
+                    # type (e.g. some decimal encodings raise
+                    # ArrowNotImplementedError): stats are an IO
+                    # optimization, never a correctness gate — record
+                    # no bounds for the column rather than failing the
+                    # whole write
+                    flags["min"] = flags["max"] = False
+                    continue
                 if mn is None:
                     flags["min"] = False
                 elif flags["min"]:

@@ -822,6 +822,112 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_replace_where",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice * CAST(2 AS DOUBLE)
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="INSERT INTO ... REPLACE WHERE (Delta's replaceWhere) through "
+    "the SQL front door: the urgent-order slice reloads with doubled "
+    "prices — matching rows delete and the query's rows insert in ONE "
+    "snapshot (no empty-range window; idempotent re-run). Incoming "
+    "rows are ENFORCED to satisfy the predicate, which is also what "
+    "makes the change feed exact (kept rewritten rows fail it, "
+    "incoming pass — tests/test_replace_where.py). The oracle applies "
+    "the reload as a CASE over the raw parquet. DECIMAL(18,4): "
+    "derived price carries an extra digit (NOTES.md headroom rule).",
+)
+def sql_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("repl_where_"))
+    cat.create_table_from_df(orders, "orders_rw")
+    orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(2).cast("double")
+    ).createOrReplaceTempView("urgent_reload")
+    cat.sql(
+        spark,
+        "INSERT INTO orders_rw REPLACE WHERE o_orderpriority = '1-URGENT' "
+        "SELECT * FROM urgent_reload",
+    )
+    return (
+        cat.read(spark, "orders_rw")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "catalog_widen_column",
+    """
+    WITH base AS (
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln, l_quantity
+      FROM lineitem
+    ),
+    united AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT l_orderkey, ln + 34359738368, l_quantity
+      FROM base WHERE l_orderkey % 7 = 0
+    )
+    SELECT ln >= 34359738368 AS is_wide,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ln) AS BIGINT) AS sum_ln,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM united GROUP BY is_wide
+    """,
+    doc="type widening end-to-end (Iceberg safe promotion, "
+    "metadata-only): l_linenumber lands as INT, ALTER COLUMN TYPE "
+    "BIGINT widens the schema with no rewrite, and a second append "
+    "carries values above 2^32 — the narrow files read back through "
+    "the widened schema via Spark's parquet upcast, and both eras "
+    "aggregate together. The oracle unions the two eras in SQL.",
+)
+def catalog_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("ln"),
+        "l_quantity",
+    )
+    cat = Catalog(_tmp_warehouse("widen_"))
+    cat.create_table_from_df(li, "li_w")
+    cat.sql(spark, "ALTER TABLE li_w ALTER COLUMN ln TYPE BIGINT")
+    cat.append(
+        li.filter(F.col("l_orderkey") % 7 == 0).select(
+            "l_orderkey",
+            (F.col("ln").cast("bigint") + F.lit(2**35)).alias("ln"),
+            "l_quantity",
+        ),
+        "li_w",
+    )
+    return (
+        cat.read(spark, "li_w")
+        .groupBy((F.col("ln") >= 2**35).alias("is_wide"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ln").alias("sum_ln"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "catalog_changelog",
     """
     WITH half2 AS (

@@ -103,12 +103,19 @@ class _FilePartition(InputPartition):
         arrow_schema_bytes: bytes,
         col_sources: list[tuple[str, list[str]]],
         partition_values: dict[str, str] | None = None,
+        where: str | None = None,
+        aliases: list[tuple[str, str]] | tuple = (),
     ):
         self.path = path
         self.snapshot_id = snapshot_id
         self.arrow_schema_bytes = arrow_schema_bytes
         self.col_sources = col_sources  # (target name, candidate file names)
         self.partition_values = partition_values or {}
+        # replace_where's insert half: only rows satisfying the
+        # recorded predicate are this commit's inserts (the file also
+        # carries rewritten kept rows, which all fail it)
+        self.where = where
+        self.aliases = list(aliases)
 
 
 class _ReplayPartition(InputPartition):
@@ -401,7 +408,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 "key_files": [abs_path(p) for p in d["key_files"]],
             }
 
-        def insert_parts(files) -> list[tuple[InputPartition, int]]:
+        def insert_parts(
+            files, where: str | None = None
+        ) -> list[tuple[InputPartition, int]]:
             return [
                 (
                     _FilePartition(
@@ -410,6 +419,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                         schema_bytes,
                         col_sources,
                         part_values(f),
+                        where=where,
+                        aliases=aliases,
                     ),
                     f.bytes,
                 )
@@ -474,6 +485,16 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 # prior rows delete (whole-file), incoming rows insert
                 parts += replay_parts(s.removed_paths, "delete", None)
                 parts += insert_parts(s.added_files)
+            elif cdc == "replace_where":
+                # predicate-scoped replace: matching prior rows delete;
+                # the new files mix kept rows with incoming ones, and
+                # the ENFORCED predicate separates them (kept rows all
+                # fail it, incoming all pass)
+                cond = _translate_cond(s.summary["condition"])
+                parts += replay_parts(
+                    s.removed_paths, "delete", {"condition": cond}
+                )
+                parts += insert_parts(s.added_files, where=cond)
             elif cdc == "delete":
                 spec = {"condition": _translate_cond(s.summary["condition"])}
                 parts += replay_parts(s.removed_paths, "delete", spec)
@@ -649,6 +670,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 ).cast(target)
             change = partition.change_type
         else:
+            if getattr(partition, "where", None):
+                table = self._apply_cond_spec(
+                    table, partition, partition.where, anti=False
+                ).cast(target)
             change = "insert"
         n = table.num_rows
         out_schema = pa.schema(
