@@ -83,6 +83,7 @@ def main() -> None:
     incremental_agg_soak(spark)
     stream_plan_soak(spark)
     clone_onboard_scale_soak(spark)
+    incremental_dedup_soak(spark)
 
 
 def merge_soak(spark, n_merges: int = 50, base_rows: int = 500_000):
@@ -542,6 +543,52 @@ def clone_onboard_scale_soak(spark, sizes=(100_000, 400_000, 1_600_000)):
                 f"clone-onboard {rows} rows: add_files={t_add:.2f}s "
                 f"({r['files_added']} files) shallow_clone={t_clone:.3f}s"
             )
+
+
+def incremental_dedup_soak(
+    spark, n_ingests: int = 24, rows_per_batch: int = 20_000
+):
+    """Per-ingest latency of the cross-batch dedup pipeline as the
+    corpus grows: each ingest probes the persisted fingerprint index
+    (range + per-file bloom pruning) before publishing. Cost per
+    ingest is O(batch + bloom-hit files); the component that grows
+    with corpus size is the DRIVER-side bloom probing, O(index files
+    x batch keys) with a ~2-hash constant — this soak measures where
+    that curve actually bends so SCALE.md can state the bucketed
+    digest-prefix evolution point honestly instead of guessing."""
+    import tempfile as _tf
+    import time as _time
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+    )
+
+    with _tf.TemporaryDirectory(prefix="dedupsoak_") as wh:
+        cat = Catalog(wh)
+        timings = []
+        for i in range(n_ingests):
+            lo = i * rows_per_batch
+            # 10% of each batch duplicates the previous batch's content
+            batch = spark.range(lo, lo + rows_per_batch).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("doc-"),
+                    (F.col("id") - (F.col("id") % 10 == 0).cast("long")
+                     * rows_per_batch).cast("string"),
+                ).alias("text"),
+            )
+            t0 = _time.time()
+            dedup_ingest(spark, cat, batch, "docs", "fp_index")
+            timings.append(_time.time() - t0)
+        head = sum(timings[1:5]) / 4
+        tail = sum(timings[-4:]) / 4
+        n_files = len(cat.load_table("fp_index").files())
+        print(
+            f"incremental-dedup-soak: {n_ingests} ingests x "
+            f"{rows_per_batch} rows, index files={n_files}, "
+            f"head={head:.2f}s tail={tail:.2f}s ratio={tail / head:.2f}"
+        )
 
 
 if __name__ == "__main__":
