@@ -259,6 +259,109 @@ def streaming_dedup_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval:
+    right rows within ``[left_ts - max_lag, left_ts]`` of a same-key
+    left row (the click->purchase attribution shape).
+
+    Streaming: BOTH sides get watermarks — together with the interval
+    condition that bounds the join state (Spark evicts a buffered row
+    once the other side's watermark passes its reachable window), so
+    state is O(events inside the watermark horizon), never unbounded.
+    Inner joins emit eagerly on arrival, so with availableNow drains
+    the streamed output equals the batch run of the identical plan —
+    which is how the oracle checks it (parity on a REAL stream is
+    asserted in tests/test_streaming.py). Batch: ``withWatermark`` is
+    a no-op and the same plan is an ordinary range join.
+
+    Columns out: every left column, every right column (caller
+    pre-aliases collisions), plus ``lag_seconds``.
+    """
+    lts, rts = F.col(left_ts), F.col(right_ts)
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    lkey = f"__l_{key}"
+    lw = lw.withColumnRenamed(key, lkey)
+    joined = lw.join(
+        rw,
+        (F.col(lkey) == F.col(key))
+        & (rts <= lts)
+        & (rts >= lts - F.expr(max_lag)),
+        "inner",
+    )
+    return joined.drop(lkey).withColumn(
+        "lag_seconds",
+        F.unix_timestamp(lts) - F.unix_timestamp(rts),
+    )
+
+
+@register(
+    "streaming_interval_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.purchase_id, c.click_id,
+             date_diff('second', c.c_ts, p.p_ts) AS lag_seconds
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.c_ts <= p.p_ts
+       AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_attributed,
+           CAST(SUM(lag_seconds) AS BIGINT) AS sum_lag_seconds
+    FROM pairs
+    """,
+    doc="batch view of the watermarked stream-stream interval join "
+    "(interval_join): purchases attributed to same-user clicks within "
+    "the preceding hour; lag summed in integer seconds (no float "
+    "boundary effects). The identical plan runs under readStream with "
+    "bounded state — stream/batch output parity is asserted on a real "
+    "stream in tests/test_streaming.py.",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    pairs = interval_join(
+        purchases, clicks, "user_id", "p_ts", "c_ts",
+        max_lag="INTERVAL 1 HOUR",
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_attributed"),
+        F.sum("lag_seconds").alias("sum_lag_seconds"),
+    )
+
+
 def follow_changes(
     spark: SparkSession,
     cat,

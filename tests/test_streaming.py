@@ -187,30 +187,22 @@ def test_stream_stream_interval_join(spark, tmp_path):
     ev.write.parquet(src)
     batch = spark.read.parquet(src).withColumn("_evt", F.col("ts").cast("timestamp"))
 
+    from no_jvm_wap_with_iceberg_spark.streaming.ingest import interval_join
+
     def plan(df):
-        clicks = (
-            df.filter(F.col("event_type") == "click")
-            .select(
-                F.col("user_id").alias("c_user"),
-                F.col("event_id").alias("click_id"),
-                F.col("_evt").alias("c_ts"),
-            )
-            .withWatermark("c_ts", "2 hours")
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("_evt").alias("c_ts"),
         )
-        purchases = (
-            df.filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("user_id").alias("p_user"),
-                F.col("event_id").alias("purchase_id"),
-                F.col("_evt").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "2 hours")
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("_evt").alias("p_ts"),
         )
-        return purchases.join(
-            clicks,
-            (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") <= F.col("p_ts"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        return interval_join(
+            purchases, clicks, "user_id", "p_ts", "c_ts",
+            max_lag="INTERVAL 1 HOUR",
         ).select("purchase_id", "click_id")
 
     expected = {tuple(r) for r in plan(batch).collect()}

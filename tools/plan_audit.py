@@ -73,6 +73,10 @@ SINGLE_OK = {
     "catalog_rollback_read",  # single-row final table summary
     "catalog_sql_views",  # single-row summary through the outer view
     # (the per_cust inner view aggregates with a normal hash exchange)
+    "dedup_incremental_index",  # single-row corpus summary (the dedup
+    # itself shuffles on digests; only the final scalar agg collapses)
+    "streaming_interval_join",  # single-row attribution summary (the
+    # interval join exchanges hash-partitioned on user_id)
 }
 
 
