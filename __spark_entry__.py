@@ -82,7 +82,6 @@ _HEAD = [
     "events_user_funnel",
     "join_semi_anti",
     "merge_orders_cdc",
-    "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q7_nation_pair_volume",
     "streaming_windowed_counts",
@@ -101,14 +100,15 @@ _HEAD = [
     "sql_replace_where",
     "catalog_widen_column",
     "streaming_interval_join",
+    "catalog_generated_columns",
     # unpivot_nation_measures, topk_expensive_items,
     # histogram_order_totals, pivot_orders_status_by_priority,
     # range_join_price_bands, events_json_extract,
     # agg_collect_ordered, setops_customer_cohorts,
     # rollup_nation_region, events_anomaly_iqr, q14_promo_revenue,
-    # q18_large_orders and q10_returned_items (all r3 evidence)
-    # yielded their slots to the thirteen new r6 gates; rotate them
-    # into the r7 head
+    # q18_large_orders, q10_returned_items and
+    # q5_local_supplier_volume (all r3 evidence) yielded their slots
+    # to the fourteen new r6 gates; rotate them into the r7 head
 ]
 _TAIL = [
     # rotated out of the head (r4/r5-green — freshest evidence goes to

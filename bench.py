@@ -56,6 +56,13 @@ HEADLINE = [
     # checked only at sf0.01; the bench loop now hard-asserts
     # recall_ok for lsh AND ivf at sf0.1 every run
     "similarity_ann_recall_gate",
+    # round 6 late: the production corpus-ingest shape (3-batch
+    # cross-batch dedup against the persisted bloom-probed fingerprint
+    # index, atomic multi-table publish per batch) and the
+    # predicate-scoped atomic reload (REPLACE WHERE: write + enforced
+    # replace + read-back)
+    "dedup_incremental_index",
+    "sql_replace_where",
 ]
 
 

@@ -1095,6 +1095,15 @@ class Catalog:
             for k, v in meta.properties.items()
             if k.startswith("constraint.")
         )
+        # GENERATED ALWAYS AS validation rides the same fold: a
+        # writer-supplied value must null-safe-equal the expression
+        # (values the align path computed itself pass trivially); an
+        # UPDATE that changes a source column without its generated
+        # column fails LOUDLY here instead of silently diverging
+        checks += [
+            (f"generated({gname})", f"`{gname}` <=> ({gexpr})")
+            for gname, gexpr in sorted(meta.generated_columns.items())
+        ]
         if checks:
             # CHECK constraints (Delta-parity) fold into the write
             # expression itself — zero extra pass over the batch, any
@@ -1157,20 +1166,27 @@ class Catalog:
         have = {f.name for f in df.schema.fields}
         need = [f.name for f in target.fields]
         defaults = meta.column_defaults
-        missing = [n for n in need if n not in have and n not in defaults]
+        generated = meta.generated_columns
+        missing = [
+            n
+            for n in need
+            if n not in have and n not in defaults and n not in generated
+        ]
         if missing:
             raise ValueError(f"batch missing columns {missing} for table {meta.table!r}")
+
+        def src(f):
+            if f.name in have:
+                return F.col(f.name)
+            if f.name in generated:
+                # GENERATED ALWAYS AS: computed from the row's other
+                # (writer-supplied) columns; a writer-supplied value is
+                # validated against the expression in _write_files
+                return F.expr(generated[f.name])
+            return F.expr(defaults[f.name])
+
         return df.select(
-            *[
-                (
-                    F.expr(defaults[f.name])
-                    if f.name not in have
-                    else F.col(f.name)
-                )
-                .cast(f.dataType)
-                .alias(f.name)
-                for f in target.fields
-            ]
+            *[src(f).cast(f.dataType).alias(f.name) for f in target.fields]
         )
 
     def append(

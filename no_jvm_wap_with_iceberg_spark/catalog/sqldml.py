@@ -936,6 +936,30 @@ def _exec_create_columns(cat, spark, q: str, branch: str, m: re.Match):
     cols_text = q[paren + 1 : end]
     tail = q[end + 1 :].strip()
 
+    # GENERATED ALWAYS AS (expr) — Delta's generated columns: strip
+    # the clause (Spark's DDL parser doesn't know it) and record it as
+    # a generated.<col> property; the write path computes omitted
+    # values and VALIDATES supplied ones (catalog._align_schema /
+    # _write_files)
+    gen_props: dict[str, str] = {}
+    cleaned = []
+    for coldef in _split_commas(cols_text):
+        mg = re.search(r"(?is)\bGENERATED\s+ALWAYS\s+AS\s*\(", coldef)
+        if mg and _outside_quotes(coldef, mg.end() - 1):
+            inner, after = _match_paren_span(coldef, mg.end() - 1)
+            name_m = re.match(rf"(?is)^\s*({_IDENT})", coldef)
+            if not name_m:
+                raise ValueError(
+                    f"cannot parse generated column definition {coldef!r}"
+                )
+            gen_props[f"generated.{_unquote(name_m.group(1))}"] = (
+                inner.strip()
+            )
+            coldef = (coldef[: mg.start()] + " " + after).strip()
+        cleaned.append(coldef)
+    if gen_props:
+        cols_text = ", ".join(cleaned)
+
     from pyspark.sql import types as T
 
     try:
@@ -965,6 +989,7 @@ def _exec_create_columns(cat, spark, q: str, branch: str, m: re.Match):
                 )
             props[str(_parse_lit(kv[0]))] = str(_parse_lit(kv[1]))
         tail = (tail[: tm.start()] + rest).strip()
+    props.update(gen_props)
     if tail:
         raise ValueError(
             f"unsupported CREATE TABLE clause(s): {tail[:60]!r} "
@@ -1160,9 +1185,13 @@ def _exec_insert(cat, spark, query: str, branch: str):
         # mismatch is an error
         tgt = [f for f in schema.fields if f.name not in static_part]
         n = len(df.columns)
+        gens = tmeta.generated_columns
         if n > len(tgt) or (
             n < len(tgt)
-            and any(f.name not in defaults for f in tgt[n:])
+            and any(
+                f.name not in defaults and f.name not in gens
+                for f in tgt[n:]
+            )
         ):
             raise ValueError(
                 f"INSERT query produces {len(df.columns)} columns but "
@@ -1177,6 +1206,24 @@ def _exec_insert(cat, spark, query: str, branch: str):
             )
             exprs.append(src.cast(f.dataType).alias(f.name))
         df = df.select(*exprs)
+        given_names = set(pos)
+    # GENERATED ALWAYS AS: columns the statement did not supply are
+    # COMPUTED from the row (a second projection — the expressions
+    # reference other target columns by name); supplied values are
+    # validated inside the write
+    gens = tmeta.generated_columns
+    if cols is not None:
+        given_names = set(cols)
+    to_compute = [g for g in gens if g not in given_names]
+    if to_compute:
+        df = df.select(
+            *[
+                F.expr(gens[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in to_compute
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
     if replace_cond is not None:
         meta = cat.replace_where(df, table, replace_cond, branch)
         return "INSERT REPLACE WHERE", table, meta

@@ -473,6 +473,18 @@ class TableMetadata:
             if k.startswith("default.")
         }
 
+    @property
+    def generated_columns(self) -> dict[str, str]:
+        """``{column: SQL expression text}`` from ``generated.<col>``
+        properties (Delta's GENERATED ALWAYS AS): writers may omit the
+        column (the write computes it from the row); a supplied value
+        is VALIDATED against the expression inside the write."""
+        return {
+            k[len("generated."):]: v
+            for k, v in self.properties.items()
+            if k.startswith("generated.")
+        }
+
     def null_count(self, column: str, snapshot_id: int | None = None) -> int | None:
         """Exact null count from file stats, or None if any file lacks them."""
         names = [column] + list(self.rename_history.get(column, ()))

@@ -928,6 +928,57 @@ def catalog_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_generated_columns",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_net
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="GENERATED ALWAYS AS end-to-end (Delta parity): the table "
+    "declares net DOUBLE GENERATED ALWAYS AS (price * (1 - disc)); "
+    "the append OMITS the column and the write computes it per row "
+    "(catalog._align_schema), with the same expression folded into "
+    "the write as a validation for supplied values "
+    "(tests/test_generated_columns.py). The oracle computes the "
+    "expression directly over the raw parquet. DECIMAL(18,4): "
+    "derived value carries an extra digit (NOTES.md headroom rule).",
+)
+def catalog_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+    )
+    cat = Catalog(_tmp_warehouse("gencol_"))
+    cat.create_table(
+        "li_g",
+        T.StructType(
+            li.schema.fields
+            + [T.StructField("net", T.DoubleType(), True)]
+        ),
+        properties={"generated.net": "price * (1 - disc)"},
+    )
+    cat.append(li, "li_g")  # 'net' omitted: computed by the write
+    return (
+        cat.read(spark, "li_g")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("net").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_net"),
+        )
+    )
+
+
+@register(
     "catalog_changelog",
     """
     WITH half2 AS (
