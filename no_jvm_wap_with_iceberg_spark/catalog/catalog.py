@@ -2943,6 +2943,7 @@ class Catalog:
         branch: str = MAIN,
         snapshot_id: int | None = None,
         predicates: list[Predicate] | None = None,
+        with_metadata: bool = False,
     ) -> DataFrame:
         """Scan a table at a branch (optionally at a past snapshot).
 
@@ -2950,6 +2951,13 @@ class Catalog:
         sees them; they are hints only — pass the same filter to the
         returned DataFrame for row-level semantics (Catalyst will push
         it into the surviving parquet files too).
+
+        ``with_metadata`` appends ``_file`` (Iceberg's metadata
+        column): the warehouse-relative data file each row came from —
+        row-level provenance for forensics (which file holds the bad
+        row → surgical rewrite/delete of exactly that file). MoR
+        deletes still apply; the path survives the seq-gating joins
+        because the scan already tags rows with it.
 
         Reference: branch-addressed scans with pushdown
         (``app.py:217-223``, ``quality_app.py:43-51``).
@@ -2968,7 +2976,11 @@ class Catalog:
             }
             with_deletes = [(f, c) for f, c in with_deletes if f.path in keep]
         return self._df_applying_deletes(
-            spark, meta, with_deletes, snapshot_id=snapshot_id
+            spark,
+            meta,
+            with_deletes,
+            snapshot_id=snapshot_id,
+            keep_path=with_metadata,
         )
 
     def snapshot_as_of(
@@ -3479,6 +3491,7 @@ class Catalog:
         meta: TableMetadata,
         files_with_conds: list[tuple[FileEntry, tuple[DeleteSpec, ...]]],
         snapshot_id: int | None = None,
+        keep_path: bool = False,
     ) -> DataFrame:
         """Scan files applying their pending merge-on-read deletes.
 
@@ -3509,10 +3522,32 @@ class Catalog:
         """
         from pyspark.sql import functions as F
 
+        def finish(df: DataFrame) -> DataFrame:
+            """Restore schema order; ``keep_path`` appends ``_file``
+            (the warehouse-relative data file each row came from —
+            Iceberg's ``_file`` metadata column)."""
+            cols = [f.name for f in meta.spark_schema.fields]
+            if not keep_path:
+                return df.select(*cols)
+            prefix = os.path.join(self.warehouse, "")
+            return df.select(
+                *cols,
+                F.expr(
+                    f"substring(__mor_path, {len(prefix) + 1})"
+                ).alias("_file"),
+            )
+
         files = [f for f, _ in files_with_conds]
         if not files:
-            return self._df_for_files(spark, meta, [])
+            df = self._df_for_files(spark, meta, [])
+            if keep_path:
+                df = df.withColumn("_file", F.lit(None).cast("string"))
+            return df
         if all(not specs for _, specs in files_with_conds):
+            if keep_path:
+                return finish(
+                    self._df_for_files(spark, meta, files, with_path=True)
+                )
             return self._df_for_files(spark, meta, files)
 
         # seq maps are built over the chain OF THE REQUESTED SNAPSHOT,
@@ -3590,7 +3625,7 @@ class Catalog:
                 F.col("__mor_mds").isNull() | (F.col("__mor_mds") <= F.col("__mor_seq"))
             ).drop("__mor_mds")
         # joins reorder columns; restore the table schema order
-        return df.select(*[f.name for f in meta.spark_schema.fields])
+        return finish(df)
 
     # ------------------------------------------------------------------
     # metadata-only aggregates (no Spark job at all)

@@ -874,6 +874,32 @@ def _exec_create(cat, spark, query: str, branch: str):
     if mc:
         return _exec_clone(cat, spark, q, branch, mc)
     m = re.match(
+        rf"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
+        rf"LIKE\s+({_IDENT})\s*$",
+        q,
+    )
+    if m:
+        # Spark's CREATE TABLE ... LIKE: schema + layout + properties
+        # of the source, NO data (an empty table, unlike CLONE)
+        target, source = _unquote(m.group(2)), _unquote(m.group(3))
+        if m.group(1) and cat.table_exists(target, branch):
+            return "CREATE", target, cat.load_table(target, branch)
+        src = cat.load_table(source, branch)
+        cat.create_table(
+            target,
+            src.spark_schema,
+            branch,
+            partition_by=list(src.partition_by) or None,
+            sort_by=list(src.sort_by) or None,
+            properties={
+                k: v
+                for k, v in src.properties.items()
+                if not k.startswith("dropped_columns")
+            }
+            or None,
+        )
+        return "CREATE", target, cat.load_table(target, branch)
+    m = re.match(
         rf"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
         rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\(",
         q,
