@@ -4692,6 +4692,7 @@ class Catalog:
         target_file_mb: int = 128,
         min_files: int = 1,
         mode: str = "full",
+        scope_groups: list[list[Predicate]] | None = None,
     ) -> TableMetadata:
         """Rewrite the table's live files into ~``target_file_mb`` files
         (small-file compaction). Contents are unchanged — the commit is
@@ -4702,6 +4703,15 @@ class Catalog:
         not O(table)); right-sized clean files carry over untouched in
         a 'rewrite' commit.
 
+        ``scope_groups`` (Delta's ``OPTIMIZE ... WHERE``, binpack mode
+        only): restrict the candidate files to those MAY-matching the
+        predicate DNF (partition values + footer stats). At 100 TB you
+        compact yesterday's partition after the day closes — touching
+        the whole table to tidy one partition's micro-batch files is
+        absurd. Compaction is layout-only, so may-match selection is
+        semantically free (an extra straddling file rewritten is just
+        IO); non-selected files carry over by reference.
+
         Streaming WAP ingest produces one small file set per
         micro-batch; at 100 TB uncompacted tables die by a thousand
         file-open costs. Run this off the write path (it's a normal
@@ -4709,9 +4719,27 @@ class Catalog:
         """
         if mode not in ("full", "binpack"):
             raise ValueError(f"mode must be full|binpack, got {mode!r}")
+        if scope_groups and mode != "binpack":
+            raise ValueError(
+                "scope_groups requires mode='binpack' (a scoped 'full' "
+                "overwrite would drop the out-of-scope files)"
+            )
 
         def build(meta: TableMetadata):
             with_conds = meta.files_with_deletes()
+            if scope_groups:
+                keep = {
+                    f.path
+                    for f in prune_files_any(
+                        [f for f, _ in with_conds],
+                        scope_groups,
+                        meta.all_partition_fields,
+                        name_history=meta.rename_history,
+                    )
+                }
+                with_conds = [
+                    (f, c) for f, c in with_conds if f.path in keep
+                ]
             if mode == "binpack":
                 # Iceberg's binpack strategy: rewrite ONLY the files
                 # that need it — smaller than 3/4 of the target, or

@@ -2593,15 +2593,38 @@ def execute_delta_verb(cat, spark, query: str, branch: str):
         )
     m = re.match(
         rf"(?is)^OPTIMIZE\s+({_IDENT})"
+        rf"(?:\s+WHERE\s+(.+?))?"
         rf"(?:\s+ZORDER\s+BY\s*\((.*?)\))?\s*$",
         q,
     )
     if m:
         table = _unquote(m.group(1))
         before = len(cat.load_table(table, branch).files())
-        if m.group(2):
-            cols = [_unquote(c.strip()) for c in _split_commas(m.group(2))]
+        if m.group(2) and m.group(3):
+            raise ValueError(
+                "OPTIMIZE ... WHERE does not combine with ZORDER BY "
+                "(zorder re-clusters the WHOLE table's layout)"
+            )
+        if m.group(3):
+            cols = [_unquote(c.strip()) for c in _split_commas(m.group(3))]
             meta = cat.zorder(spark, table, cols, branch)
+        elif m.group(2):
+            # Delta's selective compaction: binpack only the files
+            # may-matching the predicate (partition values + stats)
+            groups, _exact = predicate_groups_from_sql(
+                _strip_table_qualifier(m.group(2).strip(), table)
+            )
+            if not groups or any(not g for g in groups):
+                # an empty AND-group is universal — the scope would
+                # silently be the whole table
+                raise ValueError(
+                    f"OPTIMIZE WHERE predicate {m.group(2).strip()!r} "
+                    "is not prunable (use partition/stats columns with "
+                    "literal comparisons)"
+                )
+            meta = cat.compact(
+                spark, table, branch, mode="binpack", scope_groups=groups
+            )
         else:
             meta = cat.compact(spark, table, branch, mode="binpack")
         after = len(meta.files())
