@@ -82,7 +82,6 @@ _HEAD = [
     "events_user_funnel",
     "join_semi_anti",
     "merge_orders_cdc",
-    "q6_revenue_forecast",
     "q7_nation_pair_volume",
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
@@ -101,6 +100,8 @@ _HEAD = [
     "catalog_widen_column",
     "streaming_interval_join",
     "catalog_generated_columns",
+    "sql_merge_multi_clause",
+    # q6_revenue_forecast joined the displaced set below
     # unpivot_nation_measures, topk_expensive_items,
     # histogram_order_totals, pivot_orders_status_by_priority,
     # range_join_price_bands, events_json_extract,

@@ -1312,6 +1312,110 @@ def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
     return keys
 
 
+def _coal(cond: str) -> str:
+    return f"coalesce(({cond}), false)"
+
+
+def _fold_matched_clauses(
+    m_clauses: list[tuple[str, str, dict[str, str] | None]],
+    schema_fields,
+) -> tuple[str | None, str | None, dict[str, str] | None]:
+    """Fold N ordered WHEN MATCHED clauses (first-match-wins, the
+    Spark/Delta semantics) into the primitive's two arms.
+
+    Each clause's EFFECTIVE condition is its own AND NOT any earlier
+    clause's — so a row claimed by an earlier DELETE never reaches a
+    later UPDATE and vice versa. The update arm's per-column values
+    become a CASE in clause order (raw conditions suffice inside the
+    CASE: the arm condition already excludes rows earlier clauses
+    claimed, and CASE itself is first-match). A SET * clause
+    contributes ``s.`col``` per column; explicit lists were expanded
+    at parse (unmentioned -> ``t.`col```). The 0/1-update +
+    0/1-delete shape keeps the exact expressions the two-clause
+    router always produced.
+    """
+    n_upd = sum(1 for k, _c, _s in m_clauses if k == "update")
+    n_del = sum(1 for k, _c, _s in m_clauses if k == "delete")
+    upd_cond = del_cond = None
+    update_set: dict[str, str] | None = None
+    if n_upd <= 1 and n_del <= 1:
+        for k, c, s in m_clauses:
+            if k == "update":
+                upd_cond, update_set = c, s
+            else:
+                del_cond = c
+        if [k for k, _c, _s in m_clauses] == ["update", "delete"]:
+            del_cond = f"({del_cond}) AND NOT {_coal(upd_cond)}"
+        return upd_cond, del_cond, update_set
+
+    conds = [c for _k, c, _s in m_clauses]
+
+    def eff(i: int) -> str:
+        parts = [_coal(conds[i])]
+        parts += [f"NOT {_coal(conds[j])}" for j in range(i)]
+        return " AND ".join(parts)
+
+    upd_idx = [i for i, (k, _c, _s) in enumerate(m_clauses) if k == "update"]
+    del_idx = [i for i, (k, _c, _s) in enumerate(m_clauses) if k == "delete"]
+    if del_idx:
+        del_cond = " OR ".join(f"({eff(i)})" for i in del_idx)
+    if upd_idx:
+        upd_cond = " OR ".join(f"({eff(i)})" for i in upd_idx)
+        named = set()
+        for i in upd_idx:
+            named |= set(m_clauses[i][2] or {})
+        tcols = [f.name for f in schema_fields()]
+        extras = sorted(named - set(tcols))
+
+        def branch_expr(i: int, col: str) -> str:
+            s = m_clauses[i][2]
+            if s is None:  # SET *: every column from the source
+                return f"s.`{col}`"
+            # explicit list: parse-expanded over schema cols; an extra
+            # (evolution) column unmentioned by THIS clause keeps the
+            # target value (NULL on old rows)
+            return s.get(col, f"t.`{col}`")
+
+        update_set = {}
+        for col in tcols + extras:
+            whens = " ".join(
+                f"WHEN {_coal(conds[i])} THEN ({branch_expr(i, col)})"
+                for i in upd_idx
+            )
+            update_set[col] = f"CASE {whens} ELSE t.`{col}` END"
+    return upd_cond, del_cond, update_set
+
+
+def _fold_insert_clauses(
+    i_clauses: list[tuple[str, dict[str, str] | None]],
+    schema_fields,
+) -> tuple[str | None, dict[str, str] | None]:
+    """Fold N ordered WHEN NOT MATCHED clauses: the arm condition is
+    the OR; per-column values a first-match CASE in clause order
+    (INSERT * contributes the bare source column, the primitive's own
+    default)."""
+    if len(i_clauses) <= 1:
+        return (i_clauses[0] if i_clauses else (None, None))
+    ins_cond = " OR ".join(f"({_coal(c)})" for c, _v in i_clauses)
+    named = set()
+    for _c, v in i_clauses:
+        named |= set(v or {})
+    tcols = [f.name for f in schema_fields()]
+    cols = tcols + sorted(named - set(tcols))
+    insert_values = {}
+    for col in cols:
+        parts = []
+        for c, v in i_clauses:
+            # v is None: INSERT * -> the bare source column. Explicit
+            # lists were parse-expanded over schema cols; the get
+            # default is reachable only for ANOTHER clause's evolution
+            # extra, which this clause leaves NULL (unmentioned)
+            expr = f"`{col}`" if v is None else v.get(col, "NULL")
+            parts.append(f"WHEN {_coal(c)} THEN ({expr})")
+        insert_values[col] = f"CASE {' '.join(parts)} ELSE NULL END"
+    return ins_cond, insert_values
+
+
 def _exec_merge(cat, spark, query: str, branch: str):
     q = query.strip().rstrip(";")
     m = re.match(
@@ -1379,13 +1483,14 @@ def _exec_merge(cat, spark, query: str, branch: str):
         expr = _rewrite_alias(expr, s_alias, "s")
         return _rewrite_alias(expr, "__wap_tgt__", "t")
 
-    upd_cond = del_cond = ins_cond = None
     bs_upd_cond = bs_del_cond = None
-    update_set: dict[str, str] | None = None
-    insert_values: dict[str, str] | None = None
     update_by_source_set: dict[str, str] | None = None
-    order: list[str] = []  # matched-clause order for first-match-wins
-    bs_order: list[str] = []  # same, for the BY SOURCE pair
+    # MATCHED / NOT MATCHED clauses in statement order — Spark/Delta
+    # allow ANY number, first-match-wins; folded into the primitive's
+    # two arms after the parse (_fold_matched_clauses)
+    m_clauses: list[tuple[str, str, dict[str, str] | None]] = []
+    i_clauses: list[tuple[str, dict[str, str] | None]] = []
+    bs_order: list[str] = []  # BY SOURCE pair order (at most one each)
     # lazy one-shot metadata load shared by the UPDATE SET and INSERT
     # validation branches: a MERGE with neither (DELETE + INSERT *)
     # pays zero router-side loads; merge_into loads its own fresh
@@ -1457,17 +1562,11 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 "use DELETE or UPDATE SET col = expr, ..."
             )
         if matched and re.match(r"(?is)^DELETE$", action):
-            if del_cond is not None:
-                raise ValueError("at most one WHEN MATCHED ... DELETE clause")
-            del_cond = cond
-            order.append("delete")
+            m_clauses.append(("delete", cond, None))
         elif matched and re.match(r"(?is)^UPDATE\s+SET\s+", action):
-            if upd_cond is not None:
-                raise ValueError("at most one WHEN MATCHED ... UPDATE clause")
-            upd_cond = cond
             body_txt = re.match(r"(?is)^UPDATE\s+SET\s+(.*)$", action).group(1)
             if body_txt.strip() == "*":
-                update_set = None  # every column from the source
+                clause_set = None  # every column from the source
             else:
                 given_set = {
                     k: canon(v)
@@ -1484,7 +1583,7 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 # value (merge_into's primitive default is the
                 # source's column — right for SET *, silent target
                 # clobber for an explicit column list)
-                update_set = {
+                clause_set = {
                     f.name: given_set.get(f.name, f"t.`{f.name}`")
                     for f in schema_fields()
                 }
@@ -1492,17 +1591,14 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 # source columns — pass them through; the primitive
                 # adds them to the schema (or fails analysis if the
                 # source lacks them too)
-                update_set.update(
+                clause_set.update(
                     {k: v for k, v in given_set.items() if k not in names}
                 )
-            order.append("update")
+            m_clauses.append(("update", cond, clause_set))
         elif not matched and re.match(r"(?is)^INSERT\b", action):
-            if ins_cond is not None:
-                raise ValueError("at most one WHEN NOT MATCHED clause")
-            ins_cond = cond
             rest = action[6:].strip()
             if rest == "*" or rest == "":
-                insert_values = None  # source columns positionally
+                i_clauses.append((cond, None))  # source cols positionally
             else:
                 mi = re.match(r"(?is)^\((.*?)\)\s*VALUES\s*\((.*)\)$", rest)
                 if not mi:
@@ -1531,23 +1627,23 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 # as INSERT INTO / the API's _align_schema), else NULL
                 # (the primitive's default would be the source's column)
                 tdefs = _table_meta().column_defaults
-                insert_values = {
+                clause_vals = {
                     f.name: given.get(f.name, tdefs.get(f.name, "NULL"))
                     for f in schema_fields()
                 }
                 # WITH SCHEMA EVOLUTION: values may target brand-new
                 # source columns
-                insert_values.update(
+                clause_vals.update(
                     {k: v for k, v in given.items() if k not in known}
                 )
+                i_clauses.append((cond, clause_vals))
         else:
             raise ValueError(f"cannot parse MERGE action {action!r}")
 
-    # first-match-wins across MATCHED clauses: merge_into evaluates
-    # DELETE before UPDATE, so when the statement lists UPDATE first
-    # the delete condition must exclude rows the update already took
-    if order == ["update", "delete"] and del_cond is not None:
-        del_cond = f"({del_cond}) AND NOT coalesce(({upd_cond}), false)"
+    upd_cond, del_cond, update_set = _fold_matched_clauses(
+        m_clauses, schema_fields
+    )
+    ins_cond, insert_values = _fold_insert_clauses(i_clauses, schema_fields)
     if bs_order == ["update", "delete"] and bs_del_cond is not None:
         bs_del_cond = (
             f"({bs_del_cond}) AND NOT coalesce(({bs_upd_cond}), false)"

@@ -979,6 +979,57 @@ def catalog_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_merge_multi_clause",
+    """
+    WITH survived AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * CAST(2 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS p
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' OR o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM survived GROUP BY o_orderstatus
+    """,
+    doc="MERGE with THREE ordered WHEN MATCHED clauses (the full "
+    "Spark/Delta grammar, first-match-wins): urgent orders double "
+    "(clause 1 shadows the rest), remaining F-status rows delete "
+    "(clause 2), everything else zeroes (catch-all) — folded by the "
+    "router into the primitive's two arms via effective-condition "
+    "rewriting + per-column CASE (sqldml._fold_matched_clauses). The "
+    "oracle replays the clause order as CASE/WHERE over raw parquet.",
+)
+def sql_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(_tmp_warehouse("merge_mc_"))
+    cat.create_table_from_df(orders, "orders_mc")
+    orders.select("o_orderkey").createOrReplaceTempView("mc_src")
+    cat.sql(
+        spark,
+        "MERGE INTO orders_mc t USING mc_src s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND t.o_orderpriority = '1-URGENT' THEN "
+        "  UPDATE SET o_totalprice = t.o_totalprice * CAST(2 AS DOUBLE) "
+        "WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = CAST(0 AS DOUBLE)",
+    )
+    return (
+        cat.read(spark, "orders_mc")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
     "catalog_changelog",
     """
     WITH half2 AS (
