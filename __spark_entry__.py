@@ -82,7 +82,6 @@ _HEAD = [
     "events_user_funnel",
     "join_semi_anti",
     "merge_orders_cdc",
-    "q7_nation_pair_volume",
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
     "wap_audit_gate",
@@ -101,7 +100,9 @@ _HEAD = [
     "streaming_interval_join",
     "catalog_generated_columns",
     "sql_merge_multi_clause",
-    # q6_revenue_forecast joined the displaced set below
+    "dedup_incremental_near",
+    # q6_revenue_forecast and q7_nation_pair_volume joined the
+    # displaced set below
     # unpivot_nation_measures, topk_expensive_items,
     # histogram_order_totals, pivot_orders_status_by_priority,
     # range_join_price_bands, events_json_extract,

@@ -1030,6 +1030,91 @@ def sql_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_near",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+           FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 10 * i >= 7 * (sa.n + sb.n - i)
+    ),
+    sym AS (SELECT id_a AS y, id_b AS x FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    d AS (SELECT doc_id, doc_id % 3 AS b FROM documents),
+    k0 AS (
+      SELECT doc_id FROM d WHERE b = 0 AND NOT EXISTS (
+        SELECT 1 FROM sym JOIN d dy ON dy.doc_id = sym.y
+        WHERE sym.x = d.doc_id AND dy.b = 0 AND sym.y < d.doc_id)
+    ),
+    k1 AS (
+      SELECT doc_id FROM d WHERE b = 1
+        AND NOT EXISTS (
+          SELECT 1 FROM sym JOIN d dy ON dy.doc_id = sym.y
+          WHERE sym.x = d.doc_id AND dy.b = 1 AND sym.y < d.doc_id)
+        AND NOT EXISTS (
+          SELECT 1 FROM sym JOIN k0 ON k0.doc_id = sym.y
+          WHERE sym.x = d.doc_id)
+    ),
+    k2 AS (
+      SELECT doc_id FROM d WHERE b = 2
+        AND NOT EXISTS (
+          SELECT 1 FROM sym JOIN d dy ON dy.doc_id = sym.y
+          WHERE sym.x = d.doc_id AND dy.b = 2 AND sym.y < d.doc_id)
+        AND NOT EXISTS (
+          SELECT 1 FROM sym JOIN k0 ON k0.doc_id = sym.y
+          WHERE sym.x = d.doc_id)
+        AND NOT EXISTS (
+          SELECT 1 FROM sym JOIN k1 ON k1.doc_id = sym.y
+          WHERE sym.x = d.doc_id)
+    ),
+    kept AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+             UNION ALL SELECT * FROM k2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM kept
+    """,
+    doc="incremental NEAR-dup dedup against persisted MinHash state "
+    "(pipelines/incremental_dedup.near_dedup_ingest): the corpus "
+    "arrives as three batches (doc_id % 3); each ingest drops docs "
+    "with exact shingle-Jaccard >= 0.7 against a smaller-key batch "
+    "mate or ANY admitted doc (banded-LSH candidates verified exactly "
+    "against the stored shingle sets; sub-3-word docs pass through), "
+    "publishing docs + signatures + band rows atomically. The oracle "
+    "unrolls the 3-batch admission in SQL over exact word-3-gram "
+    "Jaccard — valid because verification is exact, the seeded bands "
+    "are deterministic, and every near-dup pair in this corpus sits "
+    "at j >= 0.90 where band recall is 1 - (1-s^4)^16 ~ 1.",
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = Catalog(_tmp_warehouse("inc_near_"))
+    for b in range(3):
+        near_dedup_ingest(
+            spark,
+            cat,
+            docs.filter(F.col("doc_id") % 3 == b),
+            "docs_nd",
+            "sigs_nd",
+            "bands_nd",
+        )
+    return cat.read(spark, "docs_nd").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
     "catalog_changelog",
     """
     WITH half2 AS (
