@@ -1483,14 +1483,12 @@ def _exec_merge(cat, spark, query: str, branch: str):
         expr = _rewrite_alias(expr, s_alias, "s")
         return _rewrite_alias(expr, "__wap_tgt__", "t")
 
-    bs_upd_cond = bs_del_cond = None
-    update_by_source_set: dict[str, str] | None = None
-    # MATCHED / NOT MATCHED clauses in statement order — Spark/Delta
-    # allow ANY number, first-match-wins; folded into the primitive's
-    # two arms after the parse (_fold_matched_clauses)
+    # MATCHED / NOT MATCHED [BY SOURCE] clauses in statement order —
+    # Spark/Delta allow ANY number, first-match-wins; folded into the
+    # primitive's arms after the parse (_fold_matched_clauses)
     m_clauses: list[tuple[str, str, dict[str, str] | None]] = []
     i_clauses: list[tuple[str, dict[str, str] | None]] = []
-    bs_order: list[str] = []  # BY SOURCE pair order (at most one each)
+    bs_clauses: list[tuple[str, str, dict[str, str] | None]] = []
     # lazy one-shot metadata load shared by the UPDATE SET and INSERT
     # validation branches: a MERGE with neither (DELETE + INSERT *)
     # pays zero router-side loads; merge_into loads its own fresh
@@ -1521,19 +1519,9 @@ def _exec_merge(cat, spark, query: str, branch: str):
         cond = canon(mm.group(2).strip()) if mm.group(2) else "true"
         action = mm.group(3).strip()
         if by_source and re.match(r"(?is)^DELETE$", action):
-            if bs_del_cond is not None:
-                raise ValueError(
-                    "at most one WHEN NOT MATCHED BY SOURCE ... DELETE clause"
-                )
-            bs_del_cond = cond
-            bs_order.append("delete")
+            bs_clauses.append(("delete", cond, None))
             continue
         if by_source and re.match(r"(?is)^UPDATE\s+SET\s+", action):
-            if bs_upd_cond is not None:
-                raise ValueError(
-                    "at most one WHEN NOT MATCHED BY SOURCE ... UPDATE clause"
-                )
-            bs_upd_cond = cond
             body_txt = re.match(r"(?is)^UPDATE\s+SET\s+(.*)$", action).group(1)
             if body_txt.strip() == "*":
                 raise ValueError(
@@ -1550,11 +1538,14 @@ def _exec_merge(cat, spark, query: str, branch: str):
                 raise ValueError(
                     f"UPDATE SET names {bad} are not columns of {table!r}"
                 )
-            update_by_source_set = {
-                f.name: given_bs.get(f.name, f"t.`{f.name}`")
-                for f in schema_fields()
-            }
-            bs_order.append("update")
+            bs_clauses.append((
+                "update",
+                cond,
+                {
+                    f.name: given_bs.get(f.name, f"t.`{f.name}`")
+                    for f in schema_fields()
+                },
+            ))
             continue
         if by_source:
             raise ValueError(
@@ -1644,10 +1635,12 @@ def _exec_merge(cat, spark, query: str, branch: str):
         m_clauses, schema_fields
     )
     ins_cond, insert_values = _fold_insert_clauses(i_clauses, schema_fields)
-    if bs_order == ["update", "delete"] and bs_del_cond is not None:
-        bs_del_cond = (
-            f"({bs_del_cond}) AND NOT coalesce(({bs_upd_cond}), false)"
-        )
+    # BY SOURCE folds through the same machinery (sets are always
+    # explicit dicts here — SET * is rejected above — so the fold's
+    # SET-* arm is unreachable); CASE branch expressions read t.* only
+    bs_upd_cond, bs_del_cond, update_by_source_set = _fold_matched_clauses(
+        bs_clauses, schema_fields
+    )
 
     source_df = spark.sql(f"SELECT * FROM {source_rel} AS __merge_src")
     meta = cat.merge_into(

@@ -103,3 +103,31 @@ def test_single_clause_paths_unchanged(spark, warehouse):
     )
     got = {r.id: r.v for r in cat.read(spark, "t").collect()}
     assert got == {1: 1.0, 4: 40.0, 9: 9.0}  # 2,3 deleted
+
+
+def test_multiple_by_source_clauses(spark, warehouse):
+    cat = _setup(spark, warehouse)
+    # source misses ids 4 (and seeds 9 which is not in target)
+    cat.sql(
+        spark,
+        "MERGE INTO t USING msrc s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.v > 35 THEN "
+        "  UPDATE SET grp = 'stale-big' "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    got = {r.id: r.grp for r in cat.read(spark, "t").collect()}
+    # 4 (v=40) hits the first clause; no other target row is unmatched
+    assert got == {1: "a", 2: "b", 3: "c", 4: "stale-big"}
+
+
+def test_by_source_first_match_wins_delete_first(spark, warehouse):
+    cat = _setup(spark, warehouse)
+    cat.sql(
+        spark,
+        "MERGE INTO t USING (SELECT id FROM msrc WHERE id <= 2) s "
+        "ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1.0",
+    )
+    got = {r.id: r.v for r in cat.read(spark, "t").collect()}
+    assert got == {1: 10.0, 2: 20.0, 4: -1.0}  # 3 deleted, 4 updated

@@ -77,6 +77,8 @@ SINGLE_OK = {
     # itself shuffles on digests; only the final scalar agg collapses)
     "streaming_interval_join",  # single-row attribution summary (the
     # interval join exchanges hash-partitioned on user_id)
+    "dedup_incremental_near",  # single-row corpus summary (banding,
+    # verification and publishes all shuffle hash-partitioned)
 }
 
 
