@@ -591,5 +591,56 @@ def incremental_dedup_soak(
         )
 
 
+def near_dedup_soak(spark, n_ingests: int = 12, rows_per_batch: int = 4_000):
+    """Per-ingest latency of the NEAR-dup pipeline as the band index
+    grows: each ingest computes batch signatures (fixed cost), probes
+    the persisted band index, and verifies candidates exactly. The
+    growing component is the band-index probe/scan (16 longs per
+    admitted doc); this measures whether it stays invisible at the
+    tested scale."""
+    import tempfile as _tf
+    import time as _time
+
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_dedup_ingest,
+    )
+
+    words = [f"w{i}" for i in range(50)]
+    with _tf.TemporaryDirectory(prefix="neardedupsoak_") as wh:
+        cat = Catalog(wh)
+        timings = []
+        for i in range(n_ingests):
+            lo = i * rows_per_batch
+            # unique 20-word docs (word stream keyed by a large-modulus
+            # id mix); ~10% of each batch near-dups the PREVIOUS batch:
+            # same 19-word tail, different head word -> j ~ 0.8 >= 0.7
+            batch = spark.range(lo, lo + rows_per_batch).selectExpr(
+                "id AS doc_id",
+                f"""concat(
+                  CASE WHEN id % 10 = 0 AND id >= {rows_per_batch}
+                       THEN concat('x', id) ELSE concat('h', id) END,
+                  ' ',
+                  concat_ws(' ', transform(sequence(1, 19), j -> concat(
+                    'w',
+                    pmod((CASE WHEN id % 10 = 0 AND id >= {rows_per_batch}
+                               THEN id - {rows_per_batch} ELSE id END)
+                         * 37 + j * 13, 99991)
+                  )))
+                ) AS text""",
+            )
+            t0 = _time.time()
+            near_dedup_ingest(spark, cat, batch, "docs", "sigs", "bands")
+            timings.append(_time.time() - t0)
+        head = sum(timings[1:4]) / 3
+        tail = sum(timings[-3:]) / 3
+        n_files = len(cat.load_table("bands").files())
+        print(
+            f"near-dedup-soak: {n_ingests} ingests x {rows_per_batch} "
+            f"docs, band-index files={n_files}, head={head:.2f}s "
+            f"tail={tail:.2f}s ratio={tail / head:.2f}"
+        )
+
+
 if __name__ == "__main__":
     main()
