@@ -79,7 +79,6 @@ _HEAD = [
     "dedup_normalized_fingerprints",
     "dedup_source_matrix",
     "embedding_quantize_int8",
-    "events_user_funnel",
     "join_semi_anti",
     "merge_orders_cdc",
     "streaming_windowed_counts",
@@ -101,8 +100,9 @@ _HEAD = [
     "catalog_generated_columns",
     "sql_merge_multi_clause",
     "dedup_incremental_near",
-    # q6_revenue_forecast and q7_nation_pair_volume joined the
-    # displaced set below
+    "corpus_quality_resample",
+    # q6_revenue_forecast, q7_nation_pair_volume and
+    # events_user_funnel joined the displaced set below
     # unpivot_nation_measures, topk_expensive_items,
     # histogram_order_totals, pivot_orders_status_by_priority,
     # range_join_price_bands, events_json_extract,

@@ -205,6 +205,45 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     return df.filter(key < F.lit(thr))
 
 
+def quality_resample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    target_frac: float,
+) -> DataFrame:
+    """Deterministic WEIGHTED downsample: keep each row with
+    probability ``clip(target_frac * w / max(w), 0, 1)`` — the
+    pretraining reweighting step (upsample high-quality documents,
+    thin the tail) with zero RNG state: the keep decision is an
+    md5-hex threshold per row, so any retry/cluster size/partitioning
+    reproduces the same sample, and raising ``target_frac`` only ADDS
+    rows (nested samples, same property as
+    :func:`deterministic_sample`).
+
+    ``weight_col`` should be integral or exactly-representable: the
+    per-row threshold is one multiply + one divide on doubles (IEEE,
+    bit-identical across engines — this is what lets DuckDB replay
+    the exact sample), normalized by the corpus max (an exact
+    aggregate; an average would accumulate in engine-dependent order
+    and flip boundary rows)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wmax = df.agg(F.max(w).alias("m")).first()["m"]
+    if not wmax or wmax <= 0:
+        raise ValueError("quality_resample needs a positive max weight")
+    p = F.least(
+        F.lit(1.0), F.lit(float(target_frac)) * w / F.lit(float(wmax))
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(p * F.lit(float(2**32 - 1))).cast("bigint")),
+            8,
+            "0",
+        )
+    )
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return df.filter(key < thr)
+
+
 def pack_bins(
     df: DataFrame,
     shard_col: str,
@@ -381,6 +420,44 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_bucket").cast("int").alias("bucket"),
         F.count(F.lit(1)).alias("n_total"),
         F.sum("keep").cast("long").alias("n_sampled"),
+    )
+
+
+@register(
+    "corpus_quality_resample",
+    """
+    WITH mw AS (SELECT MAX(LENGTH(text)) AS m FROM documents),
+    kept AS (
+      SELECT doc_id, LENGTH(text) AS len
+      FROM documents, mw
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            lower(lpad(to_hex(CAST(floor(
+              least(1.0, 0.3 * LENGTH(text) / m) * 4294967295
+            ) AS BIGINT)), 8, '0'))
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(len) AS BIGINT) AS sum_len
+    FROM kept
+    """,
+    doc="deterministic WEIGHTED downsample (quality_resample): keep "
+    "with P = clip(0.3 * len / max_len) decided by an md5-hex "
+    "threshold per row — the pretraining reweighting step with zero "
+    "RNG state (retries/cluster size reproduce the sample; raising "
+    "the fraction only adds rows). Weight = integer doc length and "
+    "max-normalization keep the per-row threshold ONE IEEE multiply + "
+    "divide, bit-identical across engines, which is why DuckDB can "
+    "replay the exact sample.",
+)
+def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = quality_resample(
+        d.withColumn("len", F.length("text")), "doc_id", "len", 0.3
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("len").alias("sum_len"),
     )
 
 
