@@ -3820,6 +3820,15 @@ class Catalog:
                         "(same scale) are safe promotions"
                     )
                 fields.append(T.StructField(f.name, target, f.nullable))
+            props = dict(meta.properties)
+            widened = [
+                c
+                for c in props.get("widened_columns", "").split(",")
+                if c and c != name
+            ]
+            # the marker tells mixed-width-aware readers (DuckDB
+            # export) that files of BOTH widths exist for this column
+            props["widened_columns"] = ",".join(widened + [name])
             return (
                 TableMetadata(
                     table=meta.table,
@@ -3829,7 +3838,7 @@ class Catalog:
                     version=meta.version + 1,
                     partition_by=meta.partition_by,
                     sort_by=meta.sort_by,
-                    properties=meta.properties,
+                    properties=props,
                 ),
                 f"WIDEN COLUMN {table}.{name} -> {new_type}",
             )

@@ -32,6 +32,22 @@ from typing import Any
 from no_jvm_wap_with_iceberg_spark.catalog.catalog import MAIN, Catalog
 
 
+def _duck_type(meta, col: str) -> str:
+    """DuckDB spelling of a (widenable) Spark column type."""
+    dt = next(
+        f.dataType for f in meta.spark_schema.fields if f.name == col
+    ).simpleString()
+    m = {
+        "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INTEGER",
+        "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    }
+    if dt in m:
+        return m[dt]
+    if dt.startswith("decimal"):
+        return dt.upper()
+    raise ValueError(f"unexpected widened column type {dt!r} for {col!r}")
+
+
 def _sql_quote(path: str) -> str:
     return "'" + path.replace("'", "''") + "'"
 
@@ -91,10 +107,23 @@ def duckdb_view_sql(
         # over a union_by_name read: current name, else
         # COALESCE(historical names), else NULL (added later).
         known = set(field_names) | set(identity) | set(derived)
-        uniform = not hist and all(
-            all(f in pf or f in identity for f in field_names)
-            and all(p in known for p in pf)  # dropped cols = extra
-            for pf in per_file  # EVERY file must match the schema
+        # widened columns: files of BOTH physical widths exist under
+        # one name — a plain read_parquet refuses the mix (probed:
+        # "failed to cast column"), so these force the union_by_name
+        # path with an explicit CAST to the table type
+        widened = {
+            c
+            for c in meta.properties.get("widened_columns", "").split(",")
+            if c
+        }
+        uniform = (
+            not hist
+            and not widened
+            and all(
+                all(f in pf or f in identity for f in field_names)
+                and all(p in known for p in pf)  # dropped cols = extra
+                for pf in per_file  # EVERY file must match the schema
+            )
         )
         defaults = meta.column_defaults
         need_filename = False
@@ -135,6 +164,10 @@ def duckdb_view_sql(
                         f"CASE WHEN filename IN ({in_list}) "
                         f"THEN {dflt} ELSE {expr} END"
                     )
+                if f in widened:
+                    # union_by_name promotes to the widest input type;
+                    # pin the view to the TABLE schema's type exactly
+                    expr = f"CAST({expr} AS {_duck_type(meta, f)})"
                 items.append(f"{expr} AS {f}" if expr != f else f)
             proj, union = ", ".join(items), ", union_by_name = true"
         if need_filename:

@@ -107,3 +107,30 @@ def test_widen_bucket_partition_source_keeps_pruning(spark, warehouse):
     out = cat.read(spark, "t", predicates=[Predicate("eq", "k", 3)])
     got = {r.id for r in out.filter(F.col("k") == 3).collect()}
     assert got == {3, 10, 17, 24, 31, 38, 100}
+
+
+def test_export_survives_mixed_width_files(spark, warehouse):
+    # a widened table holds files of BOTH physical widths: the DuckDB
+    # export must take the union_by_name path and CAST to the table
+    # type (a plain read_parquet refuses the mix)
+    import duckdb
+
+    from no_jvm_wap_with_iceberg_spark.catalog.export import duckdb_view_sql
+
+    cat = Catalog(warehouse)
+    cat.create_table_from_df(
+        spark.createDataFrame([(1, 5)], "id INT, v INT"), "t"
+    )
+    cat.widen_column("t", "v", "BIGINT")
+    cat.append(
+        spark.createDataFrame([(2, 2**40)], "id INT, v BIGINT"), "t"
+    )
+    con = duckdb.connect()
+    con.execute(duckdb_view_sql(cat, "t", view_name="t_v"))
+    got = con.execute("SELECT v FROM t_v ORDER BY v").fetchall()
+    assert [r[0] for r in got] == [5, 2**40]
+    (vtype,) = con.execute(
+        "SELECT data_type FROM duckdb_columns() "
+        "WHERE table_name = 't_v' AND column_name = 'v'"
+    ).fetchone()
+    assert vtype == "BIGINT"
