@@ -79,6 +79,8 @@ SINGLE_OK = {
     # interval join exchanges hash-partitioned on user_id)
     "dedup_incremental_near",  # single-row corpus summary (banding,
     # verification and publishes all shuffle hash-partitioned)
+    "corpus_quality_resample",  # single-row sample summary (the
+    # keep-filter itself is a scan-level predicate, no shuffle)
 }
 
 
