@@ -2029,6 +2029,9 @@ _INTERNAL_PROPS = {
     # rename/drop history)
     "renamed_columns", "dropped_columns", "past_partition_specs",
     "prior_names",
+    # physical-width bookkeeping from widen_column: a table recreated
+    # from SHOW CREATE has uniform files and must not inherit it
+    "widened_columns",
 }
 
 
