@@ -80,7 +80,6 @@ _HEAD = [
     "dedup_source_matrix",
     "embedding_quantize_int8",
     "join_semi_anti",
-    "merge_orders_cdc",
     "streaming_windowed_counts",
     "subquery_parts_above_brand_avg",
     "wap_audit_gate",
@@ -101,8 +100,9 @@ _HEAD = [
     "sql_merge_multi_clause",
     "dedup_incremental_near",
     "corpus_quality_resample",
-    # q6_revenue_forecast, q7_nation_pair_volume and
-    # events_user_funnel joined the displaced set below
+    "text_perplexity_filter",
+    # q6_revenue_forecast, q7_nation_pair_volume, events_user_funnel
+    # and merge_orders_cdc joined the displaced set below
     # unpivot_nation_measures, topk_expensive_items,
     # histogram_order_totals, pivot_orders_status_by_priority,
     # range_join_price_bands, events_json_extract,

@@ -779,3 +779,53 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("_lp").cast("double").alias("sum_logprob"),
     )
+
+
+PPL_FILTER_THRESHOLD = -3.4  # avg ln P(w_i|w_{i-1}); ppl ~ e^3.4 ~ 30
+
+
+@register(
+    "text_perplexity_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bigram
+      FROM tok, UNNEST(range(1, len(w))) AS t(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    f2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+    f1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                           AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM bg JOIN f2 USING (bigram) JOIN f1 USING (w1)
+      GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+    FROM per WHERE s / n_bigrams > {PPL_FILTER_THRESHOLD}
+    """,
+    doc="perplexity-based quality filter (the CCNet/KenLM pretraining "
+    "gate): per-doc average bigram log-likelihood under the corpus's "
+    "own MLE LM; keep docs above the threshold (fluent under the "
+    "corpus distribution), drop the incoherent tail. Composition of "
+    "the proven text_bigram_logprob scorer — per-pair ln() staged "
+    "through DECIMAL(18,6) in both engines, the per-doc average ONE "
+    "IEEE division, so the oracle replays the exact keep set.",
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = text_bigram_logprob(spark, sf_dir)
+    kept = per.filter(
+        F.col("sum_logprob") / F.col("n_bigrams")
+        > F.lit(PPL_FILTER_THRESHOLD)
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+    )

@@ -46,3 +46,16 @@ def test_nonpositive_weights_raise(spark):
     d = _docs(spark, 10).withColumn("w", F.lit(0))
     with pytest.raises(ValueError, match="positive max weight"):
         quality_resample(d, "doc_id", "w", 0.5)
+
+
+def test_perplexity_filter_keeps_fluent_majority(spark):
+    # the corpus-MLE LM scores the synthetic docs in a tight band;
+    # the threshold keeps the fluent majority and drops a tail
+    from no_jvm_wap_with_iceberg_spark.operators.text import (
+        text_perplexity_filter,
+    )
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    row = text_perplexity_filter(spark, sf).collect()[0]
+    assert 0 < row.n_kept and row.sum_bigrams > 0

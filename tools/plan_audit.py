@@ -81,6 +81,8 @@ SINGLE_OK = {
     # verification and publishes all shuffle hash-partitioned)
     "corpus_quality_resample",  # single-row sample summary (the
     # keep-filter itself is a scan-level predicate, no shuffle)
+    "text_perplexity_filter",  # single-row keep-set summary (the LM
+    # scoring shuffles per doc_id; only the final scalar collapses)
 }
 
 
