@@ -101,7 +101,10 @@ def main() -> None:
                 # quality assertion at bench scale: a recall
                 # regression fails the bench run, not just sf0.01
                 bad = [r["method"] for r in rows if not r["recall_ok"]]
-                assert not bad, f"ANN recall below bound at {sf_dir}: {bad}"
+                if bad:  # not assert: python -O must not strip the gate
+                    raise RuntimeError(
+                        f"ANN recall below bound at {sf_dir}: {bad}"
+                    )
     timings = {n: round(sorted(ts)[1], 3) for n, ts in reps.items()}
     timings_min = {n: round(min(ts), 3) for n, ts in reps.items()}
 

@@ -1808,13 +1808,28 @@ class Catalog:
         kdf: DataFrame,
         dup_guard: str | None = None,
     ) -> list[tuple[FileEntry, tuple[DeleteSpec, ...]]] | None:
-        """Live files whose stats/blooms say they MAY hold any of the
+        """Live files whose metadata says they MAY hold any of the
         incoming keys (None = empty/all-null key set). Shared pruning
-        for upsert/delete_keys/merge: per-column key-range min/max
-        first (a composite key can only live in a file whose range
-        covers EVERY component), then bloom probes with the exact key
-        tuples when the set is small — a tuple may be present only if
-        every component's bloom admits its value.
+        for upsert/delete_keys/merge and the incremental-dedup index
+        probes, in three sound layers:
+
+        1. **Partition-value sets** (keyprobe.py): a key column that
+           is also a partition source prunes by set membership against
+           the batch's distinct partition values — bounded by the
+           table's partition cardinality, NEVER by the batch key
+           count. The 100 TB path for ``truncate(4, fingerprint)``
+           dedup indexes, where blooms saturate.
+        2. **Global key-range vs file min/max** per column (a
+           composite key can only live in a file whose range covers
+           EVERY component).
+        3. **Exact tuples vs per-file (range, bloom)**: a tuple admits
+           a file only if every component lies within the file's
+           column range AND its bloom (if any) admits it. Up to
+           :data:`PROBE_DRIVER_KEYS_MAX` sampled rows this runs
+           driver-side; above it the probe ships the candidates'
+           evidence to the executors (``keyprobe.probe_files_spark``)
+           instead of silently skipping — the old >10k cliff that
+           degraded uniform-digest batches to full index scans.
 
         ``dup_guard`` names a per-key row-count column on ``kdf``
         (merge_into's duplicate-source-key rule): its max rides the
@@ -1825,6 +1840,11 @@ class Catalog:
         from pyspark.sql import functions as F
 
         from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
+        from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+            partition_prunes_file,
+            partition_value_sets,
+            probe_files_spark,
+        )
         from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
 
         aggs = [
@@ -1849,16 +1869,37 @@ class Catalog:
         if all(lo is None for lo, _ in bounds):
             return None
         with_conds = meta.files_with_deletes()
-        sample = kdf.select(*key_cols).limit(10_001).collect()
+        part_sets = partition_value_sets(meta, key_cols, kdf)
+        sample = kdf.select(*key_cols).limit(
+            self.PROBE_DRIVER_KEYS_MAX + 1
+        ).collect()
         keys = (
-            [tuple(r) for r in sample] if len(sample) <= 10_000 else None
+            [tuple(r) for r in sample]
+            if len(sample) <= self.PROBE_DRIVER_KEYS_MAX
+            else None
         )
         # pre-rename files key their stats/blooms under the old name
         names_per_col = [
             [c] + list(meta.rename_history.get(c, ())) for c in key_cols
         ]
+
+        def evidence(f: FileEntry) -> list[tuple[Any, Any, str | None]]:
+            out = []
+            for names in names_per_col:
+                st = next(
+                    (f.columns[n] for n in names if n in f.columns), {}
+                )
+                b = next((n for n in names if n in f.blooms), None)
+                out.append(
+                    (st.get("min"), st.get("max"), f.blooms[b] if b else None)
+                )
+            return out
+
         affected: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
+        spark_cands: list[tuple[int, list]] = []  # (slot in affected, ev)
         for f, specs in with_conds:
+            if part_sets and partition_prunes_file(f, part_sets):
+                continue
             overlaps = True
             for (lo, hi), names in zip(bounds, names_per_col):
                 if lo is None:
@@ -1873,23 +1914,56 @@ class Catalog:
                         break
                 except TypeError:
                     pass  # incomparable stats -> conservative
-            bnames = [
-                next((n for n in names if n in f.blooms), None)
-                for names in names_per_col
+            if not overlaps:
+                continue
+            ev = evidence(f)
+            if all(mn is None and mx is None and b is None for mn, mx, b in ev):
+                affected.append((f, specs))  # no evidence: keep
+                continue
+            if keys is not None:
+                # driver-side exact-tuple probe: range-slice each
+                # tuple BEFORE its bloom test so false positives don't
+                # compound with batch size
+                hit = False
+                for t in keys:
+                    ok = True
+                    for i, (mn, mx, b) in enumerate(ev):
+                        v = _norm(t[i])
+                        if v is None:
+                            continue
+                        try:
+                            if mn is not None and mx is not None and not (
+                                mn <= v <= mx
+                            ):
+                                ok = False
+                                break
+                        except TypeError:
+                            pass
+                        if b is not None and not bloom_may_contain(b, t[i]):
+                            ok = False
+                            break
+                    if ok:
+                        hit = True
+                        break
+                if hit:
+                    affected.append((f, specs))
+            else:
+                spark_cands.append((len(affected), ev))
+                affected.append((f, specs))  # placeholder; filtered below
+        if keys is None and spark_cands:
+            admitted = probe_files_spark(
+                kdf, key_cols, [(j, ev) for j, ev in spark_cands]
+            )
+            drop = {j for j, _ev in spark_cands if j not in admitted}
+            affected = [
+                pair for j, pair in enumerate(affected) if j not in drop
             ]
-            if overlaps and keys is not None and any(bnames):
-                overlaps = any(
-                    all(
-                        b is None
-                        or t[i] is None
-                        or bloom_may_contain(f.blooms[b], t[i])
-                        for i, b in enumerate(bnames)
-                    )
-                    for t in keys
-                )
-            if overlaps:
-                affected.append((f, specs))
         return affected
+
+    # driver-side exact-tuple probe cap: batches sampling above this
+    # many rows probe executor-side (keyprobe.probe_files_spark) —
+    # never skip blooms, never collect the key set to the driver
+    PROBE_DRIVER_KEYS_MAX = 10_000
 
     def _write_key_files(self, kdf: DataFrame, table: str) -> list[str]:
         """Persist a distinct key set as Iceberg-style equality-delete

@@ -582,7 +582,11 @@ def _render_inline_lit(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # backslashes must escape too: F.expr decodes \-sequences in
+        # string literals, so a raw 'C:\new' would silently become
+        # 'C:<LF>ew' when the inlined condition executes (_parse_lit
+        # then skips pruning on the \\ form — conservative, sound)
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
@@ -715,7 +719,10 @@ def resolve_subqueries(spark, cond: str) -> str:
                 if m_in.group(1) is None or (
                     lead > 0 and (prefix[lead - 1].isalnum()
                                   or prefix[lead - 1] in "_`.)")
-                ):
+                ) or re.match(r"(?is)^\(\s*SELECT\b", m_in.group(1).strip()):
+                    # a (SELECT ...) left operand is itself a pending
+                    # span: splicing it away would invalidate the
+                    # remaining reversed-order span indices
                     raise ValueError(
                         "cannot rewrite empty IN-subquery with a "
                         "non-trivial left operand; simplify the condition"
@@ -891,10 +898,19 @@ def _exec_create(cat, spark, query: str, branch: str):
             branch,
             partition_by=list(src.partition_by) or None,
             sort_by=list(src.sort_by) or None,
+            # user configuration only: internal bookkeeping
+            # (rename/drop history, widen records — the same set SHOW
+            # CREATE TABLE hides) plus persisted stats.* and clone.*
+            # lineage must NOT land on the new empty table (snapshot
+            # ids are per-table sequential, so a copied
+            # stats.analyzedSnapshot could later read as fresh here)
             properties={
                 k: v
                 for k, v in src.properties.items()
-                if not k.startswith("dropped_columns")
+                if k not in _INTERNAL_PROPS
+                and not k.startswith(
+                    ("dropped_columns", "stats.", "clone.")
+                )
             }
             or None,
         )
@@ -2073,8 +2089,11 @@ def show_partitions(cat, spark, query: str, branch: str):
             f"SHOW PARTITIONS: table {table!r} is not partitioned"
         )
     tuples = {
+        # a PRESENT-but-None value must render as the hive null
+        # marker too, not 'k=None' (file_all_match treats both
+        # spellings as null, so None values do occur in manifests)
         tuple(
-            (k, f.partition.get(k, "__HIVE_DEFAULT_PARTITION__"))
+            (k, f.partition.get(k) or "__HIVE_DEFAULT_PARTITION__")
             for k in fields
         )
         for f in meta.files()

@@ -11,14 +11,27 @@ makes each ingest O(batch + bloom-hit index files):
    whitespace/case-normalized content) and keep-first WITHIN the batch
    (min key per digest — deterministic, no window sort).
 2. **Probe the index** through the catalog's shared key-pruning pass
-   (``Catalog._files_overlapping_keys``: per-file min/max ranges first,
-   then per-file bloom probes with the exact digests). The index table
-   is created with ``bloom_cols=["fingerprint"]`` and
-   ``sort_by=["fingerprint"]``, so each append lands digest-sorted
-   files with tight ranges + blooms — at any corpus size the probe
-   reads only files that MAY hold a batch digest, and the scan itself
-   inner-joins the broadcast digest set. Nothing ever scans the full
-   index.
+   (``Catalog._files_overlapping_keys``), which prunes in three sound
+   layers: digest-prefix PARTITION values by set lookup (the index is
+   created ``partition_by=["truncate(W, fingerprint)"]`` — the set is
+   bounded by 16^W, never by batch size), then per-file min/max
+   ranges, then per-file blooms probed with the exact digests —
+   executor-side above 10k distinct keys, range-sliced per file so
+   false positives don't compound with batch size. The index is also
+   ``sort_by=["fingerprint"]`` + ``bloom_cols=["fingerprint"]``, so
+   each append lands digest-sorted files with tight ranges + blooms.
+   At any corpus or batch size the probe reads only files that MAY
+   hold a batch digest, and the scan itself inner-joins the broadcast
+   digest set. Nothing ever scans the full index (soak-measured:
+   tools/soak_dedup_probe.py, SCALE.md round-7).
+
+   ``index_prefix_width`` defaults to 2 (256 partitions — right for
+   up-to-~10^7-digest indexes; a hive layout writes >= one file per
+   touched partition per ingest, so width must track corpus size, not
+   ambition). As the corpus grows, EVOLVE the spec —
+   ``cat.evolve_partition_spec(index, ["truncate(4, fingerprint)"])``
+   — old files keep pruning under their own spec, new files under the
+   new one (keyprobe.partition_value_sets collects a set per era).
 3. **Publish atomically**: the surviving rows append to the documents
    table AND their fingerprints to the index table on a hidden staging
    branch that fast-forwards into the target in ONE ref CAS — readers
@@ -74,12 +87,15 @@ def dedup_ingest(
     branch: str = MAIN,
     normalize: bool = True,
     max_retries: int = 3,
+    index_prefix_width: int = 2,
 ) -> DedupIngestResult:
     """Admit ``batch`` into ``docs_table``, exactly-once by content.
 
-    Creates both tables lazily (the index digest-sorted with blooms).
-    Returns counts; ``published=False`` only for an all-duplicate
-    batch (nothing to commit is success, not failure).
+    Creates both tables lazily (the index digest-sorted, bloomed, and
+    prefix-partitioned — see the module docstring for how
+    ``index_prefix_width`` scales). Returns counts;
+    ``published=False`` only for an all-duplicate batch (nothing to
+    commit is success, not failure).
     """
     fp_batch = batch.withColumn(
         "_fp", fingerprint_expr(content_col, normalize)
@@ -103,6 +119,7 @@ def dedup_ingest(
         index_table,
         idx_schema,
         branch,
+        partition_by=[f"truncate({index_prefix_width}, fingerprint)"],
         sort_by=["fingerprint"],
         bloom_cols=["fingerprint"],
         if_not_exists=True,
@@ -194,6 +211,7 @@ def near_dedup_ingest(
     content_col: str = "text",
     branch: str = MAIN,
     max_retries: int = 3,
+    index_buckets: int = 64,
 ) -> NearDedupIngestResult:
     """Incremental NEAR-duplicate dedup against persisted MinHash
     state — the fuzzy counterpart of :func:`dedup_ingest`.
@@ -210,14 +228,15 @@ def near_dedup_ingest(
     staging branch; a racing ingest forces a re-probe, so two similar
     docs racing in cannot both be admitted.
 
-    Scale shape: the probe scans at most the bloom-hit band-index
-    files (16 longs per admitted doc — tiny next to the corpus), the
-    verification reads only the candidate docs' signature rows, and
-    nothing ever rescans admitted documents' text. Band hashes are
-    uniform, so a large batch's probe degrades to a scan OF THE BAND
-    INDEX (never the corpus); the 100 TB evolution is partitioning
-    the band index by hash prefix, same as the exact pipeline's
-    fingerprint index (SCALE.md).
+    Scale shape: the probe scans at most the partition/range/bloom-hit
+    band-index files (16 longs per admitted doc — tiny next to the
+    corpus), the verification reads only the candidate docs' signature
+    rows, and nothing ever rescans admitted documents' text. Both
+    index tables are hash-bucketed on their probe key
+    (``bucket(index_buckets, ...)``), so the candidate set cuts by a
+    partition-value set lookup — bounded by the bucket count, never by
+    batch size — before ranges and (above 10k keys, executor-side)
+    blooms.
     """
     from no_jvm_wap_with_iceberg_spark.operators.dedup import (
         _JT_P,
@@ -279,10 +298,24 @@ def near_dedup_ingest(
     ).count()
 
     cat.create_table(docs_table, batch.schema, branch, if_not_exists=True)
+    # both index tables hash-bucket on their probe key (Iceberg
+    # bucket transform, CRC-32 both engine-sides): the probe's
+    # partition-value set is bounded by ``index_buckets`` however
+    # large the batch, so candidate files cut by set lookup before
+    # any range/bloom work — same evolution story as the exact
+    # pipeline's truncate-prefix index (module docstring)
+    sig_schema = surv.select(
+        F.col("_id").alias(key_col), F.col("_sh").alias("sh")
+    ).schema
+    key_t = sig_schema[key_col].dataType.typeName()
+    bucketable = key_t in ("byte", "short", "integer", "long", "string")
     cat.create_table(
         sig_table,
-        surv.select(F.col("_id").alias(key_col), F.col("_sh").alias("sh")).schema,
+        sig_schema,
         branch,
+        partition_by=(
+            [f"bucket({index_buckets}, {key_col})"] if bucketable else None
+        ),
         sort_by=[key_col],
         bloom_cols=[key_col],
         if_not_exists=True,
@@ -293,6 +326,7 @@ def near_dedup_ingest(
             F.explode("_bh").alias("band_hash"), F.col("_id").alias(key_col)
         ).schema,
         branch,
+        partition_by=[f"bucket({index_buckets}, band_hash)"],
         sort_by=["band_hash"],
         bloom_cols=["band_hash"],
         if_not_exists=True,

@@ -1,0 +1,202 @@
+"""Key-probe pruning (catalog/keyprobe.py + _files_overlapping_keys).
+
+The round-6 probe silently skipped bloom probing above 10k sampled
+keys and knew nothing of partition values, so a uniform-digest batch
+degraded to a full index scan. These tests pin the three layers of the
+round-7 probe:
+
+1. partition-value SET pruning (no key-count cap, exact for the
+   transforms the write path derives),
+2. per-tuple range slicing driver-side,
+3. executor-side bloom/range probing above the driver sample cap.
+
+Every test asserts BOTH directions: no file that truly holds a probe
+key is ever pruned (soundness), and provably-clean files are dropped
+(effectiveness).
+"""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+    partition_prunes_file,
+    partition_value_sets,
+)
+
+
+def _digest_df(spark, ids):
+    return spark.createDataFrame(
+        [(i,) for i in ids], "id long"
+    ).select(F.sha2(F.col("id").cast("string"), 256).alias("fp"), "id")
+
+
+def _true_hit_paths(cat, meta, fps):
+    """Ground truth by reading every live file's key column."""
+    hits = set()
+    import os
+
+    for f in meta.files():
+        vals = set(
+            pq.read_table(
+                os.path.join(cat.warehouse, f.path), columns=["fp"]
+            )["fp"].to_pylist()
+        )
+        if vals & fps:
+            hits.add(f.path)
+    return hits
+
+
+@pytest.fixture()
+def indexed(spark, warehouse):
+    cat = Catalog(warehouse)
+    df = _digest_df(spark, range(0, 400))
+    cat.create_table(
+        "idx",
+        df.schema,
+        partition_by=["truncate(2, fp)"],
+        sort_by=["fp"],
+        bloom_cols=["fp"],
+    )
+    cat.append(df, "idx")
+    return cat
+
+
+def test_partition_set_prunes_and_never_misses(spark, indexed):
+    cat = indexed
+    meta = cat.load_table("idx")
+    assert len(meta.files()) > 20  # one file per touched 2-hex prefix
+    probe_ids = list(range(350, 420))  # 50 present, 20 absent
+    probe = _digest_df(spark, probe_ids).select("fp")
+    fps = {r["fp"] for r in probe.collect()}
+    affected = cat._files_overlapping_keys(meta, ["fp"], probe)
+    got = {f.path for f, _ in affected}
+    truth = _true_hit_paths(cat, meta, fps)
+    assert truth <= got, "probe pruned a file that holds a probe key"
+    # 70 probe prefixes cannot touch all ~150+ index files
+    assert len(got) < len(meta.files()) * 0.75
+
+
+def test_partition_value_sets_bounded_and_exact(spark, indexed):
+    cat = indexed
+    meta = cat.load_table("idx")
+    probe = _digest_df(spark, [1, 2, 3]).select("fp")
+    sets = partition_value_sets(meta, ["fp"], probe)
+    assert len(sets) == 1
+    i, pnames, vals = sets[0]
+    assert i == 0 and "fp_truncate2" in pnames
+    expect = {r["fp"][:2] for r in probe.collect()}
+    assert vals == frozenset(expect)
+    # a file in a non-probed prefix proves clean; a probed one doesn't
+    for f in meta.files():
+        pv = f.partition["fp_truncate2"]
+        assert partition_prunes_file(f, sets) == (pv not in expect)
+
+
+def test_executor_probe_above_driver_cap(spark, indexed, monkeypatch):
+    cat = indexed
+    # force the executor path with a tiny driver cap
+    monkeypatch.setattr(Catalog, "PROBE_DRIVER_KEYS_MAX", 8)
+    meta = cat.load_table("idx")
+    probe_ids = list(range(380, 460))  # 80 keys > cap; 20 present
+    probe = _digest_df(spark, probe_ids).select("fp")
+    fps = {r["fp"] for r in probe.collect()}
+    affected = cat._files_overlapping_keys(meta, ["fp"], probe)
+    got = {f.path for f, _ in affected}
+    truth = _true_hit_paths(cat, meta, fps)
+    assert truth <= got
+    # range+bloom on ~2-row files must cut nearly everything clean
+    assert len(got) < len(meta.files()) * 0.75
+
+
+def test_executor_probe_without_partitioning(spark, warehouse, monkeypatch):
+    """The executor path alone (sorted+bloomed, unpartitioned index)
+    must both stay sound and actually prune — this is the layout every
+    pre-r7 index table has on disk."""
+    cat = Catalog(warehouse)
+    df = _digest_df(spark, range(0, 2000))
+    cat.create_table("flat", df.schema, sort_by=["fp"], bloom_cols=["fp"])
+    for lo in range(0, 2000, 250):  # several appends -> several files
+        cat.append(_digest_df(spark, range(lo, lo + 250)), "flat")
+    monkeypatch.setattr(Catalog, "PROBE_DRIVER_KEYS_MAX", 10)
+    meta = cat.load_table("flat")
+    n_files = len(meta.files())
+    assert n_files > 3
+    probe_ids = list(range(1900, 2100))  # 100 present, 100 absent
+    probe = _digest_df(spark, probe_ids).select("fp")
+    fps = {r["fp"] for r in probe.collect()}
+    affected = cat._files_overlapping_keys(meta, ["fp"], probe)
+    got = {f.path for f, _ in affected}
+    truth = _true_hit_paths(cat, meta, fps)
+    assert truth <= got
+
+
+def test_partition_evolution_prunes_both_eras(spark, warehouse):
+    cat = Catalog(warehouse)
+    df1 = _digest_df(spark, range(0, 200))
+    cat.create_table(
+        "evo",
+        df1.schema,
+        partition_by=["truncate(2, fp)"],
+        sort_by=["fp"],
+        bloom_cols=["fp"],
+    )
+    cat.append(df1, "evo")
+    cat.evolve_partition_spec("evo", ["truncate(4, fp)"])
+    cat.append(_digest_df(spark, range(200, 400)), "evo")
+    meta = cat.load_table("evo")
+    names = {k for f in meta.files() for k in f.partition}
+    assert {"fp_truncate2", "fp_truncate4"} <= names
+    probe_ids = list(range(150, 260))  # spans both eras
+    probe = _digest_df(spark, probe_ids).select("fp")
+    fps = {r["fp"] for r in probe.collect()}
+    affected = cat._files_overlapping_keys(meta, ["fp"], probe)
+    got = {f.path for f, _ in affected}
+    truth = _true_hit_paths(cat, meta, fps)
+    assert truth <= got
+    assert len(got) < len(meta.files())  # both eras contributed prunes
+
+
+def test_null_and_missing_partition_values_keep_conservatively():
+    from no_jvm_wap_with_iceberg_spark.catalog.table import FileEntry
+
+    sets = [(0, ["p_truncate2"], frozenset({"ab"}))]
+    null_f = FileEntry(
+        path="a", rows=1, bytes=1, columns={},
+        partition={"p_truncate2": "__HIVE_DEFAULT_PARTITION__"},
+    )
+    missing_f = FileEntry(path="b", rows=1, bytes=1, columns={}, partition={})
+    hit_f = FileEntry(
+        path="c", rows=1, bytes=1, columns={}, partition={"p_truncate2": "ab"}
+    )
+    miss_f = FileEntry(
+        path="d", rows=1, bytes=1, columns={}, partition={"p_truncate2": "cd"}
+    )
+    assert not partition_prunes_file(null_f, sets)
+    assert not partition_prunes_file(missing_f, sets)
+    assert not partition_prunes_file(hit_f, sets)
+    assert partition_prunes_file(miss_f, sets)
+
+
+def test_upsert_on_partitioned_table_stays_exact(spark, warehouse):
+    """End-to-end: keyed mutation through the probe on a bucketed
+    table — rewrite only touches files that may hold the keys, and
+    the result is byte-equal to a plain overwrite-by-key."""
+    cat = Catalog(warehouse)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(300)], "k long, v string"
+    )
+    cat.create_table(
+        "upt", base.schema, partition_by=["bucket(16, k)"],
+        sort_by=["k"], bloom_cols=["k"],
+    )
+    cat.append(base, "upt")
+    ups = spark.createDataFrame(
+        [(5, "NEW5"), (250, "NEW250"), (999, "NEW999")], "k long, v string"
+    )
+    cat.upsert(ups, "upt", key="k")
+    got = {(r["k"], r["v"]) for r in cat.read(spark, "upt").collect()}
+    expect = {(i, f"v{i}") for i in range(300) if i not in (5, 250)}
+    expect |= {(5, "NEW5"), (250, "NEW250"), (999, "NEW999")}
+    assert got == expect
