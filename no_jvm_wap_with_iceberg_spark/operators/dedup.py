@@ -571,7 +571,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_profile",
-    None,  # hash family not reproducible in SQL -> rows-only check
+    None,  # hash family not reproducible in SQL -> rows-only check;
+    # dedup_simhash_agreement_gate asserts the fingerprints' QUALITY
     doc="SimHash64 fingerprint profile: docs per 16-bit prefix bucket",
 )
 def dedup_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,6 +583,73 @@ def dedup_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("prefix16")
     )
+
+
+# SimHash quality gate: hamming distance of two docs' fingerprints
+# must track their exact shingle-Jaccard. HAM_CUT splits the regimes;
+# bounds are set from measured cohort distributions across
+# sf0.001/0.01/0.1 — near pairs (exact Jaccard >= 0.7) hammed 0-12
+# (frac <= CUT was 1.0 everywhere), far pairs' 5th percentile was
+# 11-12 (frac <= CUT ~0.1) — so 0.9 / 0.35 hold with wide margin
+SIMHASH_HAM_CUT = 13
+SIMHASH_NEAR_AGREE = 0.9  # frac of true near-dups at hamming <= CUT
+SIMHASH_FAR_LEAK = 0.35  # max frac of far pairs at hamming <= CUT
+
+
+@register(
+    "dedup_simhash_agreement_gate",
+    """
+    SELECT 'near' AS cohort, true AS agreement_ok
+    UNION ALL
+    SELECT 'far', true
+    """,
+    doc="assertion-gate companion to the rows-only simhash profile: "
+    "two pair cohorts — verified near-dups (exact shingle-Jaccard "
+    ">= 0.7 via MinHash candidates) and deterministic far pairs "
+    "(doc_id offset pairing) — and for each the fraction whose "
+    "SimHash hamming distance lands at or under SIMHASH_HAM_CUT, "
+    "asserted in-plan against measured bounds (near >= 0.9 agree, "
+    "far <= 0.35 leak). A hash-family regression now fails the "
+    "driver hash gate instead of hiding behind a bucket-count "
+    "profile.",
+)
+def dedup_simhash_agreement_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    fp = simhash64(d, "doc_id", "text")
+    a = fp.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    b = fp.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"))
+
+    def hammed(pairs: DataFrame, cohort: str) -> DataFrame:
+        h = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .agg(
+                F.avg(
+                    (h <= SIMHASH_HAM_CUT).cast("double")
+                ).alias("_frac")
+            )
+            .select(F.lit(cohort).alias("cohort"), "_frac")
+        )
+
+    near = hammed(
+        minhash_dedup_pairs(d, "doc_id", "text").select("id_a", "id_b"),
+        "near",
+    ).select(
+        "cohort", (F.col("_frac") >= SIMHASH_NEAR_AGREE).alias("agreement_ok")
+    )
+    far = hammed(
+        d.select(F.col("doc_id").alias("id_a"))
+        .withColumn("id_b", (F.col("id_a") + F.lit(n // 2)) % F.lit(n))
+        .filter(F.col("id_a") < F.col("id_b")),
+        "far",
+    ).select(
+        "cohort", (F.col("_frac") <= SIMHASH_FAR_LEAK).alias("agreement_ok")
+    )
+    return near.unionByName(far)
 
 
 def connected_components(

@@ -932,6 +932,62 @@ def sketch_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_events_error_gate",
+    """
+    SELECT event_type,
+           true AS distinct_ok, true AS p50_ok, true AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="assertion-gate companion to the rows-only sketch query: per "
+    "event type, the HLL distinct-user estimate must sit within 4x "
+    "its configured rsd (1%) of the EXACT distinct count, and each "
+    "approx percentile must satisfy the KLL rank guarantee against "
+    "the raw rows — #rows <= estimate covers at least (p - eps)*n "
+    "and #rows < estimate at most (p + eps)*n, eps = 1/accuracy "
+    "plus one row of discreteness slack. Rank checks (not value "
+    "bands) because exact percentile() interpolates while the "
+    "sketch returns a data element — value bands false-alarm at "
+    "small n and the rank bound is the sketch's actual contract at "
+    "every scale.",
+)
+def sketch_events_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_au"),
+        F.countDistinct("user_id").alias("_eu"),
+        F.percentile_approx("value", 0.5, 10_000).alias("_ap50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("_ap99"),
+        F.count("value").alias("_n"),
+    )
+    joined = ev.join(F.broadcast(approx), "event_type")
+    v = F.col("value")
+    ranked = joined.groupBy("event_type").agg(
+        F.sum((v < F.col("_ap50")).cast("long")).alias("_lt50"),
+        F.sum((v <= F.col("_ap50")).cast("long")).alias("_le50"),
+        F.sum((v < F.col("_ap99")).cast("long")).alias("_lt99"),
+        F.sum((v <= F.col("_ap99")).cast("long")).alias("_le99"),
+        F.first("_au").alias("_au"),
+        F.first("_eu").alias("_eu"),
+        F.first("_n").alias("_n"),
+    )
+    n = F.col("_n").cast("double")
+    tol = n / 10_000.0 + 1.0  # 1/accuracy rank error + discreteness
+
+    def rank_ok(p, lt, le):
+        return (F.col(le) >= p * n - tol) & (F.col(lt) <= p * n + tol)
+
+    return ranked.select(
+        "event_type",
+        (
+            F.abs(F.col("_au") - F.col("_eu"))
+            <= F.greatest(0.04 * F.col("_eu"), F.lit(1.0))
+        ).alias("distinct_ok"),
+        rank_ok(0.5, "_lt50", "_le50").alias("p50_ok"),
+        rank_ok(0.99, "_lt99", "_le99").alias("p99_ok"),
+    )
+
+
+@register(
     "fn_scalar_suite",
     """
     SELECT o_orderkey,
