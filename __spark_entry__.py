@@ -90,6 +90,12 @@ _HEAD = [
     # --- new r7 assertion gates ---
     "dedup_simhash_agreement_gate",
     "sketch_events_error_gate",
+    # --- NEW r7 surface: TPC-H Q2/Q11/Q16/Q20 over the derived
+    #     partsupp relation (plans/partsupp.py) ---
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
     # --- oldest-evidence (r4) fill ---
     "fn_scalar_suite",
     "fn_json_map_suite",
@@ -99,10 +105,6 @@ _HEAD = [
     "audit_profile_lineitem",
     "dedup_ngram_jaccard",
     "corpus_stratified_sample",
-    "text_quality_rules",
-    "text_tfidf_top_terms",
-    "streaming_backfill_slices",
-    "catalog_table_rename",
     # Round-8 head rotation guidance: the r6 head (sql_wap_lifecycle
     # through text_perplexity_filter) all carries r6 evidence; next
     # stalest after this round are the remaining r4-evidence queries
@@ -112,6 +114,10 @@ _HEAD = [
     # plus anything whose subsystem changes in r8.
 ]
 _TAIL = [
+    "text_quality_rules",
+    "text_tfidf_top_terms",
+    "streaming_backfill_slices",
+    "catalog_table_rename",
     # rotated out of the head (r4/r5-green — freshest evidence goes to
     # the end of the line); order only matters if the gate ever reads
     # past slot 50

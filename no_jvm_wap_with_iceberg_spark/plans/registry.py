@@ -68,5 +68,6 @@ def get_queries() -> dict[str, Query]:
     import no_jvm_wap_with_iceberg_spark.streaming.ingest  # noqa: F401
     import no_jvm_wap_with_iceberg_spark.streaming.sessionize  # noqa: F401
     import no_jvm_wap_with_iceberg_spark.plans.catalog_queries  # noqa: F401
+    import no_jvm_wap_with_iceberg_spark.plans.partsupp  # noqa: F401
 
     return QUERIES

@@ -42,10 +42,14 @@ CROSS_OK = {
     "catalog_time_travel",  # crossJoin of two SINGLE-ROW snapshot
     # aggregates (s1 x s2 summary row)
     "sql_time_travel",  # same shape via SQL scalar subqueries
+    "q11_important_stock",  # TPC-H Q11's scalar HAVING: the 1-row
+    # group total broadcast-crossed onto the per-part aggregate
 }
 # single-partition exchanges over provably tiny inputs:
 SINGLE_OK = {
     "window_ranking_suite",  # 32-row per-range stats only (plan-asserted)
+    "dedup_simhash_agreement_gate",  # two single-row cohort fractions
+    "q11_important_stock",  # single-row group-total aggregate (HAVING)
     "q6_revenue_forecast",  # single-row aggregate
     "q14_promo_revenue",  # single-row aggregate
     "events_user_funnel",  # per-funnel-step counts (5 rows)
