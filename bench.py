@@ -63,6 +63,14 @@ HEADLINE = [
     # replace + read-back)
     "dedup_incremental_index",
     "sql_replace_where",
+    # round 7: the two new assertion gates run (and hard-assert) at
+    # bench scale like the ANN recall gate — simhash hamming-vs-exact-
+    # Jaccard cohort agreement, and HLL/KLL sketch error bounds; plus
+    # one of the TPC-H shapes the derived partsupp unblocked (Q2's
+    # window-min over a broadcast dimension join)
+    "dedup_simhash_agreement_gate",
+    "sketch_events_error_gate",
+    "q2_min_cost_supplier",
 ]
 
 
@@ -104,6 +112,19 @@ def main() -> None:
                 if bad:  # not assert: python -O must not strip the gate
                     raise RuntimeError(
                         f"ANN recall below bound at {sf_dir}: {bad}"
+                    )
+            elif name.endswith("_gate"):
+                # every *_gate entry hard-asserts its boolean columns
+                # at bench scale (simhash agreement, sketch bounds)
+                bad = [
+                    (i, k)
+                    for i, r in enumerate(rows)
+                    for k, v in r.asDict().items()
+                    if isinstance(v, bool) and not v
+                ]
+                if bad:
+                    raise RuntimeError(
+                        f"{name} failed at {sf_dir}: {bad}"
                     )
     timings = {n: round(sorted(ts)[1], 3) for n, ts in reps.items()}
     timings_min = {n: round(min(ts), 3) for n, ts in reps.items()}

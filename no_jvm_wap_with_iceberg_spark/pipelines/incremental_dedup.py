@@ -56,6 +56,32 @@ from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 from no_jvm_wap_with_iceberg_spark.catalog.catalog import MAIN, CommitConflict
 
 
+# self-tending index maintenance: after a publish, when the index has
+# accumulated more than this many live files per POPULATED partition
+# (each ingest lands >= one file per touched partition), fold them
+# with a partition-preserving binpack — no maintenance cron needed,
+# same discipline as the catalog's merge auto-fold
+AUTO_COMPACT_FILES_PER_PARTITION = 4
+
+
+def _maybe_compact_index(
+    spark: SparkSession, cat: Catalog, table: str, branch: str
+) -> None:
+    """Best-effort and off the publish path: the ingest already
+    committed, and a lost compaction CAS race just leaves the fold to
+    a later ingest. Maintenance must never fail an admit."""
+    try:
+        meta = cat.load_table(table, branch)
+        files = meta.files()
+        parts = {tuple(sorted(f.partition.items())) for f in files}
+        if len(files) > AUTO_COMPACT_FILES_PER_PARTITION * max(
+            len(parts), 1
+        ):
+            cat.compact(spark, table, branch, mode="binpack")
+    except Exception:
+        pass
+
+
 @dataclasses.dataclass
 class DedupIngestResult:
     published: bool
@@ -169,6 +195,7 @@ def dedup_ingest(
             )
             cat.merge(stage, branch)
             unique_batch.unpersist()
+            _maybe_compact_index(spark, cat, index_table, branch)
             return DedupIngestResult(
                 published=True,
                 rows_in=rows_in,
@@ -420,6 +447,8 @@ def near_dedup_ingest(
             )
             cat.merge(stage, branch)
             sigs.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
+            _maybe_compact_index(spark, cat, band_table, branch)
+            _maybe_compact_index(spark, cat, sig_table, branch)
             return NearDedupIngestResult(
                 published=True,
                 rows_in=rows_in,

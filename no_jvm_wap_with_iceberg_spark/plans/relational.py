@@ -952,13 +952,23 @@ def sketch_events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_events_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    approx = ev.groupBy("event_type").agg(
+    # exact distinct via distinct-then-count, NOT countDistinct in the
+    # same agg as the sketches: a mixed distinct/non-distinct agg
+    # plans an Expand that re-feeds every row through the percentile
+    # sketch twice (measured 15.6 s vs <2 s split at sf0.1)
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("_au"),
-        F.countDistinct("user_id").alias("_eu"),
         F.percentile_approx("value", 0.5, 10_000).alias("_ap50"),
         F.percentile_approx("value", 0.99, 10_000).alias("_ap99"),
         F.count("value").alias("_n"),
     )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_eu"))
+    )
+    approx = sketches.join(exact, "event_type")
     joined = ev.join(F.broadcast(approx), "event_type")
     v = F.col("value")
     ranked = joined.groupBy("event_type").agg(

@@ -10,6 +10,7 @@ fingerprint index (pipelines/incremental_dedup.py).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
@@ -128,3 +129,39 @@ def test_index_probe_prunes_files(spark, warehouse):
     )
     affected = cat._files_overlapping_keys(meta, ["fingerprint"], probe)
     assert not affected  # range/bloom pruning proved absence
+
+
+def test_auto_compact_bounds_index_files(spark, warehouse, monkeypatch):
+    """Self-tending index maintenance: once every prefix partition is
+    populated, each ingest adds ~one file per partition; the
+    auto-binpack trigger must fold them back so the live file count
+    stays bounded by (threshold + 1) x partitions instead of growing
+    linearly with ingests."""
+    import no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup as idd
+
+    monkeypatch.setattr(idd, "AUTO_COMPACT_FILES_PER_PARTITION", 2)
+    cat = Catalog(warehouse)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        )
+
+    counts = []
+    for i in range(6):
+        idd.dedup_ingest(
+            spark, cat, batch(i * 400, (i + 1) * 400), "docs", "fp_index"
+        )
+        counts.append(len(cat.load_table("fp_index").files()))
+    parts = {
+        tuple(sorted(f.partition.items()))
+        for f in cat.load_table("fp_index").files()
+    }
+    # bounded: never beyond (threshold + 1) per populated partition
+    assert max(counts) <= 3 * len(parts), (counts, len(parts))
+    # compaction actually fired at least once (a fold shrinks counts)
+    assert any(b < a for a, b in zip(counts, counts[1:])), counts
+    # and dedup stays exact across the folds
+    res = idd.dedup_ingest(spark, cat, batch(0, 2400), "docs", "fp_index")
+    assert res.rows_published == 0
