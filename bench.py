@@ -57,10 +57,15 @@ HEADLINE = [
     # recall_ok for lsh AND ivf at sf0.1 every run
     "similarity_ann_recall_gate",
     # round 6 late: the production corpus-ingest shape (3-batch
-    # cross-batch dedup against the persisted bloom-probed fingerprint
-    # index, atomic multi-table publish per batch) and the
-    # predicate-scoped atomic reload (REPLACE WHERE: write + enforced
-    # replace + read-back)
+    # cross-batch dedup against the persisted fingerprint index,
+    # atomic multi-table publish per batch) and the predicate-scoped
+    # atomic reload (REPLACE WHERE: write + enforced replace +
+    # read-back). Round 7: the index is now truncate(2)-partitioned
+    # (VERDICT r6 #1) — the entry deliberately pays the hive layout's
+    # one-file-per-touched-prefix write amplification, because that
+    # layout is what makes the probe a partition-set lookup at any
+    # batch size (soak: affected 0/21,908 files at 12k-unique
+    # batches, SCALE.md round-7)
     "dedup_incremental_index",
     "sql_replace_where",
     # round 7: the two new assertion gates run (and hard-assert) at

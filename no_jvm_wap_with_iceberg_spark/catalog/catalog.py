@@ -1841,6 +1841,7 @@ class Catalog:
 
         from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
         from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+            partition_key_bounds,
             partition_prunes_file,
             partition_value_sets,
             probe_files_spark,
@@ -1900,8 +1901,17 @@ class Catalog:
         for f, specs in with_conds:
             if part_sets and partition_prunes_file(f, part_sets):
                 continue
+            # a matching key must fall in the batch's key range WITHIN
+            # this file's own partition — far tighter than the global
+            # bounds for uniform keys, and what keeps executor-probe
+            # candidates ~true-hits as the index grows (probe latency
+            # then scales with the BATCH, not the file count)
+            tight = partition_key_bounds(f, part_sets) if part_sets else {}
             overlaps = True
-            for (lo, hi), names in zip(bounds, names_per_col):
+            for ci, ((lo, hi), names) in enumerate(
+                zip(bounds, names_per_col)
+            ):
+                lo, hi = tight.get(ci, (lo, hi))
                 if lo is None:
                     continue  # all-null component: no range evidence
                 st = next(

@@ -63,17 +63,31 @@ _IDENTITY_SAFE_TYPES = {"byte", "short", "integer", "long", "string"}
 PARTITION_SET_MAX = 70_000
 
 
+@dataclasses.dataclass(frozen=True)
+class PartSet:
+    """One key column's partition-prune evidence for a batch."""
+
+    key_index: int
+    pnames: list[str]  # candidate manifest keys (rename history)
+    values: frozenset[str]  # batch's distinct partition values
+    # partition value -> (min key, max key) WITHIN that partition of
+    # the batch — a file's range need only overlap ITS OWN partition's
+    # key range, which is vastly tighter than the batch's global
+    # bounds once keys are uniform (the whole point of the layout)
+    bounds: dict
+
+
 def partition_value_sets(
     meta, key_cols: list[str], kdf: DataFrame
-) -> list[tuple[int, list[str], frozenset[str]]]:
+) -> list[PartSet]:
     """For each key column that is a partition source, the batch's
-    distinct partition values as directory-comparable strings.
+    distinct partition values as directory-comparable strings, plus
+    per-partition key min/max (one bounded aggregation job).
 
-    Returns ``(key_index, candidate_partition_names, value_set)``
-    tuples; ``candidate_partition_names`` covers pre-rename files
-    (their dirs are keyed by the historical field name). Fields whose
-    distinct set exceeds :data:`PARTITION_SET_MAX` are omitted —
-    pruning is an IO reducer, never a correctness gate.
+    ``pnames`` covers pre-rename files (their dirs are keyed by the
+    historical field name). Fields whose distinct set exceeds
+    :data:`PARTITION_SET_MAX` are omitted — pruning is an IO reducer,
+    never a correctness gate.
 
     Partition EVOLUTION is first-class: every spec the table ever
     wrote under contributes its own set (``all_partition_fields``), so
@@ -86,7 +100,7 @@ def partition_value_sets(
     if not pfields:
         return []
     types = {f.name: f.dataType.typeName() for f in meta.spark_schema.fields}
-    out: list[tuple[int, list[str], frozenset[str]]] = []
+    out: list[PartSet] = []
     matches = [
         (i, p)
         for i, col in enumerate(key_cols)
@@ -103,36 +117,61 @@ def partition_value_sets(
         else:
             pv_expr = partition_expr(fld, src_t)
         rows = (
-            kdf.select(pv_expr.alias("_pv"))
-            .distinct()
+            kdf.groupBy(pv_expr.alias("_pv"))
+            .agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
             .limit(PARTITION_SET_MAX + 1)
             .collect()
         )
         if len(rows) > PARTITION_SET_MAX:
             continue
+        from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
+
         vals = frozenset(r["_pv"] for r in rows if r["_pv"] is not None)
+        bounds = {
+            r["_pv"]: (_norm(r["_lo"]), _norm(r["_hi"]))
+            for r in rows
+            if r["_pv"] is not None
+        }
         pnames = [fld.name]
         for old in meta.rename_history.get(col, ()):
             pnames.append(dataclasses.replace(fld, source=old).name)
-        out.append((i, pnames, vals))
+        out.append(PartSet(i, pnames, vals, bounds))
     return out
 
 
-def partition_prunes_file(
-    f, part_sets: list[tuple[int, list[str], frozenset[str]]]
-) -> bool:
+def partition_prunes_file(f, part_sets: list[PartSet]) -> bool:
     """True when the file's partition values PROVE no batch key can
     live in it. Conservative on missing values, the hive null marker
     (which also swallows empty strings), and escaping oddities —
     directory strings are unescaped (Spark percent-encodes special
     chars) before membership."""
-    for _i, pnames, vals in part_sets:
-        raw = next((f.partition[p] for p in pnames if p in f.partition), None)
+    for ps in part_sets:
+        raw = next(
+            (f.partition[p] for p in ps.pnames if p in f.partition), None
+        )
         if raw is None or raw == HIVE_NULL:
             continue
-        if unquote(raw) not in vals:
+        if unquote(raw) not in ps.values:
             return True
     return False
+
+
+def partition_key_bounds(f, part_sets: list[PartSet]) -> dict:
+    """key index -> (lo, hi) of the batch keys WITHIN this file's own
+    partition — the tight range a matching key must fall in. Only for
+    columns whose partition value resolved; absent entries fall back
+    to the caller's global bounds."""
+    out: dict = {}
+    for ps in part_sets:
+        raw = next(
+            (f.partition[p] for p in ps.pnames if p in f.partition), None
+        )
+        if raw is None or raw == HIVE_NULL:
+            continue
+        b = ps.bounds.get(unquote(raw))
+        if b is not None:
+            out[ps.key_index] = b
+    return out
 
 
 def probe_files_spark(

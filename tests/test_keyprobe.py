@@ -84,10 +84,15 @@ def test_partition_value_sets_bounded_and_exact(spark, indexed):
     probe = _digest_df(spark, [1, 2, 3]).select("fp")
     sets = partition_value_sets(meta, ["fp"], probe)
     assert len(sets) == 1
-    i, pnames, vals = sets[0]
-    assert i == 0 and "fp_truncate2" in pnames
-    expect = {r["fp"][:2] for r in probe.collect()}
-    assert vals == frozenset(expect)
+    ps = sets[0]
+    assert ps.key_index == 0 and "fp_truncate2" in ps.pnames
+    fps = sorted(r["fp"] for r in probe.collect())
+    expect = {v[:2] for v in fps}
+    assert ps.values == frozenset(expect)
+    # per-partition bounds are exactly the batch keys' min/max there
+    for pv, (lo, hi) in ps.bounds.items():
+        in_p = [v for v in fps if v[:2] == pv]
+        assert (lo, hi) == (min(in_p), max(in_p))
     # a file in a non-probed prefix proves clean; a probed one doesn't
     for f in meta.files():
         pv = f.partition["fp_truncate2"]
@@ -159,9 +164,10 @@ def test_partition_evolution_prunes_both_eras(spark, warehouse):
 
 
 def test_null_and_missing_partition_values_keep_conservatively():
+    from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import PartSet
     from no_jvm_wap_with_iceberg_spark.catalog.table import FileEntry
 
-    sets = [(0, ["p_truncate2"], frozenset({"ab"}))]
+    sets = [PartSet(0, ["p_truncate2"], frozenset({"ab"}), {})]
     null_f = FileEntry(
         path="a", rows=1, bytes=1, columns={},
         partition={"p_truncate2": "__HIVE_DEFAULT_PARTITION__"},
