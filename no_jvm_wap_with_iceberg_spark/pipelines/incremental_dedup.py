@@ -256,14 +256,18 @@ def near_dedup_ingest(
     docs racing in cannot both be admitted.
 
     Scale shape: the probe scans at most the partition/range/bloom-hit
-    band-index files (16 longs per admitted doc — tiny next to the
-    corpus), the verification reads only the candidate docs' signature
+    band-index files (16 longs per admitted doc — ~0.1% of the corpus
+    bytes), the verification reads only the candidate docs' signature
     rows, and nothing ever rescans admitted documents' text. Both
     index tables are hash-bucketed on their probe key
-    (``bucket(index_buckets, ...)``), so the candidate set cuts by a
-    partition-value set lookup — bounded by the bucket count, never by
-    batch size — before ranges and (above 10k keys, executor-side)
-    blooms.
+    (``bucket(index_buckets, ...)``): the set lookup prunes sharply
+    for SMALL batches (a 100-doc batch touches ~16x100 of the buckets'
+    hash space), while a large batch (>~buckets/16 docs) necessarily
+    covers every bucket — its probe then degrades to a scan OF THE
+    BAND INDEX, never of the corpus, with the executor-side bloom pass
+    still dropping clean files where per-file cardinality permits. The
+    signature-table probe (by doc key, small candidate sets) prunes at
+    every batch size.
     """
     from no_jvm_wap_with_iceberg_spark.operators.dedup import (
         _JT_P,
