@@ -100,13 +100,15 @@ def partition_value_sets(
     if not pfields:
         return []
     types = {f.name: f.dataType.typeName() for f in meta.spark_schema.fields}
-    out: list[PartSet] = []
     matches = [
         (i, p)
         for i, col in enumerate(key_cols)
         for p in pfields
         if p.source == col
     ]
+    # resolve each usable field's partition-value expression up front
+    usable: list[tuple[int, PartitionField, str]] = []
+    pv_exprs = []
     for i, fld in matches:
         col = key_cols[i]
         src_t = types.get(col)
@@ -116,6 +118,86 @@ def partition_value_sets(
             pv_expr = F.col(col).cast("string")
         else:
             pv_expr = partition_expr(fld, src_t)
+        pv_exprs.append(pv_expr.alias(f"_pv{len(usable)}"))
+        usable.append((i, fld, col))
+    if not usable:
+        return []
+
+    # ONE aggregation job for every field (a keyed mutation against an
+    # evolved table has several eras over the same column — the old
+    # one-job-per-field loop rescanned the batch per era): group by
+    # the tuple of ALL partition-value expressions, min/max each key
+    # column once, fold per-field sets/bounds driver-side. The combined
+    # cardinality is the max over correlated fields (an era's wider
+    # prefix determines the narrower one), so the cap rarely bites; if
+    # it does, fall back to per-field jobs so one over-wide field only
+    # disables itself.
+    key_src_cols = sorted({col for _i, _f, col in usable})
+    aggs = []
+    for col in key_src_cols:
+        aggs.append(F.min(col).alias(f"_lo_{col}"))
+        aggs.append(F.max(col).alias(f"_hi_{col}"))
+    rows = (
+        kdf.groupBy(*pv_exprs)
+        .agg(*aggs)
+        .limit(PARTITION_SET_MAX + 1)
+        .collect()
+    )
+    if len(rows) > PARTITION_SET_MAX:
+        return _per_field_sets(meta, key_cols, kdf, usable)
+
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
+
+    out: list[PartSet] = []
+    for k, (i, fld, col) in enumerate(usable):
+        pv_name, lo_name, hi_name = f"_pv{k}", f"_lo_{col}", f"_hi_{col}"
+        folded: dict[str, tuple] = {}
+        for r in rows:
+            pv = r[pv_name]
+            if pv is None:
+                continue
+            lo, hi = r[lo_name], r[hi_name]
+            prev = folded.get(pv)
+            if prev is None:
+                folded[pv] = (lo, hi)
+            else:
+                plo, phi = prev
+                if lo is not None and (plo is None or lo < plo):
+                    plo = lo
+                if hi is not None and (phi is None or hi > phi):
+                    phi = hi
+                folded[pv] = (plo, phi)
+        if len(folded) > PARTITION_SET_MAX:
+            continue
+        bounds = {
+            pv: (_norm(lo), _norm(hi)) for pv, (lo, hi) in folded.items()
+        }
+        out.append(PartSet(i, _pnames(meta, fld, col), frozenset(folded), bounds))
+    return out
+
+
+def _pnames(meta, fld: PartitionField, col: str) -> list[str]:
+    names = [fld.name]
+    for old in meta.rename_history.get(col, ()):
+        names.append(dataclasses.replace(fld, source=old).name)
+    return names
+
+
+def _per_field_sets(
+    meta, key_cols: list[str], kdf: DataFrame, usable: list
+) -> list[PartSet]:
+    """Fallback when the combined groupBy's cardinality blew the cap:
+    one bounded job per field (the pre-round-8 shape), so a single
+    over-wide field only disables its own pruning."""
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
+
+    types = {f.name: f.dataType.typeName() for f in meta.spark_schema.fields}
+    out: list[PartSet] = []
+    for i, fld, col in usable:
+        if fld.transform == "identity":
+            pv_expr = F.col(col).cast("string")
+        else:
+            pv_expr = partition_expr(fld, types.get(col))
         rows = (
             kdf.groupBy(pv_expr.alias("_pv"))
             .agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
@@ -124,18 +206,13 @@ def partition_value_sets(
         )
         if len(rows) > PARTITION_SET_MAX:
             continue
-        from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
-
         vals = frozenset(r["_pv"] for r in rows if r["_pv"] is not None)
         bounds = {
             r["_pv"]: (_norm(r["_lo"]), _norm(r["_hi"]))
             for r in rows
             if r["_pv"] is not None
         }
-        pnames = [fld.name]
-        for old in meta.rename_history.get(col, ()):
-            pnames.append(dataclasses.replace(fld, source=old).name)
-        out.append(PartSet(i, pnames, vals, bounds))
+        out.append(PartSet(i, _pnames(meta, fld, col), vals, bounds))
     return out
 
 

@@ -2089,11 +2089,18 @@ def show_partitions(cat, spark, query: str, branch: str):
             f"SHOW PARTITIONS: table {table!r} is not partitioned"
         )
     tuples = {
-        # a PRESENT-but-None value must render as the hive null
-        # marker too, not 'k=None' (file_all_match treats both
-        # spellings as null, so None values do occur in manifests)
+        # a PRESENT-but-None (or empty-string) value must render as
+        # the hive null marker, not 'k=None' (file_all_match treats
+        # both spellings as null, so None values do occur in
+        # manifests) — but ONLY those: any other falsy value a future
+        # layout might store (e.g. a non-string 0) is a real value
         tuple(
-            (k, f.partition.get(k) or "__HIVE_DEFAULT_PARTITION__")
+            (
+                k,
+                v
+                if (v := f.partition.get(k)) not in (None, "")
+                else "__HIVE_DEFAULT_PARTITION__",
+            )
             for k in fields
         )
         for f in meta.files()

@@ -21,17 +21,27 @@ makes each ingest O(batch + bloom-hit index files):
    ``sort_by=["fingerprint"]`` + ``bloom_cols=["fingerprint"]``, so
    each append lands digest-sorted files with tight ranges + blooms.
    At any corpus or batch size the probe reads only files that MAY
-   hold a batch digest, and the scan itself inner-joins the broadcast
-   digest set. Nothing ever scans the full index (soak-measured:
-   tools/soak_dedup_probe.py, SCALE.md round-7).
+   hold a batch digest, and the scan itself inner-joins the batch's
+   digest set (broadcast-hinted only when its count is provably
+   small — see :data:`BROADCAST_MAX_ROWS`). Nothing ever scans the
+   full index (soak-measured: tools/soak_dedup_probe.py, SCALE.md
+   round-7).
 
-   ``index_prefix_width`` defaults to 2 (256 partitions — right for
-   up-to-~10^7-digest indexes; a hive layout writes >= one file per
-   touched partition per ingest, so width must track corpus size, not
-   ambition). As the corpus grows, EVOLVE the spec —
-   ``cat.evolve_partition_spec(index, ["truncate(4, fingerprint)"])``
-   — old files keep pruning under their own spec, new files under the
-   new one (keyprobe.partition_value_sets collects a set per era).
+   The index's partition width is SELF-SIZING: a hive layout writes
+   >= one file per touched partition per ingest, so width must track
+   the corpus's digest count, not ambition. New indexes start at
+   ``truncate(1, fingerprint)`` (16 partitions) and after each
+   publish :func:`_maybe_evolve_index` widens the spec per
+   :data:`INDEX_WIDTH_SCHEDULE` (metadata-only row count vs
+   thresholds) via ``Catalog.evolve_partition_spec`` plus a one-time
+   full rewrite that migrates narrow-era files into the new layout
+   (their saturated blooms would otherwise admit every probe
+   forever); mixed-era states that arise anyway — a pinned-width
+   caller evolving by hand — still prune, since
+   keyprobe.partition_value_sets collects a set per era. Passing
+   ``index_prefix_width`` pins the creation width instead; against an
+   EXISTING index the parameter is a no-op (a warning points at
+   ``evolve_partition_spec``).
 3. **Publish atomically**: the surviving rows append to the documents
    table AND their fingerprints to the index table on a hidden staging
    branch that fast-forwards into the target in ONE ref CAS — readers
@@ -47,7 +57,10 @@ this rides is its core loop (``src/serverless/app.py:235-317``).
 from __future__ import annotations
 
 import dataclasses
+import logging
+import re
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +68,7 @@ from pyspark.sql import functions as F
 from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 from no_jvm_wap_with_iceberg_spark.catalog.catalog import MAIN, CommitConflict
 
+_LOG = logging.getLogger(__name__)
 
 # self-tending index maintenance: after a publish, when the index has
 # accumulated more than this many live files per POPULATED partition
@@ -63,13 +77,61 @@ from no_jvm_wap_with_iceberg_spark.catalog.catalog import MAIN, CommitConflict
 # same discipline as the catalog's merge auto-fold
 AUTO_COMPACT_FILES_PER_PARTITION = 4
 
+# batch-derived sets (probe digests, admitted ids) join against index
+# scans; an unconditional F.broadcast would ship an arbitrarily large
+# ingest batch to the driver, so the hint applies only when the row
+# count is PROVEN small and AQE picks the strategy otherwise
+BROADCAST_MAX_ROWS = 250_000
+
+# digest-count thresholds for the index's truncate(W, fingerprint)
+# width, checked after every publish (metadata-only row count). A
+# width sized for 10^7 digests at a 10^4-digest corpus costs pure
+# tiny-file write amplification (measured: 3x ingest cost at bench
+# scale), so the layout grows WITH the corpus: 16 partitions until
+# 100k digests, 256 until 10M, 65,536 beyond.
+INDEX_WIDTH_SCHEDULE: tuple[tuple[int, int], ...] = (
+    (10_000_000, 4),
+    (100_000, 2),
+)
+
+_TRUNCATE_SPEC = re.compile(r"truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)")
+
+
+def _hint_small(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint ``df`` only when its row count is known to be at
+    most :data:`BROADCAST_MAX_ROWS`; otherwise return it unhinted and
+    let AQE choose from runtime stats (``n_rows`` may be any sound
+    upper bound)."""
+    if n_rows is not None and n_rows <= BROADCAST_MAX_ROWS:
+        return F.broadcast(df)
+    return df
+
+
+def _target_width(n_digests: int) -> int:
+    for threshold, width in INDEX_WIDTH_SCHEDULE:
+        if n_digests >= threshold:
+            return width
+    return 1
+
+
+def _index_width(meta) -> int | None:
+    """Current truncate width of a single-field fingerprint-prefix
+    spec; None for any other layout (caller-pinned — leave it alone)."""
+    if len(meta.partition_by or []) != 1:
+        return None
+    m = _TRUNCATE_SPEC.fullmatch(meta.partition_by[0].strip())
+    if m is None or m.group(2) != "fingerprint":
+        return None
+    return int(m.group(1))
+
 
 def _maybe_compact_index(
     spark: SparkSession, cat: Catalog, table: str, branch: str
 ) -> None:
     """Best-effort and off the publish path: the ingest already
     committed, and a lost compaction CAS race just leaves the fold to
-    a later ingest. Maintenance must never fail an admit."""
+    a later ingest. Maintenance must never fail an admit — but a
+    persistent failure must not be invisible either, so it logs."""
     try:
         meta = cat.load_table(table, branch)
         files = meta.files()
@@ -79,7 +141,47 @@ def _maybe_compact_index(
         ):
             cat.compact(spark, table, branch, mode="binpack")
     except Exception:
-        pass
+        _LOG.warning(
+            "index auto-compaction failed for %s@%s (will retry on a "
+            "later ingest)", table, branch, exc_info=True,
+        )
+
+
+def _maybe_evolve_index(
+    spark: SparkSession, cat: Catalog, table: str, branch: str
+) -> None:
+    """Widen the index's prefix partitioning once the corpus outgrows
+    it (:data:`INDEX_WIDTH_SCHEDULE`): metadata-only digest count vs
+    the current ``truncate(W, fingerprint)`` width, then a single
+    ``evolve_partition_spec`` commit FOLLOWED by a full layout rewrite.
+
+    The rewrite is what makes evolution effective, not just legal:
+    files written under the narrow era hold the whole old partition's
+    digest span, so their fixed-size blooms are saturated and their
+    ranges span everything — they would be admitted by every probe
+    forever. Migrating them into the new spec (tight per-prefix
+    ranges, unsaturated blooms) happens at most once per threshold
+    crossing and rewrites only the INDEX (~0.1% of corpus bytes — at
+    the 100k-digest crossing that is a few MB; at 10M, one bounded
+    parallel rewrite). Best-effort like compaction (a lost CAS race
+    leaves the evolution to the next ingest) and a no-op for layouts
+    the caller pinned to something other than a fingerprint prefix."""
+    try:
+        meta = cat.load_table(table, branch)
+        current = _index_width(meta)
+        if current is None:
+            return
+        target = _target_width(meta.row_count())
+        if target > current:
+            cat.evolve_partition_spec(
+                table, [f"truncate({target}, fingerprint)"], branch
+            )
+            cat.compact(spark, table, branch, mode="full")
+    except Exception:
+        _LOG.warning(
+            "index width evolution failed for %s@%s (will retry on a "
+            "later ingest)", table, branch, exc_info=True,
+        )
 
 
 @dataclasses.dataclass
@@ -113,15 +215,18 @@ def dedup_ingest(
     branch: str = MAIN,
     normalize: bool = True,
     max_retries: int = 3,
-    index_prefix_width: int = 2,
+    index_prefix_width: int | None = None,
 ) -> DedupIngestResult:
     """Admit ``batch`` into ``docs_table``, exactly-once by content.
 
     Creates both tables lazily (the index digest-sorted, bloomed, and
-    prefix-partitioned — see the module docstring for how
-    ``index_prefix_width`` scales). Returns counts;
-    ``published=False`` only for an all-duplicate batch (nothing to
-    commit is success, not failure).
+    prefix-partitioned). ``index_prefix_width=None`` (default) starts
+    a NEW index at width 1 and lets :func:`_maybe_evolve_index` widen
+    it as the corpus grows; a pinned width applies at creation only —
+    against an existing index it warns and defers to
+    ``Catalog.evolve_partition_spec`` (see the module docstring).
+    Returns counts; ``published=False`` only for an all-duplicate
+    batch (nothing to commit is success, not failure).
     """
     fp_batch = batch.withColumn(
         "_fp", fingerprint_expr(content_col, normalize)
@@ -141,15 +246,26 @@ def dedup_ingest(
             F.col("_fp").alias("fingerprint"), F.col(key_col)
         ).schema
     )
-    cat.create_table(
+    creation_width = 1 if index_prefix_width is None else index_prefix_width
+    created = cat.create_table(
         index_table,
         idx_schema,
         branch,
-        partition_by=[f"truncate({index_prefix_width}, fingerprint)"],
+        partition_by=[f"truncate({creation_width}, fingerprint)"],
         sort_by=["fingerprint"],
         bloom_cols=["fingerprint"],
         if_not_exists=True,
     )
+    if not created and index_prefix_width is not None:
+        existing = _index_width(cat.load_table(index_table, branch))
+        if existing != index_prefix_width:
+            warnings.warn(
+                f"index_prefix_width={index_prefix_width} ignored: "
+                f"{index_table!r} already exists at width {existing} "
+                "(create-time parameter only; use "
+                "Catalog.evolve_partition_spec to change a live index)",
+                stacklevel=2,
+            )
 
     last_err: Exception | None = None
     for attempt in range(1, max_retries + 2):
@@ -157,10 +273,12 @@ def dedup_ingest(
         probe = unique_batch.select(F.col("_fp").alias("fingerprint"))
         affected = cat._files_overlapping_keys(meta, ["fingerprint"], probe)
         if affected:
+            # probe has exactly n_unique rows (one per surviving digest)
             seen = (
                 cat._df_applying_deletes(spark, meta, affected)
                 .select("fingerprint")
-                .join(F.broadcast(probe.distinct()), "fingerprint", "inner")
+                .join(_hint_small(probe.distinct(), n_unique),
+                      "fingerprint", "inner")
                 .select(F.col("fingerprint").alias("_fp"))
                 .distinct()
             )
@@ -195,6 +313,8 @@ def dedup_ingest(
             )
             cat.merge(stage, branch)
             unique_batch.unpersist()
+            if index_prefix_width is None:
+                _maybe_evolve_index(spark, cat, index_table, branch)
             _maybe_compact_index(spark, cat, index_table, branch)
             return DedupIngestResult(
                 published=True,
@@ -245,7 +365,9 @@ def near_dedup_ingest(
 
     Per batch: banded MinHash signatures (``operators.dedup``, seeded
     so replays are deterministic), then two candidate passes — an
-    in-batch band self-join (a doc drops when EXACT shingle-Jaccard
+    in-batch pass (set-identical docs collapse keep-first FIRST, so a
+    batch of N copies costs O(N) instead of an N^2 band self-join;
+    then the band self-join drops a doc when EXACT shingle-Jaccard
     >= 0.7 against any smaller-key batch doc), and a probe of the
     persisted ``band_table`` (one band-hash row per (band, doc);
     digest-sorted + bloomed) for collisions with already-admitted
@@ -290,8 +412,24 @@ def near_dedup_ingest(
         u = col_na + col_nb - col_i
         return _JT_Q * col_i >= _JT_P * u
 
-    # ---- in-batch: band self-join, exact verification, keep-first --
-    bands = sigs.select("_id", F.explode("_bh").alias("_h"))
+    # ---- in-batch: collapse set-identical docs, then band self-join --
+    # Docs with IDENTICAL shingle sets (byte-identical text is the
+    # common case) share all 16 band hashes, so a batch with many
+    # copies of one doc would make the candidate self-join quadratic
+    # in the copy count. They are Jaccard-1 near-dups by definition —
+    # the pair pass below would drop every non-min copy anyway — so
+    # keep-first here (one windowed min, no pairs) is outcome-identical
+    # at O(batch). Shingle-less (<3-word) docs never reach this path.
+    from pyspark.sql import Window as _W
+
+    sigs_u = (
+        sigs.withColumn(
+            "_rep", F.min("_id").over(_W.partitionBy("_sh"))
+        )
+        .filter(F.col("_id") == F.col("_rep"))
+        .drop("_rep")
+    )
+    bands = sigs_u.select("_id", F.explode("_bh").alias("_h"))
     cand = (
         bands.select(F.col("_id").alias("id_a"), "_h")
         .join(bands.select(F.col("_id").alias("id_b"), "_h"), "_h")
@@ -299,9 +437,9 @@ def near_dedup_ingest(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = sigs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sh_b = sigs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
-    in_dups = (
+    sh_a = sigs_u.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sh_b = sigs_u.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    pair_dups = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .filter(
@@ -314,7 +452,11 @@ def near_dedup_ingest(
         .select(F.col("id_b").alias("_id"))
         .distinct()
     )
-    surv = sigs.join(in_dups, "_id", "left_anti").cache()
+    surv = sigs_u.join(pair_dups, "_id", "left_anti").cache()
+    # everything dropped in-batch: collapsed copies + verified pairs
+    in_dups = sigs.select("_id").join(
+        surv.select("_id"), "_id", "left_anti"
+    )
     # sub-3-word docs have no shingles, hence no near-dup notion:
     # they pass straight through (no signature/band rows either)
     no_sh_ids = (
@@ -335,11 +477,15 @@ def near_dedup_ingest(
     # large the batch, so candidate files cut by set lookup before
     # any range/bloom work — same evolution story as the exact
     # pipeline's truncate-prefix index (module docstring)
+    from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+        _BUCKETABLE,
+    )
+
     sig_schema = surv.select(
         F.col("_id").alias(key_col), F.col("_sh").alias("sh")
     ).schema
     key_t = sig_schema[key_col].dataType.typeName()
-    bucketable = key_t in ("byte", "short", "integer", "long", "string")
+    bucketable = key_t in _BUCKETABLE
     cat.create_table(
         sig_table,
         sig_schema,
@@ -371,9 +517,10 @@ def near_dedup_ingest(
         hit_files = cat._files_overlapping_keys(bmeta, ["band_hash"], probe)
         fresh = surv
         if hit_files:
+            # probe rows <= 16 band hashes per batch doc (sound bound)
             idx_hits = (
                 cat._df_applying_deletes(spark, bmeta, hit_files)
-                .join(F.broadcast(probe), "band_hash")
+                .join(_hint_small(probe, rows_in * 16), "band_hash")
                 .select("band_hash", F.col(key_col).alias("_idx_id"))
             )
             cross = (
@@ -386,9 +533,12 @@ def near_dedup_ingest(
             smeta = cat.load_table(sig_table, branch)
             sig_files = cat._files_overlapping_keys(smeta, [key_col], idx_ids)
             if sig_files:
+                # idx_ids cardinality is unknown (collisions against
+                # the whole admitted corpus) — no forced hint; AQE
+                # broadcasts it when runtime stats say it is small
                 idx_sh = (
                     cat._df_applying_deletes(spark, smeta, sig_files)
-                    .join(F.broadcast(idx_ids), key_col)
+                    .join(idx_ids, key_col)
                     .select(
                         F.col(key_col).alias("_idx_id"),
                         F.col("sh").alias("_shi"),
@@ -430,7 +580,8 @@ def near_dedup_ingest(
         cat.create_branch(stage, from_branch=branch)
         try:
             cat.append(
-                batch.join(F.broadcast(fresh_ids), key_col, "left_semi"),
+                batch.join(_hint_small(fresh_ids, n_fresh), key_col,
+                           "left_semi"),
                 docs_table,
                 stage,
             )

@@ -226,7 +226,10 @@ def test_partitioned_index_binpack_keeps_pruning(spark, warehouse):
         )
 
     for lo in (0, 150, 300):
-        dedup_ingest(spark, cat, batch(lo, lo + 150), "docs", "fp_index")
+        dedup_ingest(
+            spark, cat, batch(lo, lo + 150), "docs", "fp_index",
+            index_prefix_width=2,  # pinned: the test asserts THIS layout
+        )
     n_before = len(cat.load_table("fp_index").files())
     cat.compact(spark, "fp_index", mode="binpack")
     meta = cat.load_table("fp_index")
@@ -244,3 +247,40 @@ def test_partitioned_index_binpack_keeps_pruning(spark, warehouse):
     # and a RE-INGEST of old content still dedups exactly (soundness)
     res = dedup_ingest(spark, cat, batch(0, 150), "docs", "fp_index")
     assert res.rows_published == 0 and not res.published
+
+
+def test_partition_value_sets_multi_era_single_job(spark, warehouse):
+    """Round-8 (ADVICE r7): an evolved table has several eras over the
+    same key column; the combined groupBy must return one EXACT
+    PartSet per era — identical to what the per-field fallback
+    computes — and the fallback must engage when the combined
+    cardinality blows the cap."""
+    import no_jvm_wap_with_iceberg_spark.catalog.keyprobe as kp
+
+    cat = Catalog(warehouse)
+    df1 = _digest_df(spark, range(0, 50))
+    cat.create_table(
+        "evo2", df1.schema, partition_by=["truncate(2, fp)"],
+        sort_by=["fp"], bloom_cols=["fp"],
+    )
+    cat.append(df1, "evo2")
+    cat.evolve_partition_spec("evo2", ["truncate(4, fp)"])
+    cat.append(_digest_df(spark, range(50, 100)), "evo2")
+    meta = cat.load_table("evo2")
+    probe = _digest_df(spark, [3, 7, 99]).select("fp")
+    sets = kp.partition_value_sets(meta, ["fp"], probe)
+    assert len(sets) == 2  # one per era
+    by_name = {ps.pnames[0]: ps for ps in sets}
+    fps = sorted(r["fp"] for r in probe.collect())
+    for width, pname in ((2, "fp_truncate2"), (4, "fp_truncate4")):
+        ps = by_name[pname]
+        assert ps.values == frozenset(v[:width] for v in fps)
+        for pv, (lo, hi) in ps.bounds.items():
+            in_p = [v for v in fps if v[:width] == pv]
+            assert (lo, hi) == (min(in_p), max(in_p))
+    # the per-field fallback (cap exceeded) computes the same evidence
+    usable = [(0, f, "fp") for f in meta.all_partition_fields]
+    fb = kp._per_field_sets(meta, ["fp"], probe, usable)
+    assert {ps.pnames[0]: (ps.values, ps.bounds) for ps in fb} == {
+        ps.pnames[0]: (ps.values, ps.bounds) for ps in sets
+    }

@@ -14,13 +14,15 @@ Two layouts, because the pruning evidence differs:
   set lookup bounds candidates by the batch's prefix coverage
   (1 - e^(-batch/65536) of files) BEFORE ranges or blooms — no
   key-count cap applies to a set lookup.
-- ``width2-default``: the pipeline's default ``truncate(2, ...)``
-  layout (256 prefixes). A >10k batch covers every prefix, so the
-  partition set prunes nothing here — ALL pruning comes from the
-  executor-side probe: per-file range slicing first, then blooms
-  against only the in-range keys, which is what keeps 1 KiB blooms
-  effective at any batch size (measured: affected = 0 of 512 files
-  on disjoint 12k-digest batches).
+- ``auto-evolving``: the pipeline's round-8 self-sizing default —
+  starts at ``truncate(1, ...)`` and auto-evolves to wider prefixes
+  as the digest count crosses INDEX_WIDTH_SCHEDULE (shrunk here so a
+  step fires INSIDE the soak). A >10k batch covers every prefix at
+  these widths, so the partition set prunes little — ALL pruning
+  comes from the executor-side probe: per-file range slicing first,
+  then blooms against only the in-range keys, which is what keeps
+  1 KiB blooms effective at any batch size — and the probe must stay
+  flat ACROSS the evolution step, mixed file eras live.
 
 Each round ingests a batch of unique synthetic docs, then probes the
 grown index with the NEXT batch's digests and records
@@ -65,6 +67,10 @@ def synth_batch(spark, start: int, n: int):
 
 
 def run_layout(spark, label: str, width: int | None, batch: int, rounds: int):
+    """``width=None`` runs the pipeline's self-sizing default (round-8:
+    starts at truncate(1), auto-evolves per INDEX_WIDTH_SCHEDULE — the
+    soak's digest counts cross the first threshold, so this layout
+    measures the probe ACROSS an evolution step, mixed eras live)."""
     d = tempfile.mkdtemp(prefix=f"soak_probe_{label}_")
     cat = Catalog(d)
     out = []
@@ -72,16 +78,13 @@ def run_layout(spark, label: str, width: int | None, batch: int, rounds: int):
         for r in range(rounds):
             b = synth_batch(spark, r * batch, batch)
             t0 = time.time()
-            res = dedup_ingest(
-                spark,
-                cat,
-                b,
-                "docs",
-                "fp_index",
-                index_prefix_width=width if width else 2,
-            ) if width else dedup_ingest(
-                spark, cat, b, "docs", "fp_index"
-            )
+            if width:
+                res = dedup_ingest(
+                    spark, cat, b, "docs", "fp_index",
+                    index_prefix_width=width,
+                )
+            else:
+                res = dedup_ingest(spark, cat, b, "docs", "fp_index")
             t_ingest = time.time() - t0
             # probe the grown index with the NEXT (disjoint) batch
             nxt = synth_batch(spark, (rounds + r) * batch, batch)
@@ -99,6 +102,7 @@ def run_layout(spark, label: str, width: int | None, batch: int, rounds: int):
                 "layout": label,
                 "round": r,
                 "rows_published": res.rows_published,
+                "index_width": meta.partition_by,
                 "index_files": total,
                 "affected": len(affected),
                 "affected_frac": round(len(affected) / max(total, 1), 4),
@@ -116,7 +120,15 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 12_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark(app_name="soak_dedup_probe")
-    dflt = run_layout(spark, "width2-default", None, batch, rounds)
+    # shrink the evolution schedule so the self-sizing layout crosses
+    # ONE width step inside the soak (default thresholds need 100k
+    # digests): 1 -> 2 after the first ingest, migrating the 16
+    # width-1 files whose saturated blooms would otherwise be admitted
+    # by every later probe
+    import no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup as idd
+
+    idd.INDEX_WIDTH_SCHEDULE = ((batch, 2),)
+    dflt = run_layout(spark, "auto-evolving", None, batch, rounds)
     pfx = run_layout(spark, "prefix4", 4, batch, rounds)
     worst = max(r["affected_frac"] for r in dflt + pfx)
     print(
