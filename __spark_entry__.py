@@ -28,25 +28,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records exactly the first 50 registered queries
-# (confirmed r1-r6), so ordering is load-bearing and the head is
-# curated by hand each round. Round-7 rotation (VERDICT r6 #2 +
-# NOTES round-7 guidance): r6 was the second consecutive perfect
-# 50/50 gate, so the head is (1) the canary, (2) the 21 r3-evidence
-# queries the r6 gates displaced (the 16 listed in VERDICT #2 plus
-# the five queued: events_hourly_rollup, events_value_percentiles,
-# window_running_revenue, window_moving_avg_daily_revenue,
-# window_event_gaps), (3) everything whose SUBSYSTEM changed in r7 -
-# the key-probe rewrite + index partitioning (both incremental dedup
-# pipelines, the whole merge family, MoR delete reads, DML-subquery
-# deletes), the retuned ANN defaults + tightened recall gate (both
-# raw ANN top-k queries ride along), and the two NEW assertion gates
-# with their rows-only companions, (4) an 8-query fill from the
-# oldest (r4) evidence tier. Everything green in r5/r6 rotates to
-# the tail.
+# (confirmed r1-r7), so ordering is load-bearing and the head is
+# curated by hand each round. Round-8 rotation (VERDICT r7 #2 +
+# NOTES round-8 guidance): r7 was the third consecutive perfect
+# 50/50 gate, so the head is (1) the canary, (2) the stalest
+# evidence tier — every remaining r4-evidence query (the TPC-H
+# tail, the multimodal_* suite, the remaining text_* suite, corpus
+# profiling, dedup_substring_spans, maintenance/cherrypick,
+# streaming_changefeed_merge) plus the four r7 tail rotations,
+# (3) everything whose SUBSYSTEM changed in r8 — the incremental
+# dedup pipelines (self-sizing index width + evolution migration,
+# gated broadcasts, identical-doc collapse), the keyprobe
+# partition-value-set rewrite (ALL keyed mutations ride it: the
+# whole merge family, MoR delete reads, DML-subquery deletes,
+# metadata deletes), and the retuned IVF defaults behind the ANN
+# recall gate. Everything green in r6/r7 rotates to the tail.
 _HEAD = [
     "q1_pricing_summary",  # canary: green every round, sub-second
-    # --- r3-evidence rotation (VERDICT r6 #2: judge oracle-checked
-    #     8 of these 8/8 bit-exact this session) ---
+    # --- stalest (r4-evidence) rotation: TPC-H tail ---
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    # --- stalest (r4-evidence) rotation: multimodal suite ---
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "multimodal_bmp_resize_real",
+    "multimodal_wav_frame_features",
+    # --- stalest (r4-evidence) rotation: text/corpus/maintenance ---
+    "corpus_repetition_profile",
+    "corpus_pack_sequences",
+    "text_lang_id_confusion",
+    "text_quality_profile",
+    "text_corpus_token_stats",
+    "text_fingerprints",
+    "text_punct_stopword_profile",
+    "text_unigram_logprob",
+    "text_vocab_top_terms",
+    "text_source_lang_matrix",
+    "text_bpe_token_counts",
+    "dedup_substring_spans",
+    "sql_call_maintenance",
+    "catalog_cherrypick",
+    "streaming_changefeed_merge",
+    # --- r7 tail rotations (queued by the r7 brief) ---
+    "text_quality_rules",
+    "text_tfidf_top_terms",
+    "streaming_backfill_slices",
+    "catalog_table_rename",
+    # --- r8-changed subsystem: incremental dedup pipelines ---
+    "dedup_incremental_index",
+    "dedup_incremental_near",
+    # --- r8-changed subsystem: keyprobe partition-value sets
+    #     (every keyed mutation shares this pass) ---
+    "sql_merge_into",
+    "merge_into_conditional",
+    "merge_lineitem_composite",
+    "sql_merge_by_source",
+    "sql_merge_multi_clause",
+    "sql_merge_schema_evolution",
+    "merge_orders_cdc",
+    "catalog_metadata_delete",
+    "sql_delete_in_subquery",
+    "catalog_mor_delete_read",
+    # --- r8-changed subsystem: IVF defaults behind the recall gate ---
+    "similarity_ann_recall_gate",
+]
+_TAIL = [
+    # rotated out of the r7 head (r7-green - freshest evidence goes
+    # to the end of the line); order only matters if the gate ever
+    # reads past slot 50
     "unpivot_nation_measures",
     "topk_expensive_items",
     "histogram_order_totals",
@@ -69,34 +129,12 @@ _HEAD = [
     "window_moving_avg_daily_revenue",
     "window_event_gaps",
     "events_user_funnel",
-    # --- r7-changed subsystem: key probe + index partitioning ---
-    "dedup_incremental_index",
-    "dedup_incremental_near",
-    "sql_merge_into",
-    "merge_into_conditional",
-    "merge_lineitem_composite",
-    "sql_merge_by_source",
-    "sql_merge_multi_clause",
-    "sql_merge_schema_evolution",
-    "merge_orders_cdc",
-    "catalog_mor_delete_read",
-    "sql_delete_in_subquery",
-    "catalog_metadata_delete",
-    # --- r7-changed subsystem: ANN defaults + recall bound 0.8 ---
-    "similarity_ann_recall_gate",
-    # (the rows-only ANN top-k / simhash-profile / approx-sketch
-    # companions are exercised by these hash-gated assertion gates;
-    # the driver head stays 100% oracle-backed)
-    # --- new r7 assertion gates ---
     "dedup_simhash_agreement_gate",
     "sketch_events_error_gate",
-    # --- NEW r7 surface: TPC-H Q2/Q11/Q16/Q20 over the derived
-    #     partsupp relation (plans/partsupp.py) ---
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_parts_supplier_relationship",
     "q20_potential_promotion",
-    # --- oldest-evidence (r4) fill ---
     "fn_scalar_suite",
     "fn_json_map_suite",
     "fn_array_map_suite",
@@ -105,54 +143,6 @@ _HEAD = [
     "audit_profile_lineitem",
     "dedup_ngram_jaccard",
     "corpus_stratified_sample",
-    # Round-8 head rotation guidance: the r6 head (sql_wap_lifecycle
-    # through text_perplexity_filter) all carries r6 evidence; next
-    # stalest after this round are the remaining r4-evidence queries
-    # (q3/q4/q8/q9/q12/q13/q15/q17/q19/q21/q22, multimodal_*, text_*
-    # suites, streaming_backfill_slices, catalog_table_rename,
-    # sql_call_maintenance, catalog_cherrypick) - rotate those in,
-    # plus anything whose subsystem changes in r8.
-]
-_TAIL = [
-    "text_quality_rules",
-    "text_tfidf_top_terms",
-    "streaming_backfill_slices",
-    "catalog_table_rename",
-    # rotated out of the head (r4/r5-green — freshest evidence goes to
-    # the end of the line); order only matters if the gate ever reads
-    # past slot 50
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    "multimodal_bmp_resize_real",
-    "multimodal_wav_frame_features",
-    "corpus_repetition_profile",
-    "corpus_pack_sequences",
-    "text_lang_id_confusion",
-    "text_quality_profile",
-    "text_corpus_token_stats",
-    "text_fingerprints",
-    "text_punct_stopword_profile",
-    "text_unigram_logprob",
-    "text_vocab_top_terms",
-    "text_source_lang_matrix",
-    "text_bpe_token_counts",
-    "dedup_substring_spans",
-    "sql_call_maintenance",
-    "catalog_cherrypick",
-    "streaming_changefeed_merge",
 ]
 
 
