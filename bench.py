@@ -60,12 +60,12 @@ HEADLINE = [
     # cross-batch dedup against the persisted fingerprint index,
     # atomic multi-table publish per batch) and the predicate-scoped
     # atomic reload (REPLACE WHERE: write + enforced replace +
-    # read-back). Round 7: the index is now truncate(2)-partitioned
-    # (VERDICT r6 #1) — the entry deliberately pays the hive layout's
-    # one-file-per-touched-prefix write amplification, because that
-    # layout is what makes the probe a partition-set lookup at any
-    # batch size (soak: affected 0/21,908 files at 12k-unique
-    # batches, SCALE.md round-7)
+    # read-back). Round 8: the index layout is now SELF-SIZING
+    # (starts truncate(1), evolves by digest count, migrates old-era
+    # files on each step) — the entry measures what a real bench-scale
+    # corpus pays, not a layout sized for 10^7 digests (17.5-20.5 s
+    # at the r7 fixed width 2 -> 5.7 s; probe soundness unchanged,
+    # soak: affected 0 files across an evolution step, SCALE.md r8)
     "dedup_incremental_index",
     "sql_replace_where",
     # round 7: the two new assertion gates run (and hard-assert) at
@@ -76,6 +76,11 @@ HEADLINE = [
     "dedup_simhash_agreement_gate",
     "sketch_events_error_gate",
     "q2_min_cost_supplier",
+    # round 8: the NEAR-dup twin of dedup_incremental_index now rides
+    # the bench too (3-batch ingest against the persisted MinHash
+    # band+signature indexes, atomic 3-table publish per batch) so a
+    # regression in either incremental pipeline shows up per-round
+    "dedup_incremental_near",
 ]
 
 

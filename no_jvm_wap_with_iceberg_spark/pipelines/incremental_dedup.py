@@ -95,6 +95,18 @@ INDEX_WIDTH_SCHEDULE: tuple[tuple[int, int], ...] = (
 )
 
 _TRUNCATE_SPEC = re.compile(r"truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)")
+_BUCKET_SPEC = re.compile(r"bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)")
+
+# row-count thresholds for the near-dup indexes' bucket counts, same
+# design as INDEX_WIDTH_SCHEDULE: each ingest writes >= one file per
+# touched bucket, so the count tracks the table's size — 8 buckets
+# until 100k rows, 64 until 10M, 512 beyond (the band table carries
+# 16 rows per admitted doc, so it climbs the schedule ~16x sooner
+# than the signature table — each evolves on its OWN row count)
+BUCKET_COUNT_SCHEDULE: tuple[tuple[int, int], ...] = (
+    (10_000_000, 512),
+    (100_000, 64),
+)
 
 
 def _hint_small(df: DataFrame, n_rows: int | None) -> DataFrame:
@@ -121,6 +133,25 @@ def _index_width(meta) -> int | None:
         return None
     m = _TRUNCATE_SPEC.fullmatch(meta.partition_by[0].strip())
     if m is None or m.group(2) != "fingerprint":
+        return None
+    return int(m.group(1))
+
+
+def _target_buckets(n_rows: int) -> int:
+    for threshold, n in BUCKET_COUNT_SCHEDULE:
+        if n_rows >= threshold:
+            return n
+    return 8
+
+
+def _bucket_count(meta, source: str) -> int | None:
+    """Current bucket count of a single-field ``bucket(N, source)``
+    spec; None for any other layout (caller-pinned or unpartitioned —
+    leave it alone)."""
+    if len(meta.partition_by or []) != 1:
+        return None
+    m = _BUCKET_SPEC.fullmatch(meta.partition_by[0].strip())
+    if m is None or m.group(2) != source:
         return None
     return int(m.group(1))
 
@@ -180,6 +211,32 @@ def _maybe_evolve_index(
     except Exception:
         _LOG.warning(
             "index width evolution failed for %s@%s (will retry on a "
+            "later ingest)", table, branch, exc_info=True,
+        )
+
+
+def _maybe_evolve_bucket_index(
+    spark: SparkSession, cat: Catalog, table: str, source: str, branch: str
+) -> None:
+    """The bucketed twin of :func:`_maybe_evolve_index` for the
+    near-dup signature/band tables: grow ``bucket(N, source)`` per
+    :data:`BUCKET_COUNT_SCHEDULE` (each table by its OWN metadata row
+    count) and migrate the old era with a full rewrite — identical
+    rationale, identical best-effort posture."""
+    try:
+        meta = cat.load_table(table, branch)
+        current = _bucket_count(meta, source)
+        if current is None:
+            return
+        target = _target_buckets(meta.row_count())
+        if target > current:
+            cat.evolve_partition_spec(
+                table, [f"bucket({target}, {source})"], branch
+            )
+            cat.compact(spark, table, branch, mode="full")
+    except Exception:
+        _LOG.warning(
+            "index bucket evolution failed for %s@%s (will retry on a "
             "later ingest)", table, branch, exc_info=True,
         )
 
@@ -358,7 +415,7 @@ def near_dedup_ingest(
     content_col: str = "text",
     branch: str = MAIN,
     max_retries: int = 3,
-    index_buckets: int = 64,
+    index_buckets: int | None = None,
 ) -> NearDedupIngestResult:
     """Incremental NEAR-duplicate dedup against persisted MinHash
     state — the fuzzy counterpart of :func:`dedup_ingest`.
@@ -382,14 +439,23 @@ def near_dedup_ingest(
     bytes), the verification reads only the candidate docs' signature
     rows, and nothing ever rescans admitted documents' text. Both
     index tables are hash-bucketed on their probe key
-    (``bucket(index_buckets, ...)``): the set lookup prunes sharply
-    for SMALL batches (a 100-doc batch touches ~16x100 of the buckets'
-    hash space), while a large batch (>~buckets/16 docs) necessarily
+    (``bucket(N, ...)``): the set lookup prunes sharply for SMALL
+    batches (a 100-doc batch touches ~16x100 of the buckets' hash
+    space), while a large batch (>~buckets/16 docs) necessarily
     covers every bucket — its probe then degrades to a scan OF THE
     BAND INDEX, never of the corpus, with the executor-side bloom pass
     still dropping clean files where per-file cardinality permits. The
     signature-table probe (by doc key, small candidate sets) prunes at
     every batch size.
+
+    The bucket count is SELF-SIZING like the exact pipeline's prefix
+    width (``index_buckets=None``, the default): tables create at
+    ``bucket(8, ...)`` and after each publish grow per
+    :data:`BUCKET_COUNT_SCHEDULE` on their own row count (the band
+    table, 16 rows per doc, climbs ~16x sooner than the signature
+    table), each step migrating the old era with a full rewrite. A
+    pinned ``index_buckets`` applies at creation only; against
+    existing tables it warns and defers to ``evolve_partition_spec``.
     """
     from no_jvm_wap_with_iceberg_spark.operators.dedup import (
         _JT_P,
@@ -473,7 +539,7 @@ def near_dedup_ingest(
     cat.create_table(docs_table, batch.schema, branch, if_not_exists=True)
     # both index tables hash-bucket on their probe key (Iceberg
     # bucket transform, CRC-32 both engine-sides): the probe's
-    # partition-value set is bounded by ``index_buckets`` however
+    # partition-value set is bounded by the bucket count however
     # large the batch, so candidate files cut by set lookup before
     # any range/bloom work — same evolution story as the exact
     # pipeline's truncate-prefix index (module docstring)
@@ -481,33 +547,53 @@ def near_dedup_ingest(
         _BUCKETABLE,
     )
 
+    creation_buckets = 8 if index_buckets is None else index_buckets
     sig_schema = surv.select(
         F.col("_id").alias(key_col), F.col("_sh").alias("sh")
     ).schema
     key_t = sig_schema[key_col].dataType.typeName()
     bucketable = key_t in _BUCKETABLE
-    cat.create_table(
+    sig_created = cat.create_table(
         sig_table,
         sig_schema,
         branch,
         partition_by=(
-            [f"bucket({index_buckets}, {key_col})"] if bucketable else None
+            [f"bucket({creation_buckets}, {key_col})"]
+            if bucketable
+            else None
         ),
         sort_by=[key_col],
         bloom_cols=[key_col],
         if_not_exists=True,
     )
-    cat.create_table(
+    band_created = cat.create_table(
         band_table,
         surv.select(
             F.explode("_bh").alias("band_hash"), F.col("_id").alias(key_col)
         ).schema,
         branch,
-        partition_by=[f"bucket({index_buckets}, band_hash)"],
+        partition_by=[f"bucket({creation_buckets}, band_hash)"],
         sort_by=["band_hash"],
         bloom_cols=["band_hash"],
         if_not_exists=True,
     )
+    if index_buckets is not None:
+        for tbl, created, src in (
+            (sig_table, sig_created, key_col if bucketable else None),
+            (band_table, band_created, "band_hash"),
+        ):
+            if created or src is None:
+                continue
+            existing = _bucket_count(cat.load_table(tbl, branch), src)
+            if existing != index_buckets:
+                warnings.warn(
+                    f"index_buckets={index_buckets} ignored: {tbl!r} "
+                    f"already exists at bucket count {existing} "
+                    "(create-time parameter only; use "
+                    "Catalog.evolve_partition_spec to change a live "
+                    "index)",
+                    stacklevel=2,
+                )
 
     last_err: Exception | None = None
     for attempt in range(1, max_retries + 2):
@@ -602,6 +688,14 @@ def near_dedup_ingest(
             )
             cat.merge(stage, branch)
             sigs.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
+            if index_buckets is None:
+                if bucketable:
+                    _maybe_evolve_bucket_index(
+                        spark, cat, sig_table, key_col, branch
+                    )
+                _maybe_evolve_bucket_index(
+                    spark, cat, band_table, "band_hash", branch
+                )
             _maybe_compact_index(spark, cat, band_table, branch)
             _maybe_compact_index(spark, cat, sig_table, branch)
             return NearDedupIngestResult(

@@ -230,3 +230,97 @@ def test_collapse_preserves_near_dup_outcomes(spark, warehouse):
     assert kept == [1, 7, 8, 9]
     assert res.rows_published == 4
     assert res.in_batch_dups == 2  # doc 5 (copy) + doc 3 (near-dup)
+
+
+# ---------------------------------------------------------------------------
+# width-logic properties (no Spark)
+# ---------------------------------------------------------------------------
+def test_target_width_is_monotone():
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=0, max_value=10**12),
+           st.integers(min_value=0, max_value=10**12))
+    def prop(a, b):
+        lo, hi = sorted((a, b))
+        assert idd._target_width(lo) <= idd._target_width(hi)
+
+    prop()
+
+
+def test_index_width_parses_only_fingerprint_prefix_specs():
+    class M:
+        def __init__(self, pb):
+            self.partition_by = pb
+
+    assert idd._index_width(M(["truncate(1, fingerprint)"])) == 1
+    assert idd._index_width(M(["truncate(16, fingerprint)"])) == 16
+    assert idd._index_width(M(["truncate( 2 , fingerprint )"])) == 2
+    # anything else is a caller-pinned layout: leave it alone
+    assert idd._index_width(M([])) is None
+    assert idd._index_width(M(None)) is None
+    assert idd._index_width(M(["bucket(64, fingerprint)"])) is None
+    assert idd._index_width(M(["truncate(2, other_col)"])) is None
+    assert idd._index_width(
+        M(["truncate(2, fingerprint)", "bucket(4, doc_id)"])
+    ) is None
+
+
+# ---------------------------------------------------------------------------
+# self-sizing bucket counts (near-dup indexes)
+# ---------------------------------------------------------------------------
+def _near_batch(spark, lo, hi):
+    # >= 3 distinct words per doc so every doc has shingles
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(
+            F.lit("unique body "),
+            F.sha2(F.col("id").cast("string"), 256),
+            F.lit(" alpha beta"),
+        ).alias("text"),
+    )
+
+
+def test_near_indexes_start_at_eight_buckets(spark, warehouse):
+    cat = Catalog(warehouse)
+    idd.near_dedup_ingest(
+        spark, cat, _near_batch(spark, 0, 10), "d", "s", "bt"
+    )
+    assert cat.load_table("s").partition_by == ["bucket(8, doc_id)"]
+    assert cat.load_table("bt").partition_by == ["bucket(8, band_hash)"]
+
+
+def test_near_bucket_counts_evolve_independently(
+    spark, warehouse, monkeypatch
+):
+    """The band table holds 16 rows per doc, so it crosses a row
+    threshold ~16x sooner than the signature table — each must evolve
+    on its OWN count, and dedup must stay exact across the step."""
+    monkeypatch.setattr(idd, "BUCKET_COUNT_SCHEDULE", ((1_000, 64),))
+    cat = Catalog(warehouse)
+    # 100 docs -> sigs 100 rows (< 1000), bands 1600 rows (>= 1000)
+    idd.near_dedup_ingest(
+        spark, cat, _near_batch(spark, 0, 100), "d", "s", "bt"
+    )
+    assert cat.load_table("s").partition_by == ["bucket(8, doc_id)"]
+    bmeta = cat.load_table("bt")
+    assert bmeta.partition_by == ["bucket(64, band_hash)"]
+    # migration rewrote the 8-bucket era under the new spec
+    assert all("band_hash_bucket64" in f.partition for f in bmeta.files())
+    # exactness across the evolution: full replay admits nothing
+    res = idd.near_dedup_ingest(
+        spark, cat, _near_batch(spark, 0, 100), "d", "s", "bt"
+    )
+    assert res.rows_published == 0 and res.seen_dups == 100
+
+
+def test_pinned_buckets_against_existing_index_warns(spark, warehouse):
+    cat = Catalog(warehouse)
+    idd.near_dedup_ingest(
+        spark, cat, _near_batch(spark, 0, 5), "d", "s", "bt"
+    )
+    with pytest.warns(UserWarning, match="index_buckets=32 ignored"):
+        idd.near_dedup_ingest(
+            spark, cat, _near_batch(spark, 5, 10), "d", "s", "bt",
+            index_buckets=32,
+        )
+    assert cat.read(spark, "d").count() == 10
