@@ -167,8 +167,6 @@ def partition_value_sets(
                 if hi is not None and (phi is None or hi > phi):
                     phi = hi
                 folded[pv] = (plo, phi)
-        if len(folded) > PARTITION_SET_MAX:
-            continue
         bounds = {
             pv: (_norm(lo), _norm(hi)) for pv, (lo, hi) in folded.items()
         }

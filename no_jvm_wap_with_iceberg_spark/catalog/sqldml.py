@@ -2089,11 +2089,15 @@ def show_partitions(cat, spark, query: str, branch: str):
             f"SHOW PARTITIONS: table {table!r} is not partitioned"
         )
     tuples = {
-        # a PRESENT-but-None (or empty-string) value must render as
-        # the hive null marker, not 'k=None' (file_all_match treats
-        # both spellings as null, so None values do occur in
-        # manifests) — but ONLY those: any other falsy value a future
-        # layout might store (e.g. a non-string 0) is a real value
+        # a PRESENT-but-None value must render as the hive null
+        # marker, not 'k=None' (file_all_match treats the marker and
+        # None as the same null spelling, so None values do occur in
+        # manifests). '' folds to the marker too — the WRITE path
+        # already stores empty strings as the marker (Spark's hive
+        # convention), so a literal '' here is defensive, never a
+        # real value. Any OTHER falsy value a future layout might
+        # store (e.g. a non-string 0) is a real value and renders
+        # as itself.
         tuple(
             (
                 k,

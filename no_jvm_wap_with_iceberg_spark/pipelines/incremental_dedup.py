@@ -97,6 +97,13 @@ INDEX_WIDTH_SCHEDULE: tuple[tuple[int, int], ...] = (
 _TRUNCATE_SPEC = re.compile(r"truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)")
 _BUCKET_SPEC = re.compile(r"bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)")
 
+# recorded on index tables at creation: "auto" layouts evolve per the
+# schedules below; "pinned" layouts (caller passed an explicit width /
+# bucket count) are never touched by maintenance — the pin must hold
+# even when LATER ingest calls omit the parameter, so it lives in the
+# table, not the call
+_LAYOUT_PROP = "dedup.index_layout"
+
 # row-count thresholds for the near-dup indexes' bucket counts, same
 # design as INDEX_WIDTH_SCHEDULE: each ingest writes >= one file per
 # touched bucket, so the count tracks the table's size — 8 buckets
@@ -199,6 +206,8 @@ def _maybe_evolve_index(
     the caller pinned to something other than a fingerprint prefix."""
     try:
         meta = cat.load_table(table, branch)
+        if meta.properties.get(_LAYOUT_PROP) == "pinned":
+            return
         current = _index_width(meta)
         if current is None:
             return
@@ -208,6 +217,8 @@ def _maybe_evolve_index(
                 table, [f"truncate({target}, fingerprint)"], branch
             )
             cat.compact(spark, table, branch, mode="full")
+        else:
+            _finish_interrupted_migration(spark, cat, meta, table, branch)
     except Exception:
         _LOG.warning(
             "index width evolution failed for %s@%s (will retry on a "
@@ -225,6 +236,8 @@ def _maybe_evolve_bucket_index(
     rationale, identical best-effort posture."""
     try:
         meta = cat.load_table(table, branch)
+        if meta.properties.get(_LAYOUT_PROP) == "pinned":
+            return
         current = _bucket_count(meta, source)
         if current is None:
             return
@@ -234,11 +247,31 @@ def _maybe_evolve_bucket_index(
                 table, [f"bucket({target}, {source})"], branch
             )
             cat.compact(spark, table, branch, mode="full")
+        else:
+            _finish_interrupted_migration(spark, cat, meta, table, branch)
     except Exception:
         _LOG.warning(
             "index bucket evolution failed for %s@%s (will retry on a "
             "later ingest)", table, branch, exc_info=True,
         )
+
+
+def _finish_interrupted_migration(
+    spark: SparkSession, cat: Catalog, meta, table: str, branch: str
+) -> None:
+    """Evolution is two commits — the spec change, then the full
+    rewrite. If the rewrite is lost (CAS race, crash between the two)
+    the width check alone would never retry it: the spec already
+    reads as current while old-era files keep their saturated blooms
+    and full-span ranges. Detect the debris directly — a live file
+    whose manifest partition keys lack the CURRENT spec's field — and
+    run the migration rewrite now."""
+    fields = meta.partition_fields
+    if not fields:
+        return
+    name = fields[0].name
+    if any(name not in f.partition for f in meta.files()):
+        cat.compact(spark, table, branch, mode="full")
 
 
 @dataclasses.dataclass
@@ -311,6 +344,9 @@ def dedup_ingest(
         partition_by=[f"truncate({creation_width}, fingerprint)"],
         sort_by=["fingerprint"],
         bloom_cols=["fingerprint"],
+        properties={
+            _LAYOUT_PROP: "auto" if index_prefix_width is None else "pinned"
+        },
         if_not_exists=True,
     )
     if not created and index_prefix_width is not None:
@@ -370,8 +406,10 @@ def dedup_ingest(
             )
             cat.merge(stage, branch)
             unique_batch.unpersist()
-            if index_prefix_width is None:
-                _maybe_evolve_index(spark, cat, index_table, branch)
+            # the pinned/auto decision lives on the TABLE (its
+            # creation-time property), not on this call's parameter —
+            # _maybe_evolve_index skips pinned layouts itself
+            _maybe_evolve_index(spark, cat, index_table, branch)
             _maybe_compact_index(spark, cat, index_table, branch)
             return DedupIngestResult(
                 published=True,
@@ -488,12 +526,15 @@ def near_dedup_ingest(
     # at O(batch). Shingle-less (<3-word) docs never reach this path.
     from pyspark.sql import Window as _W
 
+    # cached: its window shuffle feeds four subtrees of the pair pass
+    # (both band self-join sides + both shingle lookups)
     sigs_u = (
         sigs.withColumn(
             "_rep", F.min("_id").over(_W.partitionBy("_sh"))
         )
         .filter(F.col("_id") == F.col("_rep"))
         .drop("_rep")
+        .cache()
     )
     bands = sigs_u.select("_id", F.explode("_bh").alias("_h"))
     cand = (
@@ -548,6 +589,9 @@ def near_dedup_ingest(
     )
 
     creation_buckets = 8 if index_buckets is None else index_buckets
+    layout_props = {
+        _LAYOUT_PROP: "auto" if index_buckets is None else "pinned"
+    }
     sig_schema = surv.select(
         F.col("_id").alias(key_col), F.col("_sh").alias("sh")
     ).schema
@@ -564,6 +608,7 @@ def near_dedup_ingest(
         ),
         sort_by=[key_col],
         bloom_cols=[key_col],
+        properties=layout_props,
         if_not_exists=True,
     )
     band_created = cat.create_table(
@@ -575,6 +620,7 @@ def near_dedup_ingest(
         partition_by=[f"bucket({creation_buckets}, band_hash)"],
         sort_by=["band_hash"],
         bloom_cols=["band_hash"],
+        properties=layout_props,
         if_not_exists=True,
     )
     if index_buckets is not None:
@@ -653,7 +699,7 @@ def near_dedup_ingest(
         )
         n_fresh = fresh_ids.count()
         if n_fresh == 0:
-            sigs.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
+            sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
             return NearDedupIngestResult(
                 published=False,
                 rows_in=rows_in,
@@ -687,15 +733,15 @@ def near_dedup_ingest(
                 stage,
             )
             cat.merge(stage, branch)
-            sigs.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
-            if index_buckets is None:
-                if bucketable:
-                    _maybe_evolve_bucket_index(
-                        spark, cat, sig_table, key_col, branch
-                    )
+            sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
+            # pinned/auto lives on each TABLE's creation property
+            if bucketable:
                 _maybe_evolve_bucket_index(
-                    spark, cat, band_table, "band_hash", branch
+                    spark, cat, sig_table, key_col, branch
                 )
+            _maybe_evolve_bucket_index(
+                spark, cat, band_table, "band_hash", branch
+            )
             _maybe_compact_index(spark, cat, band_table, branch)
             _maybe_compact_index(spark, cat, sig_table, branch)
             return NearDedupIngestResult(
@@ -713,5 +759,5 @@ def near_dedup_ingest(
                 cat.drop_branch(stage)
             except KeyError:
                 pass
-    sigs.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
+    sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
     raise last_err  # exhausted retries under concurrent ingests

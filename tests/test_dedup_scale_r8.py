@@ -324,3 +324,73 @@ def test_pinned_buckets_against_existing_index_warns(spark, warehouse):
             index_buckets=32,
         )
     assert cat.read(spark, "d").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# review hardening: interrupted migration + durable pins
+# ---------------------------------------------------------------------------
+def test_interrupted_migration_is_finished_by_next_ingest(
+    spark, warehouse, monkeypatch
+):
+    """Evolution is two commits (spec change, then the migration
+    rewrite). If the rewrite is lost between them, the width check
+    alone would never retry — old-era files would be admitted by
+    every probe forever. The next ingest must detect the debris (live
+    files lacking the current spec's field) and finish the rewrite."""
+    monkeypatch.setattr(idd, "INDEX_WIDTH_SCHEDULE", ((300, 2),))
+    cat = Catalog(warehouse)
+    real_compact = Catalog.compact
+    fail_once = {"armed": True}
+
+    def flaky_compact(self, spark_, table, branch="main", **kw):
+        if kw.get("mode") == "full" and fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("simulated crash between the two commits")
+        return real_compact(self, spark_, table, branch, **kw)
+
+    monkeypatch.setattr(Catalog, "compact", flaky_compact)
+    idd.dedup_ingest(spark, cat, _batch(spark, 0, 400), "docs", "fp_index")
+    meta = cat.load_table("fp_index")
+    assert meta.partition_by == ["truncate(2, fingerprint)"]  # spec landed
+    # ...but the migration did not: width-1 debris is still live
+    assert any(
+        "fingerprint_truncate2" not in f.partition for f in meta.files()
+    )
+    idd.dedup_ingest(spark, cat, _batch(spark, 400, 410), "docs", "fp_index")
+    meta = cat.load_table("fp_index")
+    assert all(
+        "fingerprint_truncate2" in f.partition for f in meta.files()
+    ), "next ingest must finish the interrupted migration"
+    # and dedup stayed exact throughout
+    res = idd.dedup_ingest(
+        spark, cat, _batch(spark, 0, 410), "docs", "fp_index"
+    )
+    assert res.rows_published == 0
+
+
+def test_pinned_layout_survives_unpinned_ingests(
+    spark, warehouse, monkeypatch
+):
+    """The pin is recorded on the TABLE at creation, so maintenance
+    must never evolve a pinned layout even when later ingest calls
+    omit the parameter and the corpus is far past every threshold."""
+    monkeypatch.setattr(idd, "INDEX_WIDTH_SCHEDULE", ((10, 2),))
+    monkeypatch.setattr(idd, "BUCKET_COUNT_SCHEDULE", ((10, 64),))
+    cat = Catalog(warehouse)
+    idd.dedup_ingest(
+        spark, cat, _batch(spark, 0, 50), "docs", "fp_index",
+        index_prefix_width=3,
+    )
+    idd.dedup_ingest(spark, cat, _batch(spark, 50, 100), "docs", "fp_index")
+    assert cat.load_table("fp_index").partition_by == [
+        "truncate(3, fingerprint)"
+    ]
+    idd.near_dedup_ingest(
+        spark, cat, _near_batch(spark, 0, 50), "d", "s", "bt",
+        index_buckets=16,
+    )
+    idd.near_dedup_ingest(
+        spark, cat, _near_batch(spark, 50, 100), "d", "s", "bt"
+    )
+    assert cat.load_table("bt").partition_by == ["bucket(16, band_hash)"]
+    assert cat.load_table("s").partition_by == ["bucket(16, doc_id)"]
