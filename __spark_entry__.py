@@ -96,7 +96,7 @@ _HEAD = [
     "sql_merge_by_source",
     "sql_merge_multi_clause",
     "sql_merge_schema_evolution",
-    "merge_orders_cdc",
+    "dedup_index_evolution",
     "catalog_metadata_delete",
     "sql_delete_in_subquery",
     "catalog_mor_delete_read",
@@ -104,6 +104,7 @@ _HEAD = [
     "similarity_ann_recall_gate",
 ]
 _TAIL = [
+    "merge_orders_cdc",
     # rotated out of the r7 head (r7-green - freshest evidence goes
     # to the end of the line); order only matters if the gate ever
     # reads past slot 50

@@ -822,6 +822,70 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_evolution",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    first_b AS (SELECT norm, MIN(b) AS fb FROM d GROUP BY norm),
+    kept AS (
+      SELECT d.norm, MIN(d.doc_id) AS keep_id
+      FROM d JOIN first_b ON d.norm = first_b.norm AND d.b = first_b.fb
+      GROUP BY d.norm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep_id) AS BIGINT) AS sum_keep_ids,
+           CAST(SUM(LENGTH(norm)) AS BIGINT) AS sum_norm_len
+    FROM kept
+    """,
+    doc="the incremental-dedup admission invariant ACROSS a partition"
+    "-spec evolution: batch 0 ingests against the creation-width "
+    "index, then the index widens mid-stream through the PUBLIC "
+    "evolution surface (evolve_partition_spec + full-rewrite "
+    "migration — the exact step the self-sizing maintenance runs at "
+    "its digest thresholds), then batches 1-2 ingest against the "
+    "evolved, migrated index. Layout changes must never change "
+    "admissions, so the oracle is identical to "
+    "dedup_incremental_index: a normalized content wins in its "
+    "earliest batch, min doc_id within it.",
+)
+def dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = Catalog(_tmp_warehouse("evo_dedup_"))
+    for b in range(3):
+        dedup_ingest(
+            spark,
+            cat,
+            docs.filter(F.col("doc_id") % 3 == b),
+            "docs_dd",
+            "fp_index",
+        )
+        if b == 0:
+            # widen + migrate between batches, as if the corpus had
+            # crossed a width threshold right here
+            cat.evolve_partition_spec(
+                "fp_index", ["truncate(2, fingerprint)"]
+            )
+            cat.compact(spark, "fp_index", mode="full")
+    kept = cat.read(spark, "docs_dd").select(
+        F.col("doc_id").alias("keep_id"),
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("norm"),
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep_id").alias("sum_keep_ids"),
+        F.sum(F.length("norm")).alias("sum_norm_len"),
+    )
+
+
+@register(
     "sql_replace_where",
     """
     SELECT o_orderstatus,
