@@ -1841,8 +1841,7 @@ class Catalog:
 
         from no_jvm_wap_with_iceberg_spark.catalog.bloom import bloom_may_contain
         from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
-            partition_key_bounds,
-            partition_prunes_file,
+            file_survives,
             partition_value_sets,
             probe_files_spark,
         )
@@ -1896,36 +1895,23 @@ class Catalog:
                 )
             return out
 
+        # layers 1-2: partition-set membership, then key-range overlap
+        # tightened to each file's OWN partition — far tighter than
+        # the global bounds for uniform keys, and what keeps
+        # executor-probe candidates ~true-hits as the index grows
+        # (probe latency then scales with the BATCH, not file count).
+        # The per-file loop is ~1.2 us/file warm (soak-measured to a
+        # 1M-file manifest — see file_survives' docstring for why a
+        # vectorized variant was built and rejected).
+        surviving = [
+            pair
+            for pair in with_conds
+            if file_survives(pair[0], part_sets, bounds, names_per_col)
+        ]
+
         affected: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
         spark_cands: list[tuple[int, list]] = []  # (slot in affected, ev)
-        for f, specs in with_conds:
-            if part_sets and partition_prunes_file(f, part_sets):
-                continue
-            # a matching key must fall in the batch's key range WITHIN
-            # this file's own partition — far tighter than the global
-            # bounds for uniform keys, and what keeps executor-probe
-            # candidates ~true-hits as the index grows (probe latency
-            # then scales with the BATCH, not the file count)
-            tight = partition_key_bounds(f, part_sets) if part_sets else {}
-            overlaps = True
-            for ci, ((lo, hi), names) in enumerate(
-                zip(bounds, names_per_col)
-            ):
-                lo, hi = tight.get(ci, (lo, hi))
-                if lo is None:
-                    continue  # all-null component: no range evidence
-                st = next(
-                    (f.columns[n] for n in names if n in f.columns), {}
-                )
-                mn, mx = st.get("min"), st.get("max")
-                try:
-                    if mn is not None and mx is not None and (mx < lo or mn > hi):
-                        overlaps = False
-                        break
-                except TypeError:
-                    pass  # incomparable stats -> conservative
-            if not overlaps:
-                continue
+        for f, specs in surviving:
             ev = evidence(f)
             if all(mn is None and mx is None and b is None for mn, mx, b in ev):
                 affected.append((f, specs))  # no evidence: keep

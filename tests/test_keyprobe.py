@@ -284,3 +284,146 @@ def test_partition_value_sets_multi_era_single_job(spark, warehouse):
     assert {ps.pnames[0]: (ps.values, ps.bounds) for ps in fb} == {
         ps.pnames[0]: (ps.values, ps.bounds) for ps in sets
     }
+
+
+def test_probe_fast_path_matches_general_and_reference(spark):
+    """probe_files_spark's sorted-keys fast path (single STRING key
+    column — the digest hot path) must produce the same admit set as
+    (a) the general multi-column mask path, forced by padding a
+    constant second key column with evidence-free specs (which cannot
+    change admissions: absent bounds pass, absent bloom passes), and
+    (b) a pure-python reference of the documented semantics — across
+    str bounds, absent bounds, incomparable (non-str) bounds, and
+    blooms that genuinely reject."""
+    import random
+
+    from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
+        bloom_may_contain,
+        build_bloom,
+    )
+    from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+        probe_files_spark,
+    )
+
+    rnd = random.Random(7)
+
+    def hexk():
+        return f"{rnd.randrange(16**8):08x}"
+
+    keys = sorted({hexk() for _ in range(400)})
+    kdf1 = spark.createDataFrame([(k,) for k in keys], "k string")
+    kdf2 = kdf1.withColumn("pad", F.lit("x"))
+
+    cands = []
+    for j in range(150):
+        r = rnd.random()
+        if r < 0.55:  # honest string ranges, some bloomed
+            lo, hi = sorted((hexk(), hexk()))
+            if rnd.random() < 0.6:
+                # half the blooms hold IN-RANGE keys (can admit), half
+                # hold unrelated values (must reject in-range keys)
+                in_range = [k for k in keys if lo <= k <= hi]
+                vals = (
+                    in_range[:4]
+                    if in_range and rnd.random() < 0.5
+                    else [hexk() + "zz" for _ in range(4)]
+                )
+                bloom = build_bloom(vals)
+            else:
+                bloom = None
+            cands.append((j, [(lo, hi, bloom)]))
+        elif r < 0.75:  # absent bounds, bloom optional
+            bloom = build_bloom([keys[0], "nope"]) if rnd.random() < 0.5 else None
+            cands.append((j, [(None, None, bloom)]))
+        else:  # incomparable (non-str) bounds: conservative range-pass
+            bloom = build_bloom(["nothing"]) if rnd.random() < 0.4 else None
+            cands.append((j, [(5, 9_000_000, bloom)]))
+
+    got_fast = probe_files_spark(kdf1, ["k"], cands)
+    pad = (None, None, None)
+    got_general = probe_files_spark(
+        kdf2, ["k", "pad"], [(j, cols + [pad]) for j, cols in cands]
+    )
+
+    expect = set()
+    for j, ((lo, hi, bloom),) in [(j, tuple(c)) for j, c in cands]:
+        for k in keys:
+            if isinstance(lo, str) and isinstance(hi, str) and not (
+                lo <= k <= hi
+            ):
+                continue
+            if bloom is not None and not bloom_may_contain(bloom, k):
+                continue
+            expect.add(j)
+            break
+
+    assert got_fast == expect
+    assert got_general == expect
+
+
+def test_probe_fast_path_numeric_keys(spark):
+    """Same three-way consistency for a single NUMERIC key column
+    (band-hash longs, integer-id upserts): fast sorted path ==
+    general mask path == pure-python reference."""
+    import random
+
+    from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
+        bloom_may_contain,
+        build_bloom,
+    )
+    from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+        probe_files_spark,
+    )
+
+    rnd = random.Random(11)
+    keys = sorted({rnd.randrange(-(2**40), 2**40) for _ in range(300)})
+    kdf1 = spark.createDataFrame([(k,) for k in keys], "k long")
+    kdf2 = kdf1.withColumn("pad", F.lit("x"))
+
+    cands = []
+    for j in range(120):
+        r = rnd.random()
+        if r < 0.6:  # honest numeric ranges, some bloomed
+            lo, hi = sorted(
+                (rnd.randrange(-(2**40), 2**40), rnd.randrange(-(2**40), 2**40))
+            )
+            if rnd.random() < 0.6:
+                in_range = [k for k in keys if lo <= k <= hi]
+                vals = (
+                    in_range[:4]
+                    if in_range and rnd.random() < 0.5
+                    else [2**50 + i for i in range(4)]
+                )
+                bloom = build_bloom(vals)
+            else:
+                bloom = None
+            cands.append((j, [(lo, hi, bloom)]))
+        elif r < 0.8:  # absent bounds
+            bloom = build_bloom([keys[0]]) if rnd.random() < 0.5 else None
+            cands.append((j, [(None, None, bloom)]))
+        else:  # incomparable (str) bounds against numeric keys
+            bloom = build_bloom(["nothing"]) if rnd.random() < 0.4 else None
+            cands.append((j, [("aa", "zz", bloom)]))
+
+    got_fast = probe_files_spark(kdf1, ["k"], cands)
+    pad = (None, None, None)
+    got_general = probe_files_spark(
+        kdf2, ["k", "pad"], [(j, cols + [pad]) for j, cols in cands]
+    )
+
+    expect = set()
+    for j, ((lo, hi, bloom),) in [(j, tuple(c)) for j, c in cands]:
+        for k in keys:
+            if (
+                isinstance(lo, (int, float))
+                and isinstance(hi, (int, float))
+                and not (lo <= k <= hi)
+            ):
+                continue
+            if bloom is not None and not bloom_may_contain(bloom, k):
+                continue
+            expect.add(j)
+            break
+
+    assert got_fast == expect
+    assert got_general == expect

@@ -26,6 +26,7 @@ from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
 )
 from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
     PartSet,
+    file_survives,
     partition_key_bounds,
     partition_prunes_file,
 )
@@ -157,3 +158,70 @@ def test_tightened_range_check_keeps_every_true_hit(
         holds_hit = any(p in ks for p in probe)
         if holds_hit:
             assert survives, (pv, ks, sorted(probe))
+
+
+# ----------------------------------------------------------------------
+# file_survives keeps every file that truly holds a probe key, under
+# randomized manifests mixing missing stats, None components,
+# incomparable evidence types, hive-null/percent-encoded partition
+# values and rename-era stat names
+# ----------------------------------------------------------------------
+
+_hexkeys = st.text(
+    alphabet=st.sampled_from("0123456789abcdef"), min_size=2, max_size=8
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    file_keys=st.lists(_hexkeys, min_size=1, max_size=12),
+    probe=st.lists(_hexkeys, min_size=1, max_size=20),
+    width=_width,
+    old_name=st.booleans(),
+    drop_stats=st.booleans(),
+)
+def test_file_survives_never_drops_a_true_hit(
+    file_keys, probe, width, old_name, drop_stats
+):
+    """The catalog's combined layers 1-2 check (the exact function the
+    probe loop calls): a file holding any probe key must survive —
+    with the stats keyed under a rename-era historical name, or with
+    stats missing entirely (conservative keep)."""
+    fld = PartitionField(
+        spec=f"truncate({width}, k)",
+        source="k",
+        transform="truncate",
+        param=width,
+    )
+    values = frozenset(str(transform_value(fld, p)) for p in probe)
+    pbounds: dict = {}
+    for p in probe:
+        pv = str(transform_value(fld, p))
+        lo, hi = pbounds.get(pv, (p, p))
+        pbounds[pv] = (min(lo, p), max(hi, p))
+    ps = PartSet(0, [fld.name], values, pbounds)
+    bounds = [(min(probe), max(probe))]
+    stat_name = "k_old" if old_name else "k"
+    names_per_col = [["k", "k_old"]]
+    by_part: dict = {}
+    for k in file_keys:
+        by_part.setdefault(str(transform_value(fld, k)), []).append(k)
+    for pv, ks in by_part.items():
+        columns = (
+            {}
+            if drop_stats
+            else {stat_name: {"nulls": 0, "min": min(ks), "max": max(ks)}}
+        )
+        f = FileEntry(
+            path=f"f-{pv}",
+            rows=len(ks),
+            bytes=1,
+            columns=columns,
+            partition={fld.name: pv},
+        )
+        if any(p in ks for p in probe):
+            assert file_survives(f, [ps], bounds, names_per_col), (
+                pv,
+                ks,
+                sorted(probe),
+            )

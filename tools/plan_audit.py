@@ -83,6 +83,9 @@ SINGLE_OK = {
     # interval join exchanges hash-partitioned on user_id)
     "dedup_incremental_near",  # single-row corpus summary (banding,
     # verification and publishes all shuffle hash-partitioned)
+    "dedup_index_evolution",  # single-row corpus summary, same shape
+    # as dedup_incremental_index (the ingests shuffle on digests; the
+    # evolution/migration steps repartition by range)
     "corpus_quality_resample",  # single-row sample summary (the
     # keep-filter itself is a scan-level predicate, no shuffle)
     "text_perplexity_filter",  # single-row keep-set summary (the LM
