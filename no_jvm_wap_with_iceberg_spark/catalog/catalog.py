@@ -1847,29 +1847,59 @@ class Catalog:
         )
         from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
 
-        aggs = [
-            *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
-            *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
-        ]
-        if dup_guard is not None:
-            aggs.append(F.max(dup_guard).alias("_mx_dup"))
-        bounds_row = kdf.agg(*aggs).first()
-        if dup_guard is not None and (bounds_row["_mx_dup"] or 0) > 1:
-            dup = kdf.filter(F.col(dup_guard) > 1).limit(1).collect()
-            key = ",".join(key_cols)
-            raise ValueError(
-                f"merge_into source has duplicate merge key "
-                f"{tuple(dup[0])[:-1]!r} (ON {key}); a key may match at "
-                "most one source row — dedupe the batch first"
-            )
         k = len(key_cols)
-        bounds = [
-            (_norm(bounds_row[i]), _norm(bounds_row[k + i])) for i in range(k)
-        ]
+        part_sets = partition_value_sets(meta, key_cols, kdf)
+        covered = {ps.key_index for ps in part_sets}
+        if dup_guard is None and covered == set(range(k)):
+            # every key column is a resolved partition source, so the
+            # partition-value aggregation already saw every non-null
+            # key: fold the global bounds from the per-partition
+            # bounds driver-side instead of paying a second
+            # full-batch agg job. _norm is order-preserving
+            # (datetimes fold to sortable isoformat), so min/max over
+            # normed per-partition bounds equal the normed agg.
+            bounds = []
+            for i in range(k):
+                los = [
+                    lo
+                    for ps in part_sets
+                    if ps.key_index == i
+                    for lo, _hi in ps.bounds.values()
+                    if lo is not None
+                ]
+                his = [
+                    hi
+                    for ps in part_sets
+                    if ps.key_index == i
+                    for _lo, hi in ps.bounds.values()
+                    if hi is not None
+                ]
+                bounds.append(
+                    (min(los) if los else None, max(his) if his else None)
+                )
+        else:
+            aggs = [
+                *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
+                *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
+            ]
+            if dup_guard is not None:
+                aggs.append(F.max(dup_guard).alias("_mx_dup"))
+            bounds_row = kdf.agg(*aggs).first()
+            if dup_guard is not None and (bounds_row["_mx_dup"] or 0) > 1:
+                dup = kdf.filter(F.col(dup_guard) > 1).limit(1).collect()
+                key = ",".join(key_cols)
+                raise ValueError(
+                    f"merge_into source has duplicate merge key "
+                    f"{tuple(dup[0])[:-1]!r} (ON {key}); a key may match "
+                    "at most one source row — dedupe the batch first"
+                )
+            bounds = [
+                (_norm(bounds_row[i]), _norm(bounds_row[k + i]))
+                for i in range(k)
+            ]
         if all(lo is None for lo, _ in bounds):
             return None
         with_conds = meta.files_with_deletes()
-        part_sets = partition_value_sets(meta, key_cols, kdf)
         sample = kdf.select(*key_cols).limit(
             self.PROBE_DRIVER_KEYS_MAX + 1
         ).collect()

@@ -378,8 +378,13 @@ def dedup_ingest(
             fresh = unique_batch.join(seen, "_fp", "left_anti")
         else:
             fresh = unique_batch
+        # attempt-local cache: `fresh` sits under the count and BOTH
+        # appends — uncached, each append re-runs the seen anti-join
+        # (re-reading the admitted index files)
+        fresh = fresh.cache()
         n_fresh = fresh.count()
         if n_fresh == 0:
+            fresh.unpersist()
             unique_batch.unpersist()
             return DedupIngestResult(
                 published=False,
@@ -405,6 +410,7 @@ def dedup_ingest(
                 stage,
             )
             cat.merge(stage, branch)
+            fresh.unpersist()
             unique_batch.unpersist()
             # the pinned/auto decision lives on the TABLE (its
             # creation-time property), not on this call's parameter —
@@ -423,6 +429,7 @@ def dedup_ingest(
             # a racing ingest published first; re-probe the FRESH
             # index so a digest it admitted cannot slip in twice
             last_err = ex
+            fresh.unpersist()
         finally:
             try:
                 cat.drop_branch(stage)
@@ -644,8 +651,17 @@ def near_dedup_ingest(
     last_err: Exception | None = None
     for attempt in range(1, max_retries + 2):
         # ---- cross-batch: probe the persisted band index ------------
+        # attempt-local caches: `probe` feeds several probe jobs and
+        # the idx_hits join; `fresh`/`fresh_ids` sit under the count
+        # AND all three appends — uncached, every append would re-run
+        # the whole band-probe + jaccard-verify subtree (reading both
+        # index tables again); cached, the verification executes once
         bmeta = cat.load_table(band_table, branch)
-        probe = surv.select(F.explode("_bh").alias("band_hash")).distinct()
+        probe = (
+            surv.select(F.explode("_bh").alias("band_hash"))
+            .distinct()
+            .cache()
+        )
         hit_files = cat._files_overlapping_keys(bmeta, ["band_hash"], probe)
         fresh = surv
         if hit_files:
@@ -692,13 +708,16 @@ def near_dedup_ingest(
                     .distinct()
                 )
                 fresh = surv.join(seen, "_id", "left_anti")
+        fresh = fresh.cache()
         fresh_ids = (
             fresh.select(F.col("_id").alias(key_col))
             .unionByName(no_sh_ids)
             .distinct()
+            .cache()
         )
         n_fresh = fresh_ids.count()
         if n_fresh == 0:
+            probe.unpersist(); fresh.unpersist(); fresh_ids.unpersist()
             sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
             return NearDedupIngestResult(
                 published=False,
@@ -733,6 +752,7 @@ def near_dedup_ingest(
                 stage,
             )
             cat.merge(stage, branch)
+            probe.unpersist(); fresh.unpersist(); fresh_ids.unpersist()
             sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
             # pinned/auto lives on each TABLE's creation property
             if bucketable:
@@ -754,6 +774,7 @@ def near_dedup_ingest(
             )
         except CommitConflict as ex:
             last_err = ex  # racing ingest: re-probe the fresh indexes
+            probe.unpersist(); fresh.unpersist(); fresh_ids.unpersist()
         finally:
             try:
                 cat.drop_branch(stage)
