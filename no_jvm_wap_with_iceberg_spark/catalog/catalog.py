@@ -894,16 +894,6 @@ class Catalog:
         """
         if or_replace and if_not_exists:
             raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
-        head = self._read_refs()[branch]
-        head_payload = self._read_commit(head)
-        if table in head_payload["tables"] and not or_replace:
-            if if_not_exists:
-                return False
-            raise ValueError(f"table {table!r} already exists on {branch!r}")
-        if table in head_payload.get("views", {}):
-            raise ValueError(
-                f"a view named {table!r} exists on branch {branch!r}"
-            )
         schema_json = schema.jsonValue() if hasattr(schema, "jsonValue") else schema
         if partition_by:
             from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
@@ -927,11 +917,39 @@ class Catalog:
             sort_by=sort_by,
             properties=props or None,
         )
-        verb = (
-            "REPLACE" if table in head_payload["tables"] else "CREATE"
-        )
-        self._commit_table(table, branch, meta, head, f"{verb} TABLE {table}")
-        return True
+        # the branch-ref CAS is commit-global: ANY concurrent commit
+        # (even to another table) moves the head between our read and
+        # our commit. Every other mutator retries via
+        # _optimistic_commit; CREATE must too, re-checking existence
+        # each attempt so an if_not_exists race resolves to "already
+        # exists" instead of surfacing the loser's CommitConflict
+        # (tests/test_dedup_races.py found exactly that under
+        # concurrent first-batch ingests).
+        last: Exception | None = None
+        for _attempt in range(4):
+            head = self._read_refs()[branch]
+            head_payload = self._read_commit(head)
+            if table in head_payload["tables"] and not or_replace:
+                if if_not_exists:
+                    return False
+                raise ValueError(
+                    f"table {table!r} already exists on {branch!r}"
+                )
+            if table in head_payload.get("views", {}):
+                raise ValueError(
+                    f"a view named {table!r} exists on branch {branch!r}"
+                )
+            verb = (
+                "REPLACE" if table in head_payload["tables"] else "CREATE"
+            )
+            try:
+                self._commit_table(
+                    table, branch, meta, head, f"{verb} TABLE {table}"
+                )
+                return True
+            except CommitConflict as ex:
+                last = ex
+        raise last  # type: ignore[misc]
 
     def drop_table(self, table: str, branch: str = MAIN) -> None:
         """Remove the table from the branch's commit tree (data retained).
@@ -2732,6 +2750,11 @@ class Catalog:
                 head = self._read_refs()[branch]
                 payload = self._read_commit(head)
                 now_exists = target in payload["tables"]
+                if now_exists and if_not_exists:
+                    # a racing creator landed first: IF NOT EXISTS
+                    # resolves to theirs (the copy's files stay
+                    # unreferenced for orphan reclaim)
+                    return self.load_table(target, branch)
                 if now_exists and not or_replace:
                     raise ValueError(
                         f"table {target!r} already exists on {branch!r}"
@@ -2760,15 +2783,33 @@ class Catalog:
         new_meta.current_snapshot_id = pin
         new_meta.version = 1
         new_meta.properties = props
-        verb = "REPLACE" if exists else "CREATE"
-        self._commit_table(
-            target,
-            branch,
-            new_meta,
-            head,
-            f"{verb} TABLE {target} SHALLOW CLONE {source}",
-        )
-        return new_meta
+        # ref CAS retry: any concurrent commit moves the branch head
+        # (same gap create_table had — see its comment); re-check
+        # existence per attempt so the race resolves semantically
+        last_ex: Exception | None = None
+        for _attempt in range(4):
+            head = self._read_refs()[branch]
+            payload = self._read_commit(head)
+            now_exists = target in payload["tables"]
+            if now_exists and if_not_exists:
+                return self.load_table(target, branch)
+            if now_exists and not or_replace:
+                raise ValueError(
+                    f"table {target!r} already exists on {branch!r}"
+                )
+            verb = "REPLACE" if now_exists else "CREATE"
+            try:
+                self._commit_table(
+                    target,
+                    branch,
+                    new_meta,
+                    head,
+                    f"{verb} TABLE {target} SHALLOW CLONE {source}",
+                )
+                return new_meta
+            except CommitConflict as ex:
+                last_ex = ex
+        raise last_ex  # type: ignore[misc]
 
     def add_files(
         self,

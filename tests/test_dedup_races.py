@@ -1,0 +1,142 @@
+"""True-concurrency races for the incremental dedup pipelines.
+
+test_incremental_dedup.py pins the CONFLICT PROTOCOL with a
+deterministic injected race (a competitor merges between probe and
+publish). These tests drive the real thing: several driver threads
+ingest overlapping batches into ONE catalog at once, so probe/publish
+interleavings, CAS retries, and re-probes happen wherever the
+scheduler puts them. The invariant in every interleaving:
+exactly-once admission per content (exact pipeline) and docs/index
+consistency — the engine's content-addressed generalization of the
+reference's single-writer WAP loop (src/serverless/app.py:235-317),
+which never faces this because one Lambda writes at a time.
+"""
+
+import threading
+
+from pyspark.sql import functions as F
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+    dedup_ingest,
+    near_dedup_ingest,
+)
+
+
+def _docs_df(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+def test_threaded_ingest_exactly_once(spark, warehouse):
+    """4 threads x 2 batches each, every content string shared by two
+    threads under different doc_ids: each distinct content is admitted
+    exactly once, the index mirrors the docs table, and every thread
+    completes (retries absorb the conflicts)."""
+    cat = Catalog(warehouse)
+    # thread t ingests contents [t, t+1] of 5 shared content groups —
+    # adjacent threads contend for the same strings
+    n_threads = 4
+    results, errors = {}, []
+
+    def work(t):
+        try:
+            out = []
+            for b in range(2):
+                texts = [
+                    (t * 1000 + b * 100 + i, f"shared content {(t + i) % 5}")
+                    for i in range(4)
+                ]
+                out.append(
+                    dedup_ingest(
+                        spark,
+                        cat,
+                        _docs_df(spark, texts),
+                        "docs",
+                        "fp_index",
+                        max_retries=12,
+                    )
+                )
+            results[t] = out
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append((t, ex))
+
+    threads = [
+        threading.Thread(target=work, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    docs = cat.read(spark, "docs").collect()
+    by_text = {}
+    for r in docs:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    # exactly-once per content, and only the 5 shared strings exist
+    assert sorted(by_text) == [f"shared content {i}" for i in range(5)]
+    assert all(len(ids) == 1 for ids in by_text.values()), by_text
+    # the index mirrors the docs table row-for-row
+    assert cat.read(spark, "fp_index").count() == len(docs)
+    # global accounting: published rows across all ingests == 5
+    total_pub = sum(
+        r.rows_published for out in results.values() for r in out
+    )
+    assert total_pub == 5
+
+
+def test_threaded_near_ingest_no_duplicate_neighborhoods(spark, warehouse):
+    """2 threads race IDENTICAL long documents through the near-dup
+    pipeline: only one copy of each document survives, and the
+    signature/band tables stay consistent with the docs table."""
+    cat = Catalog(warehouse)
+    # three genuinely DISSIMILAR documents (pairwise shingle Jaccard
+    # ~0), each appearing twice per batch — the in-batch pass collapses
+    # the exact copies; the race decides which thread admits each
+    variants = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "stock markets rallied sharply after central banks cut rates",
+        "volcanic eruptions reshape coastlines over geological time",
+    ]
+    docs = [(i, variants[i % 3]) for i in range(6)]
+    errors = []
+
+    def work(t):
+        try:
+            near_dedup_ingest(
+                spark,
+                cat,
+                _docs_df(spark, [(t * 100 + i, txt) for i, txt in docs]),
+                "docs_nd",
+                "sigs_nd",
+                "bands_nd",
+                max_retries=12,
+            )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append((t, ex))
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    out = cat.read(spark, "docs_nd").collect()
+    # 3 distinct variants exist; each admitted exactly once
+    texts = sorted(r["text"] for r in out)
+    assert len(texts) == 3 and len(set(texts)) == 3
+    # signature and band tables describe exactly the admitted docs
+    admitted = {r["doc_id"] for r in out}
+    sig_ids = {
+        r["doc_id"] for r in cat.read(spark, "sigs_nd").collect()
+    }
+    assert sig_ids == admitted
+    band_ids = {
+        r["doc_id"]
+        for r in cat.read(spark, "bands_nd")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert band_ids == admitted

@@ -427,3 +427,52 @@ def test_probe_fast_path_numeric_keys(spark):
 
     assert got_fast == expect
     assert got_general == expect
+
+
+def test_folded_bounds_equal_agg_bounds(spark, warehouse):
+    """When every key column is a partition source, the probe folds
+    global key bounds from the partition-value sets instead of paying
+    a second full-batch agg job. The fold must equal the agg exactly —
+    including null keys (both ignore them) and across an evolved
+    (two-era) spec."""
+    from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+        partition_value_sets,
+    )
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
+
+    cat = Catalog(warehouse)
+    df = _digest_df(spark, range(0, 50))
+    cat.create_table(
+        "fb", df.schema, partition_by=["truncate(2, fp)"], sort_by=["fp"]
+    )
+    cat.append(df, "fb")
+    cat.evolve_partition_spec("fb", ["truncate(4, fp)"])
+    meta = cat.load_table("fb")
+
+    kdf = _digest_df(spark, range(10, 40)).select("fp").unionByName(
+        spark.createDataFrame([(None,)], "fp string")
+    )
+    sets = partition_value_sets(meta, ["fp"], kdf)
+    assert {ps.key_index for ps in sets} == {0}
+    assert len(sets) == 2  # both eras contribute
+    los = [
+        lo
+        for ps in sets
+        for lo, _hi in ps.bounds.values()
+        if lo is not None
+    ]
+    his = [
+        hi
+        for ps in sets
+        for _lo, hi in ps.bounds.values()
+        if hi is not None
+    ]
+    row = kdf.agg(F.min("fp"), F.max("fp")).first()
+    assert (min(los), max(his)) == (_norm(row[0]), _norm(row[1]))
+
+    # and the probe path end-to-end (fold active: no dup_guard) stays
+    # sound against ground truth
+    fps = {r["fp"] for r in kdf.collect() if r["fp"] is not None}
+    affected = cat._files_overlapping_keys(meta, ["fp"], kdf)
+    got = {f.path for f, _ in affected}
+    assert _true_hit_paths(cat, meta, fps) <= got
