@@ -476,3 +476,42 @@ def test_folded_bounds_equal_agg_bounds(spark, warehouse):
     affected = cat._files_overlapping_keys(meta, ["fp"], kdf)
     got = {f.path for f, _ in affected}
     assert _true_hit_paths(cat, meta, fps) <= got
+
+
+def test_executor_probe_numeric_key_end_to_end(spark, warehouse, monkeypatch):
+    """The numeric sorted fast path through the full keyed-mutation
+    stack: a long-keyed sorted+bloomed table upserted with a batch
+    ABOVE the driver sample cap (forcing the executor probe), result
+    byte-equal to an overwrite-by-key — and the probe actually pruned
+    (the untouched key range's files were not rewritten)."""
+    cat = Catalog(warehouse)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "k long, v string"
+    )
+    cat.create_table("num", base.schema, sort_by=["k"], bloom_cols=["k"])
+    for lo in range(0, 2000, 500):  # 4 appends -> >= 4 files
+        cat.append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 500)],
+                "k long, v string",
+            ),
+            "num",
+        )
+    files_before = {f.path for f in cat.load_table("num").files()}
+    assert len(files_before) >= 4
+    monkeypatch.setattr(Catalog, "PROBE_DRIVER_KEYS_MAX", 10)
+    ups = spark.createDataFrame(
+        [(i, f"NEW{i}") for i in range(1500, 1600)] + [(5000, "NEW5000")],
+        "k long, v string",
+    )
+    cat.upsert(ups, "num", key="k")
+    got = {(r["k"], r["v"]) for r in cat.read(spark, "num").collect()}
+    expect = {
+        (i, f"v{i}") for i in range(2000) if not 1500 <= i < 1600
+    }
+    expect |= {(i, f"NEW{i}") for i in range(1500, 1600)}
+    expect |= {(5000, "NEW5000")}
+    assert got == expect
+    # effectiveness: files wholly outside [1500, 1600) survive untouched
+    files_after = {f.path for f in cat.load_table("num").files()}
+    assert files_before & files_after, "probe rewrote every file"
