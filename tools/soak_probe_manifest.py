@@ -53,7 +53,6 @@ from no_jvm_wap_with_iceberg_spark.catalog.table import (  # noqa: E402
 )
 from no_jvm_wap_with_iceberg_spark.session import get_spark  # noqa: E402
 
-HEX = "0123456789abcdef"
 SPACE = 1 << 256  # sha256 digest space
 BATCH = 12_000
 
