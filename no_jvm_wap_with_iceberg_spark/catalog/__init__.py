@@ -1,4 +1,8 @@
-from no_jvm_wap_with_iceberg_spark.catalog.catalog import Catalog, CommitConflict
+from no_jvm_wap_with_iceberg_spark.catalog.catalog import (
+    Catalog,
+    CommitConflict,
+    Transaction,
+)
 from no_jvm_wap_with_iceberg_spark.catalog.export import (
     duckdb_view_sql,
     export_manifest,
@@ -31,6 +35,7 @@ __all__ = [
     "Predicate",
     "RefStore",
     "Snapshot",
+    "Transaction",
     "TableMetadata",
     "column_bounds",
     "duckdb_view_sql",

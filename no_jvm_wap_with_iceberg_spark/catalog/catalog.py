@@ -798,17 +798,36 @@ class Catalog:
         metadata, then commit the pointer. Raises CommitConflict if the
         branch moved under us.
         """
-        rel = (
-            f"tables/{table}/metadata/"
-            f"v{meta.version:05d}-{uuid.uuid4().hex[:8]}.json"
-        )
-        self._store.put(rel, meta.to_json())  # immutable, uuid-named
+        self._commit_tables(branch, {table: meta}, expected_head, message)
 
+    def _commit_tables(
+        self,
+        branch: str,
+        metas: dict[str, TableMetadata],
+        expected_head: str,
+        message: str,
+    ) -> None:
+        """N-table generalization of :meth:`_commit_table`: one metadata
+        blob per table, ONE commit object whose tables map carries every
+        update, ONE ref CAS. Readers observe all the updates or none —
+        the atomic multi-table commit primitive SURVEY §7.2 names as the
+        hard part of multi-table WAP (the reference serializes one
+        commit per table and punts cross-table atomicity,
+        ``README.md:18``). Raises CommitConflict if the branch moved.
+        """
         if branch in self._read_tags():
             raise ValueError(f"ref {branch!r} is an immutable tag")
+        rels: dict[str, str] = {}
+        for table, meta in metas.items():
+            rel = (
+                f"tables/{table}/metadata/"
+                f"v{meta.version:05d}-{uuid.uuid4().hex[:8]}.json"
+            )
+            self._store.put(rel, meta.to_json())  # immutable, uuid-named
+            rels[table] = rel
         parent = self._read_commit(expected_head)
         new_tables = dict(parent["tables"])
-        new_tables[table] = rel
+        new_tables.update(rels)
         new_id = uuid.uuid4().hex[:16]
         self._write_commit(
             {
@@ -895,6 +914,16 @@ class Catalog:
         if or_replace and if_not_exists:
             raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
         schema_json = schema.jsonValue() if hasattr(schema, "jsonValue") else schema
+        if if_not_exists:
+            # cheap pre-loop short-circuit (ADVICE r8): an existing
+            # table must resolve to False even when THIS call's
+            # partition spec wouldn't parse — if_not_exists callers
+            # (lazy per-batch creation) pass specs meant only for the
+            # create case. The per-attempt re-check below still
+            # governs the race path.
+            head0 = self._read_commit(self._read_refs()[branch])
+            if table in head0["tables"]:
+                return False
         if partition_by:
             from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
                 parse_partition_spec,
@@ -1250,6 +1279,127 @@ class Catalog:
             ),
             max_retries=max_retries,
         )
+
+    def append_many(
+        self,
+        appends: "list[tuple[str, DataFrame]] | dict[str, DataFrame]",
+        branch: str = MAIN,
+        max_retries: int = 3,
+        concurrent: bool = True,
+        expected_head: str | None = None,
+    ) -> dict[str, TableMetadata]:
+        """Append N DataFrames to N tables in ONE atomic commit.
+
+        The multi-table ingest primitive: every target table's data
+        files are written first (CONCURRENTLY when ``concurrent`` —
+        Spark's scheduler runs jobs submitted from separate driver
+        threads side by side, so N table writes cost ~one write wall
+        instead of N), then all N metadata updates land in a single
+        commit object behind a single ref CAS. Readers never observe a
+        subset of the tables updated — the guarantee the dedup
+        pipelines previously bought with a staging branch plus N
+        serialized appends plus a fast-forward (≈N+3 ref round-trips;
+        this is 1). SURVEY §7.2 names multi-table WAP as the hard part
+        the reference punts (``README.md:18``).
+
+        ``appends`` maps table → batch (or is a ``[(table, df), ...]``
+        list; repeating a table chains one snapshot per entry, in
+        order). All tables must already exist on ``branch``. Files are
+        written ONCE; only the metadata commit retries on conflict
+        (``max_retries=0`` surfaces the first CommitConflict to the
+        caller — the mode ingest pipelines use so a conflict re-probes
+        instead of blindly re-attaching). Zero-row entries are elided;
+        if every entry is empty no commit happens. Returns the
+        committed metadata per table.
+
+        ``expected_head`` pins the CAS base to a commit the CALLER
+        captured — the read-check-publish primitive: a dedup pipeline
+        probes its index as of head H, and ANY commit landing after H
+        (even to an unrelated table — the ref CAS is commit-global)
+        must fail this publish so the caller re-probes. Pinning the
+        base forces ``max_retries=0`` (a retry against the same pinned
+        head can only fail identically).
+        """
+        entries = (
+            list(appends.items())
+            if isinstance(appends, dict)
+            else [(t, df) for t, df in appends]
+        )
+        if not entries:
+            return {}
+        # capture the head FIRST (same discipline as every mutator):
+        # alignment/layout derive from this exact commit, never one
+        # newer than what the CAS will validate against
+        if expected_head is not None:
+            head0 = expected_head
+            max_retries = 0
+        else:
+            head0 = self._read_refs()[branch]
+        metas0 = {
+            t: self._load_table_at(t, head0, branch)
+            for t, _ in entries
+        }
+
+        def write_one(item: tuple[str, DataFrame]) -> list[FileEntry]:
+            t, df = item
+            return self._write_files(
+                self._align_schema(df, metas0[t]), metas0[t], t
+            )
+
+        if concurrent and len(entries) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # one thread per table (N is small — the point is
+            # overlapping the per-write fixed walls, not fan-out)
+            with ThreadPoolExecutor(max_workers=len(entries)) as pool:
+                files_per_entry = list(pool.map(write_one, entries))
+        else:
+            files_per_entry = [write_one(e) for e in entries]
+
+        live = [
+            (t, files)
+            for (t, _df), files in zip(entries, files_per_entry)
+            if sum(f.rows for f in files) > 0
+        ]
+        if not live:
+            # no-op commit elision, same as single-table append
+            return metas0
+        tables = [t for t, _ in live]
+        n_files = sum(len(f) for _, f in live)
+        message = f"APPEND {', '.join(dict.fromkeys(tables))} ({n_files} files)"
+
+        # files are written ONCE; only the metadata commit retries —
+        # each attempt re-derives every table's snapshot from the
+        # FRESH head so no concurrent commit is silently dropped
+        for attempt in range(max_retries + 1):
+            head = head0 if attempt == 0 else self._read_refs()[branch]
+            new_metas: dict[str, TableMetadata] = {}
+            for t, files in live:
+                m = new_metas.get(t) or self._load_table_at(t, head, branch)
+                new_metas[t] = m.with_new_snapshot(files, "append")
+            try:
+                self._commit_tables(branch, new_metas, head, message)
+                return {**metas0, **new_metas}
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def transaction(
+        self, branch: str = MAIN, max_retries: int = 3
+    ) -> "Transaction":
+        """First-class multi-table append transaction::
+
+            with cat.transaction(branch) as tx:
+                tx.append(docs_df, "documents")
+                tx.append(index_df, "fingerprints")
+
+        Nothing is written until the ``with`` block exits cleanly;
+        then every recorded append lands via :meth:`append_many` —
+        one write wall, one commit, one ref CAS. An exception inside
+        the block abandons the transaction (no files, no commit).
+        """
+        return Transaction(self, branch, max_retries)
 
     def _schema_evolved_by(
         self, m: TableMetadata, src_schema, table: str
@@ -2759,6 +2909,13 @@ class Catalog:
                     raise ValueError(
                         f"table {target!r} already exists on {branch!r}"
                     )
+                if target in payload.get("views", {}):
+                    # re-checked PER ATTEMPT (ADVICE r8): a racing
+                    # CREATE VIEW between attempts must not be
+                    # shadowed by a same-named table
+                    raise ValueError(
+                        f"a view named {target!r} exists on branch {branch!r}"
+                    )
                 try:
                     self._commit_table(
                         target,
@@ -2796,6 +2953,12 @@ class Catalog:
             if now_exists and not or_replace:
                 raise ValueError(
                     f"table {target!r} already exists on {branch!r}"
+                )
+            if target in payload.get("views", {}):
+                # per-attempt view re-check, mirroring create_table's
+                # loop (ADVICE r8)
+                raise ValueError(
+                    f"a view named {target!r} exists on branch {branch!r}"
                 )
             verb = "REPLACE" if now_exists else "CREATE"
             try:
@@ -5631,3 +5794,43 @@ class Catalog:
         name = f"{prefix}-{uuid.uuid4().hex[:8]}"
         self.create_branch(name, from_branch)
         return fn(name)
+
+
+class Transaction:
+    """Multi-table append transaction — see :meth:`Catalog.transaction`.
+
+    Records ``(table, df)`` pairs; on clean ``with``-exit they commit
+    atomically through :meth:`Catalog.append_many` (one write wall, one
+    commit, one ref CAS). DataFrames are evaluated at COMMIT time, not
+    at :meth:`append` time — readers of the transaction's branch see
+    either none or all of the appends. ``commit()`` may be called
+    explicitly instead (exiting after an explicit commit is a no-op).
+    """
+
+    def __init__(self, cat: Catalog, branch: str, max_retries: int) -> None:
+        self._cat = cat
+        self._branch = branch
+        self._max_retries = max_retries
+        self._entries: list[tuple[str, DataFrame]] = []
+        self._result: dict[str, TableMetadata] | None = None
+
+    def append(self, df: DataFrame, table: str) -> "Transaction":
+        if self._result is not None:
+            raise RuntimeError("transaction already committed")
+        self._entries.append((table, df))
+        return self
+
+    def commit(self) -> dict[str, TableMetadata]:
+        if self._result is not None:
+            raise RuntimeError("transaction already committed")
+        self._result = self._cat.append_many(
+            self._entries, self._branch, max_retries=self._max_retries
+        )
+        return self._result
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None and self._result is None:
+            self.commit()

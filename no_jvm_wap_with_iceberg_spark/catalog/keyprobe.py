@@ -358,6 +358,12 @@ def probe_files_spark(
             upserts). False when the chunk's dtype defeats a total
             sort order — the caller falls back to the general masks
             below, which this path must match admit-for-admit."""
+            if len(v) == 0:
+                # a zero-row chunk carries no keys: admit nothing,
+                # matching the general path (mask.any() is False on an
+                # empty chunk) — without this, evidence-free candidates
+                # (no bounds, no bloom) would over-admit (ADVICE r8)
+                return True
             if v.isna().any():
                 # a null key carries no evidence against any file: the
                 # general path's range mask includes nulls and its

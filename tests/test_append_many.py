@@ -1,0 +1,242 @@
+"""Catalog.append_many / Transaction — the multi-table atomic append
+primitive (SURVEY §7.2's multi-table WAP hard part; the reference
+serializes one commit per table and punts cross-table atomicity,
+``README.md:18``).
+
+Contract pinned here:
+- all N tables' rows land in ONE commit (one log entry, one ref hop);
+- readers at any commit see all tables updated or none;
+- concurrent file writes produce the same result as sequential;
+- ``expected_head`` pins the CAS base so a commit landing after the
+  caller's read fails the publish (read-check-publish);
+- zero-row entries are elided, all-empty calls commit nothing;
+- repeating a table chains one snapshot per entry, in order;
+- Transaction defers everything to a clean ``with``-exit.
+"""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from no_jvm_wap_with_iceberg_spark.catalog import Catalog, CommitConflict
+
+
+def _df(spark, lo, hi, name="x"):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(name).alias("name")
+    )
+
+
+def _setup(spark, cat, tables=("ta", "tb")):
+    schema = _df(spark, 0, 1).schema
+    for t in tables:
+        cat.create_table(t, schema)
+
+
+def test_two_tables_one_commit(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    log_before = len(cat.log())
+    out = cat.append_many(
+        {"ta": _df(spark, 0, 10), "tb": _df(spark, 0, 5, "y")}
+    )
+    assert set(out) == {"ta", "tb"}
+    assert len(cat.log()) == log_before + 1  # ONE commit for both
+    assert cat.read(spark, "ta").count() == 10
+    assert cat.read(spark, "tb").count() == 5
+    # the commit's tables map updated both metadata pointers together
+    head = cat.log()[0]
+    assert "ta" in head["message"] and "tb" in head["message"]
+
+
+def test_no_intermediate_state_in_history(spark, warehouse):
+    """Every commit in history shows the two tables moving together:
+    there is no commit where ta advanced but tb did not."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    for i in range(3):
+        cat.append_many(
+            {"ta": _df(spark, i * 10, i * 10 + 10),
+             "tb": _df(spark, i * 5, i * 5 + 5)}
+        )
+    counts = []
+    for c in cat.log():
+        if c["id"] == "root":
+            continue
+        tables = c["tables"]
+        if "ta" not in tables or "tb" not in tables:
+            continue  # creation commits
+        a = cat._load_table_at("ta", c["id"]).row_count()
+        b = cat._load_table_at("tb", c["id"]).row_count()
+        counts.append((a, b))
+    assert (30, 15) in counts and (0, 0) in counts
+    for a, b in counts:
+        assert a == 2 * b  # locked ratio at every observable commit
+
+
+def test_concurrent_equals_sequential(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat, ("c1", "c2", "c3"))
+    _setup(spark, cat, ("s1", "s2", "s3"))
+    dfs = [_df(spark, 0, 100, f"n{i}") for i in range(3)]
+    cat.append_many(
+        [("c1", dfs[0]), ("c2", dfs[1]), ("c3", dfs[2])], concurrent=True
+    )
+    cat.append_many(
+        [("s1", dfs[0]), ("s2", dfs[1]), ("s3", dfs[2])], concurrent=False
+    )
+    for c, s in (("c1", "s1"), ("c2", "s2"), ("c3", "s3")):
+        got = {tuple(r) for r in cat.read(spark, c).collect()}
+        want = {tuple(r) for r in cat.read(spark, s).collect()}
+        assert got == want and len(got) == 100
+
+
+def test_empty_entries_elided(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    log_before = len(cat.log())
+    cat.append_many({"ta": _df(spark, 0, 7), "tb": _df(spark, 0, 0)})
+    assert cat.read(spark, "ta").count() == 7
+    assert cat.read(spark, "tb").count() == 0
+    assert len(cat.log()) == log_before + 1
+    # only ta in the commit message (tb elided)
+    assert "tb" not in cat.log()[0]["message"]
+    # all-empty: no commit at all
+    cat.append_many({"ta": _df(spark, 0, 0), "tb": _df(spark, 0, 0)})
+    assert len(cat.log()) == log_before + 1
+
+
+def test_repeated_table_chains_snapshots(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    log_before = len(cat.log())
+    out = cat.append_many(
+        [("ta", _df(spark, 0, 4)), ("ta", _df(spark, 4, 10))]
+    )
+    assert len(cat.log()) == log_before + 1
+    assert cat.read(spark, "ta").count() == 10
+    # two snapshots landed in the one commit, in order
+    snaps = out["ta"].snapshots
+    assert len(snaps) == 2
+    assert snaps[0].summary["added-rows"] == 4
+    assert snaps[1].summary["added-rows"] == 6
+
+
+def test_expected_head_pins_cas(spark, warehouse):
+    """read-check-publish: a commit landing after the caller captured
+    the head MUST fail the pinned publish, even though an unpinned
+    retry would have succeeded."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    head = cat._read_refs()["main"]
+    cat.append(_df(spark, 100, 101, "rival"), "ta")  # head moves
+    with pytest.raises(CommitConflict):
+        cat.append_many(
+            {"ta": _df(spark, 0, 5), "tb": _df(spark, 0, 5)},
+            expected_head=head,
+        )
+    # nothing landed from the failed publish
+    assert cat.read(spark, "ta").count() == 1
+    assert cat.read(spark, "tb").count() == 0
+
+
+def test_unpinned_retry_absorbs_conflicts(spark, warehouse):
+    """Default mode: racing single-table appends against a multi-table
+    append from real threads — all rows from all writers land."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    errors = []
+
+    def rival():
+        try:
+            for i in range(3):
+                cat.append(_df(spark, 1000 + i, 1001 + i, "rival"), "ta")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=rival)
+    t.start()
+    try:
+        for i in range(3):
+            cat.append_many(
+                {"ta": _df(spark, i * 10, i * 10 + 10),
+                 "tb": _df(spark, i * 10, i * 10 + 10, "b")},
+                max_retries=8,
+            )
+    finally:
+        t.join()
+    assert errors == []
+    ta = cat.read(spark, "ta")
+    assert ta.count() == 33
+    assert ta.filter("name = 'rival'").count() == 3
+    assert cat.read(spark, "tb").count() == 30
+
+
+def test_missing_table_raises_before_any_write(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat, ("ta",))
+    log_before = len(cat.log())
+    with pytest.raises(KeyError):
+        cat.append_many({"ta": _df(spark, 0, 5), "nope": _df(spark, 0, 5)})
+    assert cat.read(spark, "ta").count() == 0
+    assert len(cat.log()) == log_before
+
+
+def test_transaction_commits_on_clean_exit(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    log_before = len(cat.log())
+    with cat.transaction() as tx:
+        tx.append(_df(spark, 0, 6), "ta")
+        tx.append(_df(spark, 0, 3, "y"), "tb")
+        # nothing visible before exit
+        assert cat.read(spark, "ta").count() == 0
+    assert cat.read(spark, "ta").count() == 6
+    assert cat.read(spark, "tb").count() == 3
+    assert len(cat.log()) == log_before + 1
+
+
+def test_transaction_abandoned_on_exception(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    log_before = len(cat.log())
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as tx:
+            tx.append(_df(spark, 0, 6), "ta")
+            raise RuntimeError("boom")
+    assert cat.read(spark, "ta").count() == 0
+    assert len(cat.log()) == log_before
+
+
+def test_transaction_explicit_commit_once(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    with cat.transaction() as tx:
+        tx.append(_df(spark, 0, 2), "ta")
+        tx.commit()
+        with pytest.raises(RuntimeError, match="already committed"):
+            tx.append(_df(spark, 2, 4), "ta")
+    # clean exit after explicit commit is a no-op
+    assert cat.read(spark, "ta").count() == 2
+
+
+def test_respects_sort_layout_per_table(spark, warehouse):
+    """Each table's files are written under ITS layout (sort/partition
+    derive from per-table metadata, not a shared writer)."""
+    cat = Catalog(warehouse)
+    schema = _df(spark, 0, 1).schema
+    cat.create_table("plain", schema)
+    cat.create_table("sorted_t", schema, sort_by=["id"])
+    cat.append_many(
+        {"plain": _df(spark, 0, 50), "sorted_t": _df(spark, 0, 50)}
+    )
+    m = cat.load_table("sorted_t")
+    files = m.files()
+    # range-partitioned sorted write: disjoint [min,max] id ranges
+    spans = sorted(
+        (f.columns["id"]["min"], f.columns["id"]["max"]) for f in files
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    assert cat.read(spark, "sorted_t").count() == 50

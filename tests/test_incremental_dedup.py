@@ -80,29 +80,27 @@ def test_racing_ingest_cannot_admit_digest_twice(spark, warehouse):
     cat = Catalog(warehouse)
     dedup_ingest(spark, cat, _df(spark, [(1, "base")]), "docs", "fp_index")
 
-    original_merge = Catalog.merge
+    original_append_many = Catalog.append_many
     fired = {"done": False}
 
-    def racing_merge(self, from_branch, to_branch="main"):
+    def racing_append_many(self, appends, branch="main", **kw):
         if not fired["done"]:
             fired["done"] = True
             # a competitor lands the SAME new digest on main between
-            # our probe and our publish: our fast-forward must fail
+            # our probe and our publish: our commit CAS must fail
             dedup_ingest(
                 spark, cat, _df(spark, [(50, "contested")]),
                 "docs", "fp_index",
             )
-        return original_merge(self, from_branch, to_branch)
-
-    import no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup as mod
+        return original_append_many(self, appends, branch, **kw)
 
     try:
-        Catalog.merge = racing_merge
+        Catalog.append_many = racing_append_many
         r = dedup_ingest(
             spark, cat, _df(spark, [(9, "contested")]), "docs", "fp_index"
         )
     finally:
-        Catalog.merge = original_merge
+        Catalog.append_many = original_append_many
     # the loser re-probed and found the digest already admitted
     assert r.published is False and r.attempts == 2
     docs = cat.read(spark, "docs")

@@ -73,24 +73,24 @@ def test_racing_ingest_cannot_admit_similar_twice(spark, warehouse):
     cat = Catalog(warehouse)
     near_dedup_ingest(spark, cat, _df(spark, [(1, FAR)]),
                       "docs", "sigs", "bands")
-    original_merge = Catalog.merge
+    original_append_many = Catalog.append_many
     fired = {"done": False}
 
-    def racing_merge(self, from_branch, to_branch="main"):
+    def racing_append_many(self, appends, branch="main", **kw):
         if not fired["done"]:
             fired["done"] = True
             near_dedup_ingest(
                 spark, cat, _df(spark, [(50, BASE)]), "docs", "sigs", "bands"
             )
-        return original_merge(self, from_branch, to_branch)
+        return original_append_many(self, appends, branch, **kw)
 
     try:
-        Catalog.merge = racing_merge
+        Catalog.append_many = racing_append_many
         r = near_dedup_ingest(
             spark, cat, _df(spark, [(9, NEAR)]), "docs", "sigs", "bands"
         )
     finally:
-        Catalog.merge = original_merge
+        Catalog.append_many = original_append_many
     assert r.published is False and r.attempts == 2
     kept = {r_.doc_id for r_ in cat.read(spark, "docs").collect()}
     assert kept == {1, 50}
