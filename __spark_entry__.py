@@ -28,24 +28,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records exactly the first 50 registered queries
-# (confirmed r1-r7), so ordering is load-bearing and the head is
-# curated by hand each round. Round-8 rotation (VERDICT r7 #2 +
-# NOTES round-8 guidance): r7 was the third consecutive perfect
-# 50/50 gate, so the head is (1) the canary, (2) the stalest
-# evidence tier — every remaining r4-evidence query (the TPC-H
-# tail, the multimodal_* suite, the remaining text_* suite, corpus
-# profiling, dedup_substring_spans, maintenance/cherrypick,
-# streaming_changefeed_merge) plus the four r7 tail rotations,
-# (3) everything whose SUBSYSTEM changed in r8 — the incremental
-# dedup pipelines (self-sizing index width + evolution migration,
-# gated broadcasts, identical-doc collapse), the keyprobe
-# partition-value-set rewrite (ALL keyed mutations ride it: the
-# whole merge family, MoR delete reads, DML-subquery deletes,
-# metadata deletes), and the retuned IVF defaults behind the ANN
-# recall gate. Everything green in r6/r7 rotates to the tail.
+# (confirmed r1-r8), so ordering is load-bearing and the head is
+# curated by hand each round. Round-9 rotation (VERDICT r8 #2 +
+# NOTES round-9 guidance): r8 was the fourth consecutive perfect
+# 50/50 gate, so the head is (1) the canary, (2) everything whose
+# SUBSYSTEM changed in r9 — the multi-table atomic append
+# (Catalog.append_many / Transaction; BOTH incremental dedup
+# pipelines now publish through it with a probe-head-pinned CAS),
+# the transaction/publish and clone SQL surfaces, and one keyprobe
+# rider for the empty-chunk fast-path guard — and (3) the stalest
+# evidence tier: 43 of the 82 mid-section queries whose last driver
+# gate was r5/r6 (the dedup_* operator suite, embedding_*/
+# similarity_*, corpus tail, sketch/window/agg suites, text
+# bigram/pii/perplexity, multimodal payload stats, asof,
+# streaming dedup/interval-join/sessionization (all head picks
+# are oracle-backed; the rows-only probabilistic set stays in
+# the mid/tail where the gate's weaker rows-only check applies),
+# streaming_windowed_counts). The 36 mid-tier queries that did not
+# fit (events_* family, wap_audit_gate, the catalog_* lifecycle
+# gates, streaming dedup/interval/rollup, sql_delta_maintenance,
+# cdc_table_changes, catalog_add_files, ...) queue for the r10
+# head. Everything green in r7/r8 rotates to the tail.
 _HEAD = [
     "q1_pricing_summary",  # canary: green every round, sub-second
-    # --- stalest (r4-evidence) rotation: TPC-H tail ---
+    "dedup_incremental_index",
+    "dedup_incremental_near",
+    "catalog_multi_table_publish",
+    "sql_transaction_publish",
+    "sql_shallow_clone",
+    "sql_merge_into",
+    "agg_grouping_sets",
+    "join_semi_anti",
+    "window_top3_orders_per_customer",
+    "subquery_parts_above_brand_avg",
+    "streaming_dedup_slots",
+    "window_frame_suite",
+    "agg_stats_moments",
+    "sketch_error_bounds_gate",
+    "dedup_exact_stats",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "streaming_interval_join",
+    "dedup_components",
+    "dedup_cluster_representatives",
+    "dedup_source_matrix",
+    "dedup_normalized_fingerprints",
+    "text_pii_scrub",
+    "text_bigram_logprob",
+    "text_perplexity_filter",
+    "similarity_cosine_topk",
+    "similarity_label_centroid_stats",
+    "events_sessionization",
+    "events_session_window_native",
+    "embedding_quantize_int8",
+    "embedding_pq_codes",
+    "dedup_pq_buckets",
+    "embedding_kmeans_clusters",
+    "embedding_pca_covariance",
+    "embedding_pca_project_gate",
+    "text_quality_logreg",
+    "text_bpe_merge_candidates",
+    "multimodal_feature_extract",
+    "multimodal_payload_stats",
+    "asof_purchase_last_click",
+    "corpus_decontaminate_eval",
+    "corpus_quality_resample",
+    "corpus_chunk_windows",
+    "corpus_train_val_split",
+    "corpus_token_budget_mix",
+    "corpus_epoch_shuffle",
+    "streaming_windowed_counts",
+]
+_TAIL = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q8_market_share",
@@ -57,14 +113,12 @@ _HEAD = [
     "q19_discounted_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
-    # --- stalest (r4-evidence) rotation: multimodal suite ---
     "multimodal_resize_plan",
     "multimodal_frame_sample",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_bmp_resize_real",
     "multimodal_wav_frame_features",
-    # --- stalest (r4-evidence) rotation: text/corpus/maintenance ---
     "corpus_repetition_profile",
     "corpus_pack_sequences",
     "text_lang_id_confusion",
@@ -80,17 +134,10 @@ _HEAD = [
     "sql_call_maintenance",
     "catalog_cherrypick",
     "streaming_changefeed_merge",
-    # --- r7 tail rotations (queued by the r7 brief) ---
     "text_quality_rules",
     "text_tfidf_top_terms",
     "streaming_backfill_slices",
     "catalog_table_rename",
-    # --- r8-changed subsystem: incremental dedup pipelines ---
-    "dedup_incremental_index",
-    "dedup_incremental_near",
-    # --- r8-changed subsystem: keyprobe partition-value sets
-    #     (every keyed mutation shares this pass) ---
-    "sql_merge_into",
     "merge_into_conditional",
     "merge_lineitem_composite",
     "sql_merge_by_source",
@@ -100,14 +147,8 @@ _HEAD = [
     "catalog_metadata_delete",
     "sql_delete_in_subquery",
     "catalog_mor_delete_read",
-    # --- r8-changed subsystem: IVF defaults behind the recall gate ---
     "similarity_ann_recall_gate",
-]
-_TAIL = [
     "merge_orders_cdc",
-    # rotated out of the r7 head (r7-green - freshest evidence goes
-    # to the end of the line); order only matters if the gate ever
-    # reads past slot 50
     "unpivot_nation_measures",
     "topk_expensive_items",
     "histogram_order_totals",

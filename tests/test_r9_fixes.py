@@ -32,19 +32,22 @@ def _sigs(spark, rows):
     )
 
 
-def _window_child_outputs(df):
-    """Column names feeding each Window in the optimized plan."""
+def _window_partition_types(df):
+    """Data types of each Window node's partition-spec expressions in
+    the optimized plan (the analyzer hoists computed keys into a
+    child projection, so inspect the expression types directly)."""
     lp = df._jdf.queryExecution().optimizedPlan()
     outs = []
 
     def walk(node):
         if node.nodeName() == "Window":
-            child = node.children().apply(0)
-            cols = [
-                child.output().apply(i).name()
-                for i in range(child.output().size())
-            ]
-            outs.append(cols)
+            spec = node.partitionSpec()
+            outs.append(
+                [
+                    spec.apply(i).dataType().simpleString()
+                    for i in range(spec.size())
+                ]
+            )
         for i in range(node.children().size()):
             walk(node.children().apply(i))
 
@@ -52,14 +55,22 @@ def _window_child_outputs(df):
     return outs
 
 
-def test_collapse_window_ships_hash_not_shingles(spark):
+def test_collapse_window_partitions_on_hash_not_array(spark):
+    """The keep-first window's partition key is the 8-byte xxhash64 of
+    the shingle set — the exchange partitioner and the per-partition
+    sort compare longs, never whole arrays (VERDICT r8 #3)."""
     sigs = _sigs(spark, [(1, BASE), (2, BASE), (3, OTHER)])
     collapsed = idd._collapse_identical(sigs)
-    windows = _window_child_outputs(collapsed)
+    windows = _window_partition_types(collapsed)
     assert windows, "collapse lost its keep-first window"
-    for cols in windows:
-        assert "_shh" in cols
-        assert "_sh" not in cols and "_bh" not in cols
+    for types in windows:
+        assert types == ["bigint"], types  # not array<bigint>
+    # and the hash really is the set hash: the hoisted window key
+    # (_wN) is an xxhash64 over the shingle-set column
+    import re
+
+    plan = collapsed._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"xxhash64\([^)]*sh[^)]*\) AS _w\d+", plan), plan
 
 
 def test_collapse_keeps_first_and_distinct(spark):
