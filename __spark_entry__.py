@@ -41,7 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate was r5/r6 (the dedup_* operator suite, embedding_*/
 # similarity_*, corpus tail, sketch/window/agg suites, text
 # bigram/pii/perplexity, multimodal payload stats, asof,
-# streaming dedup/interval-join/sessionization (all head picks
+# streaming dedup/interval-join/sessionization, plus the NEW
+# catalog_append_many_txn gate for the r9 primitive (all head picks
 # are oracle-backed; the rows-only probabilistic set stays in
 # the mid/tail where the gate's weaker rows-only check applies),
 # streaming_windowed_counts). The 36 mid-tier queries that did not
@@ -99,7 +100,7 @@ _HEAD = [
     "corpus_train_val_split",
     "corpus_token_budget_mix",
     "corpus_epoch_shuffle",
-    "streaming_windowed_counts",
+    "catalog_append_many_txn",
 ]
 _TAIL = [
     "q3_shipping_priority",

@@ -1970,6 +1970,69 @@ def catalog_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_append_many_txn",
+    """
+    WITH l AS (SELECT * FROM lineitem WHERE l_orderkey % 5 <= 1),
+         o AS (SELECT * FROM orders WHERE o_orderkey % 5 <= 1)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+    FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="ATOMIC MULTI-TABLE APPEND (round-9 primitive, "
+    "catalog/catalog.py append_many/Transaction): two batches each "
+    "append a lineitem subset AND its orders subset through "
+    "`with cat.transaction(): ...` — per-table files write "
+    "CONCURRENTLY, then ONE commit + ONE ref CAS lands both tables "
+    "(vs the WAP-branch route of catalog_multi_table_publish which "
+    "pays a branch + N appends + fast-forward). The query "
+    "hard-asserts one commit per transaction (raises on a torn or "
+    "split publish) and the oracle joins the two tables read back "
+    "from main — torn state would break the join cardinalities. "
+    "SURVEY §7.2 names multi-table WAP as the hard part; the "
+    "reference punts it (README.md:18).",
+)
+def catalog_append_many_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+
+    cat = Catalog(_tmp_warehouse("appmany_"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cat.create_table("li_txn", li.schema)
+    cat.create_table("ord_txn", orders.schema)
+    log0 = len(cat.log())
+    for m in (0, 1):
+        with cat.transaction() as tx:
+            tx.append(li.filter(F.col("l_orderkey") % 5 == m), "li_txn")
+            tx.append(
+                orders.filter(F.col("o_orderkey") % 5 == m), "ord_txn"
+            )
+    # atomicity invariant, hard-asserted like the *_gate queries:
+    # each transaction must be exactly ONE commit carrying BOTH tables
+    if len(cat.log()) != log0 + 2:  # not assert: python -O safe
+        raise RuntimeError(
+            f"append_many transactions produced "
+            f"{len(cat.log()) - log0} commits, expected 2"
+        )
+    lr = cat.read(spark, "li_txn")
+    orr = cat.read(spark, "ord_txn")
+    return (
+        lr.join(orr, lr["l_orderkey"] == orr["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+        )
+    )
+
+
+@register(
     "merge_into_conditional",
     """
     WITH seed AS (
