@@ -81,6 +81,11 @@ HEADLINE = [
     # band+signature indexes, atomic 3-table publish per batch) so a
     # regression in either incremental pipeline shows up per-round
     "dedup_incremental_near",
+    # round 9: the multi-table atomic append primitive (two
+    # transactions x two tables each, one commit + one ref CAS per
+    # transaction, concurrent per-table writes; the commit count is
+    # hard-asserted inside the query itself)
+    "catalog_append_many_txn",
 ]
 
 
