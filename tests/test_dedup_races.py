@@ -140,3 +140,71 @@ def test_threaded_near_ingest_no_duplicate_neighborhoods(spark, warehouse):
         .collect()
     }
     assert band_ids == admitted
+
+
+def test_threaded_multi_table_appends_never_tear(spark, warehouse):
+    """4 threads x 3 append_many calls over OVERLAPPING table pairs
+    (every call touches `shared` plus one private table): retries
+    serialize the commit-global ref CAS, no append is lost, and at
+    EVERY commit in history the shared table's row count equals the
+    sum of the private tables' counts (the invariant a torn or
+    partially-applied multi-table commit would break)."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(warehouse)
+    schema = (
+        spark.range(1)
+        .select("id", F.lit("x").alias("who"))
+        .schema
+    )
+    n_threads = 4
+    cat.create_table("shared", schema)
+    for t in range(n_threads):
+        cat.create_table(f"priv_{t}", schema)
+    errors = []
+
+    def work(t):
+        try:
+            for b in range(3):
+                df = spark.range(b * 10, b * 10 + 10).select(
+                    "id", F.lit(f"t{t}").alias("who")
+                )
+                cat.append_many(
+                    [("shared", df), (f"priv_{t}", df)],
+                    max_retries=16,
+                )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append((t, ex))
+
+    threads = [
+        threading.Thread(target=work, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    # final state: nothing lost
+    assert cat.read(spark, "shared").count() == n_threads * 30
+    for t in range(n_threads):
+        priv = cat.read(spark, f"priv_{t}")
+        assert priv.count() == 30
+        assert priv.filter(F.col("who") != f"t{t}").count() == 0
+    # per-writer rows in shared match their private table exactly
+    shared = cat.read(spark, "shared")
+    for t in range(n_threads):
+        assert shared.filter(F.col("who") == f"t{t}").count() == 30
+
+    # history: every commit shows shared == sum(priv) — all-or-nothing
+    for c in cat.log():
+        tables = c.get("tables", {})
+        if "shared" not in tables:
+            continue
+        n_shared = cat._load_table_at("shared", c["id"]).row_count()
+        n_priv = sum(
+            cat._load_table_at(f"priv_{t}", c["id"]).row_count()
+            for t in range(n_threads)
+            if f"priv_{t}" in tables
+        )
+        assert n_shared == n_priv, (c["id"], n_shared, n_priv)
