@@ -817,6 +817,21 @@ class Catalog:
         """
         if branch in self._read_tags():
             raise ValueError(f"ref {branch!r} is an immutable tag")
+        parent = self._read_commit(expected_head)
+        # the table/view namespace is shared: a commit may not land a
+        # table whose name an existing view holds. Checked HERE — the
+        # single choke point every table mutator funnels through — so
+        # each caller's retry loop re-checks per attempt for free and
+        # no future table-creating surface can miss the guard. (An
+        # EXISTING table with this name implies no such view, by this
+        # same invariant.)
+        for table in metas:
+            if table not in parent["tables"] and table in parent.get(
+                "views", {}
+            ):
+                raise ValueError(
+                    f"a view named {table!r} exists on branch {branch!r}"
+                )
         rels: dict[str, str] = {}
         for table, meta in metas.items():
             rel = (
@@ -825,7 +840,6 @@ class Catalog:
             )
             self._store.put(rel, meta.to_json())  # immutable, uuid-named
             rels[table] = rel
-        parent = self._read_commit(expected_head)
         new_tables = dict(parent["tables"])
         new_tables.update(rels)
         new_id = uuid.uuid4().hex[:16]
@@ -914,38 +928,6 @@ class Catalog:
         if or_replace and if_not_exists:
             raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
         schema_json = schema.jsonValue() if hasattr(schema, "jsonValue") else schema
-        if if_not_exists:
-            # cheap pre-loop short-circuit (ADVICE r8): an existing
-            # table must resolve to False even when THIS call's
-            # partition spec wouldn't parse — if_not_exists callers
-            # (lazy per-batch creation) pass specs meant only for the
-            # create case. The per-attempt re-check below still
-            # governs the race path.
-            head0 = self._read_commit(self._read_refs()[branch])
-            if table in head0["tables"]:
-                return False
-        if partition_by:
-            from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
-                parse_partition_spec,
-                validate_spec,
-            )
-            from pyspark.sql import types as _T
-
-            validate_spec(
-                parse_partition_spec(partition_by),
-                _T.StructType.fromJson(schema_json),
-            )
-        props = dict(properties or {})
-        if bloom_cols:
-            props["bloom_cols"] = ",".join(bloom_cols)
-        meta = TableMetadata(
-            table=table,
-            schema_json=schema_json,
-            version=1,
-            partition_by=partition_by,
-            sort_by=sort_by,
-            properties=props or None,
-        )
         # the branch-ref CAS is commit-global: ANY concurrent commit
         # (even to another table) moves the head between our read and
         # our commit. Every other mutator retries via
@@ -954,19 +936,47 @@ class Catalog:
         # exists" instead of surfacing the loser's CommitConflict
         # (tests/test_dedup_races.py found exactly that under
         # concurrent first-batch ingests).
+        meta: TableMetadata | None = None
         last: Exception | None = None
         for _attempt in range(4):
             head = self._read_refs()[branch]
             head_payload = self._read_commit(head)
             if table in head_payload["tables"] and not or_replace:
                 if if_not_exists:
+                    # resolved BEFORE the spec is validated (ADVICE
+                    # r8 contract): lazy per-batch creators pass specs
+                    # meant only for the create case — an existing
+                    # table returns False even on a bad spec
                     return False
                 raise ValueError(
                     f"table {table!r} already exists on {branch!r}"
                 )
-            if table in head_payload.get("views", {}):
-                raise ValueError(
-                    f"a view named {table!r} exists on branch {branch!r}"
+            # table-name-shadows-view is rejected inside
+            # _commit_tables (the shared choke point), per attempt
+            if meta is None:
+                # validate + build only once we know we will create
+                # (loop-invariant; reattempts reuse it)
+                if partition_by:
+                    from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
+                        parse_partition_spec,
+                        validate_spec,
+                    )
+                    from pyspark.sql import types as _T
+
+                    validate_spec(
+                        parse_partition_spec(partition_by),
+                        _T.StructType.fromJson(schema_json),
+                    )
+                props = dict(properties or {})
+                if bloom_cols:
+                    props["bloom_cols"] = ",".join(bloom_cols)
+                meta = TableMetadata(
+                    table=table,
+                    schema_json=schema_json,
+                    version=1,
+                    partition_by=partition_by,
+                    sort_by=sort_by,
+                    properties=props or None,
                 )
             verb = (
                 "REPLACE" if table in head_payload["tables"] else "CREATE"
@@ -1327,9 +1337,16 @@ class Catalog:
         )
         if not entries:
             return {}
-        # capture the head FIRST (same discipline as every mutator):
-        # alignment/layout derive from this exact commit, never one
-        # newer than what the CAS will validate against
+        if branch in self._read_tags():
+            # fail BEFORE the write wall — _commit_tables would catch
+            # this too, but only after N tables of orphaned files
+            raise ValueError(f"ref {branch!r} is an immutable tag")
+        # capture the head FIRST: alignment/layout derive from this
+        # exact commit. Pinned, it is also the CAS base (never newer
+        # than what the caller's probe read); unpinned, every commit
+        # attempt below re-reads a fresh head instead — the file
+        # writes can take minutes, and CASing attempt 0 against a
+        # pre-write head would conflict spuriously.
         if expected_head is not None:
             head0 = expected_head
             max_retries = 0
@@ -1371,8 +1388,13 @@ class Catalog:
         # files are written ONCE; only the metadata commit retries —
         # each attempt re-derives every table's snapshot from the
         # FRESH head so no concurrent commit is silently dropped
+        pinned = expected_head is not None
         for attempt in range(max_retries + 1):
-            head = head0 if attempt == 0 else self._read_refs()[branch]
+            head = (
+                head0
+                if pinned and attempt == 0
+                else self._read_refs()[branch]
+            )
             new_metas: dict[str, TableMetadata] = {}
             for t, files in live:
                 m = new_metas.get(t) or self._load_table_at(t, head, branch)
@@ -2909,13 +2931,7 @@ class Catalog:
                     raise ValueError(
                         f"table {target!r} already exists on {branch!r}"
                     )
-                if target in payload.get("views", {}):
-                    # re-checked PER ATTEMPT (ADVICE r8): a racing
-                    # CREATE VIEW between attempts must not be
-                    # shadowed by a same-named table
-                    raise ValueError(
-                        f"a view named {target!r} exists on branch {branch!r}"
-                    )
+                # view-shadow rejected per attempt in _commit_tables
                 try:
                     self._commit_table(
                         target,
@@ -2954,12 +2970,7 @@ class Catalog:
                 raise ValueError(
                     f"table {target!r} already exists on {branch!r}"
                 )
-            if target in payload.get("views", {}):
-                # per-attempt view re-check, mirroring create_table's
-                # loop (ADVICE r8)
-                raise ValueError(
-                    f"a view named {target!r} exists on branch {branch!r}"
-                )
+            # view-shadow rejected per attempt in _commit_tables
             verb = "REPLACE" if now_exists else "CREATE"
             try:
                 self._commit_table(
@@ -5812,17 +5823,23 @@ class Transaction:
         self._branch = branch
         self._max_retries = max_retries
         self._entries: list[tuple[str, DataFrame]] = []
+        self._attempted = False
         self._result: dict[str, TableMetadata] | None = None
 
     def append(self, df: DataFrame, table: str) -> "Transaction":
-        if self._result is not None:
+        if self._attempted:
             raise RuntimeError("transaction already committed")
         self._entries.append((table, df))
         return self
 
     def commit(self) -> dict[str, TableMetadata]:
-        if self._result is not None:
+        if self._attempted:
             raise RuntimeError("transaction already committed")
+        # one shot, even on failure: a caller that catches an explicit
+        # commit()'s CommitConflict inside the with-block has seen the
+        # transaction FAIL — the clean-exit hook must not silently
+        # publish what they believe was abandoned
+        self._attempted = True
         self._result = self._cat.append_many(
             self._entries, self._branch, max_retries=self._max_retries
         )
@@ -5832,5 +5849,5 @@ class Transaction:
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
-        if exc_type is None and self._result is None:
+        if exc_type is None and not self._attempted:
             self.commit()

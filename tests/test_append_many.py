@@ -19,7 +19,11 @@ import threading
 import pytest
 from pyspark.sql import functions as F
 
-from no_jvm_wap_with_iceberg_spark.catalog import Catalog, CommitConflict
+from no_jvm_wap_with_iceberg_spark.catalog import (
+    Catalog,
+    CommitConflict,
+    TableMetadata,
+)
 
 
 def _df(spark, lo, hi, name="x"):
@@ -240,3 +244,114 @@ def test_respects_sort_layout_per_table(spark, warehouse):
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
     assert cat.read(spark, "sorted_t").count() == 50
+
+
+def test_transaction_failed_commit_is_not_retried_on_exit(spark, warehouse):
+    """A caller that catches an explicit commit()'s conflict inside
+    the with-block has seen the transaction FAIL — the clean-exit
+    hook must not silently publish the 'abandoned' appends."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    head = cat._read_refs()["main"]
+    with cat.transaction() as tx:
+        tx.append(_df(spark, 0, 5), "ta")
+        cat.append(_df(spark, 100, 101, "rival"), "ta")  # head moves
+        # force the explicit commit to fail: pin the stale head
+        try:
+            tx._result = cat.append_many(
+                tx._entries, "main", expected_head=head
+            )
+        except CommitConflict:
+            pass
+        finally:
+            tx._attempted = True  # what commit() records internally
+    # the block exited cleanly, but nothing further was published
+    assert cat.read(spark, "ta").count() == 1  # only the rival row
+
+
+def test_transaction_commit_failure_via_commit_method(spark, warehouse):
+    """Same contract through the public surface: commit() that raises
+    marks the transaction spent — exit does not re-run it, and
+    further appends/commits are refused."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    original = Catalog.append_many
+
+    def boom(self, *a, **k):
+        raise CommitConflict("forced")
+
+    with pytest.raises(RuntimeError, match="already committed"):
+        with cat.transaction() as tx:
+            tx.append(_df(spark, 0, 5), "ta")
+            Catalog.append_many = boom
+            try:
+                with pytest.raises(CommitConflict):
+                    tx.commit()
+            finally:
+                Catalog.append_many = original
+            tx.commit()  # spent: must refuse, not re-run
+    assert cat.read(spark, "ta").count() == 0
+
+
+def test_unpinned_first_attempt_tolerates_commit_during_writes(
+    spark, warehouse, monkeypatch
+):
+    """Unpinned append_many with max_retries=0: a commit landing
+    DURING the file writes must not fail the publish — the CAS base
+    is read after the writes, like every other mutator."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    orig_write = Catalog._write_files
+    fired = {"done": False}
+
+    def write_and_race(self, df, meta, table, **kw):
+        files = orig_write(self, df, meta, table, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            cat.append(_df(spark, 100, 103, "mid"), "ta")
+        return files
+
+    monkeypatch.setattr(Catalog, "_write_files", write_and_race)
+    cat.append_many(
+        {"ta": _df(spark, 0, 5), "tb": _df(spark, 0, 5)},
+        max_retries=0,
+        concurrent=False,
+    )
+    assert cat.read(spark, "ta").count() == 8  # 5 + 3 mid-write rows
+    assert cat.read(spark, "tb").count() == 5
+
+
+def test_tag_target_fails_before_any_write(spark, warehouse, monkeypatch):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    cat.create_tag("pinned")
+    wrote = []
+    orig_write = Catalog._write_files
+    monkeypatch.setattr(
+        Catalog,
+        "_write_files",
+        lambda self, *a, **k: wrote.append(1) or orig_write(self, *a, **k),
+    )
+    with pytest.raises(ValueError, match="immutable tag"):
+        cat.append_many({"ta": _df(spark, 0, 5)}, branch="pinned")
+    assert wrote == []  # failed fast, zero orphaned files
+
+
+def test_append_many_refuses_view_shadow(spark, warehouse):
+    """The view-shadow guard lives in the shared commit path, so even
+    the NEW multi-table surface rejects a table name a view holds."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    cat.sql(spark, "CREATE VIEW v_shadow AS SELECT * FROM ta")
+    cat.create_table("v_shadow2", _df(spark, 0, 1).schema)
+    # committing a table under a view's name must fail atomically:
+    # direct _commit_tables with a would-be new table named v_shadow
+    meta = cat.load_table("ta")
+    bad = TableMetadata(
+        table="v_shadow",
+        schema_json=meta.schema_json,
+        version=1,
+    )
+    head = cat._read_refs()["main"]
+    with pytest.raises(ValueError, match="view named"):
+        cat._commit_tables("main", {"v_shadow": bad}, head, "x")
