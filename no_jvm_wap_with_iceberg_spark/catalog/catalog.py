@@ -1297,6 +1297,7 @@ class Catalog:
         max_retries: int = 3,
         concurrent: bool = True,
         expected_head: str | None = None,
+        merge_schema: bool = False,
     ) -> dict[str, TableMetadata]:
         """Append N DataFrames to N tables in ONE atomic commit.
 
@@ -1329,6 +1330,14 @@ class Catalog:
         must fail this publish so the caller re-probes. Pinning the
         base forces ``max_retries=0`` (a retry against the same pinned
         head can only fail identically).
+
+        ``merge_schema`` is the single-table append's flag, per call:
+        each batch's extra top-level columns are ADDED to its table's
+        schema (nullable, batch types) in the SAME commit as the rows
+        — same rules as :meth:`append` (dropped-name zombies refused,
+        older files read the new columns as NULL, evolution re-derived
+        from the fresh head on retry). A zero-row batch that evolves
+        the schema still commits the evolution.
         """
         entries = (
             list(appends.items())
@@ -1359,8 +1368,13 @@ class Catalog:
 
         def write_one(item: tuple[str, DataFrame]) -> list[FileEntry]:
             t, df = item
+            proto = (
+                self._schema_evolved_by(metas0[t], df.schema, t)
+                if merge_schema
+                else metas0[t]
+            )
             return self._write_files(
-                self._align_schema(df, metas0[t]), metas0[t], t
+                self._align_schema(df, proto), proto, t
             )
 
         if concurrent and len(entries) > 1:
@@ -1373,21 +1387,32 @@ class Catalog:
         else:
             files_per_entry = [write_one(e) for e in entries]
 
+        def entry_live(t: str, df: DataFrame, files) -> bool:
+            if sum(f.rows for f in files) > 0:
+                return True
+            # a zero-row merge-schema batch still carries its schema
+            # evolution into the commit (single-table append parity)
+            return merge_schema and (
+                self._schema_evolved_by(metas0[t], df.schema, t)
+                is not metas0[t]
+            )
+
         live = [
-            (t, files)
-            for (t, _df), files in zip(entries, files_per_entry)
-            if sum(f.rows for f in files) > 0
+            (t, df.schema, files)
+            for (t, df), files in zip(entries, files_per_entry)
+            if entry_live(t, df, files)
         ]
         if not live:
             # no-op commit elision, same as single-table append
             return metas0
-        tables = [t for t, _ in live]
-        n_files = sum(len(f) for _, f in live)
+        tables = [t for t, _s, _f in live]
+        n_files = sum(len(f) for _, _s, f in live)
         message = f"APPEND {', '.join(dict.fromkeys(tables))} ({n_files} files)"
 
         # files are written ONCE; only the metadata commit retries —
-        # each attempt re-derives every table's snapshot from the
-        # FRESH head so no concurrent commit is silently dropped
+        # each attempt re-derives every table's snapshot (and, under
+        # merge_schema, its evolution) from the FRESH head so no
+        # concurrent commit is silently dropped
         pinned = expected_head is not None
         for attempt in range(max_retries + 1):
             head = (
@@ -1396,8 +1421,10 @@ class Catalog:
                 else self._read_refs()[branch]
             )
             new_metas: dict[str, TableMetadata] = {}
-            for t, files in live:
+            for t, src_schema, files in live:
                 m = new_metas.get(t) or self._load_table_at(t, head, branch)
+                if merge_schema:
+                    m = self._schema_evolved_by(m, src_schema, t)
                 new_metas[t] = m.with_new_snapshot(files, "append")
             try:
                 self._commit_tables(branch, new_metas, head, message)
@@ -1408,7 +1435,10 @@ class Catalog:
         raise AssertionError("unreachable")
 
     def transaction(
-        self, branch: str = MAIN, max_retries: int = 3
+        self,
+        branch: str = MAIN,
+        max_retries: int = 3,
+        merge_schema: bool = False,
     ) -> "Transaction":
         """First-class multi-table append transaction::
 
@@ -1420,8 +1450,10 @@ class Catalog:
         then every recorded append lands via :meth:`append_many` —
         one write wall, one commit, one ref CAS. An exception inside
         the block abandons the transaction (no files, no commit).
+        ``merge_schema`` applies :meth:`append`'s additive schema
+        evolution to every append in the transaction.
         """
-        return Transaction(self, branch, max_retries)
+        return Transaction(self, branch, max_retries, merge_schema)
 
     def _schema_evolved_by(
         self, m: TableMetadata, src_schema, table: str
@@ -5818,10 +5850,17 @@ class Transaction:
     explicitly instead (exiting after an explicit commit is a no-op).
     """
 
-    def __init__(self, cat: Catalog, branch: str, max_retries: int) -> None:
+    def __init__(
+        self,
+        cat: Catalog,
+        branch: str,
+        max_retries: int,
+        merge_schema: bool = False,
+    ) -> None:
         self._cat = cat
         self._branch = branch
         self._max_retries = max_retries
+        self._merge_schema = merge_schema
         self._entries: list[tuple[str, DataFrame]] = []
         self._attempted = False
         self._result: dict[str, TableMetadata] | None = None
@@ -5841,7 +5880,10 @@ class Transaction:
         # publish what they believe was abandoned
         self._attempted = True
         self._result = self._cat.append_many(
-            self._entries, self._branch, max_retries=self._max_retries
+            self._entries,
+            self._branch,
+            max_retries=self._max_retries,
+            merge_schema=self._merge_schema,
         )
         return self._result
 

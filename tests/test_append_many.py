@@ -355,3 +355,61 @@ def test_append_many_refuses_view_shadow(spark, warehouse):
     head = cat._read_refs()["main"]
     with pytest.raises(ValueError, match="view named"):
         cat._commit_tables("main", {"v_shadow": bad}, head, "x")
+
+
+def test_merge_schema_evolves_in_same_commit(spark, warehouse):
+    """append(merge_schema=True) parity on the multi-table surface:
+    each batch's extra columns join ITS table's schema in the same
+    single commit as the rows; the other table is untouched."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    log_before = len(cat.log())
+    wide = spark.range(5).select(
+        "id", F.lit("x").alias("name"), F.lit(7).alias("extra")
+    )
+    cat.append_many(
+        {"ta": wide, "tb": _df(spark, 0, 3)}, merge_schema=True
+    )
+    assert len(cat.log()) == log_before + 1
+    ta = cat.read(spark, "ta")
+    assert set(ta.columns) == {"id", "name", "extra"}
+    assert ta.filter("extra = 7").count() == 5
+    assert set(cat.read(spark, "tb").columns) == {"id", "name"}
+    # without the flag, strict alignment DROPS a not-in-schema column
+    wider = spark.range(2).select(
+        "id",
+        F.lit("y").alias("name"),
+        F.lit(None).cast("int").alias("extra"),
+        F.lit(9).alias("extra2"),
+    )
+    cat.append_many({"ta": wider}, merge_schema=False)
+    out = cat.read(spark, "ta")
+    assert "extra2" not in out.columns
+    assert out.filter("name = 'y' AND extra IS NULL").count() == 2
+
+
+def test_merge_schema_zero_row_batch_still_evolves(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    empty_wide = spark.range(0).select(
+        "id", F.lit("x").alias("name"), F.lit(1.5).alias("score")
+    )
+    cat.append_many(
+        {"ta": empty_wide, "tb": _df(spark, 0, 2)}, merge_schema=True
+    )
+    assert "score" in cat.read(spark, "ta").columns
+    assert cat.read(spark, "ta").count() == 0
+    assert cat.read(spark, "tb").count() == 2
+
+
+def test_transaction_merge_schema_passthrough(spark, warehouse):
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    wide = spark.range(4).select(
+        "id", F.lit("x").alias("name"), F.lit("en").alias("lang")
+    )
+    with cat.transaction(merge_schema=True) as tx:
+        tx.append(wide, "ta")
+        tx.append(_df(spark, 0, 2), "tb")
+    assert set(cat.read(spark, "ta").columns) == {"id", "name", "lang"}
+    assert cat.read(spark, "ta").count() == 4
