@@ -1378,12 +1378,35 @@ class Catalog:
             )
 
         if concurrent and len(entries) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            from pyspark import InheritableThread
 
             # one thread per table (N is small — the point is
-            # overlapping the per-write fixed walls, not fan-out)
-            with ThreadPoolExecutor(max_workers=len(entries)) as pool:
-                files_per_entry = list(pool.map(write_one, entries))
+            # overlapping the per-write fixed walls, not fan-out).
+            # InheritableThread, not a plain ThreadPoolExecutor
+            # thread: Spark job-group / scheduler-pool / interrupt
+            # local properties do not propagate to plain threads, so
+            # a caller's cancellation scope would miss the per-table
+            # write jobs (ADVICE r9).
+            results: list = [None] * len(entries)
+            failures: list[BaseException] = []
+
+            def run_one(i: int, item) -> None:
+                try:
+                    results[i] = write_one(item)
+                except BaseException as exc:  # surfaced after join
+                    failures.append(exc)
+
+            threads = [
+                InheritableThread(target=run_one, args=(i, item))
+                for i, item in enumerate(entries)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if failures:
+                raise failures[0]
+            files_per_entry = results
         else:
             files_per_entry = [write_one(e) for e in entries]
 
@@ -1403,7 +1426,21 @@ class Catalog:
             if entry_live(t, df, files)
         ]
         if not live:
-            # no-op commit elision, same as single-table append
+            # no-op commit elision, same as single-table append — but
+            # a PINNED caller asked for read-check-publish semantics:
+            # even with nothing to publish, a head that moved since
+            # the caller's probe must surface as a conflict (the
+            # caller's read may be stale) rather than silent success
+            # (ADVICE r9).
+            if (
+                expected_head is not None
+                and self._read_refs()[branch] != expected_head
+            ):
+                raise CommitConflict(
+                    f"branch {branch!r} moved past pinned head "
+                    f"{expected_head} (nothing was committed; "
+                    "re-probe and retry)"
+                )
             return metas0
         tables = [t for t, _s, _f in live]
         n_files = sum(len(f) for _, _s, f in live)
@@ -1422,7 +1459,14 @@ class Catalog:
             )
             new_metas: dict[str, TableMetadata] = {}
             for t, src_schema, files in live:
-                m = new_metas.get(t) or self._load_table_at(t, head, branch)
+                # explicit membership, not truthiness: a falsy
+                # TableMetadata (if it ever grew __bool__/__len__)
+                # must not silently drop a chained snapshot
+                m = (
+                    new_metas[t]
+                    if t in new_metas
+                    else self._load_table_at(t, head, branch)
+                )
                 if merge_schema:
                     m = self._schema_evolved_by(m, src_schema, t)
                 new_metas[t] = m.with_new_snapshot(files, "append")

@@ -387,11 +387,18 @@ def dedup_ingest(
             fresh = unique_batch
         # attempt-local cache: `fresh` sits under the count and BOTH
         # appends — uncached, each append re-runs the seen anti-join
-        # (re-reading the admitted index files)
-        fresh = fresh.cache()
+        # (re-reading the admitted index files). Guard: when the probe
+        # hit no index files `fresh` IS the loop-invariant unique_batch
+        # (cache() returns self), and the per-attempt unpersist on the
+        # conflict path would evict the batch cache and recompute the
+        # fingerprint/keep-first subtree on retry — mirror
+        # near_dedup_ingest's `fresh is not surv` guard (ADVICE r9).
+        if fresh is not unique_batch:
+            fresh = fresh.cache()
         n_fresh = fresh.count()
         if n_fresh == 0:
-            fresh.unpersist()
+            if fresh is not unique_batch:
+                fresh.unpersist()
             unique_batch.unpersist()
             return DedupIngestResult(
                 published=False,
@@ -426,7 +433,8 @@ def dedup_ingest(
                 branch,
                 expected_head=head,
             )
-            fresh.unpersist()
+            if fresh is not unique_batch:
+                fresh.unpersist()
             unique_batch.unpersist()
             # the pinned/auto decision lives on the TABLE (its
             # creation-time property), not on this call's parameter —
@@ -447,7 +455,8 @@ def dedup_ingest(
             # (the losing attempt's data files are unreferenced —
             # orphan reclaim sweeps them like any lost write)
             last_err = ex
-            fresh.unpersist()
+            if fresh is not unique_batch:
+                fresh.unpersist()
     unique_batch.unpersist()
     raise last_err  # exhausted retries under concurrent ingests
 

@@ -413,3 +413,112 @@ def test_transaction_merge_schema_passthrough(spark, warehouse):
         tx.append(_df(spark, 0, 2), "tb")
     assert set(cat.read(spark, "ta").columns) == {"id", "name", "lang"}
     assert cat.read(spark, "ta").count() == 4
+
+
+def test_pinned_all_elided_still_validates_head(spark, warehouse):
+    """Read-check-publish with nothing to publish: an all-empty pinned
+    append_many must still validate the pinned head — a caller whose
+    batches happen to be empty asked the same question ("is my read
+    still current?") and silent success would hide a stale probe
+    (ADVICE r9)."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    empty = _df(spark, 0, 0)
+    # quiescent branch: elided publish succeeds, commits nothing
+    head = cat._read_refs()["main"]
+    log_before = len(cat.log())
+    out = cat.append_many(
+        {"ta": empty, "tb": empty}, expected_head=head
+    )
+    assert set(out) == {"ta", "tb"}
+    assert len(cat.log()) == log_before  # nothing committed
+    # a rival commit after the pin: the elided publish must CONFLICT
+    cat.append(_df(spark, 0, 3), "tb")
+    with pytest.raises(CommitConflict, match="pinned head"):
+        cat.append_many({"ta": empty, "tb": empty}, expected_head=head)
+    # and nothing was committed by the failed attempt
+    assert len(cat.log()) == log_before + 1
+
+
+def test_threaded_merge_schema_evolution_never_lost(spark, warehouse):
+    """Two writers race append_many(merge_schema=True) on the SAME
+    table, each evolving a DIFFERENT new column: per-attempt
+    re-derivation from the fresh head means the loser's retry sees the
+    winner's evolution, so the final schema contains BOTH columns and
+    neither writer's rows are lost (the merge_schema analogue of
+    test_threaded_multi_table_appends_never_tear)."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat, tables=("tm",))
+    errors = []
+
+    def work(tag: str, n: int):
+        try:
+            df = spark.range(n).select(
+                "id",
+                F.lit(tag).alias("name"),
+                F.lit(1).alias(f"{tag}_col"),
+            )
+            cat.append_many(
+                {"tm": df}, merge_schema=True, max_retries=16
+            )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append((tag, ex))
+
+    threads = [
+        threading.Thread(target=work, args=("wa", 7)),
+        threading.Thread(target=work, args=("wb", 5)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    out = cat.read(spark, "tm")
+    # no lost evolution: both new columns present
+    assert set(out.columns) == {"id", "name", "wa_col", "wb_col"}
+    # no lost rows; each writer's rows carry its column, NULL the other
+    assert out.count() == 12
+    assert out.filter("name = 'wa' AND wa_col = 1").count() == 7
+    assert out.filter("name = 'wa' AND wb_col IS NULL").count() == 7
+    assert out.filter("name = 'wb' AND wb_col = 1").count() == 5
+    assert out.filter("name = 'wb' AND wa_col IS NULL").count() == 5
+
+
+def test_aborted_transaction_debris_is_reclaimable(spark, warehouse, monkeypatch):
+    """A transaction that dies AFTER its write wall (commit raises)
+    leaves only unreferenced data files: catalog state is untouched,
+    and remove_orphan_files reclaims every table's debris — the same
+    recovery story as a lost single-table append (SCALE.md claim,
+    VERDICT r9 #3)."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat)
+    cat.append_many({"ta": _df(spark, 0, 4), "tb": _df(spark, 0, 2)})
+    log_before = len(cat.log())
+    refs_before = cat._read_refs()
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected commit failure")
+
+    monkeypatch.setattr(Catalog, "_commit_tables", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        with cat.transaction() as tx:
+            tx.append(_df(spark, 100, 110), "ta")
+            tx.append(_df(spark, 100, 140), "tb")
+    monkeypatch.undo()
+
+    # catalog state untouched: same head, same log, same counts
+    assert cat._read_refs() == refs_before
+    assert len(cat.log()) == log_before
+    assert cat.read(spark, "ta").count() == 4
+    assert cat.read(spark, "tb").count() == 2
+    # BOTH tables' debris is on disk and visible to the dry-run sweep
+    orphans_a = cat.remove_orphan_files("ta", dry_run=True, older_than_ms=0)
+    orphans_b = cat.remove_orphan_files("tb", dry_run=True, older_than_ms=0)
+    assert orphans_a and orphans_b
+    # reclaim for real; a second sweep finds nothing, reads unharmed
+    cat.remove_orphan_files("ta", dry_run=False, older_than_ms=0)
+    cat.remove_orphan_files("tb", dry_run=False, older_than_ms=0)
+    assert cat.remove_orphan_files("ta", dry_run=True, older_than_ms=0) == []
+    assert cat.remove_orphan_files("tb", dry_run=True, older_than_ms=0) == []
+    assert cat.read(spark, "ta").count() == 4
+    assert cat.read(spark, "tb").count() == 2
