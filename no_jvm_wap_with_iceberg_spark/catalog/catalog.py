@@ -699,6 +699,18 @@ class Catalog:
         a failure raises mid-script with earlier statements already
         committed, exactly like feeding a script to any SQL CLI.
         """
+        stmts = self._split_sql_statements(script)
+        if not stmts:
+            raise ValueError("empty SQL script")
+        result = None
+        for stmt in stmts:
+            result = self.sql(spark, stmt, branch)
+        return result
+
+    @staticmethod
+    def _split_sql_statements(script: str) -> list[str]:
+        """Split on top-level ``;`` — semicolons inside string
+        literals / backticked identifiers don't split."""
         from no_jvm_wap_with_iceberg_spark.catalog.sqldml import _scan_top
 
         parts, last = [], 0
@@ -707,13 +719,96 @@ class Catalog:
                 parts.append(script[last:i])
                 last = i + 1
         parts.append(script[last:])
-        stmts = [p.strip() for p in parts if p.strip()]
+        return [p.strip() for p in parts if p.strip()]
+
+    def _sql_txn_append_fast_path(
+        self, spark: SparkSession, script: str, branch: str
+    ):
+        """``sql_transaction``'s fast path: a script that is NOTHING
+        BUT plain ``INSERT INTO`` appends to existing tables — the
+        exact shape :meth:`append_many` replaces — skips the staging
+        branch entirely: every statement's source DataFrame is
+        prepared against one pinned snapshot, then all the rows land
+        in ONE commit behind ONE pinned ref CAS (vs fork + N commits +
+        fast-forward + drop ≈ N+3 ref round-trips; the write walls
+        also overlap). Returns the last statement's status row, or
+        ``None`` when the script needs the staging branch: any
+        non-append statement (DELETE, MERGE, OVERWRITE, REPLACE WHERE,
+        DDL, CALL), a target the catalog doesn't own, or a statement
+        whose SOURCE references a transaction target — those must
+        observe the transaction's own prior writes, which only the
+        sequential staging branch provides. Falling back is always
+        correct; the fast path is pure plumbing economy. Division of
+        labour per SCALE.md: audit-bearing transactions keep the
+        branch (an audit must READ staged state), pure ingest doesn't.
+        """
+        import re as _re
+
+        from no_jvm_wap_with_iceberg_spark.catalog.sqldml import (
+            _IDENT,
+            dml_kind,
+            prepare_insert,
+            rewrite_metadata_tables,
+            rewrite_table_changes,
+            rewrite_time_travel,
+        )
+
+        stmts = self._split_sql_statements(script)
         if not stmts:
-            raise ValueError("empty SQL script")
-        result = None
+            return None  # sql_script raises the canonical error
+        parsed: list[tuple[str, str, str]] = []  # (stmt, target, source_text)
         for stmt in stmts:
-            result = self.sql(spark, stmt, branch)
-        return result
+            if dml_kind(stmt) != "INSERT":
+                return None
+            m = _re.match(
+                rf"(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?({_IDENT})\s*(.*)$",
+                stmt.strip(),
+            )
+            if not m:
+                return None  # INSERT OVERWRITE / unparseable → branch
+            if _re.search(r"(?is)\bREPLACE\s+WHERE\b", stmt):
+                return None  # predicate-scoped overwrite, not an append
+            target = m.group(1).strip("`")
+            if not self.table_exists(target, branch) or target in (
+                self.list_views(branch)
+            ):
+                return None
+            parsed.append((stmt, target, m.group(2)))
+        targets = {t for _, t, _ in parsed}
+        for _stmt, _t, source in parsed:
+            # conservative word-match: a source that MIGHT read a
+            # transaction target (even a column coincidentally named
+            # like one) falls back to the sequential branch
+            for t in targets:
+                if _re.search(
+                    rf"(?i)(?<![A-Za-z0-9_`]){_re.escape(t)}(?![A-Za-z0-9_`])",
+                    source,
+                ):
+                    return None
+        # one pinned snapshot for every statement's source: the head
+        # captured here is also the commit CAS base, so a concurrent
+        # commit anywhere on the branch surfaces as CommitConflict —
+        # the same optimistic contract as the staging-branch publish
+        head = self._read_refs()[branch]
+        self.create_views(spark, branch)
+        pairs: list[tuple[str, DataFrame]] = []
+        for stmt, target, _src in parsed:
+            q = rewrite_time_travel(self, spark, stmt, branch)
+            q = rewrite_metadata_tables(self, spark, q, branch)
+            q = rewrite_table_changes(self, spark, q, branch)
+            mode, table, df, _cond, _forced = prepare_insert(
+                self, spark, q, branch
+            )
+            if mode != "append":  # pragma: no cover - pre-checked above
+                return None
+            pairs.append((table, df))
+        metas = self.append_many(pairs, branch, expected_head=head)
+        last = parsed[-1][1]
+        sid = metas[last].current_snapshot_id
+        return spark.createDataFrame(
+            [("INSERT", last, sid if sid is not None else -1)],
+            "operation string, table string, snapshot_id long",
+        )
 
     def sql_transaction(
         self, spark: SparkSession, script: str, branch: str = MAIN
@@ -745,8 +840,16 @@ class Catalog:
 
         Scale shape: zero data movement at publish (the fast-forward
         moves one ref) regardless of how many tables or rows the
-        script wrote.
+        script wrote. A script that is purely ``INSERT INTO`` appends
+        (no statement reading another statement's target) skips the
+        staging branch and lands through ONE :meth:`append_many`
+        commit instead — same atomicity and conflict contract, one
+        ref CAS instead of ~N+3 (see
+        :meth:`_sql_txn_append_fast_path`).
         """
+        fast = self._sql_txn_append_fast_path(spark, script, branch)
+        if fast is not None:
+            return fast
         name = f"sqltx-{uuid.uuid4().hex[:8]}"
         self.create_branch(name, branch)
         try:

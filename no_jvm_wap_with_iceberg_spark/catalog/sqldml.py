@@ -1069,7 +1069,15 @@ def _match_paren_span(s: str, open_idx: int) -> tuple[str, str]:
     raise ValueError("unbalanced parentheses")
 
 
-def _exec_insert(cat, spark, query: str, branch: str):
+def prepare_insert(cat, spark, query: str, branch: str):
+    """Parse an INSERT statement and build its fully-aligned source
+    DataFrame WITHOUT executing the write: returns ``(mode, table, df,
+    replace_cond, forced_partitions)`` with ``mode`` one of
+    ``"append" | "overwrite" | "replace_where"``. ``_exec_insert`` is
+    the classic parse-and-run face; the split exists so
+    ``Catalog.sql_transaction``'s pure-append fast path can prepare
+    every statement's DataFrame first and land them all in ONE
+    ``append_many`` commit."""
     from pyspark.sql import functions as F
 
     m = re.match(
@@ -1267,8 +1275,7 @@ def _exec_insert(cat, spark, query: str, branch: str):
             ]
         )
     if replace_cond is not None:
-        meta = cat.replace_where(df, table, replace_cond, branch)
-        return "INSERT REPLACE WHERE", table, meta
+        return "replace_where", table, df, replace_cond, None
     if overwrite:
         # Iceberg semantics: on a partitioned table INSERT OVERWRITE
         # replaces only the partitions the incoming rows touch
@@ -1284,6 +1291,18 @@ def _exec_insert(cat, spark, query: str, branch: str):
             forced = [
                 {c: str(v) for c, v in static_part.items()}
             ]
+        return "overwrite", table, df, None, forced
+    return "append", table, df, None, None
+
+
+def _exec_insert(cat, spark, query: str, branch: str):
+    mode, table, df, replace_cond, forced = prepare_insert(
+        cat, spark, query, branch
+    )
+    if mode == "replace_where":
+        meta = cat.replace_where(df, table, replace_cond, branch)
+        return "INSERT REPLACE WHERE", table, meta
+    if mode == "overwrite":
         meta = cat.dynamic_overwrite(
             df, table, branch, replace_partitions=forced
         )

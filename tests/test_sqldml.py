@@ -955,7 +955,9 @@ def test_sql_transaction_rolls_back_on_failure(spark, warehouse):
 def test_sql_transaction_concurrent_writer_wins(spark, warehouse, monkeypatch):
     """A commit landing on the target mid-transaction makes the
     publish CAS fail; the target keeps the concurrent write, the
-    transaction's writes vanish with the staging branch."""
+    transaction's writes vanish with the staging branch. The DELETE
+    keeps the script on the staging-branch path (a pure-INSERT script
+    takes the append_many fast path — covered separately)."""
     from no_jvm_wap_with_iceberg_spark.catalog import CommitConflict
 
     cat = Catalog(warehouse)
@@ -973,10 +975,112 @@ def test_sql_transaction_concurrent_writer_wins(spark, warehouse, monkeypatch):
 
     monkeypatch.setattr(Catalog, "sql_script", racing)
     with pytest.raises(CommitConflict):
-        cat.sql_transaction(spark, "INSERT INTO t VALUES (2, 'b', 20)")
+        cat.sql_transaction(
+            spark,
+            """
+            DELETE FROM t WHERE id = -1;
+            INSERT INTO t VALUES (2, 'b', 20)
+            """,
+        )
     monkeypatch.undo()
     assert sorted(_state(spark, cat)) == [1, 99]  # racer kept, tx gone
     assert cat.list_branches() == ["main"]
+
+
+def test_sql_transaction_pure_append_fast_path(spark, warehouse, monkeypatch):
+    """A script that is nothing but INSERT INTO appends skips the
+    staging branch entirely: ONE commit for all statements, NO branch
+    ref is ever created (create_branch is trapped), and the status row
+    matches the one-shot INSERT contract."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    cat.create_table_from_df(
+        spark.createDataFrame([(1, "x", 5)], SCHEMA), "t2"
+    )
+
+    def no_branch(self, *a, **k):  # the fast path must never fork
+        raise AssertionError("staging branch created on the fast path")
+
+    monkeypatch.setattr(Catalog, "create_branch", no_branch)
+    log_before = len(cat.log())
+    out = cat.sql_transaction(
+        spark,
+        """
+        INSERT INTO t VALUES (2, 'b', 20);
+        INSERT INTO t VALUES (3, 'c', 30);
+        INSERT INTO t2 VALUES (9, 'z', 90)
+        """,
+    ).collect()[0]
+    monkeypatch.undo()
+    assert len(cat.log()) == log_before + 1  # ONE commit for 3 INSERTs
+    assert out["operation"] == "INSERT" and out["table"] == "t2"
+    assert out["snapshot_id"] == cat.load_table("t2").current_snapshot_id
+    assert sorted(_state(spark, cat)) == [1, 2, 3]
+    assert cat.row_count("t2") == 2
+    assert cat.list_branches() == ["main"]
+
+
+def test_sql_transaction_fast_path_falls_back_when_source_reads_target(
+    spark, warehouse, monkeypatch
+):
+    """INSERT INTO b SELECT ... FROM a where a is ALSO a transaction
+    target: the statement must see the transaction's own prior write,
+    which only the sequential staging branch provides — assert the
+    fall-back actually forks a branch AND the semantics are right."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    cat.create_table_from_df(
+        spark.createDataFrame([(0, "seed", 0)], SCHEMA), "t_copy"
+    )
+    forks = []
+    orig = Catalog.create_branch
+
+    def spy(self, name, src="main"):
+        forks.append(name)
+        return orig(self, name, src)
+
+    monkeypatch.setattr(Catalog, "create_branch", spy)
+    cat.sql_transaction(
+        spark,
+        """
+        INSERT INTO t VALUES (2, 'b', 20);
+        INSERT INTO t_copy SELECT * FROM t
+        """,
+    )
+    monkeypatch.undo()
+    assert forks, "expected the staging-branch path"
+    # the SELECT saw the in-transaction INSERT of (2,...)
+    assert cat.row_count("t_copy") == 3  # seed + rows 1 and 2
+    assert sorted(_state(spark, cat)) == [1, 2]
+    assert cat.list_branches() == ["main"]
+
+
+def test_sql_transaction_fast_path_conflict_contract(spark, warehouse, monkeypatch):
+    """A commit landing between the fast path's snapshot pin and its
+    publish raises CommitConflict with the target untouched by the
+    transaction — the same optimistic contract as the branch path."""
+    from no_jvm_wap_with_iceberg_spark.catalog import CommitConflict
+
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    orig = Catalog.create_views
+
+    def race_then_views(self, spark_, branch="main", **kw):
+        res = orig(self, spark_, branch, **kw)
+        if not getattr(self, "_raced_once", False):
+            self._raced_once = True
+            cat.append(
+                spark_.createDataFrame([(99, "race", 0)], SCHEMA),
+                "t",
+                "main",
+            )
+        return res
+
+    monkeypatch.setattr(Catalog, "create_views", race_then_views)
+    with pytest.raises(CommitConflict):
+        cat.sql_transaction(spark, "INSERT INTO t VALUES (2, 'b', 20)")
+    monkeypatch.undo()
+    assert sorted(_state(spark, cat)) == [1, 99]  # racer kept, tx gone
 
 
 def test_sql_metadata_partitions_and_refs(spark, warehouse):
