@@ -37,32 +37,91 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipelines now publish through it with a probe-head-pinned CAS),
 # the transaction/publish and clone SQL surfaces, and one keyprobe
 # rider for the empty-chunk fast-path guard — and (3) the stalest
-# evidence tier: 43 of the 82 mid-section queries whose last driver
-# gate was r5/r6 (the dedup_* operator suite, embedding_*/
-# similarity_*, corpus tail, sketch/window/agg suites, text
-# bigram/pii/perplexity, multimodal payload stats, asof,
-# streaming dedup/interval-join/sessionization, plus the NEW
-# catalog_append_many_txn gate for the r9 primitive (all head picks
-# are oracle-backed; the rows-only probabilistic set stays in
-# the mid/tail where the gate's weaker rows-only check applies),
-# streaming_windowed_counts). The 36 mid-tier queries that did not
-# fit (events_* family, wap_audit_gate, the catalog_* lifecycle
-# gates, streaming dedup/interval/rollup, sql_delta_maintenance,
-# cdc_table_changes, catalog_add_files, ...) queue for the r10
-# head. Everything green in r7/r8 rotates to the tail.
+# evidence tier r10: the full 37-query stale mid-tier whose last
+# driver gate was r4/r6 (catalog lifecycle gates: time travel,
+# incremental read, schema evolution, files/snapshots metadata,
+# rollback, hidden partitioning, partition/sort-order evolution,
+# update_where, widen, generated columns, changelog, rename_column,
+# sql_interface/metadata_sql/sql_views, check constraints, column
+# defaults, sql_wap_lifecycle, dynamic overwrite,
+# sql_delta_maintenance, sql_copy_into, cdc_table_changes,
+# catalog_add_files; wap_audit_gate; streaming_merge_apply/
+# source_rollup/windowed_counts; events_continuous_aggregate;
+# catalog_incremental_agg; the 4 rows-only probabilistic queries —
+# their weaker rows-only check applies, each has a hash-gated
+# companion in the suite), plus everything round 10 touched
+# (sql_transaction_publish fast path; append_many hardening ->
+# both incremental dedup gates + the two multi-table publish gates)
+# and 7 of the stalest-r7 entries. The r7 remainder floats in the
+# mid tier for r11; everything with r8/r9 evidence sits in the tail.
 _HEAD = [
-    "q1_pricing_summary",  # canary: green every round, sub-second
+    "q1_pricing_summary",
     "dedup_incremental_index",
     "dedup_incremental_near",
     "catalog_multi_table_publish",
+    "catalog_append_many_txn",
     "sql_transaction_publish",
-    "sql_shallow_clone",
-    "sql_merge_into",
+    "sketch_events_approx_stats",
+    "dedup_simhash_profile",
+    "similarity_ann_lsh_topk",
+    "similarity_ann_ivf_topk",
+    "streaming_windowed_counts",
+    "wap_audit_gate",
+    "catalog_time_travel",
+    "sql_time_travel",
+    "catalog_incremental_read",
+    "catalog_schema_evolution",
+    "catalog_files_metadata",
+    "catalog_snapshots_metadata",
+    "catalog_rollback_read",
+    "catalog_hidden_partitioning",
+    "catalog_partition_evolution",
+    "catalog_update_where",
+    "sql_replace_where",
+    "catalog_widen_column",
+    "catalog_generated_columns",
+    "catalog_changelog",
+    "catalog_rename_column",
+    "streaming_merge_apply",
+    "catalog_incremental_agg",
+    "events_continuous_aggregate",
+    "streaming_source_rollup",
+    "catalog_sort_order_evolution",
+    "catalog_sql_interface",
+    "catalog_metadata_sql",
+    "catalog_sql_views",
+    "catalog_check_constraints",
+    "catalog_column_defaults",
+    "sql_wap_lifecycle",
+    "catalog_dynamic_overwrite",
+    "sql_delta_maintenance",
+    "sql_copy_into",
+    "cdc_table_changes",
+    "catalog_add_files",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "events_user_funnel",
+    "window_ranking_suite",
+    "fn_scalar_suite",
+    "dedup_ngram_jaccard",
+    "merge_orders_cdc",
+]
+_TAIL = [
     "agg_grouping_sets",
+    "q3_shipping_priority",
     "join_semi_anti",
     "window_top3_orders_per_customer",
     "subquery_parts_above_brand_avg",
-    "streaming_dedup_slots",
+    "q12_shipmode_priority",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
     "window_frame_suite",
     "agg_stats_moments",
     "sketch_error_bounds_gate",
@@ -71,121 +130,73 @@ _HEAD = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "streaming_interval_join",
     "dedup_components",
     "dedup_cluster_representatives",
+    "dedup_substring_spans",
     "dedup_source_matrix",
+    "text_quality_profile",
+    "text_corpus_token_stats",
+    "text_fingerprints",
+    "text_source_lang_matrix",
+    "text_bpe_token_counts",
+    "text_lang_id_confusion",
+    "text_punct_stopword_profile",
     "dedup_normalized_fingerprints",
+    "text_quality_rules",
     "text_pii_scrub",
+    "text_vocab_top_terms",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
     "text_bigram_logprob",
     "text_perplexity_filter",
     "similarity_cosine_topk",
     "similarity_label_centroid_stats",
-    "events_sessionization",
-    "events_session_window_native",
     "embedding_quantize_int8",
     "embedding_pq_codes",
     "dedup_pq_buckets",
+    "similarity_ann_recall_gate",
     "embedding_kmeans_clusters",
     "embedding_pca_covariance",
     "embedding_pca_project_gate",
     "text_quality_logreg",
     "text_bpe_merge_candidates",
     "multimodal_feature_extract",
-    "multimodal_payload_stats",
-    "asof_purchase_last_click",
-    "corpus_decontaminate_eval",
-    "corpus_quality_resample",
-    "corpus_chunk_windows",
-    "corpus_train_val_split",
-    "corpus_token_budget_mix",
-    "corpus_epoch_shuffle",
-    "catalog_append_many_txn",
-]
-_TAIL = [
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_bmp_resize_real",
     "multimodal_wav_frame_features",
+    "multimodal_payload_stats",
+    "asof_purchase_last_click",
+    "corpus_decontaminate_eval",
     "corpus_repetition_profile",
+    "corpus_quality_resample",
+    "corpus_chunk_windows",
     "corpus_pack_sequences",
-    "text_lang_id_confusion",
-    "text_quality_profile",
-    "text_corpus_token_stats",
-    "text_fingerprints",
-    "text_punct_stopword_profile",
-    "text_unigram_logprob",
-    "text_vocab_top_terms",
-    "text_source_lang_matrix",
-    "text_bpe_token_counts",
-    "dedup_substring_spans",
-    "sql_call_maintenance",
-    "catalog_cherrypick",
-    "streaming_changefeed_merge",
-    "text_quality_rules",
-    "text_tfidf_top_terms",
-    "streaming_backfill_slices",
-    "catalog_table_rename",
-    "merge_into_conditional",
-    "merge_lineitem_composite",
-    "sql_merge_by_source",
-    "sql_merge_multi_clause",
+    "corpus_train_val_split",
+    "corpus_token_budget_mix",
+    "corpus_epoch_shuffle",
+    "streaming_dedup_slots",
+    "streaming_interval_join",
+    "events_sessionization",
+    "events_session_window_native",
+    "catalog_mor_delete_read",
+    "sql_delete_in_subquery",
     "sql_merge_schema_evolution",
     "dedup_index_evolution",
+    "sql_merge_multi_clause",
+    "merge_lineitem_composite",
+    "streaming_backfill_slices",
+    "streaming_changefeed_merge",
+    "merge_into_conditional",
+    "sql_merge_into",
+    "catalog_table_rename",
+    "sql_call_maintenance",
+    "catalog_cherrypick",
     "catalog_metadata_delete",
-    "sql_delete_in_subquery",
-    "catalog_mor_delete_read",
-    "similarity_ann_recall_gate",
-    "merge_orders_cdc",
-    "unpivot_nation_measures",
-    "topk_expensive_items",
-    "histogram_order_totals",
-    "pivot_orders_status_by_priority",
-    "range_join_price_bands",
-    "events_json_extract",
-    "agg_collect_ordered",
-    "setops_customer_cohorts",
-    "rollup_nation_region",
-    "events_anomaly_iqr",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q10_returned_items",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_pair_volume",
-    "events_hourly_rollup",
-    "events_value_percentiles",
-    "window_running_revenue",
-    "window_moving_avg_daily_revenue",
-    "window_event_gaps",
-    "events_user_funnel",
-    "dedup_simhash_agreement_gate",
-    "sketch_events_error_gate",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q20_potential_promotion",
-    "fn_scalar_suite",
-    "fn_json_map_suite",
-    "fn_array_map_suite",
-    "window_ranking_suite",
-    "agg_orders_cube",
-    "audit_profile_lineitem",
-    "dedup_ngram_jaccard",
-    "corpus_stratified_sample",
+    "sql_merge_by_source",
+    "sql_shallow_clone",
 ]
 
 
