@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Any, Callable
@@ -698,13 +699,67 @@ class Catalog:
         expects. Statements execute eagerly (DML commits as it runs);
         a failure raises mid-script with earlier statements already
         committed, exactly like feeding a script to any SQL CLI.
+
+        ``BEGIN [TRANSACTION]; ...; COMMIT`` blocks run atomically
+        through :meth:`sql_transaction` (pure-append blocks ride the
+        :meth:`append_many` fast path — one commit, no staging
+        branch); ``ROLLBACK`` in place of ``COMMIT`` discards the
+        block with nothing executed. Verb pairing is validated before
+        ANY statement runs; nesting is not supported.
         """
         stmts = self._split_sql_statements(script)
         if not stmts:
             raise ValueError("empty SQL script")
+        # validate transaction-verb pairing BEFORE executing anything:
+        # statements commit eagerly, so a malformed script discovered
+        # mid-run would leave earlier statements published
+        depth = 0
+        for s in stmts:
+            if re.match(r"(?is)^BEGIN(\s+TRANSACTION)?\s*$", s):
+                if depth:
+                    raise ValueError("nested BEGIN is not supported")
+                depth = 1
+            elif re.match(r"(?is)^(COMMIT|ROLLBACK)\s*$", s):
+                if not depth:
+                    raise ValueError(
+                        f"{s.split()[0].upper()} without BEGIN"
+                    )
+                depth = 0
+        if depth:
+            raise ValueError("BEGIN without a matching COMMIT/ROLLBACK")
         result = None
-        for stmt in stmts:
+        i = 0
+        while i < len(stmts):
+            stmt = stmts[i]
+            if re.match(r"(?is)^BEGIN(\s+TRANSACTION)?\s*$", stmt):
+                # standard transaction spelling: everything up to the
+                # matching COMMIT runs atomically via sql_transaction
+                # (pure-append blocks ride the append_many fast path);
+                # ROLLBACK instead of COMMIT discards the block with
+                # nothing executed (execution is deferred to commit).
+                j = i + 1
+                body: list[str] = []
+                verb = None
+                while j < len(stmts):
+                    if re.match(r"(?is)^(COMMIT|ROLLBACK)\s*$", stmts[j]):
+                        verb = stmts[j].split()[0].upper()
+                        break
+                    body.append(stmts[j])
+                    j += 1
+                if verb is None:
+                    raise ValueError(
+                        "BEGIN without a matching COMMIT/ROLLBACK"
+                    )
+                if verb == "COMMIT" and body:
+                    result = self.sql_transaction(
+                        spark, ";\n".join(body), branch
+                    )
+                i = j + 1
+                continue
+            if re.match(r"(?is)^(COMMIT|ROLLBACK)\s*$", stmt):
+                raise ValueError(f"{stmt.split()[0].upper()} without BEGIN")
             result = self.sql(spark, stmt, branch)
+            i += 1
         return result
 
     @staticmethod

@@ -1445,3 +1445,80 @@ def test_create_or_replace_table(spark, warehouse):
             spark,
             "CREATE OR REPLACE TABLE IF NOT EXISTS t AS SELECT 1 AS x",
         )
+
+
+def test_sql_script_begin_commit_block(spark, warehouse):
+    """Standard transaction spelling inside a script: the BEGIN..COMMIT
+    block lands atomically (one ref commit for the whole block — here
+    via the pure-append fast path), statements outside it commit as
+    they run."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    log_before = len(cat.log())
+    out = cat.sql_script(
+        spark,
+        """
+        INSERT INTO t VALUES (2, 'b', 20);
+        BEGIN;
+        INSERT INTO t VALUES (3, 'c', 30);
+        INSERT INTO t VALUES (4, 'd', 40);
+        COMMIT;
+        SELECT count(*) AS n FROM t
+        """,
+    )
+    assert out.collect()[0]["n"] == 4
+    # first INSERT = 1 commit, the block = 1 commit
+    assert len(cat.log()) == log_before + 2
+    assert sorted(_state(spark, cat)) == [1, 2, 3, 4]
+    assert cat.list_branches() == ["main"]
+
+
+def test_sql_script_begin_rollback_discards(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    out = cat.sql_script(
+        spark,
+        """
+        BEGIN TRANSACTION;
+        INSERT INTO t VALUES (2, 'b', 20);
+        ROLLBACK;
+        SELECT count(*) AS n FROM t
+        """,
+    )
+    assert out.collect()[0]["n"] == 1  # block discarded, never ran
+    assert sorted(_state(spark, cat)) == [1]
+
+
+def test_sql_script_begin_block_is_atomic_on_failure(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    with pytest.raises(Exception, match="nonexistent"):
+        cat.sql_script(
+            spark,
+            """
+            BEGIN;
+            INSERT INTO t VALUES (2, 'b', 20);
+            INSERT INTO t SELECT * FROM nonexistent_table;
+            COMMIT
+            """,
+        )
+    assert sorted(_state(spark, cat)) == [1]  # nothing from the block
+    assert cat.list_branches() == ["main"]
+
+
+def test_sql_script_unbalanced_transaction_verbs(spark, warehouse):
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    with pytest.raises(ValueError, match="BEGIN without"):
+        cat.sql_script(spark, "BEGIN; INSERT INTO t VALUES (2,'b',20)")
+    with pytest.raises(ValueError, match="COMMIT without"):
+        cat.sql_script(spark, "INSERT INTO t VALUES (2,'b',20); COMMIT")
+    with pytest.raises(ValueError, match="nested BEGIN"):
+        cat.sql_script(
+            spark,
+            "BEGIN; INSERT INTO t VALUES (2,'b',20); BEGIN; COMMIT; COMMIT",
+        )
+    # validation happens BEFORE execution: neither partial effect nor
+    # stray branch even though an INSERT preceded the stray verb
+    assert sorted(_state(spark, cat)) == [1]
+    assert cat.list_branches() == ["main"]
