@@ -833,10 +833,12 @@ class Catalog:
         for _stmt, _t, source in parsed:
             # conservative word-match: a source that MIGHT read a
             # transaction target (even a column coincidentally named
-            # like one) falls back to the sequential branch
+            # like one) falls back to the sequential branch. Backticks
+            # count as boundaries so `t` (quoted) is caught too —
+            # over-matching only costs the fast path, never correctness
             for t in targets:
                 if _re.search(
-                    rf"(?i)(?<![A-Za-z0-9_`]){_re.escape(t)}(?![A-Za-z0-9_`])",
+                    rf"(?i)(?<![A-Za-z0-9_]){_re.escape(t)}(?![A-Za-z0-9_])",
                     source,
                 ):
                     return None

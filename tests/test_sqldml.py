@@ -1522,3 +1522,34 @@ def test_sql_script_unbalanced_transaction_verbs(spark, warehouse):
     # stray branch even though an INSERT preceded the stray verb
     assert sorted(_state(spark, cat)) == [1]
     assert cat.list_branches() == ["main"]
+
+
+def test_sql_transaction_fast_path_catches_backticked_target(
+    spark, warehouse, monkeypatch
+):
+    """A backtick-quoted reference to a transaction target in a
+    statement's source must still defeat the fast path — quoted or
+    not, the statement needs to see the in-transaction write."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    cat.create_table_from_df(
+        spark.createDataFrame([(0, "seed", 0)], SCHEMA), "t_copy"
+    )
+    forks = []
+    orig = Catalog.create_branch
+
+    def spy(self, name, src="main"):
+        forks.append(name)
+        return orig(self, name, src)
+
+    monkeypatch.setattr(Catalog, "create_branch", spy)
+    cat.sql_transaction(
+        spark,
+        """
+        INSERT INTO t VALUES (2, 'b', 20);
+        INSERT INTO t_copy SELECT * FROM `t`
+        """,
+    )
+    monkeypatch.undo()
+    assert forks, "backticked target reference must use the branch path"
+    assert cat.row_count("t_copy") == 3  # saw the in-transaction row
