@@ -830,13 +830,18 @@ class Catalog:
                 return None
             parsed.append((stmt, target, m.group(2)))
         targets = {t for _, t, _ in parsed}
+        # a stored view can read a target TRANSITIVELY (v = SELECT ...
+        # FROM t), so any source referencing any stored-view name also
+        # falls back — view-on-view chains are covered because every
+        # link in the chain is itself a stored-view name
+        guarded = targets | set(self.list_views(branch))
         for _stmt, _t, source in parsed:
             # conservative word-match: a source that MIGHT read a
             # transaction target (even a column coincidentally named
             # like one) falls back to the sequential branch. Backticks
             # count as boundaries so `t` (quoted) is caught too —
             # over-matching only costs the fast path, never correctness
-            for t in targets:
+            for t in guarded:
                 if _re.search(
                     rf"(?i)(?<![A-Za-z0-9_]){_re.escape(t)}(?![A-Za-z0-9_])",
                     source,

@@ -1553,3 +1553,40 @@ def test_sql_transaction_fast_path_catches_backticked_target(
     monkeypatch.undo()
     assert forks, "backticked target reference must use the branch path"
     assert cat.row_count("t_copy") == 3  # saw the in-transaction row
+
+
+def test_sql_transaction_fast_path_view_reads_target_falls_back(
+    spark, warehouse, monkeypatch
+):
+    """A stored view over a transaction target is a TRANSITIVE read:
+    INSERT INTO u SELECT * FROM v (v = SELECT ... FROM t) must see the
+    in-transaction INSERT into t, so the script takes the staging
+    branch even though no source mentions t by name."""
+    cat = Catalog(warehouse)
+    _seed(spark, cat, [(1, "a", 10)])
+    cat.create_table_from_df(
+        spark.createDataFrame([(0, "seed", 0)], SCHEMA), "u"
+    )
+    cat.sql(spark, "CREATE VIEW v AS SELECT * FROM t")
+    forks = []
+    orig = Catalog.create_branch
+
+    def spy(self, name, src="main"):
+        forks.append(name)
+        return orig(self, name, src)
+
+    monkeypatch.setattr(Catalog, "create_branch", spy)
+    cat.sql_transaction(
+        spark,
+        """
+        INSERT INTO t VALUES (2, 'b', 20);
+        INSERT INTO u SELECT * FROM v
+        """,
+    )
+    monkeypatch.undo()
+    assert forks, "view-over-target must use the staging branch"
+    # the view resolved against the STAGED t: row 2 is in u
+    assert cat.row_count("u") == 3
+    assert sorted(
+        r["id"] for r in cat.read(spark, "u").collect()
+    ) == [0, 1, 2]
