@@ -104,7 +104,7 @@ _HEAD = [
     "window_ranking_suite",
     "fn_scalar_suite",
     "dedup_ngram_jaccard",
-    "merge_orders_cdc",
+    "dedup_forget_readmit",
 ]
 _TAIL = [
     "agg_grouping_sets",

@@ -61,6 +61,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import re
+import uuid
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -857,3 +858,109 @@ def near_dedup_ingest(
                 fresh.unpersist()
     sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
     raise last_err  # exhausted retries under concurrent ingests
+
+
+@dataclasses.dataclass
+class ForgetResult:
+    published: bool
+    ids_requested: int  # distinct keys in the forget request
+    docs_removed: int  # rows actually removed from the docs table
+    attempts: int
+
+
+def forget_documents(
+    spark: SparkSession,
+    cat: Catalog,
+    ids: DataFrame,
+    docs_table: str,
+    index_tables: "list[str] | str",
+    key_col: str = "doc_id",
+    branch: str = MAIN,
+    max_retries: int = 3,
+    count_removed: bool = True,
+) -> ForgetResult:
+    """Remove documents AND their dedup-index state atomically — the
+    right-to-be-forgotten / re-admission primitive both ingest
+    pipelines need.
+
+    Deleting corpus rows without their index rows silently poisons the
+    pipeline: the persisted fingerprint (or MinHash band/signature)
+    rows keep matching future batches, so re-submitted content is
+    dropped as a "duplicate" of a document that no longer exists, and
+    the forgotten content can never legally re-enter the corpus. This
+    deletes the keys from the docs table and EVERY index table in one
+    atomic publish, so readers and racing ingests never observe a
+    corpus whose index disagrees with it:
+
+    - exact pipeline: ``forget_documents(..., "docs", ["fp_index"])``
+    - near pipeline:  ``forget_documents(..., "docs",
+      ["sig_table", "band_table"])``
+
+    Deletes can't ride :meth:`Catalog.append_many` (appends only), so
+    this uses the documented division of labour's other half: a hidden
+    staging branch takes one MoR equality-delete per table (commit
+    cost O(keys + bloom-hit files), never O(table)), then ONE
+    fast-forward CAS publishes all of them together; a concurrent
+    commit on ``branch`` fails the CAS and the whole forget retries on
+    a fresh fork (deletes are cheap to replay — no data files are
+    rewritten). A racing ingest that loses ITS CAS to this publish
+    re-probes the post-forget index, so the two operations serialize
+    correctly in either order.
+
+    Re-admission semantics: once published, the forgotten keys' digest
+    / band / signature rows are gone, so the SAME content arriving in
+    a later batch is admitted fresh (under its new key). Keys that
+    were never admitted (their content lost keep-first) simply have no
+    rows anywhere — forgetting them is a no-op, not an error.
+
+    ``count_removed`` reports how many docs rows actually matched (one
+    key-semi-join count over the docs table). The deletes themselves
+    never need it; pass ``False`` on a corpus where even one counting
+    scan is unwelcome and ``docs_removed`` comes back ``-1``.
+    """
+    tables = (
+        [index_tables] if isinstance(index_tables, str) else list(index_tables)
+    )
+    key_df = ids.select(key_col).distinct().cache()
+    n_ids = key_df.count()
+    if n_ids == 0:
+        key_df.unpersist()
+        return ForgetResult(
+            published=False, ids_requested=0, docs_removed=0, attempts=0
+        )
+    last_err: Exception | None = None
+    for attempt in range(1, max_retries + 2):
+        name = f"forget-{uuid.uuid4().hex[:8]}"
+        cat.create_branch(name, branch)
+        try:
+            if count_removed:
+                # one semi-join count on the pre-delete snapshot (the
+                # deletes remove exactly the matching rows); cheaper
+                # than before/after row_count scans and skippable
+                removed = (
+                    cat.read(spark, docs_table, name)
+                    .join(_hint_small(key_df, n_ids), key_col, "left_semi")
+                    .count()
+                )
+            else:
+                removed = -1
+            cat.delete_keys(key_df, docs_table, key=key_col, branch=name)
+            for t in tables:
+                cat.delete_keys(key_df, t, key=key_col, branch=name)
+            cat.merge(name, branch)
+            cat.drop_branch(name)
+            key_df.unpersist()
+            return ForgetResult(
+                published=True,
+                ids_requested=n_ids,
+                docs_removed=removed,
+                attempts=attempt,
+            )
+        except CommitConflict as ex:
+            last_err = ex  # concurrent commit won the ref: refork
+            try:
+                cat.drop_branch(name)
+            except Exception:
+                pass  # cleanup only; the retry matters more
+    key_df.unpersist()
+    raise last_err  # exhausted retries under concurrent writers

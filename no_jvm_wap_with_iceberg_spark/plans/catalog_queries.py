@@ -1179,6 +1179,72 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_forget_readmit",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    keep1 AS (SELECT norm, MIN(doc_id) AS keep_id FROM d GROUP BY norm),
+    kept_after AS (
+      SELECT norm, keep_id FROM keep1 WHERE keep_id % 5 != 2
+    ),
+    b2 AS (
+      SELECT doc_id + 10000000 AS doc_id, norm FROM d WHERE doc_id % 5 = 2
+    ),
+    b2keep AS (
+      SELECT b2.norm, MIN(b2.doc_id) AS keep_id
+      FROM b2
+      WHERE NOT EXISTS (SELECT 1 FROM kept_after k WHERE k.norm = b2.norm)
+      GROUP BY b2.norm
+    ),
+    final AS (
+      SELECT keep_id FROM kept_after UNION ALL SELECT keep_id FROM b2keep
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep_id) AS BIGINT) AS sum_ids
+    FROM final
+    """,
+    doc="right-to-be-forgotten over the incremental dedup pipeline "
+    "(pipelines/incremental_dedup.forget_documents): ingest the whole "
+    "corpus, FORGET every doc_id % 5 == 2 (docs + fingerprint-index "
+    "rows removed in one atomic staged publish — MoR equality deletes "
+    "per table, one fast-forward CAS), then re-submit exactly the "
+    "forgotten docs' content under new ids (+10M). Content whose "
+    "index keeper was forgotten must RE-ADMIT (keep-first by new id); "
+    "content whose keeper survived must still dedup. The oracle "
+    "replays admission -> forget -> re-admission in SQL over "
+    "normalized text. Never-admitted forget keys are a no-op.",
+)
+def dedup_forget_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+        forget_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = Catalog(_tmp_warehouse("forget_"))
+    dedup_ingest(spark, cat, docs, "docs_fg", "fp_fg")
+    forget_documents(
+        spark,
+        cat,
+        docs.filter(F.col("doc_id") % 5 == 2).select("doc_id"),
+        "docs_fg",
+        ["fp_fg"],
+    )
+    resubmit = docs.filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    dedup_ingest(spark, cat, resubmit, "docs_fg", "fp_fg")
+    return cat.read(spark, "docs_fg").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
     "catalog_changelog",
     """
     WITH half2 AS (

@@ -163,3 +163,115 @@ def test_auto_compact_bounds_index_files(spark, warehouse, monkeypatch):
     # and dedup stays exact across the folds
     res = idd.dedup_ingest(spark, cat, batch(0, 2400), "docs", "fp_index")
     assert res.rows_published == 0
+
+
+def test_forget_documents_enables_readmission(spark, warehouse):
+    """Forgetting removes docs AND index rows atomically, so the SAME
+    content can re-enter under a new key; unforgotten content still
+    dedups; never-admitted keys are a no-op."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        forget_documents,
+    )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(
+        spark, cat, _df(spark, [(1, "aa"), (2, "bb"), (3, "cc")]),
+        "docs", "fp_index",
+    )
+    # forget 1 (admitted), 3 (admitted) and 9 (never existed)
+    res = forget_documents(
+        spark, cat, _df(spark, [(1, "x"), (3, "x"), (9, "x")]),
+        "docs", ["fp_index"],
+    )
+    assert (res.published, res.ids_requested, res.docs_removed) == (
+        True, 3, 2,
+    )
+    assert cat.row_count("docs", spark=spark) == 1  # only (2, bb)
+    assert cat.row_count("fp_index", spark=spark) == 1
+    # re-admit the forgotten content under new keys; bb still dedups
+    r = dedup_ingest(
+        spark, cat, _df(spark, [(11, "aa"), (12, "bb"), (13, "cc")]),
+        "docs", "fp_index",
+    )
+    assert (r.published, r.seen_dups, r.rows_published) == (True, 1, 2)
+    docs = {(x.doc_id, x.text) for x in cat.read(spark, "docs").collect()}
+    assert docs == {(2, "bb"), (11, "aa"), (13, "cc")}
+    # empty forget request is a clean no-op
+    res0 = forget_documents(
+        spark, cat, _df(spark, []).limit(0), "docs", ["fp_index"]
+    )
+    assert (res0.published, res0.attempts) == (False, 0)
+
+
+def test_forget_documents_is_atomic_and_leaves_no_branch(spark, warehouse):
+    """Observable state never shows docs deleted without their index
+    rows (or vice versa); the staging fork is gone afterwards; a
+    concurrent commit forces a retried fork that still lands."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        forget_documents,
+    )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(
+        spark, cat, _df(spark, [(1, "aa"), (2, "bb")]), "docs", "fp_index"
+    )
+    # inject a rival commit between fork and publish via merge wrapper
+    orig_merge = Catalog.merge
+    raced = []
+
+    def racing_merge(self, frm, to="main"):
+        if not raced:
+            raced.append(True)
+            cat.append(_df(spark, [(50, "zz")]), "docs", "main")
+        return orig_merge(self, frm, to)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(Catalog, "merge", racing_merge):
+        res = forget_documents(
+            spark, cat, _df(spark, [(1, "x")]), "docs", ["fp_index"]
+        )
+    assert res.published and res.attempts == 2  # first fork conflicted
+    assert cat.list_branches() == ["main"]  # no forget-* debris
+    docs = {x.text for x in cat.read(spark, "docs").collect()}
+    assert docs == {"bb", "zz"}  # rival kept, forget applied
+    # docs and index agree after the publish: every pipeline-admitted
+    # doc has exactly its fingerprint row, the forgotten one has neither
+    fp = {
+        x.doc_id for x in cat.read(spark, "fp_index").collect()
+    }
+    live = {
+        x.doc_id for x in cat.read(spark, "docs").collect()
+        if x.text != "zz"  # the rival append bypassed the pipeline
+    }
+    assert fp == live
+
+
+def test_forget_documents_near_pipeline(spark, warehouse):
+    """Near pipeline: forgetting drops sig + band rows too, so the
+    same content re-admits instead of matching a ghost's bands."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        forget_documents,
+        near_dedup_ingest,
+    )
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    long_b = "one two three four five six seven eight nine ten " * 4
+    cat = Catalog(warehouse)
+    near_dedup_ingest(
+        spark, cat, _df(spark, [(1, long_a), (2, long_b)]),
+        "d", "s", "b",
+    )
+    res = forget_documents(spark, cat, _df(spark, [(1, "x")]), "d", ["s", "b"])
+    assert res.docs_removed == 1
+    assert {x.doc_id for x in cat.read(spark, "s").collect()} == {2}
+    assert cat.read(spark, "b").filter(F.col("doc_id") == 1).count() == 0
+    r = near_dedup_ingest(
+        spark, cat, _df(spark, [(10, long_a)]), "d", "s", "b"
+    )
+    assert (r.published, r.rows_published) == (True, 1)  # re-admitted
+    # and a true near-dup of the SURVIVING doc still drops
+    r2 = near_dedup_ingest(
+        spark, cat, _df(spark, [(20, long_b + " extra")]), "d", "s", "b"
+    )
+    assert r2.rows_published == 0

@@ -86,6 +86,9 @@ SINGLE_OK = {
     "dedup_index_evolution",  # single-row corpus summary, same shape
     # as dedup_incremental_index (the ingests shuffle on digests; the
     # evolution/migration steps repartition by range)
+    "dedup_forget_readmit",  # single-row corpus summary, same shape
+    # as dedup_incremental_index (ingests shuffle on digests; the
+    # forget's MoR delete reads anti-join broadcast key sets)
     "corpus_quality_resample",  # single-row sample summary (the
     # keep-filter itself is a scan-level predicate, no shuffle)
     "text_perplexity_filter",  # single-row keep-set summary (the LM
