@@ -184,6 +184,57 @@ def minhash_signatures(
     )
 
 
+def band_hashes_for_shingles(
+    df: DataFrame,
+    sh_col: str,
+    k: int = MINHASH_K,
+    r: int = MINHASH_R,
+) -> DataFrame:
+    """Recompute the banded MinHash bucket hashes from a STORED
+    shingle set — bit-identical to :func:`minhash_signatures`' ``_bh``
+    for the same shingles (same seeded permutations, same band fold;
+    pinned by a test). Lets maintenance address a persisted band index
+    by ``band_hash`` (its partition/sort/bloom key) without
+    re-tokenizing documents: e.g. the near pipeline's forget reads the
+    victims' shingle sets from the signature table (key-pruned), folds
+    them back into band hashes here, and deletes band rows by
+    ``(band_hash, key)`` so the delete prunes on the index's OWN
+    layout instead of scanning for a secondary column. Appends an
+    ``_bh array<long>`` column; empty shingle sets yield empty bands.
+    """
+    n_bands = k // r
+
+    @F.pandas_udf("array<long>")
+    def _bands(sh: pd.Series) -> pd.Series:
+        import numpy as np
+
+        rng = np.random.default_rng(0xC0FFEE)
+        a = (
+            rng.integers(1, 2**62, size=k, dtype=np.uint64) << np.uint64(1)
+        ) | np.uint64(1)
+        b = rng.integers(0, 2**63, size=k, dtype=np.uint64)
+        c1, c2 = (
+            np.uint64(0x9E3779B97F4A7C15),
+            np.uint64(0xBF58476D1CE4E5B9),
+        )
+        band_ix = np.arange(n_bands, dtype=np.uint64)
+        out = []
+        for hs in sh:
+            if hs is None or len(hs) == 0:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            g = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            sig = (g[:, None] * a[None, :] + b[None, :]).min(axis=0)
+            acc = band_ix * c1
+            for v in sig.reshape(n_bands, r).T:
+                acc = (acc ^ v) * c2
+                acc ^= acc >> np.uint64(33)
+            out.append(acc.view(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn("_bh", _bands(F.col(sh_col)))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,

@@ -921,6 +921,11 @@ def forget_documents(
     tables = (
         [index_tables] if isinstance(index_tables, str) else list(index_tables)
     )
+
+    def deletes(name: str) -> None:
+        for t in [docs_table, *tables]:
+            cat.delete_keys(key_df, t, key=key_col, branch=name)
+
     key_df = ids.select(key_col).distinct().cache()
     n_ids = key_df.count()
     if n_ids == 0:
@@ -928,6 +933,31 @@ def forget_documents(
         return ForgetResult(
             published=False, ids_requested=0, docs_removed=0, attempts=0
         )
+    try:
+        return _staged_forget(
+            spark, cat, key_df, n_ids, docs_table, key_col, branch,
+            max_retries, count_removed, deletes,
+        )
+    finally:
+        key_df.unpersist()
+
+
+def _staged_forget(
+    spark: SparkSession,
+    cat: Catalog,
+    key_df: DataFrame,
+    n_ids: int,
+    docs_table: str,
+    key_col: str,
+    branch: str,
+    max_retries: int,
+    count_removed: bool,
+    deletes,
+) -> ForgetResult:
+    """Shared forget publish loop: fork a hidden branch, run
+    ``deletes(branch_name)``, fast-forward in one CAS; a concurrent
+    commit conflicts the CAS and the whole forget replays on a fresh
+    fork (deletes are cheap — keys only, no data files rewritten)."""
     last_err: Exception | None = None
     for attempt in range(1, max_retries + 2):
         name = f"forget-{uuid.uuid4().hex[:8]}"
@@ -944,12 +974,9 @@ def forget_documents(
                 )
             else:
                 removed = -1
-            cat.delete_keys(key_df, docs_table, key=key_col, branch=name)
-            for t in tables:
-                cat.delete_keys(key_df, t, key=key_col, branch=name)
+            deletes(name)
             cat.merge(name, branch)
             cat.drop_branch(name)
-            key_df.unpersist()
             return ForgetResult(
                 published=True,
                 ids_requested=n_ids,
@@ -962,5 +989,78 @@ def forget_documents(
                 cat.drop_branch(name)
             except Exception:
                 pass  # cleanup only; the retry matters more
-    key_df.unpersist()
     raise last_err  # exhausted retries under concurrent writers
+
+
+def near_forget_documents(
+    spark: SparkSession,
+    cat: Catalog,
+    ids: DataFrame,
+    docs_table: str,
+    sig_table: str,
+    band_table: str,
+    key_col: str = "doc_id",
+    branch: str = MAIN,
+    max_retries: int = 3,
+    count_removed: bool = True,
+) -> ForgetResult:
+    """:func:`forget_documents` specialized for the near pipeline's
+    band index layout.
+
+    The generic form deletes band rows by ``key_col``, but the band
+    table is partitioned/sorted/bloomed on ``band_hash`` — its doc-key
+    column is secondary, so that delete's target-file pruning degrades
+    toward O(table) when doc keys don't cluster by ingest batch. This
+    variant recovers the layout-aligned delete: read the victims'
+    shingle sets from the SIGNATURE table (key-pruned — it is
+    bucketed/bloomed on ``key_col``), fold them back into band hashes
+    (:func:`operators.dedup.band_hashes_for_shingles` — bit-identical
+    to what ingest wrote), and delete band rows by the COMPOSITE
+    ``(band_hash, key)`` so the band delete prunes on the index's own
+    partition values and blooms: O(victims' bands), never O(table).
+    Docs and signature rows delete by key as before; everything
+    publishes in the same single fast-forward CAS.
+    """
+    from no_jvm_wap_with_iceberg_spark.operators.dedup import (
+        band_hashes_for_shingles,
+    )
+
+    key_df = ids.select(key_col).distinct().cache()
+    n_ids = key_df.count()
+    if n_ids == 0:
+        key_df.unpersist()
+        return ForgetResult(
+            published=False, ids_requested=0, docs_removed=0, attempts=0
+        )
+
+    def deletes(name: str) -> None:
+        # victims' shingle sets via the key-pruned signature read
+        smeta = cat.load_table(sig_table, name)
+        affected = cat._files_overlapping_keys(smeta, [key_col], key_df)
+        if affected:
+            sig_rows = (
+                cat._df_applying_deletes(spark, smeta, affected)
+                .join(_hint_small(key_df, n_ids), key_col, "inner")
+            )
+            band_keys = band_hashes_for_shingles(sig_rows, "sh").select(
+                F.explode("_bh").alias("band_hash"), F.col(key_col)
+            )
+            # bands first: their derivation reads the signature table,
+            # and MoR metadata-deletes leave those files in place, but
+            # ordering before the sig delete keeps the plan honest
+            cat.delete_keys(
+                band_keys,
+                band_table,
+                key=["band_hash", key_col],
+                branch=name,
+            )
+            cat.delete_keys(key_df, sig_table, key=key_col, branch=name)
+        cat.delete_keys(key_df, docs_table, key=key_col, branch=name)
+
+    try:
+        return _staged_forget(
+            spark, cat, key_df, n_ids, docs_table, key_col, branch,
+            max_retries, count_removed, deletes,
+        )
+    finally:
+        key_df.unpersist()

@@ -275,3 +275,70 @@ def test_forget_documents_near_pipeline(spark, warehouse):
         spark, cat, _df(spark, [(20, long_b + " extra")]), "d", "s", "b"
     )
     assert r2.rows_published == 0
+
+
+def test_band_hashes_recompute_bit_identical(spark):
+    """band_hashes_for_shingles over STORED shingle sets reproduces
+    minhash_signatures' band hashes exactly — the near forget's
+    layout-aligned band delete depends on this bit-identity."""
+    from no_jvm_wap_with_iceberg_spark.operators.dedup import (
+        band_hashes_for_shingles,
+        minhash_signatures,
+    )
+
+    docs = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+            (3, "one two"),  # sub-3-word: empty shingles, empty bands
+        ],
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text").collect()
+    stored = spark.createDataFrame(
+        [(r["_id"], list(r["_sh"])) for r in sigs],
+        "doc_id INT, sh ARRAY<LONG>",
+    )
+    re_bh = {
+        r["doc_id"]: list(r["_bh"])
+        for r in band_hashes_for_shingles(stored, "sh").collect()
+    }
+    for r in sigs:
+        assert re_bh[r["_id"]] == list(r["_bh"])
+
+
+def test_near_forget_documents_layout_aligned(spark, warehouse):
+    """near_forget_documents removes docs + sig + band rows atomically
+    (band rows addressed by recomputed (band_hash, key) composite) and
+    the forgotten content re-admits; shingle-less docs still forget."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_dedup_ingest,
+        near_forget_documents,
+    )
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    long_b = "one two three four five six seven eight nine ten " * 4
+    cat = Catalog(warehouse)
+    near_dedup_ingest(
+        spark, cat,
+        _df(spark, [(1, long_a), (2, long_b), (3, "hi")]),  # 3: no shingles
+        "d", "s", "b",
+    )
+    res = near_forget_documents(
+        spark, cat, _df(spark, [(1, "x"), (3, "x")]), "d", "s", "b"
+    )
+    assert (res.published, res.docs_removed) == (True, 2)
+    assert {x.doc_id for x in cat.read(spark, "d").collect()} == {2}
+    assert {x.doc_id for x in cat.read(spark, "s").collect()} == {2}
+    assert cat.read(spark, "b").filter(F.col("doc_id") != 2).count() == 0
+    assert cat.list_branches() == ["main"]
+    # the forgotten near-dup content re-admits under a new key
+    r = near_dedup_ingest(
+        spark, cat, _df(spark, [(10, long_a)]), "d", "s", "b"
+    )
+    assert (r.published, r.rows_published) == (True, 1)
+    # a near-dup of the SURVIVOR still drops
+    r2 = near_dedup_ingest(
+        spark, cat, _df(spark, [(20, long_b + " tail")]), "d", "s", "b"
+    )
+    assert r2.rows_published == 0
