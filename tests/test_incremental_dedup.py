@@ -342,3 +342,59 @@ def test_near_forget_documents_layout_aligned(spark, warehouse):
         spark, cat, _df(spark, [(20, long_b + " tail")]), "d", "s", "b"
     )
     assert r2.rows_published == 0
+
+
+def test_near_forget_band_delete_prunes_by_band_hash(
+    spark, warehouse, monkeypatch
+):
+    """The layout-aligned claim, plan-asserted at the metadata level:
+    with doc ids INTERLEAVED across ingests (every band file's doc-key
+    range spans the whole corpus, so a doc-keyed delete prunes
+    nothing), the composite (band_hash, key) delete still targets only
+    the victim's own band files — bloom/bucket pruning on the band
+    index's native key. Auto-compact is deferred so per-ingest files
+    survive for the pruning comparison."""
+    import no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup as idd
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_dedup_ingest,
+        near_forget_documents,
+    )
+
+    monkeypatch.setattr(idd, "AUTO_COMPACT_FILES_PER_PARTITION", 1000)
+    cat = Catalog(warehouse)
+    for b in range(4):
+        rows = [
+            (
+                i * 10 + b,  # interleaved: each batch spans the range
+                " ".join(f"t{b}x{i}y{j}" for j in range(30)),
+            )  # disjoint token streams: every doc genuinely distinct
+            for i in range(12)
+        ]
+        near_dedup_ingest(spark, cat, _df(spark, rows), "d", "s", "b")
+    assert cat.read(spark, "d").count() == 48  # nothing near-dupped
+    bmeta = cat.load_table("b")
+    total_files = len(bmeta.files())
+    assert total_files >= 16  # several files per bucket to prune among
+    victim = cat.read(spark, "d").limit(1).collect()[0]["doc_id"]
+    res = near_forget_documents(
+        spark, cat, spark.createDataFrame([(victim,)], "doc_id INT"),
+        "d", "s", "b",
+    )
+    assert res.published and res.docs_removed == 1
+    bmeta2 = cat.load_table("b")
+    delete_snaps = [s for s in bmeta2.snapshots if s.deletes]
+    targets = delete_snaps[-1].deletes[0]["targets"]
+    # the victim's 16 band rows live in its OWN ingest's files only;
+    # blooms on band_hash prove absence everywhere else — while a
+    # doc-keyed delete would target every file (interleaved key ranges)
+    doc_keyed = cat._files_overlapping_keys(
+        bmeta, ["doc_id"],
+        spark.createDataFrame([(victim,)], "doc_id INT"),
+    )
+    assert len(doc_keyed) == total_files  # the shape the variant avoids
+    assert 0 < len(targets) <= total_files / 2, (
+        len(targets), total_files,
+    )
+    assert cat.read(spark, "b").filter(
+        F.col("doc_id") == victim
+    ).count() == 0
