@@ -1020,6 +1020,13 @@ def near_forget_documents(
     partition values and blooms: O(victims' bands), never O(table).
     Docs and signature rows delete by key as before; everything
     publishes in the same single fast-forward CAS.
+
+    Pick by regime (measured, SCALE.md round-10 addendum 2): on a
+    SMALL band table the extra signature read + band recompute costs
+    more than pruning saves (sf0.1: 5.9 s vs the generic form's
+    2.1 s) — use :func:`forget_documents` there; this variant is for
+    large band indexes whose doc keys don't cluster by ingest batch,
+    where the generic delete's target list grows with the table.
     """
     from no_jvm_wap_with_iceberg_spark.operators.dedup import (
         band_hashes_for_shingles,
