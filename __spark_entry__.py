@@ -102,7 +102,7 @@ _HEAD = [
     "q5_local_supplier_volume",
     "events_user_funnel",
     "window_ranking_suite",
-    "fn_scalar_suite",
+    "dedup_index_rebuild",
     "dedup_ngram_jaccard",
     "dedup_forget_readmit",
 ]

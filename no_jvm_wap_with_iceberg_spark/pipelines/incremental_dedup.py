@@ -1071,3 +1071,169 @@ def near_forget_documents(
         )
     finally:
         key_df.unpersist()
+
+
+def rebuild_fingerprint_index(
+    spark: SparkSession,
+    cat: Catalog,
+    docs_table: str,
+    index_table: str,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    normalize: bool = True,
+    branch: str = MAIN,
+    max_retries: int = 3,
+) -> int:
+    """Reconstruct the exact-dedup fingerprint index FROM the corpus —
+    the disaster-recovery / rule-change primitive: a lost or corrupted
+    index table, a normalization change, or manual corpus surgery
+    (rows added/removed outside the pipeline) all leave the index out
+    of sync with the documents, and an out-of-sync index silently
+    re-admits duplicates or drops fresh content forever.
+
+    The index is pure derived state, so the rebuild is one pass:
+    fingerprint every live doc row and keep ``min(key)`` per digest
+    (the same keep-first invariant ingest maintains, so a corpus with
+    manually-introduced duplicate contents deterministically indexes
+    its smallest key). The new content lands as an atomic REPLACE on a
+    hidden staging branch published by one fast-forward CAS; a missing
+    index table is recreated with the standard self-sizing layout at
+    the width the CURRENT corpus calls for (a rebuild after 10M digests
+    starts at the wide layout instead of replaying the evolution
+    schedule). Returns the number of index rows written. One shuffle
+    on the digest; O(corpus) by construction — this is the op the
+    incremental pipeline exists to avoid per batch, run it only when
+    the index is actually wrong.
+    """
+    docs = cat.read(spark, docs_table, branch)
+    idx = (
+        docs.select(
+            fingerprint_expr(content_col, normalize).alias("fingerprint"),
+            F.col(key_col),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(key_col).alias(key_col))
+    )
+    last_err: Exception | None = None
+    for attempt in range(1, max_retries + 2):
+        name = f"rebuild-{uuid.uuid4().hex[:8]}"
+        cat.create_branch(name, branch)
+        try:
+            if cat.table_exists(index_table, name):
+                cat.overwrite(idx, index_table, name)
+            else:
+                n_docs = cat.row_count(docs_table, name, spark=spark)
+                width = _target_width(n_docs)  # digests <= docs rows
+                cat.create_table(
+                    index_table,
+                    idx.schema,
+                    name,
+                    partition_by=[f"truncate({width}, fingerprint)"],
+                    sort_by=["fingerprint"],
+                    bloom_cols=["fingerprint"],
+                    properties={_LAYOUT_PROP: "auto"},
+                )
+                cat.append(idx, index_table, name)
+            cat.merge(name, branch)
+            cat.drop_branch(name)
+            return cat.row_count(index_table, branch, spark=spark)
+        except CommitConflict as ex:
+            last_err = ex  # concurrent commit won the ref: refork
+            try:
+                cat.drop_branch(name)
+            except Exception:
+                pass  # cleanup only; the retry matters more
+    raise last_err  # exhausted retries under concurrent writers
+
+
+def near_rebuild_index(
+    spark: SparkSession,
+    cat: Catalog,
+    docs_table: str,
+    sig_table: str,
+    band_table: str,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    branch: str = MAIN,
+    max_retries: int = 3,
+) -> int:
+    """:func:`rebuild_fingerprint_index` for the near pipeline's
+    signature + band state: recompute banded MinHash signatures from
+    every live doc (same seeded kernel as ingest — bit-identical
+    bands) and atomically REPLACE both index tables in one published
+    fast-forward. Missing tables are recreated with the standard
+    self-sizing bucket layout at the count the current corpus calls
+    for. Returns the number of signature rows written. Note the near
+    invariant differs from exact: admitted docs each carry their OWN
+    signature/band rows (there is no keep-first here — near-dup
+    admission decisions are history-dependent and NOT re-derivable
+    from the surviving corpus; the rebuild restores the state needed
+    to judge FUTURE batches, it does not re-litigate past ones).
+    """
+    from no_jvm_wap_with_iceberg_spark.catalog.transforms import _BUCKETABLE
+    from no_jvm_wap_with_iceberg_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = cat.read(spark, docs_table, branch)
+    sigs = (
+        minhash_signatures(
+            docs.select(F.col(key_col), F.col(content_col)),
+            key_col,
+            content_col,
+        )
+        .filter(F.size("_sh") > 0)
+        .cache()
+    )
+    sig_rows = sigs.select(
+        F.col("_id").alias(key_col), F.col("_sh").alias("sh")
+    )
+    band_rows = sigs.select(
+        F.explode("_bh").alias("band_hash"), F.col("_id").alias(key_col)
+    )
+    n_sigs = sigs.count()  # materializes the kernel once for both writes
+    buckets = _target_buckets(n_sigs)
+    key_t = sig_rows.schema[key_col].dataType.typeName()
+    last_err: Exception | None = None
+    try:
+        for attempt in range(1, max_retries + 2):
+            name = f"rebuild-{uuid.uuid4().hex[:8]}"
+            cat.create_branch(name, branch)
+            try:
+                for tbl, df, src in (
+                    (
+                        sig_table,
+                        sig_rows,
+                        key_col if key_t in _BUCKETABLE else None,
+                    ),
+                    (band_table, band_rows, "band_hash"),
+                ):
+                    if cat.table_exists(tbl, name):
+                        cat.overwrite(df, tbl, name)
+                    else:
+                        cat.create_table(
+                            tbl,
+                            df.schema,
+                            name,
+                            partition_by=(
+                                [f"bucket({buckets}, {src})"]
+                                if src
+                                else None
+                            ),
+                            sort_by=[src or key_col],
+                            bloom_cols=[src or key_col],
+                            properties={_LAYOUT_PROP: "auto"},
+                        )
+                        cat.append(df, tbl, name)
+                cat.merge(name, branch)
+                cat.drop_branch(name)
+                return n_sigs
+            except CommitConflict as ex:
+                last_err = ex
+                try:
+                    cat.drop_branch(name)
+                except Exception:
+                    pass  # cleanup only; the retry matters more
+        raise last_err  # exhausted retries under concurrent writers
+    finally:
+        sigs.unpersist()

@@ -1179,6 +1179,59 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_rebuild",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    first_b AS (SELECT norm, MIN(b) AS fb FROM d GROUP BY norm),
+    kept AS (
+      SELECT d.norm, MIN(d.doc_id) AS keep_id
+      FROM d JOIN first_b ON d.norm = first_b.norm AND d.b = first_b.fb
+      GROUP BY d.norm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep_id) AS BIGINT) AS sum_keep_ids
+    FROM kept
+    """,
+    doc="index disaster recovery is semantically invisible "
+    "(pipelines/incremental_dedup.rebuild_fingerprint_index): ingest "
+    "batches 0 and 1 (doc_id % 3), DROP the fingerprint index table "
+    "(simulated loss), rebuild it from the corpus (one fingerprint "
+    "pass, keep-first min key per digest, atomic staged replace with "
+    "the self-sizing layout), then ingest batch 2 — the final corpus "
+    "must be BIT-IDENTICAL to an uninterrupted 3-batch ingest, so the "
+    "oracle is exactly dedup_incremental_index's admission replay.",
+)
+def dedup_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+        rebuild_fingerprint_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = Catalog(_tmp_warehouse("rebuild_"))
+    for b in range(2):
+        dedup_ingest(
+            spark, cat, docs.filter(F.col("doc_id") % 3 == b),
+            "docs_rb", "fp_rb",
+        )
+    cat.drop_table("fp_rb")  # simulated index loss
+    rebuild_fingerprint_index(spark, cat, "docs_rb", "fp_rb")
+    dedup_ingest(
+        spark, cat, docs.filter(F.col("doc_id") % 3 == 2),
+        "docs_rb", "fp_rb",
+    )
+    return cat.read(spark, "docs_rb").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_keep_ids"),
+    )
+
+
+@register(
     "dedup_forget_readmit",
     """
     WITH d AS (

@@ -398,3 +398,93 @@ def test_near_forget_band_delete_prunes_by_band_hash(
     assert cat.read(spark, "b").filter(
         F.col("doc_id") == victim
     ).count() == 0
+
+
+def test_rebuild_fingerprint_index_after_loss(spark, warehouse):
+    """A dropped/corrupt index rebuilds from the corpus: dedup
+    semantics are restored exactly (dups dropped, fresh admitted), a
+    manually-dup'd corpus indexes keep-first, and the rebuilt table
+    carries the standard self-sizing layout."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        rebuild_fingerprint_index,
+    )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(
+        spark, cat, _df(spark, [(1, "aa"), (2, "bb"), (3, "cc")]),
+        "docs", "fp_index",
+    )
+    # disaster: the index table is lost; also inject a manual dup
+    cat.drop_table("fp_index")
+    cat.append(_df(spark, [(99, "bb")]), "docs")
+    n = rebuild_fingerprint_index(spark, cat, "docs", "fp_index")
+    assert n == 3  # 3 distinct contents; bb indexed keep-first (key 2)
+    idx = {
+        r["doc_id"] for r in cat.read(spark, "fp_index").collect()
+    }
+    assert idx == {1, 2, 3}
+    meta = cat.load_table("fp_index")
+    assert meta.partition_by == ["truncate(1, fingerprint)"]
+    assert meta.properties.get("dedup.index_layout") == "auto"
+    # semantics restored: dups drop, fresh admits
+    r = dedup_ingest(
+        spark, cat, _df(spark, [(11, "aa"), (12, "dd")]),
+        "docs", "fp_index",
+    )
+    assert (r.seen_dups, r.rows_published) == (1, 1)
+    # rebuild over an EXISTING index is an atomic replace (no branch
+    # debris, one consistent table)
+    n2 = rebuild_fingerprint_index(spark, cat, "docs", "fp_index")
+    assert n2 == 4
+    assert cat.list_branches() == ["main"]
+
+
+def test_near_rebuild_index_after_loss(spark, warehouse):
+    """Lost sig+band tables rebuild from the corpus with bit-identical
+    banding, so near-dup admission of FUTURE batches resumes."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_dedup_ingest,
+        near_rebuild_index,
+    )
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    long_b = "one two three four five six seven eight nine ten " * 4
+    cat = Catalog(warehouse)
+    near_dedup_ingest(
+        spark, cat, _df(spark, [(1, long_a), (2, long_b), (3, "hi")]),
+        "d", "s", "b",
+    )
+    before_sigs = {
+        (r["doc_id"], tuple(r["sh"]))
+        for r in cat.read(spark, "s").collect()
+    }
+    before_bands = {
+        (r["band_hash"], r["doc_id"])
+        for r in cat.read(spark, "b").collect()
+    }
+    cat.drop_table("s")
+    cat.drop_table("b")
+    n = near_rebuild_index(spark, cat, "d", "s", "b")
+    assert n == 2  # doc 3 has no shingles, no signature
+    after_sigs = {
+        (r["doc_id"], tuple(r["sh"]))
+        for r in cat.read(spark, "s").collect()
+    }
+    after_bands = {
+        (r["band_hash"], r["doc_id"])
+        for r in cat.read(spark, "b").collect()
+    }
+    assert after_sigs == before_sigs  # bit-identical state
+    assert after_bands == before_bands
+    # near-dup admission resumes against the rebuilt state
+    r = near_dedup_ingest(
+        spark, cat, _df(spark, [(10, long_a + " x")]), "d", "s", "b"
+    )
+    assert r.rows_published == 0  # near-dup of admitted doc 1
+    r2 = near_dedup_ingest(
+        spark, cat,
+        _df(spark, [(11, "completely different words here " * 5)]),
+        "d", "s", "b",
+    )
+    assert r2.rows_published == 1
+    assert cat.list_branches() == ["main"]

@@ -89,6 +89,9 @@ SINGLE_OK = {
     "dedup_forget_readmit",  # single-row corpus summary, same shape
     # as dedup_incremental_index (ingests shuffle on digests; the
     # forget's MoR delete reads anti-join broadcast key sets)
+    "dedup_index_rebuild",  # single-row corpus summary, same shape
+    # as dedup_incremental_index (the rebuild's fingerprint pass
+    # shuffles on digests; only the final scalar agg collapses)
     "corpus_quality_resample",  # single-row sample summary (the
     # keep-filter itself is a scan-level predicate, no shuffle)
     "text_perplexity_filter",  # single-row keep-set summary (the LM
