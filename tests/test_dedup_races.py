@@ -208,3 +208,67 @@ def test_threaded_multi_table_appends_never_tear(spark, warehouse):
             if f"priv_{t}" in tables
         )
         assert n_shared == n_priv, (c["id"], n_shared, n_priv)
+
+
+def test_forget_races_ingest_without_tearing(spark, warehouse):
+    """forget_documents racing live ingests: either serialization
+    order is correct (an ingest losing its pinned CAS to a forget
+    re-probes the post-forget index; a forget losing its fast-forward
+    to an ingest re-forks and replays), and at the end docs and index
+    agree exactly — no ghost index rows, no lost ingest, no deadlock."""
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+        forget_documents,
+    )
+
+    def df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("int").alias("doc_id"),
+            F.concat(F.lit("content-"), F.col("id")).alias("text"),
+        )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(spark, cat, df(0, 20), "docs", "fp_index")
+    errors = []
+
+    def ingester():
+        try:
+            for b in range(3):
+                dedup_ingest(
+                    spark, cat, df(20 + b * 20, 40 + b * 20),
+                    "docs", "fp_index", max_retries=16,
+                )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append(("ingest", ex))
+
+    def forgetter():
+        try:
+            forget_documents(
+                spark, cat,
+                df(0, 10).select("doc_id"),
+                "docs", ["fp_index"], max_retries=16,
+            )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append(("forget", ex))
+
+    threads = [
+        threading.Thread(target=ingester),
+        threading.Thread(target=forgetter),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    docs = cat.read(spark, "docs")
+    idx = cat.read(spark, "fp_index")
+    doc_ids = {r["doc_id"] for r in docs.collect()}
+    idx_ids = {r["doc_id"] for r in idx.collect()}
+    # docs and index agree EXACTLY — no ghosts, no missing entries
+    assert doc_ids == idx_ids
+    # the forget landed (ids 0-9 gone) and no ingest was lost
+    assert doc_ids == set(range(10, 80))
+    # every surviving content is unique (no double admission)
+    assert docs.count() == docs.select("text").distinct().count()
