@@ -1105,20 +1105,27 @@ def rebuild_fingerprint_index(
     incremental pipeline exists to avoid per batch, run it only when
     the index is actually wrong.
     """
-    docs = cat.read(spark, docs_table, branch)
-    idx = (
-        docs.select(
-            fingerprint_expr(content_col, normalize).alias("fingerprint"),
-            F.col(key_col),
-        )
-        .groupBy("fingerprint")
-        .agg(F.min(key_col).alias(key_col))
-    )
     last_err: Exception | None = None
     for attempt in range(1, max_retries + 2):
         name = f"rebuild-{uuid.uuid4().hex[:8]}"
         cat.create_branch(name, branch)
         try:
+            # derive the index INSIDE the attempt, from the fresh
+            # fork: cat.read pins the file list at call time, so an
+            # attempt-invariant plan would replay a STALE corpus after
+            # a CommitConflict (silently dropping a racing ingest's
+            # fingerprints — ghost docs, dups re-admitted forever)
+            docs = cat.read(spark, docs_table, name)
+            idx = (
+                docs.select(
+                    fingerprint_expr(content_col, normalize).alias(
+                        "fingerprint"
+                    ),
+                    F.col(key_col),
+                )
+                .groupBy("fingerprint")
+                .agg(F.min(key_col).alias(key_col))
+            )
             if cat.table_exists(index_table, name):
                 cat.overwrite(idx, index_table, name)
             else:
@@ -1175,65 +1182,71 @@ def near_rebuild_index(
         minhash_signatures,
     )
 
-    docs = cat.read(spark, docs_table, branch)
-    sigs = (
-        minhash_signatures(
-            docs.select(F.col(key_col), F.col(content_col)),
-            key_col,
-            content_col,
-        )
-        .filter(F.size("_sh") > 0)
-        .cache()
-    )
-    sig_rows = sigs.select(
-        F.col("_id").alias(key_col), F.col("_sh").alias("sh")
-    )
-    band_rows = sigs.select(
-        F.explode("_bh").alias("band_hash"), F.col("_id").alias(key_col)
-    )
-    n_sigs = sigs.count()  # materializes the kernel once for both writes
-    buckets = _target_buckets(n_sigs)
-    key_t = sig_rows.schema[key_col].dataType.typeName()
     last_err: Exception | None = None
-    try:
-        for attempt in range(1, max_retries + 2):
-            name = f"rebuild-{uuid.uuid4().hex[:8]}"
-            cat.create_branch(name, branch)
+    for attempt in range(1, max_retries + 2):
+        name = f"rebuild-{uuid.uuid4().hex[:8]}"
+        cat.create_branch(name, branch)
+        # derive the signatures INSIDE the attempt, from the fresh
+        # fork (same staleness hazard as the exact rebuild: an
+        # attempt-invariant snapshot-pinned plan would replay an OLD
+        # corpus after a CommitConflict, dropping a racing ingest's
+        # sig/band rows)
+        sigs = (
+            minhash_signatures(
+                cat.read(spark, docs_table, name).select(
+                    F.col(key_col), F.col(content_col)
+                ),
+                key_col,
+                content_col,
+            )
+            .filter(F.size("_sh") > 0)
+            .cache()
+        )
+        try:
+            sig_rows = sigs.select(
+                F.col("_id").alias(key_col), F.col("_sh").alias("sh")
+            )
+            band_rows = sigs.select(
+                F.explode("_bh").alias("band_hash"),
+                F.col("_id").alias(key_col),
+            )
+            n_sigs = sigs.count()  # one kernel pass for both writes
+            buckets = _target_buckets(n_sigs)
+            key_t = sig_rows.schema[key_col].dataType.typeName()
+            for tbl, df, src in (
+                (
+                    sig_table,
+                    sig_rows,
+                    key_col if key_t in _BUCKETABLE else None,
+                ),
+                (band_table, band_rows, "band_hash"),
+            ):
+                if cat.table_exists(tbl, name):
+                    cat.overwrite(df, tbl, name)
+                else:
+                    cat.create_table(
+                        tbl,
+                        df.schema,
+                        name,
+                        partition_by=(
+                            [f"bucket({buckets}, {src})"]
+                            if src
+                            else None
+                        ),
+                        sort_by=[src or key_col],
+                        bloom_cols=[src or key_col],
+                        properties={_LAYOUT_PROP: "auto"},
+                    )
+                    cat.append(df, tbl, name)
+            cat.merge(name, branch)
+            cat.drop_branch(name)
+            return n_sigs
+        except CommitConflict as ex:
+            last_err = ex
             try:
-                for tbl, df, src in (
-                    (
-                        sig_table,
-                        sig_rows,
-                        key_col if key_t in _BUCKETABLE else None,
-                    ),
-                    (band_table, band_rows, "band_hash"),
-                ):
-                    if cat.table_exists(tbl, name):
-                        cat.overwrite(df, tbl, name)
-                    else:
-                        cat.create_table(
-                            tbl,
-                            df.schema,
-                            name,
-                            partition_by=(
-                                [f"bucket({buckets}, {src})"]
-                                if src
-                                else None
-                            ),
-                            sort_by=[src or key_col],
-                            bloom_cols=[src or key_col],
-                            properties={_LAYOUT_PROP: "auto"},
-                        )
-                        cat.append(df, tbl, name)
-                cat.merge(name, branch)
                 cat.drop_branch(name)
-                return n_sigs
-            except CommitConflict as ex:
-                last_err = ex
-                try:
-                    cat.drop_branch(name)
-                except Exception:
-                    pass  # cleanup only; the retry matters more
-        raise last_err  # exhausted retries under concurrent writers
-    finally:
-        sigs.unpersist()
+            except Exception:
+                pass  # cleanup only; the retry matters more
+        finally:
+            sigs.unpersist()
+    raise last_err  # exhausted retries under concurrent writers

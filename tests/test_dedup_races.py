@@ -272,3 +272,102 @@ def test_forget_races_ingest_without_tearing(spark, warehouse):
     assert doc_ids == set(range(10, 80))
     # every surviving content is unique (no double admission)
     assert docs.count() == docs.select("text").distinct().count()
+
+
+def test_rebuild_retry_sees_racing_ingest(spark, warehouse, monkeypatch):
+    """An ingest landing between the rebuild's corpus read and its
+    publish conflicts the CAS; the RETRY must re-derive the index from
+    the FRESH corpus (an attempt-invariant snapshot-pinned plan would
+    replay the old corpus and silently drop the ingest's fingerprints
+    — ghost docs whose dups re-admit forever)."""
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+        rebuild_fingerprint_index,
+    )
+
+    def df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("int").alias("doc_id"),
+            F.concat(F.lit("content-"), F.col("id")).alias("text"),
+        )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(spark, cat, df(0, 10), "docs", "fp_index")
+    orig = Catalog.merge
+    raced = []
+
+    def racing_merge(self, frm, to="main"):
+        if frm.startswith("rebuild-") and not raced:
+            raced.append(True)
+            dedup_ingest(spark, cat, df(10, 20), "docs", "fp_index")
+        return orig(self, frm, to)
+
+    monkeypatch.setattr(Catalog, "merge", racing_merge)
+    n = rebuild_fingerprint_index(spark, cat, "docs", "fp_index")
+    monkeypatch.undo()
+    assert raced
+    assert n == 20  # the retry indexed the racing ingest's docs too
+    doc_ids = {r["doc_id"] for r in cat.read(spark, "docs").collect()}
+    idx_ids = {r["doc_id"] for r in cat.read(spark, "fp_index").collect()}
+    assert doc_ids == idx_ids == set(range(20))
+    # no ghosts: re-submitting the raced batch's content all dedups
+    r = dedup_ingest(
+        spark, cat,
+        df(10, 20).select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        ),
+        "docs", "fp_index",
+    )
+    assert r.rows_published == 0
+
+
+def test_near_rebuild_retry_sees_racing_ingest(spark, warehouse, monkeypatch):
+    """Same staleness hazard for the near rebuild: the retry must
+    recompute signatures/bands from the fresh corpus."""
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_dedup_ingest,
+        near_rebuild_index,
+    )
+
+    def doc(i):
+        return (i, " ".join(f"d{i}w{j}" for j in range(30)))
+
+    cat = Catalog(warehouse)
+    near_dedup_ingest(
+        spark, cat, spark.createDataFrame(
+            [doc(1), doc(2)], "doc_id INT, text STRING"
+        ),
+        "d", "s", "b",
+    )
+    orig = Catalog.merge
+    raced = []
+
+    def racing_merge(self, frm, to="main"):
+        if frm.startswith("rebuild-") and not raced:
+            raced.append(True)
+            near_dedup_ingest(
+                spark, cat, spark.createDataFrame(
+                    [doc(3)], "doc_id INT, text STRING"
+                ),
+                "d", "s", "b",
+            )
+        return orig(self, frm, to)
+
+    monkeypatch.setattr(Catalog, "merge", racing_merge)
+    n = near_rebuild_index(spark, cat, "d", "s", "b")
+    monkeypatch.undo()
+    assert raced
+    assert n == 3  # the retry's signature pass saw doc 3
+    assert {r["doc_id"] for r in cat.read(spark, "s").collect()} == {1, 2, 3}
+    # no ghosts: a near-dup of the raced doc still drops
+    r = near_dedup_ingest(
+        spark, cat, spark.createDataFrame(
+            [(9, doc(3)[1] + " tail")], "doc_id INT, text STRING"
+        ),
+        "d", "s", "b",
+    )
+    assert r.rows_published == 0
