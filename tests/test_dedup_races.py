@@ -371,3 +371,48 @@ def test_near_rebuild_retry_sees_racing_ingest(spark, warehouse, monkeypatch):
         "d", "s", "b",
     )
     assert r.rows_published == 0
+
+
+def test_concurrent_overlapping_forgets(spark, warehouse):
+    """Two forgets with overlapping id sets race: conflicts retry on
+    fresh forks, deleting an already-deleted key is a no-op, and the
+    end state is exactly the union forgotten with docs/index agreeing."""
+    from pyspark.sql import functions as F
+
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+        forget_documents,
+    )
+
+    def df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("int").alias("doc_id"),
+            F.concat(F.lit("content-"), F.col("id")).alias("text"),
+        )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(spark, cat, df(0, 30), "docs", "fp_index")
+    errors = []
+
+    def forget(lo, hi):
+        try:
+            forget_documents(
+                spark, cat, df(lo, hi).select("doc_id"),
+                "docs", ["fp_index"], max_retries=16,
+            )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=forget, args=(0, 12)),
+        threading.Thread(target=forget, args=(8, 20)),  # overlap 8-11
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    doc_ids = {r["doc_id"] for r in cat.read(spark, "docs").collect()}
+    idx_ids = {r["doc_id"] for r in cat.read(spark, "fp_index").collect()}
+    assert doc_ids == idx_ids == set(range(20, 30))  # union forgotten
+    assert cat.list_branches() == ["main"]  # no forget-* debris
