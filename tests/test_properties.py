@@ -636,3 +636,40 @@ def test_exact_fast_path_never_changes_delete_results(
             f"exact fast path changed DELETE semantics for {cond!r} "
             f"({mode}): {groups}"
         )
+
+
+@settings(**SLOW)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=0, max_size=40
+        ).map(lambda ws: " ".join(f"w{w}" for w in ws)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_band_hash_recompute_matches_ingest_on_random_docs(spark_h, docs):
+    """Property: for ANY corpus (including sub-3-word docs with empty
+    shingle sets and duplicate texts), folding the STORED shingle sets
+    back into band hashes reproduces minhash_signatures' bands
+    bit-exactly — the invariant the near forget's layout-aligned band
+    delete rests on."""
+    from no_jvm_wap_with_iceberg_spark.operators.dedup import (
+        band_hashes_for_shingles,
+        minhash_signatures,
+    )
+
+    df = spark_h.createDataFrame(
+        list(enumerate(docs)), "doc_id INT, text STRING"
+    )
+    sigs = minhash_signatures(df, "doc_id", "text").collect()
+    stored = spark_h.createDataFrame(
+        [(r["_id"], list(r["_sh"])) for r in sigs],
+        "doc_id INT, sh ARRAY<LONG>",
+    )
+    re_bh = {
+        r["doc_id"]: list(r["_bh"])
+        for r in band_hashes_for_shingles(stored, "sh").collect()
+    }
+    for r in sigs:
+        assert re_bh[r["_id"]] == list(r["_bh"])
