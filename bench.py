@@ -112,6 +112,14 @@ def main() -> None:
     # "regression" on q18 that a quiet re-run measured at 1.1 s.
     # Median-of-3 keeps one spike from polluting the headline number.
     reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # the canary re-runs as the FINAL entry of every rep: host drift
+    # that accumulates DURING the run (shared VM) shows up as
+    # end-canary/start-canary > 1, so each bench window adjudicates
+    # its own noise instead of leaning on a front-only canary that
+    # can't see mid-run slowdowns (VERDICT r10 #1: the official 1.12×
+    # window whose biggest movers were untouched paths)
+    canary = HEADLINE[0]
+    canary_end: list[float] = []
     for _rep in range(3):
         # clear persisted intermediates so every rep measures the same
         # cold-cache work (minhash persists its signature table)
@@ -141,6 +149,9 @@ def main() -> None:
                     raise RuntimeError(
                         f"{name} failed at {sf_dir}: {bad}"
                     )
+        t0 = time.time()
+        queries[canary].spark(spark, sf_dir).collect()
+        canary_end.append(time.time() - t0)
     timings = {n: round(sorted(ts)[1], 3) for n, ts in reps.items()}
     timings_min = {n: round(min(ts), 3) for n, ts in reps.items()}
 
@@ -163,6 +174,14 @@ def main() -> None:
         assert res.published
         timings["wap_cycle_100k"] = round(time.time() - t0, 3)
 
+    # drift = end-canary / start-canary (median of 3 each, identical
+    # query + data): ~1.0 means a quiet window; >1 means the host
+    # slowed WHILE the bench ran, and per-entry moves up to the drift
+    # factor are environment, not regression. Kept OUT of `queries`
+    # so round-over-round common-set totals stay comparable.
+    canary_start = sorted(reps[canary])[1]
+    drift = round(sorted(canary_end)[1] / canary_start, 3)
+
     print(
         json.dumps(
             {
@@ -172,6 +191,9 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "reps": 3,
+                "canary": canary,
+                "canary_end_sec": round(sorted(canary_end)[1], 3),
+                "drift": drift,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

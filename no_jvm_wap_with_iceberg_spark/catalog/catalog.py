@@ -1553,13 +1553,13 @@ class Catalog:
             # a caller's cancellation scope would miss the per-table
             # write jobs (ADVICE r9).
             results: list = [None] * len(entries)
-            failures: list[BaseException] = []
+            failures: dict[int, BaseException] = {}
 
             def run_one(i: int, item) -> None:
                 try:
                     results[i] = write_one(item)
                 except BaseException as exc:  # surfaced after join
-                    failures.append(exc)
+                    failures[i] = exc
 
             threads = [
                 InheritableThread(target=run_one, args=(i, item))
@@ -1570,7 +1570,19 @@ class Catalog:
             for th in threads:
                 th.join()
             if failures:
-                raise failures[0]
+                # deterministic: the LOWEST entry index's failure is
+                # primary (not whichever thread lost the append race),
+                # and the other threads' exceptions ride along as
+                # notes instead of vanishing (ADVICE r10)
+                order = sorted(failures)
+                primary = failures[order[0]]
+                for i in order[1:]:
+                    primary.add_note(
+                        f"also failed: entry {i} "
+                        f"({entries[i][0]!r}): "
+                        f"{type(failures[i]).__name__}: {failures[i]}"
+                    )
+                raise primary
             files_per_entry = results
         else:
             files_per_entry = [write_one(e) for e in entries]

@@ -860,12 +860,28 @@ def near_dedup_ingest(
     raise last_err  # exhausted retries under concurrent ingests
 
 
+def _drop_branch_quiet(cat: Catalog, name: str) -> None:
+    """Best-effort staging-branch cleanup on an abandoned attempt: a
+    leaked forget-*/rebuild-* branch pins its tables' (deleted) files
+    as live against remove_orphan_files/expiry forever, so EVERY exit
+    path that abandons an attempt must drop the branch — not just the
+    CommitConflict retry (ADVICE r10)."""
+    try:
+        cat.drop_branch(name)
+    except Exception:
+        pass  # cleanup only; the original error matters more
+
+
 @dataclasses.dataclass
 class ForgetResult:
     published: bool
     ids_requested: int  # distinct keys in the forget request
     docs_removed: int  # rows actually removed from the docs table
     attempts: int
+    # which delete plan ran: "generic" (every table deleted by doc
+    # key) or "band_aligned" (band rows deleted by composite
+    # (band_hash, key)); near_forget's auto-dispatch records its pick
+    strategy: str = "generic"
 
 
 def forget_documents(
@@ -953,6 +969,7 @@ def _staged_forget(
     max_retries: int,
     count_removed: bool,
     deletes,
+    strategy: str = "generic",
 ) -> ForgetResult:
     """Shared forget publish loop: fork a hidden branch, run
     ``deletes(branch_name)``, fast-forward in one CAS; a concurrent
@@ -982,13 +999,17 @@ def _staged_forget(
                 ids_requested=n_ids,
                 docs_removed=removed,
                 attempts=attempt,
+                strategy=strategy,
             )
         except CommitConflict as ex:
             last_err = ex  # concurrent commit won the ref: refork
-            try:
-                cat.drop_branch(name)
-            except Exception:
-                pass  # cleanup only; the retry matters more
+            _drop_branch_quiet(cat, name)
+        except BaseException:
+            # any OTHER failure (bad key column, missing table, Spark
+            # death mid-delete) abandons the attempt for good — drop
+            # the fork so it can't pin deleted files as live
+            _drop_branch_quiet(cat, name)
+            raise
     raise last_err  # exhausted retries under concurrent writers
 
 
@@ -1068,9 +1089,89 @@ def near_forget_documents(
         return _staged_forget(
             spark, cat, key_df, n_ids, docs_table, key_col, branch,
             max_retries, count_removed, deletes,
+            strategy="band_aligned",
         )
     finally:
         key_df.unpersist()
+
+
+# near_forget auto-dispatch thresholds (module-level so a test — or a
+# deployment whose band files are unusually large/small — can tune
+# them, same pattern as AUTO_COMPACT_FILES_PER_PARTITION):
+# below MIN_FILES the band table is small enough that even a
+# zero-pruning doc-keyed delete touches only a handful of files, so
+# the layout-aligned variant's fixed cost (signature read + band
+# recompute Spark job) can never pay for itself (measured 5.9 s vs
+# 2.1 s at sf0.1, SCALE.md round-10 addendum 2). At or above it, the
+# pick follows the doc-keyed probe's HIT SHARE: keys that cluster by
+# ingest batch prune fine by doc key (generic); keys spread across
+# the table's files mean the generic delete degrades toward O(table)
+# and the composite (band_hash, key) delete is the scale path.
+NEAR_FORGET_MIN_FILES = 64
+NEAR_FORGET_HIT_SHARE = 0.5
+
+
+def near_forget(
+    spark: SparkSession,
+    cat: Catalog,
+    ids: DataFrame,
+    docs_table: str,
+    sig_table: str,
+    band_table: str,
+    key_col: str = "doc_id",
+    branch: str = MAIN,
+    max_retries: int = 3,
+    count_removed: bool = True,
+) -> ForgetResult:
+    """The documented near-pipeline forget entry point: picks the
+    delete plan from the regime instead of making the caller guess
+    (VERDICT r10 #2 — calling the "better" layout-aligned variant on a
+    small band index silently paid 2.8× for nothing).
+
+    The regime signal is metadata the delete machinery reads anyway:
+    the band table's live file count, and the share of those files a
+    doc-keyed delete would have to target
+    (:meth:`Catalog._files_overlapping_keys` — partition-value sets,
+    min/max ranges, blooms; no data is read). Dispatch:
+
+    - band table smaller than :data:`NEAR_FORGET_MIN_FILES` files →
+      :func:`forget_documents` (generic, all tables deleted by doc
+      key): the probe can only target a handful of files, while the
+      layout-aligned variant pays a fixed signature-read + band-
+      recompute Spark job regardless.
+    - otherwise, doc-keyed probe targeting ≥
+      :data:`NEAR_FORGET_HIT_SHARE` of the files (victims' keys do
+      NOT cluster by ingest batch — every file's key range spans
+      them) → :func:`near_forget_documents` (composite
+      ``(band_hash, key)`` delete that prunes on the band index's own
+      partitions/blooms: O(victims' bands), never O(table)).
+    - large table whose probe DID prune (keys cluster): generic —
+      it already targets only the victims' own files.
+
+    Both plans produce identical post-forget state (pinned by test);
+    the pick is purely a cost call and is recorded in
+    ``ForgetResult.strategy`` (``"generic"`` / ``"band_aligned"``).
+    Either public function stays callable directly.
+    """
+    bmeta = cat.load_table(band_table, branch)
+    total = len(bmeta.files())
+    if total >= NEAR_FORGET_MIN_FILES:
+        hit = cat._files_overlapping_keys(
+            bmeta, [key_col], ids.select(key_col).distinct()
+        )
+        # hit is None for an empty/all-null key set — the generic
+        # path's n_ids==0 no-op covers that
+        if hit is not None and len(hit) >= NEAR_FORGET_HIT_SHARE * total:
+            return near_forget_documents(
+                spark, cat, ids, docs_table, sig_table, band_table,
+                key_col=key_col, branch=branch, max_retries=max_retries,
+                count_removed=count_removed,
+            )
+    return forget_documents(
+        spark, cat, ids, docs_table, [sig_table, band_table],
+        key_col=key_col, branch=branch, max_retries=max_retries,
+        count_removed=count_removed,
+    )
 
 
 def rebuild_fingerprint_index(
@@ -1141,15 +1242,23 @@ def rebuild_fingerprint_index(
                     properties={_LAYOUT_PROP: "auto"},
                 )
                 cat.append(idx, index_table, name)
+            # count on the staging fork BEFORE publish: a concurrent
+            # ingest committing between merge and a public-branch
+            # count would inflate "index rows written" (ADVICE r10);
+            # metadata-only — the fork's snapshot is exactly what this
+            # rebuild wrote
+            n_rows = cat.row_count(index_table, name, spark=spark)
             cat.merge(name, branch)
             cat.drop_branch(name)
-            return cat.row_count(index_table, branch, spark=spark)
+            return n_rows
         except CommitConflict as ex:
             last_err = ex  # concurrent commit won the ref: refork
-            try:
-                cat.drop_branch(name)
-            except Exception:
-                pass  # cleanup only; the retry matters more
+            _drop_branch_quiet(cat, name)
+        except BaseException:
+            # non-conflict failure: drop the fork before re-raising so
+            # an abandoned rebuild can't pin files against reclamation
+            _drop_branch_quiet(cat, name)
+            raise
     raise last_err  # exhausted retries under concurrent writers
 
 
@@ -1186,23 +1295,24 @@ def near_rebuild_index(
     for attempt in range(1, max_retries + 2):
         name = f"rebuild-{uuid.uuid4().hex[:8]}"
         cat.create_branch(name, branch)
-        # derive the signatures INSIDE the attempt, from the fresh
-        # fork (same staleness hazard as the exact rebuild: an
-        # attempt-invariant snapshot-pinned plan would replay an OLD
-        # corpus after a CommitConflict, dropping a racing ingest's
-        # sig/band rows)
-        sigs = (
-            minhash_signatures(
-                cat.read(spark, docs_table, name).select(
-                    F.col(key_col), F.col(content_col)
-                ),
-                key_col,
-                content_col,
-            )
-            .filter(F.size("_sh") > 0)
-            .cache()
-        )
+        sigs = None
         try:
+            # derive the signatures INSIDE the attempt, from the fresh
+            # fork (same staleness hazard as the exact rebuild: an
+            # attempt-invariant snapshot-pinned plan would replay an
+            # OLD corpus after a CommitConflict, dropping a racing
+            # ingest's sig/band rows)
+            sigs = (
+                minhash_signatures(
+                    cat.read(spark, docs_table, name).select(
+                        F.col(key_col), F.col(content_col)
+                    ),
+                    key_col,
+                    content_col,
+                )
+                .filter(F.size("_sh") > 0)
+                .cache()
+            )
             sig_rows = sigs.select(
                 F.col("_id").alias(key_col), F.col("_sh").alias("sh")
             )
@@ -1243,10 +1353,13 @@ def near_rebuild_index(
             return n_sigs
         except CommitConflict as ex:
             last_err = ex
-            try:
-                cat.drop_branch(name)
-            except Exception:
-                pass  # cleanup only; the retry matters more
+            _drop_branch_quiet(cat, name)
+        except BaseException:
+            # non-conflict failure: drop the fork before re-raising so
+            # an abandoned rebuild can't pin files against reclamation
+            _drop_branch_quiet(cat, name)
+            raise
         finally:
-            sigs.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
     raise last_err  # exhausted retries under concurrent writers

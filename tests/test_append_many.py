@@ -522,3 +522,35 @@ def test_aborted_transaction_debris_is_reclaimable(spark, warehouse, monkeypatch
     assert cat.remove_orphan_files("tb", dry_run=True, older_than_ms=0) == []
     assert cat.read(spark, "ta").count() == 4
     assert cat.read(spark, "tb").count() == 2
+
+
+def test_multi_failure_raises_lowest_index_with_notes(
+    spark, warehouse, monkeypatch
+):
+    """When SEVERAL threaded table writes fail, the surfaced exception
+    is the LOWEST entry index's (deterministic — not whichever thread
+    happened to finish first) and the other failures ride along as
+    exception notes instead of being silently discarded (ADVICE r10)."""
+    cat = Catalog(warehouse)
+    _setup(spark, cat, ("ta", "tb", "tc"))
+    real = Catalog._write_files
+
+    def flaky(self, df, proto, table):
+        if table in ("tb", "tc"):
+            raise ValueError(f"injected write failure on {table}")
+        return real(self, df, proto, table)
+
+    monkeypatch.setattr(Catalog, "_write_files", flaky)
+    with pytest.raises(ValueError, match="on tb") as ei:
+        cat.append_many(
+            [
+                ("ta", _df(spark, 0, 3)),
+                ("tb", _df(spark, 0, 3)),
+                ("tc", _df(spark, 0, 3)),
+            ],
+            concurrent=True,
+        )
+    notes = "".join(getattr(ei.value, "__notes__", []))
+    assert "entry 2" in notes and "tc" in notes
+    # nothing committed: the failed batch left no table moved
+    assert cat.read(spark, "ta").count() == 0

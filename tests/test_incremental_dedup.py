@@ -488,3 +488,151 @@ def test_near_rebuild_index_after_loss(spark, warehouse):
     )
     assert r2.rows_published == 1
     assert cat.list_branches() == ["main"]
+
+
+def test_forget_failure_drops_staging_branch(spark, warehouse):
+    """A NON-conflict failure mid-forget (here: a missing index table)
+    must drop the hidden staging fork before re-raising — a leaked
+    forget-* branch pins the deleted files as live against
+    remove_orphan_files/expiry forever (ADVICE r10)."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        forget_documents,
+    )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(spark, cat, _df(spark, [(1, "aa")]), "docs", "fp_index")
+    with pytest.raises(KeyError):
+        forget_documents(
+            spark, cat, _df(spark, [(1, "x")]), "docs", ["no_such_index"]
+        )
+    assert cat.list_branches() == ["main"]  # no forget-* debris
+    # and the failed attempt changed nothing
+    assert cat.row_count("docs", spark=spark) == 1
+    assert cat.row_count("fp_index", spark=spark) == 1
+
+
+def test_rebuild_failure_drops_staging_branch(spark, warehouse):
+    """Same contract for both rebuild primitives: any failure inside
+    an attempt (missing corpus table / bad content column) drops the
+    rebuild-* fork before surfacing (ADVICE r10)."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_rebuild_index,
+        rebuild_fingerprint_index,
+    )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(spark, cat, _df(spark, [(1, "aa")]), "docs", "fp_index")
+    with pytest.raises(KeyError):
+        rebuild_fingerprint_index(spark, cat, "no_such_corpus", "fp_index")
+    assert cat.list_branches() == ["main"]
+    with pytest.raises(Exception):  # missing content column
+        near_rebuild_index(
+            spark, cat, "docs", "s", "b", content_col="no_such_col"
+        )
+    assert cat.list_branches() == ["main"]
+
+
+def test_rebuild_count_ignores_racing_public_commit(spark, warehouse):
+    """The 'index rows written' return value counts the STAGING fork's
+    snapshot, so an ingest committing right after the publish cannot
+    inflate the number this rebuild reports (ADVICE r10)."""
+    import unittest.mock as mock
+
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        rebuild_fingerprint_index,
+    )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(
+        spark, cat, _df(spark, [(1, "aa"), (2, "bb"), (3, "cc")]),
+        "docs", "fp_index",
+    )
+    orig_merge = Catalog.merge
+
+    def merge_then_rival(self, frm, to="main"):
+        out = orig_merge(self, frm, to)
+        # a racing ingest lands right after the publish, growing the
+        # PUBLIC index before the (old) post-publish count would run
+        dedup_ingest(
+            spark, cat, _df(spark, [(7, "dd"), (8, "ee")]),
+            "docs", "fp_index",
+        )
+        return out
+
+    with mock.patch.object(Catalog, "merge", merge_then_rival):
+        n = rebuild_fingerprint_index(spark, cat, "docs", "fp_index")
+    assert n == 3  # what THIS rebuild wrote, not the post-race table
+    assert cat.row_count("fp_index", spark=spark) == 5
+
+
+def test_near_forget_auto_dispatch_picks_by_regime(
+    spark, warehouse, tmp_path, monkeypatch
+):
+    """The documented near-forget entry point picks its delete plan
+    from metadata (VERDICT r10 #2): a small band table routes GENERIC
+    (the layout-aligned fixed cost can't pay off), an interleaved-key
+    band table past the file floor — where a doc-keyed delete would
+    target every file — routes the composite BAND-ALIGNED plan; and
+    the two plans produce bit-identical post-forget state."""
+    import shutil
+
+    import no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup as idd
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_dedup_ingest,
+        near_forget,
+    )
+
+    monkeypatch.setattr(idd, "AUTO_COMPACT_FILES_PER_PARTITION", 1000)
+    cat = Catalog(warehouse)
+    for b in range(4):
+        rows = [
+            (
+                i * 10 + b,  # interleaved: each batch spans the range
+                " ".join(f"t{b}x{i}y{j}" for j in range(30)),
+            )
+            for i in range(12)
+        ]
+        near_dedup_ingest(spark, cat, _df(spark, rows), "d", "s", "b")
+    total_files = len(cat.load_table("b").files())
+    assert total_files >= 16
+    # identical twin warehouse for the other dispatch branch
+    twin = str(tmp_path / "warehouse_twin")
+    shutil.copytree(warehouse, twin)
+    cat2 = Catalog(twin)
+    # a MID-RANGE victim: every batch's file covers it by min/max (the
+    # interleaved regime the composite plan exists for) — the global
+    # min/max keys would let plain range pruning skip 3 of 4 batches
+    victim = 53  # i=5, b=3
+    ids = spark.createDataFrame([(victim,)], "doc_id INT")
+
+    # regime 1: band table below the file floor -> generic
+    monkeypatch.setattr(idd, "NEAR_FORGET_MIN_FILES", total_files + 1)
+    res_small = near_forget(spark, cat, ids, "d", "s", "b")
+    assert (res_small.published, res_small.strategy) == (True, "generic")
+
+    # regime 2: past the floor with interleaved keys (the doc-keyed
+    # probe targets every file) -> band-aligned composite delete
+    monkeypatch.setattr(idd, "NEAR_FORGET_MIN_FILES", total_files)
+    res_big = near_forget(spark, cat2, ids, "d", "s", "b")
+    assert (res_big.published, res_big.strategy) == (True, "band_aligned")
+    assert res_big.docs_removed == res_small.docs_removed == 1
+
+    # both plans leave bit-identical state in all three tables
+    for t in ("d", "s", "b"):
+        a = sorted(str(sorted(r.asDict().items()))
+                   for r in cat.read(spark, t).collect())
+        b_ = sorted(str(sorted(r.asDict().items()))
+                    for r in cat2.read(spark, t).collect())
+        assert a == b_, t
+    assert cat.list_branches() == cat2.list_branches() == ["main"]
+
+    # regime 3: large table whose keys DO cluster (a fresh batch's
+    # keys live in that batch's files only) -> probe prunes -> generic
+    rows = [(9000 + i, " ".join(f"zz{i}w{j}" for j in range(30)))
+            for i in range(12)]
+    near_dedup_ingest(spark, cat, _df(spark, rows), "d", "s", "b")
+    clustered = spark.createDataFrame([(9000,)], "doc_id INT")
+    monkeypatch.setattr(idd, "NEAR_FORGET_MIN_FILES", 4)
+    res_cl = near_forget(spark, cat, clustered, "d", "s", "b")
+    assert res_cl.strategy == "generic"
+    assert res_cl.docs_removed == 1
