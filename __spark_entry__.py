@@ -29,43 +29,136 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver gate records exactly the first 50 registered queries
 # (confirmed r1-r8), so ordering is load-bearing and the head is
-# curated by hand each round. Round-9 rotation (VERDICT r8 #2 +
-# NOTES round-9 guidance): r8 was the fourth consecutive perfect
-# 50/50 gate, so the head is (1) the canary, (2) everything whose
-# SUBSYSTEM changed in r9 — the multi-table atomic append
-# (Catalog.append_many / Transaction; BOTH incremental dedup
-# pipelines now publish through it with a probe-head-pinned CAS),
-# the transaction/publish and clone SQL surfaces, and one keyprobe
-# rider for the empty-chunk fast-path guard — and (3) the stalest
-# evidence tier r10: the full 37-query stale mid-tier whose last
-# driver gate was r4/r6 (catalog lifecycle gates: time travel,
-# incremental read, schema evolution, files/snapshots metadata,
-# rollback, hidden partitioning, partition/sort-order evolution,
-# update_where, widen, generated columns, changelog, rename_column,
-# sql_interface/metadata_sql/sql_views, check constraints, column
-# defaults, sql_wap_lifecycle, dynamic overwrite,
-# sql_delta_maintenance, sql_copy_into, cdc_table_changes,
-# catalog_add_files; wap_audit_gate; streaming_merge_apply/
-# source_rollup/windowed_counts; events_continuous_aggregate;
-# catalog_incremental_agg; the 4 rows-only probabilistic queries —
-# their weaker rows-only check applies, each has a hash-gated
-# companion in the suite), plus everything round 10 touched
-# (sql_transaction_publish fast path; append_many hardening ->
-# both incremental dedup gates + the two multi-table publish gates)
-# and 7 of the stalest-r7 entries. The r7 remainder floats in the
-# mid tier for r11; everything with r8/r9 evidence sits in the tail.
+# curated by hand each round. Round-11 rotation (VERDICT r10 brief
+# #1 + NOTES round-11 guidance): the head is (1) the canary,
+# (2) everything round 11 touched — the new sql_forget_rebuild gate
+# (SQL CALL faces of forget/rebuild), both forget/rebuild gates
+# (staging-branch cleanup on non-conflict failure, fork-local
+# rebuild count, near_forget auto-dispatch), both incremental dedup
+# gates (shared pipelines module), the three commit-path gates
+# (append_many threaded-failure reporting changed) and
+# sql_call_maintenance (the CALL surface grew) — and (3) the FULL
+# 32-query mid-tier whose last driver evidence is r7 (TPC-H
+# q3/q6/q7/q10/q11/q14/q16/q18/q20 band, window/agg/set-op/pivot
+# suites, events_* family, fn_* suites, sketch/simhash gates,
+# corpus_stratified_sample, merge_orders_cdc, range join,
+# histogram), all 32 pre-verified bit-exact at sf0.01 by the r10
+# judge/builder sweeps, plus (4) 8 of the stalest-r8 TPC-H tail
+# entries. The r8-evidence remainder floats in the mid tier for
+# r12; everything with r9/r10 evidence sits in the tail. The 4
+# rows-only probabilistic queries carry fresh r10 driver evidence
+# and rotate to the tail — this head is 100% oracle-backed.
 _HEAD = [
     "q1_pricing_summary",
+    "sql_forget_rebuild",
+    "dedup_forget_readmit",
+    "dedup_index_rebuild",
     "dedup_incremental_index",
     "dedup_incremental_near",
-    "catalog_multi_table_publish",
     "catalog_append_many_txn",
     "sql_transaction_publish",
+    "catalog_multi_table_publish",
+    "sql_call_maintenance",
+    "q6_revenue_forecast",
+    "agg_orders_cube",
+    "audit_profile_lineitem",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "window_running_revenue",
+    "window_event_gaps",
+    "topk_expensive_items",
+    "setops_customer_cohorts",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "rollup_nation_region",
+    "events_value_percentiles",
+    "range_join_price_bands",
+    "pivot_orders_status_by_priority",
+    "unpivot_nation_measures",
+    "window_moving_avg_daily_revenue",
+    "sketch_events_error_gate",
+    "fn_scalar_suite",
+    "fn_array_map_suite",
+    "q7_nation_pair_volume",
+    "events_anomaly_iqr",
+    "histogram_order_totals",
+    "fn_json_map_suite",
+    "agg_collect_ordered",
+    "dedup_simhash_agreement_gate",
+    "corpus_stratified_sample",
+    "merge_orders_cdc",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
+    "q3_shipping_priority",
+    "q12_shipmode_priority",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "q8_market_share",
+]
+# Tail: everything with r9/r10 driver evidence (the freshest). The
+# r8-evidence remainder (37 queries: q9/q15/q19, text_* suites,
+# multimodal band, merge/MoR/clone cluster, streaming backfill/
+# changefeed, similarity_ann_recall_gate, corpus repetition/pack,
+# catalog rename/cherrypick/metadata_delete) is deliberately NOT
+# listed — it floats in the mid tier in registry order, next up for
+# the r12 rotation.
+_TAIL = [
+    "agg_grouping_sets",
+    "q5_local_supplier_volume",
+    "join_semi_anti",
+    "window_top3_orders_per_customer",
+    "events_user_funnel",
+    "subquery_parts_above_brand_avg",
     "sketch_events_approx_stats",
+    "window_ranking_suite",
+    "window_frame_suite",
+    "agg_stats_moments",
+    "sketch_error_bounds_gate",
+    "dedup_exact_stats",
+    "dedup_exact_keep_first",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "dedup_simhash_profile",
+    "dedup_components",
+    "dedup_cluster_representatives",
+    "dedup_source_matrix",
+    "dedup_normalized_fingerprints",
+    "text_pii_scrub",
+    "text_bigram_logprob",
+    "text_perplexity_filter",
+    "similarity_cosine_topk",
+    "similarity_label_centroid_stats",
     "similarity_ann_lsh_topk",
     "similarity_ann_ivf_topk",
+    "embedding_quantize_int8",
+    "embedding_pq_codes",
+    "dedup_pq_buckets",
+    "embedding_kmeans_clusters",
+    "embedding_pca_covariance",
+    "embedding_pca_project_gate",
+    "text_quality_logreg",
+    "text_bpe_merge_candidates",
+    "multimodal_feature_extract",
+    "multimodal_payload_stats",
+    "asof_purchase_last_click",
+    "corpus_decontaminate_eval",
+    "corpus_quality_resample",
+    "corpus_chunk_windows",
+    "corpus_train_val_split",
+    "corpus_token_budget_mix",
+    "corpus_epoch_shuffle",
     "streaming_windowed_counts",
+    "streaming_dedup_slots",
+    "streaming_interval_join",
+    "events_sessionization",
+    "events_session_window_native",
     "wap_audit_gate",
     "catalog_time_travel",
     "sql_time_travel",
@@ -88,6 +181,7 @@ _HEAD = [
     "streaming_source_rollup",
     "catalog_sort_order_evolution",
     "catalog_sql_interface",
+    "sql_merge_into",
     "catalog_metadata_sql",
     "catalog_sql_views",
     "catalog_check_constraints",
@@ -95,108 +189,11 @@ _HEAD = [
     "sql_wap_lifecycle",
     "catalog_dynamic_overwrite",
     "sql_delta_maintenance",
+    "sql_shallow_clone",
     "sql_copy_into",
     "cdc_table_changes",
     "catalog_add_files",
     "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "events_user_funnel",
-    "window_ranking_suite",
-    "dedup_index_rebuild",
-    "dedup_ngram_jaccard",
-    "dedup_forget_readmit",
-]
-_TAIL = [
-    "agg_grouping_sets",
-    "q3_shipping_priority",
-    "join_semi_anti",
-    "window_top3_orders_per_customer",
-    "subquery_parts_above_brand_avg",
-    "q12_shipmode_priority",
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q19_discounted_revenue",
-    "window_frame_suite",
-    "agg_stats_moments",
-    "sketch_error_bounds_gate",
-    "dedup_exact_stats",
-    "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_components",
-    "dedup_cluster_representatives",
-    "dedup_substring_spans",
-    "dedup_source_matrix",
-    "text_quality_profile",
-    "text_corpus_token_stats",
-    "text_fingerprints",
-    "text_source_lang_matrix",
-    "text_bpe_token_counts",
-    "text_lang_id_confusion",
-    "text_punct_stopword_profile",
-    "dedup_normalized_fingerprints",
-    "text_quality_rules",
-    "text_pii_scrub",
-    "text_vocab_top_terms",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_perplexity_filter",
-    "similarity_cosine_topk",
-    "similarity_label_centroid_stats",
-    "embedding_quantize_int8",
-    "embedding_pq_codes",
-    "dedup_pq_buckets",
-    "similarity_ann_recall_gate",
-    "embedding_kmeans_clusters",
-    "embedding_pca_covariance",
-    "embedding_pca_project_gate",
-    "text_quality_logreg",
-    "text_bpe_merge_candidates",
-    "multimodal_feature_extract",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    "multimodal_bmp_resize_real",
-    "multimodal_wav_frame_features",
-    "multimodal_payload_stats",
-    "asof_purchase_last_click",
-    "corpus_decontaminate_eval",
-    "corpus_repetition_profile",
-    "corpus_quality_resample",
-    "corpus_chunk_windows",
-    "corpus_pack_sequences",
-    "corpus_train_val_split",
-    "corpus_token_budget_mix",
-    "corpus_epoch_shuffle",
-    "streaming_dedup_slots",
-    "streaming_interval_join",
-    "events_sessionization",
-    "events_session_window_native",
-    "catalog_mor_delete_read",
-    "sql_delete_in_subquery",
-    "sql_merge_schema_evolution",
-    "dedup_index_evolution",
-    "sql_merge_multi_clause",
-    "merge_lineitem_composite",
-    "streaming_backfill_slices",
-    "streaming_changefeed_merge",
-    "merge_into_conditional",
-    "sql_merge_into",
-    "catalog_table_rename",
-    "sql_call_maintenance",
-    "catalog_cherrypick",
-    "catalog_metadata_delete",
-    "sql_merge_by_source",
-    "sql_shallow_clone",
 ]
 
 

@@ -1298,6 +1298,73 @@ def dedup_forget_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_forget_rebuild",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    keep1 AS (SELECT norm, MIN(doc_id) AS keep_id FROM d GROUP BY norm),
+    kept_after AS (
+      SELECT norm, keep_id FROM keep1 WHERE keep_id % 7 != 3
+    ),
+    b2 AS (
+      SELECT doc_id + 20000000 AS doc_id, norm FROM d WHERE doc_id % 7 = 3
+    ),
+    b2keep AS (
+      SELECT b2.norm, MIN(b2.doc_id) AS keep_id
+      FROM b2
+      WHERE NOT EXISTS (SELECT 1 FROM kept_after k WHERE k.norm = b2.norm)
+      GROUP BY b2.norm
+    ),
+    final AS (
+      SELECT keep_id FROM kept_after UNION ALL SELECT keep_id FROM b2keep
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep_id) AS BIGINT) AS sum_ids
+    FROM final
+    """,
+    doc="the SQL faces of forget + rebuild, end-to-end (VERDICT r10 "
+    "#4: every other maintenance verb had a SQL spelling): ingest the "
+    "corpus, CALL system.forget_documents with the key set supplied "
+    "as a SELECT over the branch views (admitted doc_id % 7 == 3), "
+    "DROP the fingerprint index (simulated loss), CALL "
+    "system.rebuild_index to reconstruct it from the live corpus, "
+    "then re-submit exactly the forgotten content under new ids "
+    "(+20M). The rebuild must be semantically invisible and the SQL "
+    "forget must behave exactly like the Python primitive, so the "
+    "oracle replays admission -> forget -> re-admission over "
+    "normalized text (same shape as dedup_forget_readmit).",
+)
+def sql_forget_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_jvm_wap_with_iceberg_spark.catalog import Catalog
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = Catalog(_tmp_warehouse("sqlforget_"))
+    dedup_ingest(spark, cat, docs, "docs_sq", "fp_sq")
+    cat.sql(
+        spark,
+        "CALL system.forget_documents(docs_table => 'docs_sq', "
+        "index_tables => 'fp_sq', "
+        "ids => 'SELECT doc_id FROM docs_sq WHERE doc_id % 7 = 3')",
+    )
+    cat.drop_table("fp_sq")  # simulated index loss after the forget
+    cat.sql(spark, "CALL system.rebuild_index('docs_sq', 'fp_sq')")
+    resubmit = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    dedup_ingest(spark, cat, resubmit, "docs_sq", "fp_sq")
+    return cat.read(spark, "docs_sq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
     "catalog_changelog",
     """
     WITH half2 AS (

@@ -1590,3 +1590,154 @@ def test_sql_transaction_fast_path_view_reads_target_falls_back(
     assert sorted(
         r["id"] for r in cat.read(spark, "u").collect()
     ) == [0, 1, 2]
+
+
+def test_sql_call_forget_documents_matches_python(spark, warehouse, tmp_path):
+    """CALL system.forget_documents is the SQL face of the Python
+    primitive (VERDICT r10 #4): same post-state, ids supplied as a
+    SELECT over the branch's views; never-admitted keys are a no-op;
+    re-admission works through the SQL path too."""
+    import shutil
+
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+        forget_documents,
+    )
+
+    def _docs(rows):
+        return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    cat = Catalog(warehouse)
+    dedup_ingest(
+        spark, cat, _docs([(1, "aa"), (2, "bb"), (3, "cc")]),
+        "docs", "fp_index",
+    )
+    twin = str(tmp_path / "twin")
+    shutil.copytree(warehouse, twin)
+    cat2 = Catalog(twin)
+
+    row = cat.sql(
+        spark,
+        "CALL system.forget_documents(docs_table => 'docs', "
+        "index_tables => 'fp_index', "
+        "ids => 'SELECT doc_id FROM docs WHERE doc_id IN (1, 3, 9)')",
+    ).collect()[0]
+    assert (row["published"], row["docs_removed"], row["strategy"]) == (
+        True, 2, "generic",
+    )
+    res = forget_documents(
+        spark, cat2,
+        spark.createDataFrame([(1,), (3,), (9,)], "doc_id INT"),
+        "docs", ["fp_index"],
+    )
+    # NOTE: the SQL ids SELECT only sees ADMITTED rows (9 never
+    # existed), so ids_requested differs; the observable post-state
+    # must not
+    assert res.docs_removed == 2
+    for t in ("docs", "fp_index"):
+        a = sorted(map(str, cat.read(spark, t).collect()))
+        b = sorted(map(str, cat2.read(spark, t).collect()))
+        assert a == b, t
+    # re-admission through the pipeline still works after a SQL forget
+    r = dedup_ingest(
+        spark, cat, _docs([(11, "aa"), (12, "bb")]), "docs", "fp_index"
+    )
+    assert (r.seen_dups, r.rows_published) == (1, 1)
+    assert cat.list_branches() == ["main"]
+
+
+def test_sql_call_forget_near_routes_auto_dispatch(spark, warehouse):
+    """The near spelling (sig_table + band_table) routes through the
+    regime auto-dispatcher and reports its pick; argument misuse is
+    rejected before anything runs."""
+    import pytest as _pytest
+
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        near_dedup_ingest,
+    )
+
+    cat = Catalog(warehouse)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(20)],
+        "doc_id INT, text STRING",
+    )
+    near_dedup_ingest(spark, cat, docs, "nd", "ns", "nb")
+    row = cat.sql(
+        spark,
+        "CALL system.forget_documents(docs_table => 'nd', "
+        "sig_table => 'ns', band_table => 'nb', "
+        "ids => 'SELECT doc_id FROM nd WHERE doc_id = 7')",
+    ).collect()[0]
+    assert row["published"] and row["docs_removed"] == 1
+    assert row["strategy"] in ("generic", "band_aligned")
+    assert cat.read(spark, "nd").filter("doc_id = 7").count() == 0
+    assert cat.read(spark, "ns").filter("doc_id = 7").count() == 0
+    assert cat.read(spark, "nb").filter("doc_id = 7").count() == 0
+    with _pytest.raises(ValueError, match="sig_table and band_table"):
+        cat.sql(
+            spark,
+            "CALL system.forget_documents(docs_table => 'nd', "
+            "sig_table => 'ns', ids => 'SELECT doc_id FROM nd')",
+        )
+    with _pytest.raises(ValueError, match="EITHER index_tables"):
+        cat.sql(
+            spark,
+            "CALL system.forget_documents(docs_table => 'nd', "
+            "index_tables => 'x', sig_table => 'ns', "
+            "band_table => 'nb', ids => 'SELECT doc_id FROM nd')",
+        )
+
+
+def test_sql_call_rebuild_index_matches_python(spark, warehouse):
+    """CALL system.rebuild_index / rebuild_near_index reconstruct the
+    dedup indexes from the corpus exactly like the Python primitives:
+    dropped index -> SQL rebuild -> dedup semantics restored."""
+    from no_jvm_wap_with_iceberg_spark.pipelines.incremental_dedup import (
+        dedup_ingest,
+        near_dedup_ingest,
+    )
+
+    cat = Catalog(warehouse)
+    dedup_ingest(
+        spark, cat,
+        spark.createDataFrame(
+            [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id INT, text STRING"
+        ),
+        "docs", "fp_index",
+    )
+    cat.drop_table("fp_index")
+    row = cat.sql(
+        spark,
+        "CALL system.rebuild_index(docs_table => 'docs', "
+        "index_table => 'fp_index')",
+    ).collect()[0]
+    assert (row["table"], row["index_rows"]) == ("fp_index", 2)
+    r = dedup_ingest(
+        spark, cat,
+        spark.createDataFrame(
+            [(11, "aa"), (12, "dd")], "doc_id INT, text STRING"
+        ),
+        "docs", "fp_index",
+    )
+    assert (r.seen_dups, r.rows_published) == (1, 1)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(10)],
+        "doc_id INT, text STRING",
+    )
+    near_dedup_ingest(spark, cat, docs, "nd", "ns", "nb")
+    cat.drop_table("ns")
+    cat.drop_table("nb")
+    row = cat.sql(
+        spark,
+        "CALL system.rebuild_near_index('nd', 'ns', 'nb')",
+    ).collect()[0]
+    assert row["signature_rows"] == 10
+    # a near-dup of an admitted doc still drops after the SQL rebuild
+    dup = spark.createDataFrame(
+        [(99, " ".join(f"w3x{j}" for j in range(25)) + " tail")],
+        "doc_id INT, text STRING",
+    )
+    rr = near_dedup_ingest(spark, cat, dup, "nd", "ns", "nb")
+    assert rr.rows_published == 0
+    assert cat.list_branches() == ["main"]
