@@ -26,6 +26,8 @@ import os
 import re
 import time
 import uuid
+import zlib
+from urllib.parse import unquote
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2355,16 +2357,56 @@ class Catalog:
         names_per_col = [
             [c] + list(meta.rename_history.get(c, ())) for c in key_cols
         ]
+        # bucket-era partition fields per key column: a hash-bucketed
+        # column's per-file value range scatters over the whole space
+        # and its bloom saturates at production rows/file, so the
+        # file's OWN bucket value is the only per-tuple evidence that
+        # keeps e.g. a composite (band_hash, key) delete bounded by
+        # the victims' bands instead of the table (found by
+        # tools/soak_forget_manifest.py at a 100k-file census).
+        # Partition evolution is per-file: each era's field name maps
+        # to its own modulus.
+        from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+            HIVE_NULL,
+            _pnames,
+        )
 
-        def evidence(f: FileEntry) -> list[tuple[Any, Any, str | None]]:
+        bucket_eras: list[list[tuple[int, list[str]]]] = [
+            [
+                (p.param, _pnames(meta, p, c))
+                for p in meta.all_partition_fields
+                if p.transform == "bucket" and p.source == c
+            ]
+            for c in key_cols
+        ]
+
+        def bucket_ev(f: FileEntry, i: int) -> tuple[int, int] | None:
+            for param, pnames in bucket_eras[i]:
+                raw = next(
+                    (f.partition[p] for p in pnames if p in f.partition),
+                    None,
+                )
+                if raw is not None and raw != HIVE_NULL:
+                    try:
+                        return (param, int(unquote(raw)))
+                    except ValueError:
+                        return None  # unparsable dir value: no evidence
+            return None
+
+        def evidence(f: FileEntry) -> list[tuple]:
             out = []
-            for names in names_per_col:
+            for i, names in enumerate(names_per_col):
                 st = next(
                     (f.columns[n] for n in names if n in f.columns), {}
                 )
                 b = next((n for n in names if n in f.blooms), None)
                 out.append(
-                    (st.get("min"), st.get("max"), f.blooms[b] if b else None)
+                    (
+                        st.get("min"),
+                        st.get("max"),
+                        f.blooms[b] if b else None,
+                        bucket_ev(f, i),
+                    )
                 )
             return out
 
@@ -2386,7 +2428,10 @@ class Catalog:
         spark_cands: list[tuple[int, list]] = []  # (slot in affected, ev)
         for f, specs in surviving:
             ev = evidence(f)
-            if all(mn is None and mx is None and b is None for mn, mx, b in ev):
+            if all(
+                mn is None and mx is None and b is None and bk is None
+                for mn, mx, b, bk in ev
+            ):
                 affected.append((f, specs))  # no evidence: keep
                 continue
             if keys is not None:
@@ -2396,10 +2441,19 @@ class Catalog:
                 hit = False
                 for t in keys:
                     ok = True
-                    for i, (mn, mx, b) in enumerate(ev):
+                    for i, (mn, mx, b, bk) in enumerate(ev):
                         v = _norm(t[i])
                         if v is None:
                             continue
+                        if bk is not None:
+                            n_bk, pv = bk
+                            if (
+                                zlib.crc32(str(t[i]).encode("utf-8"))
+                                % n_bk
+                                != pv
+                            ):
+                                ok = False
+                                break
                         try:
                             if mn is not None and mx is not None and not (
                                 mn <= v <= mx

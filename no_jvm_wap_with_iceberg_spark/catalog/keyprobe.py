@@ -297,12 +297,20 @@ def probe_files_spark(
     one key tuple admit?
 
     ``candidates`` is ``(file_index, per_column_evidence)`` where each
-    column entry is ``(min, max, bloom_hex_or_None)`` — stats under
-    the file's OWN column naming already resolved by the caller. A
-    tuple admits a file only if, for every key column: the value is
-    null (no evidence applies), or it lies within [min, max] (missing
-    bounds pass) and the bloom (if present) may contain it. Returns
-    the admitted file indices.
+    column entry is ``(min, max, bloom_hex_or_None)`` or ``(min, max,
+    bloom_hex_or_None, bucket_evidence)`` — stats under the file's OWN
+    column naming already resolved by the caller. A tuple admits a
+    file only if, for every key column: the value is null (no
+    evidence applies), or it lies within [min, max] (missing bounds
+    pass), its hash bucket matches ``bucket_evidence = (N, pval)``
+    when present (the file's own ``bucket(N, col)`` partition value —
+    per-TUPLE partition pruning: a hash-bucketed column's value range
+    scatters over the whole space and its bloom saturates at
+    production rows/file, so bucket identity is the only evidence
+    that keeps a composite band-hash delete O(victims' bands) instead
+    of O(table); found by tools/soak_forget_manifest.py), and the
+    bloom (if present) may contain it. Returns the admitted file
+    indices.
 
     One Spark job over the distinct key tuples; the broadcast payload
     is ~1 KiB bloom + bounds per (file, column). Per executor task the
@@ -322,10 +330,17 @@ def probe_files_spark(
     asserted by test_keyprobe.py).
     """
     spark = kdf.sparkSession
-    bc = spark.sparkContext.broadcast(candidates)
+    # normalize legacy 3-tuple evidence to the 4-tuple form
+    norm = [
+        (j, [(*c[:3], c[3] if len(c) > 3 else None) for c in cols])
+        for j, cols in candidates
+    ]
+    bc = spark.sparkContext.broadcast(norm)
     n_cols = len(key_cols)
 
     def probe(batches: Iterator) -> Iterator:
+        import zlib
+
         import numpy as np
         import pandas as pd
 
@@ -334,9 +349,18 @@ def probe_files_spark(
         )
 
         cand = [
-            (j, [(mn, mx, bytes.fromhex(bh) if bh else None) for mn, mx, bh in cols])
+            (
+                j,
+                [
+                    (mn, mx, bytes.fromhex(bh) if bh else None, bk)
+                    for mn, mx, bh, bk in cols
+                ],
+            )
             for j, cols in bc.value
         ]
+        has_bucket = any(
+            c[3] is not None for _j, cols in cand for c in cols
+        )
         pos_cache: dict[Any, list[int]] = {}
 
         def admits(bits: bytes, v: Any) -> bool:
@@ -384,7 +408,7 @@ def probe_files_spark(
             for j, specs in cand:
                 if j in admitted:
                     continue
-                mn, mx, bb = specs[0]
+                mn, mx, bb, _bk = specs[0]
                 span = None
                 if isinstance(mn, want) and isinstance(mx, want):
                     try:
@@ -416,32 +440,82 @@ def probe_files_spark(
         for pdf in batches:
             if len(admitted) == len(cand):
                 break
-            if n_cols == 1 and single_sorted_chunk(pdf.iloc[:, 0]):
+            # the sorted-keys fast path has no bucket-identity check;
+            # bucket evidence (rare: composite band deletes) takes the
+            # general masks so the new constraint is never dropped
+            if (
+                n_cols == 1
+                and not has_bucket
+                and single_sorted_chunk(pdf.iloc[:, 0])
+            ):
                 yield pd.DataFrame({"j": sorted(admitted)})
                 continue
             cols = [pdf.iloc[:, i] for i in range(n_cols)]
             nulls = [s.isna() for s in cols]
+            # numpy views of the chunk: the candidate loop below runs
+            # per FILE (up to the whole manifest census for scatter
+            # regimes like composite band deletes), so per-candidate
+            # work must be numpy-array ops (~µs), not pandas Series
+            # allocations (~50 µs each) — measured 25-60× on the
+            # 300k-candidate soak (tools/soak_forget_manifest.py)
+            vals_np = [s.to_numpy() for s in cols]
+            nulls_np = [s.to_numpy() for s in nulls]
             py_cols: list[list[Any] | None] = [None] * n_cols
+            # per-chunk cache: one crc32-bucket array per (column, N) —
+            # every candidate of the same table era shares it
+            bcache: dict[tuple[int, int], Any] = {}
+
+            def bucket_arr(i: int, n: int):
+                arr = bcache.get((i, n))
+                if arr is None:
+                    arr = np.array(
+                        [
+                            -1
+                            if pd.isna(v)
+                            else zlib.crc32(
+                                str(
+                                    v.item() if hasattr(v, "item") else v
+                                ).encode("utf-8")
+                            )
+                            % n
+                            for v in cols[i]
+                        ],
+                        dtype=np.int64,
+                    )
+                    bcache[(i, n)] = arr
+                return arr
+
             for j, specs in cand:
                 if j in admitted:
                     continue
-                mask = pd.Series(True, index=pdf.index)
-                for i, (mn, mx, _bb) in enumerate(specs):
+                mask = np.ones(len(pdf), dtype=bool)
+                for i, (mn, mx, _bb, bk) in enumerate(specs):
+                    if bk is not None:
+                        n_bk, pv = bk
+                        mask &= (bucket_arr(i, n_bk) == pv) | nulls_np[i]
+                        if not mask.any():
+                            break
                     if mn is None or mx is None:
                         continue
                     try:
-                        mask &= cols[i].between(mn, mx) | nulls[i]
-                    except TypeError:
-                        pass  # incomparable evidence -> conservative
+                        rng = (vals_np[i] >= mn) & (vals_np[i] <= mx)
+                    except Exception:
+                        # numpy balks at some mixed/object comparisons
+                        # pandas handles; fall back before giving up
+                        try:
+                            rng = cols[i].between(mn, mx).to_numpy()
+                        except TypeError:
+                            continue  # incomparable -> conservative
+                    mask &= rng | nulls_np[i]
                 if not mask.any():
                     continue
-                if all(bb is None for _mn, _mx, bb in specs):
+                if all(bb is None for _mn, _mx, bb, _bk in specs):
                     admitted.add(j)
                     continue
-                for r in mask.to_numpy().nonzero()[0]:
+                for r in mask.nonzero()[0]:
                     ok = True
-                    for i, (_mn, _mx, bb) in enumerate(specs):
-                        if bb is None or bool(nulls[i].iloc[r]):
+                    for i, (_mn, _mx, bb, _bk) in enumerate(specs):
+                        if bb is None or bool(nulls_np[i][r]):
                             continue
                         if py_cols[i] is None:
                             # numpy scalars repr differently than the

@@ -515,3 +515,92 @@ def test_executor_probe_numeric_key_end_to_end(spark, warehouse, monkeypatch):
     # effectiveness: files wholly outside [1500, 1600) survive untouched
     files_after = {f.path for f in cat.load_table("num").files()}
     assert files_before & files_after, "probe rewrote every file"
+
+
+def test_probe_bucket_evidence_prunes_per_tuple(spark):
+    """Per-tuple bucket-identity evidence (4th evidence element): a
+    hash-bucketed column's value range scatters across the space and
+    its bloom saturates at production rows/file, so the file's OWN
+    bucket(N, col) partition value is the only evidence that can
+    reject a tuple belonging to another bucket. Pinned on BOTH probe
+    paths (executor-side via probe_files_spark directly; driver-side
+    via _files_overlapping_keys with a small key set) after
+    tools/soak_forget_manifest.py showed the composite band delete
+    degrading to O(table) without it."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+        probe_files_spark,
+    )
+    from no_jvm_wap_with_iceberg_spark.catalog.table import (
+        FileEntry,
+        Snapshot,
+        TableMetadata,
+    )
+
+    def bucket(v, n=4):
+        return zlib.crc32(str(v).encode()) % n
+
+    vals = list(range(100, 140))  # spread across all 4 buckets
+    kdf = spark.createDataFrame([(v,) for v in vals], "k long")
+
+    # every candidate's range covers every key (the scatter regime);
+    # no blooms; only the bucket evidence distinguishes them
+    cands = [
+        (b, [(0, 10_000, None, (4, b))]) for b in range(4)
+    ]
+    got = probe_files_spark(kdf, ["k"], cands)
+    assert got == {bucket(v) for v in vals}  # admitted iff a key maps to it
+    # a key set confined to one bucket admits exactly that file
+    one = [v for v in vals if bucket(v) == 2][:3]
+    got_one = probe_files_spark(
+        spark.createDataFrame([(v,) for v in one], "k long"), ["k"], cands
+    )
+    assert got_one == {2}
+    # legacy 3-tuple evidence still accepted (range admits everything)
+    got_legacy = probe_files_spark(
+        kdf, ["k"], [(j, [(0, 10_000, None)]) for j in range(4)]
+    )
+    assert got_legacy == {0, 1, 2, 3}
+
+    # driver-side path through _files_overlapping_keys: a composite
+    # (band_hash, key) probe against a bucket-partitioned manifest
+    # whose per-file ranges all cover the probe hashes — only the
+    # tuple's own bucket file may be targeted
+    files = [
+        FileEntry(
+            path=f"tables/band/data/{b}/f{b}.parquet",
+            rows=1000,
+            bytes=1 << 20,
+            columns={
+                "band_hash": {"nulls": 0, "min": 0, "max": 10_000},
+                "doc_id": {"nulls": 0, "min": 0, "max": 10_000},
+            },
+            partition={"band_hash_bucket4": str(b)},
+        )
+        for b in range(4)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("band_hash", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+    meta = TableMetadata(
+        table="band",
+        schema_json=schema.jsonValue(),
+        snapshots=[Snapshot(1, None, 0, "append", files)],
+        current_snapshot_id=1,
+        version=1,
+        partition_by=["bucket(4, band_hash)"],
+        sort_by=["band_hash"],
+    )
+    import tempfile
+
+    cat = Catalog(tempfile.mkdtemp(prefix="bucket_ev_"))
+    h = next(v for v in range(200, 300) if bucket(v) == 1)
+    pairs = spark.createDataFrame([(h, 7)], "band_hash LONG, doc_id LONG")
+    hit = cat._files_overlapping_keys(meta, ["band_hash", "doc_id"], pairs)
+    assert [f.partition["band_hash_bucket4"] for f, _ in hit] == ["1"]
