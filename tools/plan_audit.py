@@ -87,6 +87,7 @@ SINGLE_OK = {
     # as dedup_incremental_index (the ingests shuffle on digests; the
     # evolution/migration steps repartition by range)
     "dedup_forget_readmit",  # single-row corpus summary, same shape
+    "sql_forget_rebuild",  # single-row corpus summary, same shape
     # as dedup_incremental_index (ingests shuffle on digests; the
     # forget's MoR delete reads anti-join broadcast key sets)
     "dedup_index_rebuild",  # single-row corpus summary, same shape
