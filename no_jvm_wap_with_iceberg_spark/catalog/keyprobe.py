@@ -461,9 +461,16 @@ def probe_files_spark(
             vals_np = [s.to_numpy() for s in cols]
             nulls_np = [s.to_numpy() for s in nulls]
             py_cols: list[list[Any] | None] = [None] * n_cols
-            # per-chunk cache: one crc32-bucket array per (column, N) —
-            # every candidate of the same table era shares it
+            all_rows = np.arange(len(pdf))
+            # per-chunk caches, shared by every candidate of the same
+            # table era: the crc32-bucket array per (column, N), its
+            # bucket-sorted row index (so a candidate's tuple set is
+            # ITS bucket's rows — O(rows/N) — not the whole chunk),
+            # and each column's null-row indices (a null key carries
+            # no evidence, so null rows ride along with every bucket)
             bcache: dict[tuple[int, int], Any] = {}
+            scache: dict[tuple[int, int], Any] = {}
+            null_rows: list[Any] = [None] * n_cols
 
             def bucket_arr(i: int, n: int):
                 arr = bcache.get((i, n))
@@ -485,34 +492,79 @@ def probe_files_spark(
                     bcache[(i, n)] = arr
                 return arr
 
+            def rows_for_bucket(i: int, n: int, pv: int):
+                """Row indices whose column-i value hashes to bucket
+                pv, plus the column's null rows — two searchsorted
+                probes against a once-per-(column, N) sorted index.
+                Turns the 300k-candidate composite-delete probe from
+                O(candidates × chunk) into O(candidates × rows/N)
+                (soak-measured, tools/soak_forget_manifest.py)."""
+                key = (i, n)
+                srt = scache.get(key)
+                if srt is None:
+                    barr = bucket_arr(i, n)
+                    order = np.argsort(barr, kind="stable")
+                    srt = (barr[order], order)
+                    scache[key] = srt
+                sb, order = srt
+                lo = int(np.searchsorted(sb, pv, side="left"))
+                hi = int(np.searchsorted(sb, pv, side="right"))
+                rows = order[lo:hi]
+                if null_rows[i] is None:
+                    null_rows[i] = nulls_np[i].nonzero()[0]
+                if null_rows[i].size:
+                    rows = np.concatenate([rows, null_rows[i]])
+                return rows
+
             for j, specs in cand:
                 if j in admitted:
                     continue
-                mask = np.ones(len(pdf), dtype=bool)
+                # start from the first bucket-evidenced column's own
+                # rows when there is one; the whole chunk otherwise —
+                # all remaining evidence then filters the SUBSET
+                b_i = next(
+                    (i for i, s in enumerate(specs) if s[3] is not None),
+                    None,
+                )
+                if b_i is not None:
+                    n_bk, pv = specs[b_i][3]
+                    rows = rows_for_bucket(b_i, n_bk, pv)
+                else:
+                    rows = all_rows
+                if rows.size == 0:
+                    continue
                 for i, (mn, mx, _bb, bk) in enumerate(specs):
-                    if bk is not None:
-                        n_bk, pv = bk
-                        mask &= (bucket_arr(i, n_bk) == pv) | nulls_np[i]
-                        if not mask.any():
+                    if bk is not None and i != b_i:
+                        n2, pv2 = bk
+                        keep = (bucket_arr(i, n2)[rows] == pv2) | nulls_np[
+                            i
+                        ][rows]
+                        rows = rows[keep]
+                        if rows.size == 0:
                             break
                     if mn is None or mx is None:
                         continue
                     try:
-                        rng = (vals_np[i] >= mn) & (vals_np[i] <= mx)
+                        v = vals_np[i][rows]
+                        rng = (v >= mn) & (v <= mx)
                     except Exception:
                         # numpy balks at some mixed/object comparisons
                         # pandas handles; fall back before giving up
                         try:
-                            rng = cols[i].between(mn, mx).to_numpy()
+                            rng = (
+                                cols[i].iloc[rows].between(mn, mx).to_numpy()
+                            )
                         except TypeError:
                             continue  # incomparable -> conservative
-                    mask &= rng | nulls_np[i]
-                if not mask.any():
+                    rows = rows[rng | nulls_np[i][rows]]
+                    if rows.size == 0:
+                        break
+                if rows.size == 0:
                     continue
                 if all(bb is None for _mn, _mx, bb, _bk in specs):
                     admitted.add(j)
                     continue
-                for r in mask.nonzero()[0]:
+                for r in rows:
                     ok = True
                     for i, (_mn, _mx, bb, _bk) in enumerate(specs):
                         if bb is None or bool(nulls_np[i][r]):

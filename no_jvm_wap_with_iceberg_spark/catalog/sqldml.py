@@ -2470,29 +2470,31 @@ def execute_call(cat, spark, query: str, branch: str):
         band = arg("band_table", default=None)
         key_col = str(arg("key_col", default="doc_id"))
         count_removed = bool(arg("count_removed", default=True))
-        ids_df = spark.sql(ids_sql)
         if (sig is None) != (band is None):
             raise ValueError(
                 "CALL forget_documents: sig_table and band_table "
                 "come together (the near pipeline's index pair)"
             )
+        if sig is not None and idx is not None:
+            raise ValueError(
+                "CALL forget_documents: pass EITHER index_tables "
+                "(exact pipeline) OR sig_table+band_table (near)"
+            )
+        if sig is None and idx is None:
+            raise ValueError(
+                "CALL forget_documents: missing argument "
+                "'index_tables' (or sig_table+band_table)"
+            )
+        # args validated; only now evaluate the key-set SELECT over
+        # the branch views Catalog.sql registered
+        ids_df = spark.sql(ids_sql)
         if sig is not None:
-            if idx is not None:
-                raise ValueError(
-                    "CALL forget_documents: pass EITHER index_tables "
-                    "(exact pipeline) OR sig_table+band_table (near)"
-                )
             res = near_forget(
                 spark, cat, ids_df, docs_table, str(sig), str(band),
                 key_col=key_col, branch=branch,
                 count_removed=count_removed,
             )
         else:
-            if idx is None:
-                raise ValueError(
-                    "CALL forget_documents: missing argument "
-                    "'index_tables' (or sig_table+band_table)"
-                )
             tables = [t.strip() for t in str(idx).split(",") if t.strip()]
             res = forget_documents(
                 spark, cat, ids_df, docs_table, tables,
