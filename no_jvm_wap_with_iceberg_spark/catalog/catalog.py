@@ -2446,9 +2446,15 @@ class Catalog:
                         if v is None:
                             continue
                         if bk is not None:
+                            from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
+                                _canon,
+                            )
+
                             n_bk, pv = bk
                             if (
-                                zlib.crc32(str(t[i]).encode("utf-8"))
+                                zlib.crc32(
+                                    str(_canon(t[i])).encode("utf-8")
+                                )
                                 % n_bk
                                 != pv
                             ):

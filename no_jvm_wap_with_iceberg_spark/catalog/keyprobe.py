@@ -345,6 +345,7 @@ def probe_files_spark(
         import pandas as pd
 
         from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
+            _canon,
             _hashes as bloom_hashes,
         )
 
@@ -475,13 +476,23 @@ def probe_files_spark(
             def bucket_arr(i: int, n: int):
                 arr = bcache.get((i, n))
                 if arr is None:
+                    # _canon folds the integral floats a NULLABLE int
+                    # column becomes in pandas back onto ints — the
+                    # file's partition value hashed "5", and
+                    # crc32("5.0") would cross-bucket-reject every
+                    # true hit (caught by the randomized reference
+                    # test; same canonicalization the blooms use)
                     arr = np.array(
                         [
                             -1
                             if pd.isna(v)
                             else zlib.crc32(
                                 str(
-                                    v.item() if hasattr(v, "item") else v
+                                    _canon(
+                                        v.item()
+                                        if hasattr(v, "item")
+                                        else v
+                                    )
                                 ).encode("utf-8")
                             )
                             % n

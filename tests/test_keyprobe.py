@@ -604,3 +604,75 @@ def test_probe_bucket_evidence_prunes_per_tuple(spark):
     pairs = spark.createDataFrame([(h, 7)], "band_hash LONG, doc_id LONG")
     hit = cat._files_overlapping_keys(meta, ["band_hash", "doc_id"], pairs)
     assert [f.partition["band_hash_bucket4"] for f, _ in hit] == ["1"]
+
+
+def test_probe_bucket_grouping_matches_pure_reference(spark):
+    """The bucket-grouped row-subset path (a per-(column, N)
+    bucket-sorted index replaced the full-chunk masks) must admit
+    exactly the documented semantics across randomized mixed
+    evidence — ranges, blooms, bucket identity, nulls, multiple
+    moduli (partition-evolution eras) — pinned against a pure-python
+    reference of the tuple-admission rule."""
+    import random
+    import zlib
+
+    from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
+        bloom_may_contain,
+        build_bloom,
+    )
+    from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+        probe_files_spark,
+    )
+
+    rnd = random.Random(41)
+    rows = [
+        (
+            rnd.randrange(0, 1000) if rnd.random() > 0.05 else None,
+            rnd.randrange(0, 10_000),
+        )
+        for _ in range(300)
+    ]
+    kdf = spark.createDataFrame(rows, "a long, b long")
+
+    def bucket(v, n):
+        return zlib.crc32(str(v).encode()) % n
+
+    cands = []
+    for j in range(120):
+        specs = []
+        for col in range(2):
+            mn = rnd.randrange(0, 800) if rnd.random() < 0.6 else None
+            mx = mn + rnd.randrange(50, 4000) if mn is not None else None
+            bloom = None
+            if rnd.random() < 0.3:
+                vals = [r[col] for r in rows if r[col] is not None]
+                bloom = build_bloom(rnd.sample(vals, 5) if rnd.random() < 0.5
+                                    else [999_999 + k for k in range(5)])
+            bk = None
+            if col == 0 and rnd.random() < 0.6:
+                n = rnd.choice((4, 8, 64))
+                bk = (n, rnd.randrange(0, n))
+            specs.append((mn, mx, bloom, bk))
+        cands.append((j, specs))
+
+    got = probe_files_spark(kdf, ["a", "b"], cands)
+
+    def tuple_admits(t, specs):
+        for i, (mn, mx, bloom, bk) in enumerate(specs):
+            v = t[i]
+            if v is None:
+                continue  # null component: no evidence applies
+            if bk is not None and bucket(v, bk[0]) != bk[1]:
+                return False
+            if mn is not None and mx is not None and not (mn <= v <= mx):
+                return False
+            if bloom is not None and not bloom_may_contain(bloom, v):
+                return False
+        return True
+
+    expect = {
+        j
+        for j, specs in cands
+        if any(tuple_admits(t, specs) for t in set(rows))
+    }
+    assert got == expect
