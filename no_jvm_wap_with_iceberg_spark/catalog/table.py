@@ -566,6 +566,22 @@ class TableMetadata:
         )
 
 
+# Below this many total freshly-written bytes, a distributed bloom
+# build costs more in job scheduling (one Spark job + Python-worker
+# round trip per append) than simply reading the page-cache-hot files
+# back on the driver and hashing locally — measured ~0.5-0.8 s of
+# fixed job cost per index append at bench scale vs ~10 ms of local
+# columnar IO. Above the threshold the build stays on the executors
+# (the 100 TB path: the driver never reads column data). Both paths
+# produce bit-identical filters (same build_bloom over the same
+# canonical values). Parameterized for deployments where even small
+# writes should stay distributed (e.g. the driver is far from the
+# object store): set to 0 to force the Spark path.
+LOCAL_BLOOM_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_BLOOM_MAX_BYTES", str(32 << 20))
+)
+
+
 def collect_written_files(
     data_dir: str,
     warehouse: str,
@@ -575,9 +591,10 @@ def collect_written_files(
     """Footer-scan every parquet file Spark wrote under ``data_dir``
     (a few KB of footer IO per file, no data reads on the driver);
     optionally attach per-file bloom filters for ``bloom_cols``, built
-    distributed by executors when a SparkSession is provided (see
-    ``bloom.build_blooms_distributed``) and falling back to a local
-    columnar read only without one."""
+    distributed by executors when a SparkSession is provided and the
+    write is big enough to amortize a job (see
+    ``bloom.build_blooms_distributed`` and
+    :data:`LOCAL_BLOOM_MAX_BYTES`), locally otherwise."""
     from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
         build_bloom,
         build_blooms_distributed,
@@ -596,13 +613,16 @@ def collect_written_files(
             continue
         out.append(entry)
     if bloom_cols and out:
-        if spark is not None:
+        if (
+            spark is not None
+            and sum(e.bytes for e in out) > LOCAL_BLOOM_MAX_BYTES
+        ):
             blooms = build_blooms_distributed(
                 spark, [os.path.join(warehouse, e.path) for e in out], bloom_cols
             )
             for e in out:
                 e.blooms.update(blooms.get(os.path.join(warehouse, e.path), {}))
-        else:  # pragma: no cover - local fallback, no session available
+        else:
             for e in out:
                 p = os.path.join(warehouse, e.path)
                 tbl = pq.read_table(

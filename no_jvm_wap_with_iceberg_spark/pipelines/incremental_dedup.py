@@ -329,8 +329,15 @@ def dedup_ingest(
     unique_batch = fp_batch.join(
         firsts, on=["_fp", key_col], how="left_semi"
     ).cache()
-    rows_in = batch.count()
-    n_unique = unique_batch.count()
+    # both batch counts in ONE aggregation job (guide §1.2): the old
+    # shape paid a standalone source-scan count plus a second job that
+    # counted (and cache-filled) unique_batch; the distinct-digest
+    # count IS the keep-first survivor count (one min-key row per
+    # digest — ids are unique per the pipeline contract), and the
+    # probe's own first job fills unique_batch's cache instead
+    rows_in, n_unique = fp_batch.agg(
+        F.count(F.lit(1)), F.count_distinct("_fp")
+    ).first()
 
     cat.create_table(docs_table, batch.schema, branch, if_not_exists=True)
     idx_schema = (
@@ -568,7 +575,6 @@ def near_dedup_ingest(
         minhash_signatures,
     )
 
-    rows_in = batch.count()
     sigs = (
         minhash_signatures(
             batch.select(F.col(key_col), F.col(content_col)),
@@ -617,10 +623,6 @@ def near_dedup_ingest(
         .distinct()
     )
     surv = sigs_u.join(pair_dups, "_id", "left_anti").cache()
-    # everything dropped in-batch: collapsed copies + verified pairs
-    in_dups = sigs.select("_id").join(
-        surv.select("_id"), "_id", "left_anti"
-    )
     # sub-3-word docs have no shingles, hence no near-dup notion:
     # they pass straight through (no signature/band rows either)
     no_sh_ids = (
@@ -630,9 +632,21 @@ def near_dedup_ingest(
         )
         .cache()
     )
-    n_unique = batch.join(
-        in_dups.withColumnRenamed("_id", key_col), key_col, "left_anti"
-    ).count()
+
+    # the reported batch counts derive from the cached intermediates
+    # AFTER the probe/publish actions have materialized them: rows_in
+    # = shingled docs + shingle-less passthroughs, and the in-batch
+    # survivors = band-pass survivors + passthroughs. Counting the
+    # warm caches costs three trivial jobs; the former standalone
+    # ``batch.count()`` re-scanned the source and the former
+    # ``n_unique`` anti-join job re-ran the whole collapse+verify
+    # subtree — two of the three heavy jobs per ingest (guide §1.2:
+    # don't recompute what an action already materialized)
+    def _batch_counts() -> tuple[int, int]:
+        n_sigs, n_surv, n_nosh = (
+            sigs.count(), surv.count(), no_sh_ids.count()
+        )
+        return n_sigs + n_nosh, n_surv + n_nosh  # rows_in, n_unique
 
     cat.create_table(docs_table, batch.schema, branch, if_not_exists=True)
     # both index tables hash-bucket on their probe key (Iceberg
@@ -720,10 +734,13 @@ def near_dedup_ingest(
         hit_files = cat._files_overlapping_keys(bmeta, ["band_hash"], probe)
         fresh = surv
         if hit_files:
-            # probe rows <= 16 band hashes per batch doc (sound bound)
+            # exact probe cardinality, one trivial job: the probe's
+            # cache is warm (the overlap pass above materialized it),
+            # so this replaces the former rows_in*16 upper bound
+            # without the standalone batch.count() that fed it
             idx_hits = (
                 cat._df_applying_deletes(spark, bmeta, hit_files)
-                .join(_hint_small(probe, rows_in * 16), "band_hash")
+                .join(_hint_small(probe, probe.count()), "band_hash")
                 .select("band_hash", F.col(key_col).alias("_idx_id"))
             )
             cross = (
@@ -778,6 +795,7 @@ def near_dedup_ingest(
         )
         n_fresh = fresh_ids.count()
         if n_fresh == 0:
+            rows_in, n_unique = _batch_counts()  # before the unpersists
             probe.unpersist(); fresh_ids.unpersist()
             if fresh is not surv:
                 fresh.unpersist()
@@ -829,6 +847,7 @@ def near_dedup_ingest(
                 branch,
                 expected_head=head,
             )
+            rows_in, n_unique = _batch_counts()  # before the unpersists
             probe.unpersist(); fresh_ids.unpersist()
             if fresh is not surv:
                 fresh.unpersist()
