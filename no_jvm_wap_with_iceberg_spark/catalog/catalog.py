@@ -2288,14 +2288,54 @@ class Catalog:
         from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
             file_survives,
             partition_value_sets,
+            partition_value_sets_local,
             probe_files_spark,
         )
         from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
 
         k = len(key_cols)
-        part_sets = partition_value_sets(meta, key_cols, kdf)
-        covered = {ps.key_index for ps in part_sets}
-        if dup_guard is None and covered == set(range(k)):
+        # sample FIRST: when the driver sample captures the complete
+        # key set (the common keyed-mutation / index-probe shape),
+        # partition sets, per-partition bounds, global bounds AND the
+        # duplicate-key guard are all pure functions of the collected
+        # tuples — deriving them driver-side folds the probe's two
+        # batch jobs into one (guide §1.2). Above the cap, or when the
+        # local derivation cannot prove byte-identity with the write
+        # path's partition expressions, the Spark aggregation runs
+        # exactly as before.
+        sel = list(key_cols) + ([dup_guard] if dup_guard is not None else [])
+        sample = kdf.select(*sel).limit(
+            self.PROBE_DRIVER_KEYS_MAX + 1
+        ).collect()
+        complete = len(sample) <= self.PROBE_DRIVER_KEYS_MAX
+        keys = [tuple(r)[:k] for r in sample] if complete else None
+        part_sets = bounds = None
+        if complete:
+            if dup_guard is not None:
+                bad = next(
+                    (r for r in sample if (r[dup_guard] or 0) > 1), None
+                )
+                if bad is not None:
+                    key = ",".join(key_cols)
+                    raise ValueError(
+                        f"merge_into source has duplicate merge key "
+                        f"{tuple(bad)[:-1]!r} (ON {key}); a key may match "
+                        "at most one source row — dedupe the batch first"
+                    )
+            part_sets = partition_value_sets_local(meta, key_cols, keys)
+            if part_sets is not None:
+                bounds = []
+                for i in range(k):
+                    vs = sorted(
+                        _norm(t[i]) for t in keys if t[i] is not None
+                    )
+                    bounds.append((vs[0], vs[-1]) if vs else (None, None))
+        if part_sets is None:
+            part_sets = partition_value_sets(meta, key_cols, kdf)
+            covered = {ps.key_index for ps in part_sets}
+        if bounds is not None:
+            pass
+        elif dup_guard is None and covered == set(range(k)):
             # every key column is a resolved partition source, so the
             # partition-value aggregation already saw every non-null
             # key: fold the global bounds from the per-partition
@@ -2345,14 +2385,6 @@ class Catalog:
         if all(lo is None for lo, _ in bounds):
             return None
         with_conds = meta.files_with_deletes()
-        sample = kdf.select(*key_cols).limit(
-            self.PROBE_DRIVER_KEYS_MAX + 1
-        ).collect()
-        keys = (
-            [tuple(r) for r in sample]
-            if len(sample) <= self.PROBE_DRIVER_KEYS_MAX
-            else None
-        )
         # pre-rename files key their stats/blooms under the old name
         names_per_col = [
             [c] + list(meta.rename_history.get(c, ())) for c in key_cols

@@ -181,6 +181,117 @@ def _pnames(meta, fld: PartitionField, col: str) -> list[str]:
     return names
 
 
+# int Spark types whose collected Python values truncate/str() exactly
+# like the write path's partition_expr
+_LOCAL_INT_TYPES = {"byte", "short", "integer", "long"}
+
+
+def partition_value_sets_local(
+    meta, key_cols: list[str], keys: list[tuple]
+) -> list[PartSet] | None:
+    """Driver-side twin of :func:`partition_value_sets` over an
+    already-collected COMPLETE key set: when the probe's driver sample
+    (``_files_overlapping_keys``) captured every key row, the
+    partition-value sets and per-partition bounds are pure functions
+    of those tuples — paying a second Spark aggregation job to compute
+    them is one fixed job cost per probe for nothing (guide §1.2).
+
+    Soundness gate: returns ``None`` (caller falls back to the Spark
+    aggregation) unless every derivation is provably byte-identical to
+    the write path's ``partition_expr``:
+
+    - every key value is a Python int or str (no bool) — collected
+      timestamps/decimals/floats have formatting/ordering subtleties
+      the Spark expressions own;
+    - ``bucket``: crc32 over ``str(v)`` utf-8 == Spark
+      ``crc32(cast(string) as binary)`` for int/string sources;
+    - ``truncate``: ``v - v % W`` == Spark ``pmod`` form for ints;
+      character prefixes only for all-ASCII strings (JVM substring
+      counts UTF-16 units, Python counts codepoints — they agree only
+      below U+10000, so any non-ASCII value falls back);
+    - ``identity``: same :data:`_IDENTITY_SAFE_TYPES` skip rule as the
+      Spark path (an unsafe-typed identity field prunes on neither);
+    - calendar transforms always fall back (session-timezone
+      formatting belongs to the engine).
+
+    Equivalence with the Spark path is pinned by
+    tests/test_keyprobe.py::test_local_partition_sets_match_spark.
+    """
+    from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
+
+    for t in keys:
+        for v in t:
+            if v is not None and (
+                isinstance(v, bool) or not isinstance(v, (int, str))
+            ):
+                return None
+    pfields = meta.all_partition_fields
+    if not pfields:
+        return []
+    types = {f.name: f.dataType.typeName() for f in meta.spark_schema.fields}
+    matches = [
+        (i, p)
+        for i, col in enumerate(key_cols)
+        for p in pfields
+        if p.source == col
+    ]
+    usable: list[tuple[int, PartitionField, Any]] = []
+    for i, fld in matches:
+        src_t = types.get(key_cols[i])
+        if fld.transform == "identity":
+            if src_t not in _IDENTITY_SAFE_TYPES:
+                continue  # same skip as the Spark path: never prunes
+            fn = str
+        elif fld.transform == "bucket":
+            if src_t not in ("byte", "short", "integer", "long", "string"):
+                return None
+            import zlib
+
+            fn = (
+                lambda v, n=fld.param: str(
+                    zlib.crc32(str(v).encode("utf-8")) % n
+                )
+            )
+        elif fld.transform == "truncate":
+            if src_t in _LOCAL_INT_TYPES:
+                fn = lambda v, w=fld.param: str(v - v % w)
+            elif src_t == "string":
+                if any(
+                    t[i] is not None and not t[i].isascii() for t in keys
+                ):
+                    return None
+                fn = lambda v, w=fld.param: str(v)[:w]
+            else:
+                return None
+        else:
+            return None  # calendar transforms: Spark owns the format
+        usable.append((i, fld, fn))
+    if not usable:
+        return []
+
+    out: list[PartSet] = []
+    for i, fld, fn in usable:
+        folded: dict[str, tuple] = {}
+        for t in keys:
+            v = t[i]
+            if v is None:
+                continue  # null keys land in the hive-null dir: no set
+            pv = fn(v)
+            prev = folded.get(pv)
+            if prev is None:
+                folded[pv] = (v, v)
+            else:
+                lo, hi = prev
+                folded[pv] = (v if v < lo else lo, v if v > hi else hi)
+        bounds = {
+            pv: (_norm(lo), _norm(hi)) for pv, (lo, hi) in folded.items()
+        }
+        out.append(
+            PartSet(i, _pnames(meta, fld, key_cols[i]), frozenset(folded), bounds)
+        )
+    return out
+
+
 def _per_field_sets(
     meta, key_cols: list[str], kdf: DataFrame, usable: list
 ) -> list[PartSet]:

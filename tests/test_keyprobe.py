@@ -676,3 +676,85 @@ def test_probe_bucket_grouping_matches_pure_reference(spark):
         if any(tuple_admits(t, specs) for t in set(rows))
     }
     assert got == expect
+
+
+def test_local_partition_sets_match_spark(spark, warehouse):
+    """partition_value_sets_local (the probe's zero-job driver-side
+    derivation over a complete key sample) must produce EXACTLY the
+    PartSets the Spark aggregation produces — same values, same
+    per-partition bounds, same pnames — for every transform/type it
+    accepts, and must refuse (return None) whenever byte-identity with
+    the write path's partition expressions is not provable."""
+    import random
+
+    from no_jvm_wap_with_iceberg_spark.catalog.keyprobe import (
+        partition_value_sets,
+        partition_value_sets_local,
+    )
+
+    rnd = random.Random(0xBEEF)
+    cat = Catalog(warehouse)
+
+    def assert_match(meta, key_cols, kdf):
+        keys = [tuple(r) for r in kdf.select(*key_cols).collect()]
+        local = partition_value_sets_local(meta, key_cols, keys)
+        assert local is not None
+        via_spark = partition_value_sets(meta, key_cols, kdf)
+        assert len(local) == len(via_spark)
+        for a, b in zip(local, via_spark):
+            assert a.key_index == b.key_index
+            assert a.pnames == b.pnames
+            assert a.values == b.values
+            assert a.bounds == b.bounds
+
+    # truncate(string) across an evolution (two eras), with nulls
+    df = _digest_df(spark, range(0, 60))
+    cat.create_table("lt", df.schema, partition_by=["truncate(2, fp)"])
+    cat.append(df, "lt")
+    cat.evolve_partition_spec("lt", ["truncate(4, fp)"])
+    kdf = _digest_df(spark, rnd.sample(range(0, 100), 30)).select(
+        "fp"
+    ).unionByName(spark.createDataFrame([(None,)], "fp string"))
+    assert_match(cat.load_table("lt"), ["fp"], kdf)
+
+    # bucket(long) + truncate(long) + identity(long), negative values
+    ids = [rnd.randint(-10_000, 10_000) for _ in range(200)] + [None]
+    iddf = spark.createDataFrame([(i,) for i in ids], "id long")
+    for spec in (["bucket(8, id)"], ["truncate(1000, id)"], ["id"]):
+        t = f"lt_{spec[0][:2]}{len(spec[0])}"
+        cat.create_table(t, iddf.schema, partition_by=spec)
+        assert_match(cat.load_table(t), ["id"], iddf)
+
+    # bucket(string) including non-ascii values (utf-8 crc is exact)
+    sdf = spark.createDataFrame(
+        [("héllo-ünïcode",), ("plain",), (None,), ("Ωmega",)], "s string"
+    )
+    cat.create_table("lbs", sdf.schema, partition_by=["bucket(4, s)"])
+    assert_match(cat.load_table("lbs"), ["s"], sdf)
+
+    # composite key over a bucketed band index shape
+    bdf = spark.createDataFrame(
+        [(rnd.randint(-(2**62), 2**62), rnd.randint(0, 50)) for _ in range(150)],
+        "band_hash long, doc_id long",
+    )
+    cat.create_table(
+        "lbb", bdf.schema, partition_by=["bucket(8, band_hash)"]
+    )
+    assert_match(cat.load_table("lbb"), ["band_hash", "doc_id"], bdf)
+
+    # refusals: non-ascii TRUNCATE strings, calendar transforms,
+    # non-int/str key values
+    meta_t = cat.load_table("lt")
+    assert partition_value_sets_local(meta_t, ["fp"], [("héllo",)]) is None
+    tdf = spark.createDataFrame(
+        [("2024-01-02 03:04:05",)], "ts string"
+    ).select(F.col("ts").cast("timestamp"))
+    cat.create_table("lcal", tdf.schema, partition_by=["day(ts)"])
+    import datetime
+
+    assert (
+        partition_value_sets_local(
+            cat.load_table("lcal"), ["ts"], [(datetime.datetime(2024, 1, 2),)]
+        )
+        is None
+    )
