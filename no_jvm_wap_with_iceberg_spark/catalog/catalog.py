@@ -1279,21 +1279,10 @@ class Catalog:
         table: str,
         layout_done: bool = False,
     ) -> list[FileEntry]:
+        from pyspark.sql import functions as F
+
         data_dir = new_data_dir(self.warehouse, table)
         writer = df
-        if layout_done:
-            # caller already clustered the rows (e.g. zorder rewrite);
-            # re-running the sort_by range shuffle would destroy it
-            pass
-        elif meta.sort_by:
-            # range-repartition THEN sort within partitions: files get
-            # disjoint (not merely tight) min/max ranges on the sort
-            # key, so a point/range predicate prunes to O(1) files
-            # instead of one-per-writer-task. Same layout Iceberg's
-            # write.distribution-mode=range produces.
-            writer = writer.repartitionByRange(
-                *meta.sort_by
-            ).sortWithinPartitions(*meta.sort_by)
         pfields = meta.partition_fields
         derived = [f for f in pfields if f.transform != "identity"]
         if derived:
@@ -1301,7 +1290,9 @@ class Catalog:
             # (executor-side, pure JVM exprs); partitionBy drops the
             # derived column from the data files, so the source column
             # stays in-file and the derived value lives only in the
-            # directory name + manifest
+            # directory name + manifest. Derived BEFORE the layout
+            # shuffle so a partitioned-and-sorted table can cluster on
+            # its own partition values below.
             from no_jvm_wap_with_iceberg_spark.catalog.transforms import (
                 partition_expr,
             )
@@ -1314,6 +1305,47 @@ class Catalog:
                 writer = writer.withColumn(
                     fld.name, partition_expr(fld, types[fld.source])
                 )
+        if layout_done:
+            # caller already clustered the rows (e.g. zorder rewrite);
+            # re-running the sort_by range shuffle would destroy it
+            pass
+        elif meta.sort_by and pfields:
+            # partitioned AND sorted (the dedup-index shape): cluster
+            # by the PARTITION VALUES, then sort each task by
+            # (partition value, sort key). One hash shuffle, no
+            # range-sampling pre-pass, and each touched partition is
+            # written by exactly one task — one sorted file per
+            # partition per append instead of tasks x partitions (a
+            # range shuffle on the sort key scatters across hash
+            # buckets: a bucket(N, key) append wrote up to N files
+            # PER writer task). Parallelism is bounded by the touched
+            # partition count, which the self-sizing index schedules
+            # grow with the data; 'range' clusters by (partition,
+            # sort key) for max write parallelism at the cost of the
+            # sampling pass, 'none' opts out of the shuffle entirely
+            # (per-trigger streaming appends).
+            mode = meta.properties.get("write.distribution-mode", "hash")
+            pcols = [F.col(f.name) for f in pfields]
+            sort_cols = [f.name for f in pfields] + [
+                c for c in meta.sort_by
+                if c not in {f.name for f in pfields}
+            ]
+            if mode == "range":
+                writer = writer.repartitionByRange(
+                    *pcols, *[F.col(c) for c in meta.sort_by]
+                )
+            elif mode != "none":
+                writer = writer.repartition(*pcols)
+            writer = writer.sortWithinPartitions(*sort_cols)
+        elif meta.sort_by:
+            # range-repartition THEN sort within partitions: files get
+            # disjoint (not merely tight) min/max ranges on the sort
+            # key, so a point/range predicate prunes to O(1) files
+            # instead of one-per-writer-task. Same layout Iceberg's
+            # write.distribution-mode=range produces.
+            writer = writer.repartitionByRange(
+                *meta.sort_by
+            ).sortWithinPartitions(*meta.sort_by)
         checks = sorted(
             (k[len("constraint."):], v)
             for k, v in meta.properties.items()

@@ -807,9 +807,14 @@ def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 20)
+    # the brute-force oracle is the expensive half (a broadcast cross
+    # join over the whole corpus + a window); cache its 20*k-row
+    # result ONCE — uncached it re-ran for every recall count (hit +
+    # total per method = four full brute-force passes, guide §5)
     exact = brute_force_topk(e, queries, k=5).select(
         "query_id", "neighbor_id"
-    )
+    ).cache()
+    total = exact.count()
 
     def recall_ok(approx: DataFrame, method: str) -> DataFrame:
         hit = exact.join(
@@ -817,7 +822,6 @@ def similarity_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["query_id", "neighbor_id"],
             "left_semi",
         ).count()
-        total = exact.count()
         return spark.createDataFrame(
             [(method, bool(hit >= RECALL_BOUND * total))],
             "method string, recall_ok boolean"
@@ -825,4 +829,7 @@ def similarity_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lsh = recall_ok(ann_lsh_topk(e, queries, k=5), "lsh")
     ivf = recall_ok(ann_ivf_topk(e, queries, k=5), "ivf")
+    # both rows are already-materialized literals; the oracle cache
+    # is dead weight past this point
+    exact.unpersist()
     return lsh.unionByName(ivf)
