@@ -2321,6 +2321,7 @@ class Catalog:
             file_survives,
             partition_value_sets,
             partition_value_sets_local,
+            probe_files_local,
             probe_files_spark,
         )
         from no_jvm_wap_with_iceberg_spark.catalog.pruning import _norm
@@ -2489,7 +2490,7 @@ class Catalog:
         ]
 
         affected: list[tuple[FileEntry, tuple[DeleteSpec, ...]]] = []
-        spark_cands: list[tuple[int, list]] = []  # (slot in affected, ev)
+        cands: list[tuple[int, list]] = []  # (slot in affected, ev)
         for f, specs in surviving:
             ev = evidence(f)
             if all(
@@ -2498,65 +2499,38 @@ class Catalog:
             ):
                 affected.append((f, specs))  # no evidence: keep
                 continue
-            if keys is not None:
-                # driver-side exact-tuple probe: range-slice each
-                # tuple BEFORE its bloom test so false positives don't
-                # compound with batch size
-                hit = False
-                for t in keys:
-                    ok = True
-                    for i, (mn, mx, b, bk) in enumerate(ev):
-                        v = _norm(t[i])
-                        if v is None:
-                            continue
-                        if bk is not None:
-                            from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
-                                _canon,
-                            )
-
-                            n_bk, pv = bk
-                            if (
-                                zlib.crc32(
-                                    str(_canon(t[i])).encode("utf-8")
-                                )
-                                % n_bk
-                                != pv
-                            ):
-                                ok = False
-                                break
-                        try:
-                            if mn is not None and mx is not None and not (
-                                mn <= v <= mx
-                            ):
-                                ok = False
-                                break
-                        except TypeError:
-                            pass
-                        if b is not None and not bloom_may_contain(b, t[i]):
-                            ok = False
-                            break
-                    if ok:
-                        hit = True
-                        break
-                if hit:
-                    affected.append((f, specs))
-            else:
-                spark_cands.append((len(affected), ev))
-                affected.append((f, specs))  # placeholder; filtered below
-        if keys is None and spark_cands:
-            admitted = probe_files_spark(
-                kdf, key_cols, [(j, ev) for j, ev in spark_cands]
+            cands.append((len(affected), ev))
+            affected.append((f, specs))  # placeholder; filtered below
+        if cands:
+            # layer 3, exact tuples vs per-file evidence: ONE
+            # vectorized kernel (keyprobe._probe_batches) either
+            # driver-side over the complete collected sample — no
+            # Spark job, tens of ms up to the sample cap — or
+            # executor-side above it. Same kernel, same admit set
+            # (pinned by the randomized reference test); the old
+            # per-tuple Python loop this replaces was the reason the
+            # driver cap sat at 10k keys.
+            admitted = (
+                probe_files_local(keys, [(j, ev) for j, ev in cands])
+                if keys is not None
+                else probe_files_spark(
+                    kdf, key_cols, [(j, ev) for j, ev in cands]
+                )
             )
-            drop = {j for j, _ev in spark_cands if j not in admitted}
+            drop = {j for j, _ev in cands if j not in admitted}
             affected = [
                 pair for j, pair in enumerate(affected) if j not in drop
             ]
         return affected
 
-    # driver-side exact-tuple probe cap: batches sampling above this
-    # many rows probe executor-side (keyprobe.probe_files_spark) —
-    # never skip blooms, never collect the key set to the driver
-    PROBE_DRIVER_KEYS_MAX = 10_000
+    # driver-side probe cap: batches sampling above this many rows
+    # probe executor-side (keyprobe.probe_files_spark) — never skip
+    # blooms, never collect an unbounded key set to the driver. The
+    # vectorized local kernel holds ~100k keys in a few MB and probes
+    # them in tens of ms; raise/lower via env for unusual drivers.
+    PROBE_DRIVER_KEYS_MAX = int(
+        os.environ.get("SPARK_GRAFT_PROBE_DRIVER_KEYS_MAX", "100000")
+    )
 
     def _write_key_files(self, kdf: DataFrame, table: str) -> list[str]:
         """Persist a distinct key set as Iceberg-style equality-delete
@@ -2715,11 +2689,32 @@ class Catalog:
         if write_partitions is not None:
             ups = ups.coalesce(write_partitions)
             kdf = kdf.coalesce(write_partitions)
-        new_files = self._write_files(ups, meta0, table)
-        key_files = self._write_key_files(kdf, table)
+        # insert files and the key-set parquet are independent jobs
+        # over the same source: submit them from two driver threads so
+        # the second write backfills the first's task tail (guide
+        # §2.6) instead of paying two serialized write walls
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_new = _pool.submit(self._write_files, ups, meta0, table)
+            _f_keys = _pool.submit(self._write_key_files, kdf, table)
+            new_files = _f_new.result()
+            key_files = _f_keys.result()
+        # probe with the key set READ BACK from the just-written
+        # parquet, not the live kdf plan: the probe's sample/aggregate
+        # jobs then scan one tiny file instead of re-running the whole
+        # source subtree (and a commit retry re-probes without
+        # recomputing the batch either)
+        kdf_probe = (
+            df.sparkSession.read.parquet(
+                *[os.path.join(self.warehouse, p) for p in key_files]
+            )
+            if key_files
+            else kdf
+        )
 
         def build(meta: TableMetadata):
-            affected = self._files_overlapping_keys(meta, key_cols, kdf)
+            affected = self._files_overlapping_keys(meta, key_cols, kdf_probe)
             if not affected and sum(f.rows for f in new_files) == 0:
                 return None, ""  # empty batch touching nothing
             deletes = (
@@ -2985,12 +2980,40 @@ class Catalog:
             if write_partitions is not None:
                 ups = ups.coalesce(write_partitions)
                 changed_keys = changed_keys.coalesce(write_partitions)
-            new_files = self._write_files(ups, meta0, table)
-            has_changed = changed_keys.limit(1).count() > 0
-            key_files = (
-                self._write_key_files(changed_keys, table)
-                if has_changed
-                else []
+            # write insert files and the changed-key parquet from two
+            # driver threads (guide §2.6: one write wall, not two).
+            # has_changed is read off the written key files' footers —
+            # the former standalone limit(1).count() re-ran the whole
+            # source-join subtree a third time for one boolean.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as _pool:
+                _f_new = _pool.submit(self._write_files, ups, meta0, table)
+                _f_keys = _pool.submit(
+                    self._write_key_files, changed_keys, table
+                )
+                new_files = _f_new.result()
+                key_files = _f_keys.result()
+            import pyarrow.parquet as _pq
+
+            has_changed = any(
+                _pq.ParquetFile(
+                    os.path.join(self.warehouse, p)
+                ).metadata.num_rows
+                > 0
+                for p in key_files
+            )
+            if not has_changed:
+                key_files = []
+            # probe with the key set read back from the written parquet
+            # (one tiny scan; the live changed_keys plan would re-run
+            # the source-join subtree per probe job)
+            keys_probe = (
+                spark.read.parquet(
+                    *[os.path.join(self.warehouse, p) for p in key_files]
+                )
+                if key_files
+                else None
             )
 
             def build(meta: TableMetadata):
@@ -3005,7 +3028,7 @@ class Catalog:
                 deletes = []
                 if has_changed:
                     affected = self._files_overlapping_keys(
-                        meta, key_cols, changed_keys
+                        meta, key_cols, keys_probe
                     )
                     if affected:
                         deletes = [
@@ -3078,13 +3101,26 @@ class Catalog:
         key_cols = [key] if isinstance(key, str) else list(key)
         key = ",".join(key_cols)
         kdf = keys_df.select(*key_cols).distinct()
+        # MoR: write the key parquet ONCE before the commit loop (a
+        # CAS retry used to rewrite it) and probe from the written
+        # file — the probe's jobs then scan one tiny parquet instead
+        # of re-running the caller's key plan. If nothing overlaps,
+        # the unreferenced key file is ordinary orphan debris for the
+        # maintenance grace window.
+        key_files = self._write_key_files(kdf, table) if mode == "mor" else []
+        kdf_probe = (
+            keys_df.sparkSession.read.parquet(
+                *[os.path.join(self.warehouse, p) for p in key_files]
+            )
+            if key_files
+            else kdf
+        )
 
         def build(meta: TableMetadata):
-            affected = self._files_overlapping_keys(meta, key_cols, kdf)
+            affected = self._files_overlapping_keys(meta, key_cols, kdf_probe)
             if not affected:
                 return None, ""  # empty key set or nothing overlaps
             if mode == "mor":
-                key_files = self._write_key_files(kdf, table)
                 return (
                     meta.with_new_snapshot(
                         [],

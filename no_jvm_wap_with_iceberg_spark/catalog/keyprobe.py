@@ -450,16 +450,6 @@ def probe_files_spark(
     n_cols = len(key_cols)
 
     def probe(batches: Iterator) -> Iterator:
-        import zlib
-
-        import numpy as np
-        import pandas as pd
-
-        from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
-            _canon,
-            _hashes as bloom_hashes,
-        )
-
         cand = [
             (
                 j,
@@ -470,241 +460,7 @@ def probe_files_spark(
             )
             for j, cols in bc.value
         ]
-        has_bucket = any(
-            c[3] is not None for _j, cols in cand for c in cols
-        )
-        pos_cache: dict[Any, list[int]] = {}
-
-        def admits(bits: bytes, v: Any) -> bool:
-            try:
-                pos = pos_cache[v]
-            except (KeyError, TypeError):
-                pos = bloom_hashes(v)
-                try:
-                    pos_cache[v] = pos
-                except TypeError:
-                    pass
-            return all(bits[p // 8] & (1 << (p % 8)) for p in pos)
-
-        admitted: set[int] = set()
-
-        def single_sorted_chunk(v) -> bool:
-            """Sorted-keys fast path for one chunk of a single string
-            or numeric key column (digests; band hashes; integer-id
-            upserts). False when the chunk's dtype defeats a total
-            sort order — the caller falls back to the general masks
-            below, which this path must match admit-for-admit."""
-            if len(v) == 0:
-                # a zero-row chunk carries no keys: admit nothing,
-                # matching the general path (mask.any() is False on an
-                # empty chunk) — without this, evidence-free candidates
-                # (no bounds, no bloom) would over-admit (ADVICE r8)
-                return True
-            if v.isna().any():
-                # a null key carries no evidence against any file: the
-                # general path's range mask includes nulls and its
-                # bloom tests skip them, so it admits everything
-                admitted.update(j for j, _ in cand)
-                return True
-            vals = v.to_numpy()
-            if vals.dtype == object:
-                if any(type(x) is not str for x in vals):
-                    return False
-                want = str
-            elif vals.dtype.kind in "iuf":
-                want = (int, float)  # bool included (int subclass)
-            else:
-                return False
-            vs = np.sort(vals)
-            nv = len(vs)
-            for j, specs in cand:
-                if j in admitted:
-                    continue
-                mn, mx, bb, _bk = specs[0]
-                span = None
-                if isinstance(mn, want) and isinstance(mx, want):
-                    try:
-                        lo = int(np.searchsorted(vs, mn, side="left"))
-                        if lo >= nv or vs[lo] > mx:
-                            continue  # no key inside [min, max]
-                        if bb is None:
-                            admitted.add(j)
-                            continue
-                        hi = int(np.searchsorted(vs, mx, side="right"))
-                        span = vs[lo:hi]
-                    except (OverflowError, TypeError):
-                        span = None  # out-of-dtype bound: conservative
-                if span is None:
-                    # absent/incomparable bounds: range passes every
-                    # key (the general path's conservative mask)
-                    if bb is None:
-                        admitted.add(j)
-                        continue
-                    span = vs
-                for x in span:
-                    # blooms hash python natives (_canon) — unwrap
-                    # numpy scalars before probing/caching
-                    if admits(bb, x.item() if hasattr(x, "item") else x):
-                        admitted.add(j)
-                        break
-            return True
-
-        for pdf in batches:
-            if len(admitted) == len(cand):
-                break
-            # the sorted-keys fast path has no bucket-identity check;
-            # bucket evidence (rare: composite band deletes) takes the
-            # general masks so the new constraint is never dropped
-            if (
-                n_cols == 1
-                and not has_bucket
-                and single_sorted_chunk(pdf.iloc[:, 0])
-            ):
-                yield pd.DataFrame({"j": sorted(admitted)})
-                continue
-            cols = [pdf.iloc[:, i] for i in range(n_cols)]
-            nulls = [s.isna() for s in cols]
-            # numpy views of the chunk: the candidate loop below runs
-            # per FILE (up to the whole manifest census for scatter
-            # regimes like composite band deletes), so per-candidate
-            # work must be numpy-array ops (~µs), not pandas Series
-            # allocations (~50 µs each) — measured 25-60× on the
-            # 300k-candidate soak (tools/soak_forget_manifest.py)
-            vals_np = [s.to_numpy() for s in cols]
-            nulls_np = [s.to_numpy() for s in nulls]
-            py_cols: list[list[Any] | None] = [None] * n_cols
-            all_rows = np.arange(len(pdf))
-            # per-chunk caches, shared by every candidate of the same
-            # table era: the crc32-bucket array per (column, N), its
-            # bucket-sorted row index (so a candidate's tuple set is
-            # ITS bucket's rows — O(rows/N) — not the whole chunk),
-            # and each column's null-row indices (a null key carries
-            # no evidence, so null rows ride along with every bucket)
-            bcache: dict[tuple[int, int], Any] = {}
-            scache: dict[tuple[int, int], Any] = {}
-            null_rows: list[Any] = [None] * n_cols
-
-            def bucket_arr(i: int, n: int):
-                arr = bcache.get((i, n))
-                if arr is None:
-                    # _canon folds the integral floats a NULLABLE int
-                    # column becomes in pandas back onto ints — the
-                    # file's partition value hashed "5", and
-                    # crc32("5.0") would cross-bucket-reject every
-                    # true hit (caught by the randomized reference
-                    # test; same canonicalization the blooms use)
-                    arr = np.array(
-                        [
-                            -1
-                            if pd.isna(v)
-                            else zlib.crc32(
-                                str(
-                                    _canon(
-                                        v.item()
-                                        if hasattr(v, "item")
-                                        else v
-                                    )
-                                ).encode("utf-8")
-                            )
-                            % n
-                            for v in cols[i]
-                        ],
-                        dtype=np.int64,
-                    )
-                    bcache[(i, n)] = arr
-                return arr
-
-            def rows_for_bucket(i: int, n: int, pv: int):
-                """Row indices whose column-i value hashes to bucket
-                pv, plus the column's null rows — two searchsorted
-                probes against a once-per-(column, N) sorted index.
-                Turns the 300k-candidate composite-delete probe from
-                O(candidates × chunk) into O(candidates × rows/N)
-                (soak-measured, tools/soak_forget_manifest.py)."""
-                key = (i, n)
-                srt = scache.get(key)
-                if srt is None:
-                    barr = bucket_arr(i, n)
-                    order = np.argsort(barr, kind="stable")
-                    srt = (barr[order], order)
-                    scache[key] = srt
-                sb, order = srt
-                lo = int(np.searchsorted(sb, pv, side="left"))
-                hi = int(np.searchsorted(sb, pv, side="right"))
-                rows = order[lo:hi]
-                if null_rows[i] is None:
-                    null_rows[i] = nulls_np[i].nonzero()[0]
-                if null_rows[i].size:
-                    rows = np.concatenate([rows, null_rows[i]])
-                return rows
-
-            for j, specs in cand:
-                if j in admitted:
-                    continue
-                # start from the first bucket-evidenced column's own
-                # rows when there is one; the whole chunk otherwise —
-                # all remaining evidence then filters the SUBSET
-                b_i = next(
-                    (i for i, s in enumerate(specs) if s[3] is not None),
-                    None,
-                )
-                if b_i is not None:
-                    n_bk, pv = specs[b_i][3]
-                    rows = rows_for_bucket(b_i, n_bk, pv)
-                else:
-                    rows = all_rows
-                if rows.size == 0:
-                    continue
-                for i, (mn, mx, _bb, bk) in enumerate(specs):
-                    if bk is not None and i != b_i:
-                        n2, pv2 = bk
-                        keep = (bucket_arr(i, n2)[rows] == pv2) | nulls_np[
-                            i
-                        ][rows]
-                        rows = rows[keep]
-                        if rows.size == 0:
-                            break
-                    if mn is None or mx is None:
-                        continue
-                    try:
-                        v = vals_np[i][rows]
-                        rng = (v >= mn) & (v <= mx)
-                    except Exception:
-                        # numpy balks at some mixed/object comparisons
-                        # pandas handles; fall back before giving up
-                        try:
-                            rng = (
-                                cols[i].iloc[rows].between(mn, mx).to_numpy()
-                            )
-                        except TypeError:
-                            continue  # incomparable -> conservative
-                    rows = rows[rng | nulls_np[i][rows]]
-                    if rows.size == 0:
-                        break
-                if rows.size == 0:
-                    continue
-                if all(bb is None for _mn, _mx, bb, _bk in specs):
-                    admitted.add(j)
-                    continue
-                for r in rows:
-                    ok = True
-                    for i, (_mn, _mx, bb, _bk) in enumerate(specs):
-                        if bb is None or bool(nulls_np[i][r]):
-                            continue
-                        if py_cols[i] is None:
-                            # numpy scalars repr differently than the
-                            # python natives the blooms were built from
-                            py_cols[i] = [
-                                v.item() if hasattr(v, "item") else v
-                                for v in cols[i]
-                            ]
-                        if not admits(bb, py_cols[i][r]):
-                            ok = False
-                            break
-                    if ok:
-                        admitted.add(j)
-                        break
-            yield pd.DataFrame({"j": sorted(admitted)})
+        yield from _probe_batches(batches, cand, n_cols)
 
     hits = (
         kdf.select(*key_cols)
@@ -714,3 +470,294 @@ def probe_files_spark(
         .collect()
     )
     return {r["j"] for r in hits}
+
+
+def probe_files_local(
+    keys: list[tuple],
+    candidates: list[tuple[int, list[tuple[Any, Any, str | None]]]],
+) -> set[int]:
+    """Driver-side twin of :func:`probe_files_spark` over an
+    already-collected complete key set: the same vectorized kernel
+    (:func:`_probe_batches` — bit-for-bit the executor path, pinned by
+    the randomized reference test) over one in-memory chunk, with no
+    Spark job. The caller bounds ``len(keys)`` by the driver sample
+    cap; the kernel is O((keys + candidates) log keys) for the single
+    sorted-key hot path and numpy-vectorized otherwise, so ~100k keys
+    probe in tens of milliseconds."""
+    import pandas as pd
+
+    cand = [
+        (
+            j,
+            [
+                (
+                    c[0],
+                    c[1],
+                    bytes.fromhex(c[2]) if c[2] else None,
+                    c[3] if len(c) > 3 else None,
+                )
+                for c in cols
+            ],
+        )
+        for j, cols in candidates
+    ]
+    n_cols = len(keys[0]) if keys else 0
+    pdf = pd.DataFrame(
+        {i: [t[i] for t in keys] for i in range(n_cols)}
+    )
+    out: set[int] = set()
+    for res in _probe_batches([pdf], cand, n_cols):
+        out.update(int(j) for j in res["j"])
+    return out
+
+
+def _probe_batches(batches, cand, n_cols):
+    """The probe kernel shared by the executor (mapInPandas) and
+    driver (:func:`probe_files_local`) paths: yields one ``{"j": ...}``
+    frame of admitted candidate indices per incoming chunk.
+    ``cand`` carries decoded bloom bytes."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from no_jvm_wap_with_iceberg_spark.catalog.bloom import (
+        _canon,
+        _hashes as bloom_hashes,
+    )
+
+    has_bucket = any(
+        c[3] is not None for _j, cols in cand for c in cols
+    )
+    pos_cache: dict[Any, list[int]] = {}
+
+    def admits(bits: bytes, v: Any) -> bool:
+        try:
+            pos = pos_cache[v]
+        except (KeyError, TypeError):
+            pos = bloom_hashes(v)
+            try:
+                pos_cache[v] = pos
+            except TypeError:
+                pass
+        return all(bits[p // 8] & (1 << (p % 8)) for p in pos)
+
+    admitted: set[int] = set()
+
+    def single_sorted_chunk(v) -> bool:
+        """Sorted-keys fast path for one chunk of a single string
+        or numeric key column (digests; band hashes; integer-id
+        upserts). False when the chunk's dtype defeats a total
+        sort order — the caller falls back to the general masks
+        below, which this path must match admit-for-admit."""
+        if len(v) == 0:
+            # a zero-row chunk carries no keys: admit nothing,
+            # matching the general path (mask.any() is False on an
+            # empty chunk) — without this, evidence-free candidates
+            # (no bounds, no bloom) would over-admit (ADVICE r8)
+            return True
+        if v.isna().any():
+            # a null key carries no evidence against any file: the
+            # general path's range mask includes nulls and its
+            # bloom tests skip them, so it admits everything
+            admitted.update(j for j, _ in cand)
+            return True
+        vals = v.to_numpy()
+        if vals.dtype == object:
+            if any(type(x) is not str for x in vals):
+                return False
+            want = str
+        elif vals.dtype.kind in "iuf":
+            want = (int, float)  # bool included (int subclass)
+        else:
+            return False
+        vs = np.sort(vals)
+        nv = len(vs)
+        for j, specs in cand:
+            if j in admitted:
+                continue
+            mn, mx, bb, _bk = specs[0]
+            span = None
+            if isinstance(mn, want) and isinstance(mx, want):
+                try:
+                    lo = int(np.searchsorted(vs, mn, side="left"))
+                    if lo >= nv or vs[lo] > mx:
+                        continue  # no key inside [min, max]
+                    if bb is None:
+                        admitted.add(j)
+                        continue
+                    hi = int(np.searchsorted(vs, mx, side="right"))
+                    span = vs[lo:hi]
+                except (OverflowError, TypeError):
+                    span = None  # out-of-dtype bound: conservative
+            if span is None:
+                # absent/incomparable bounds: range passes every
+                # key (the general path's conservative mask)
+                if bb is None:
+                    admitted.add(j)
+                    continue
+                span = vs
+            for x in span:
+                # blooms hash python natives (_canon) — unwrap
+                # numpy scalars before probing/caching
+                if admits(bb, x.item() if hasattr(x, "item") else x):
+                    admitted.add(j)
+                    break
+        return True
+
+    for pdf in batches:
+        if len(admitted) == len(cand):
+            break
+        # the sorted-keys fast path has no bucket-identity check;
+        # bucket evidence (rare: composite band deletes) takes the
+        # general masks so the new constraint is never dropped
+        if (
+            n_cols == 1
+            and not has_bucket
+            and single_sorted_chunk(pdf.iloc[:, 0])
+        ):
+            yield pd.DataFrame({"j": sorted(admitted)})
+            continue
+        cols = [pdf.iloc[:, i] for i in range(n_cols)]
+        nulls = [s.isna() for s in cols]
+        # numpy views of the chunk: the candidate loop below runs
+        # per FILE (up to the whole manifest census for scatter
+        # regimes like composite band deletes), so per-candidate
+        # work must be numpy-array ops (~µs), not pandas Series
+        # allocations (~50 µs each) — measured 25-60× on the
+        # 300k-candidate soak (tools/soak_forget_manifest.py)
+        vals_np = [s.to_numpy() for s in cols]
+        nulls_np = [s.to_numpy() for s in nulls]
+        py_cols: list[list[Any] | None] = [None] * n_cols
+        all_rows = np.arange(len(pdf))
+        # per-chunk caches, shared by every candidate of the same
+        # table era: the crc32-bucket array per (column, N), its
+        # bucket-sorted row index (so a candidate's tuple set is
+        # ITS bucket's rows — O(rows/N) — not the whole chunk),
+        # and each column's null-row indices (a null key carries
+        # no evidence, so null rows ride along with every bucket)
+        bcache: dict[tuple[int, int], Any] = {}
+        scache: dict[tuple[int, int], Any] = {}
+        null_rows: list[Any] = [None] * n_cols
+
+        def bucket_arr(i: int, n: int):
+            arr = bcache.get((i, n))
+            if arr is None:
+                # _canon folds the integral floats a NULLABLE int
+                # column becomes in pandas back onto ints — the
+                # file's partition value hashed "5", and
+                # crc32("5.0") would cross-bucket-reject every
+                # true hit (caught by the randomized reference
+                # test; same canonicalization the blooms use)
+                arr = np.array(
+                    [
+                        -1
+                        if pd.isna(v)
+                        else zlib.crc32(
+                            str(
+                                _canon(
+                                    v.item()
+                                    if hasattr(v, "item")
+                                    else v
+                                )
+                            ).encode("utf-8")
+                        )
+                        % n
+                        for v in cols[i]
+                    ],
+                    dtype=np.int64,
+                )
+                bcache[(i, n)] = arr
+            return arr
+
+        def rows_for_bucket(i: int, n: int, pv: int):
+            """Row indices whose column-i value hashes to bucket
+            pv, plus the column's null rows — two searchsorted
+            probes against a once-per-(column, N) sorted index.
+            Turns the 300k-candidate composite-delete probe from
+            O(candidates × chunk) into O(candidates × rows/N)
+            (soak-measured, tools/soak_forget_manifest.py)."""
+            key = (i, n)
+            srt = scache.get(key)
+            if srt is None:
+                barr = bucket_arr(i, n)
+                order = np.argsort(barr, kind="stable")
+                srt = (barr[order], order)
+                scache[key] = srt
+            sb, order = srt
+            lo = int(np.searchsorted(sb, pv, side="left"))
+            hi = int(np.searchsorted(sb, pv, side="right"))
+            rows = order[lo:hi]
+            if null_rows[i] is None:
+                null_rows[i] = nulls_np[i].nonzero()[0]
+            if null_rows[i].size:
+                rows = np.concatenate([rows, null_rows[i]])
+            return rows
+
+        for j, specs in cand:
+            if j in admitted:
+                continue
+            # start from the first bucket-evidenced column's own
+            # rows when there is one; the whole chunk otherwise —
+            # all remaining evidence then filters the SUBSET
+            b_i = next(
+                (i for i, s in enumerate(specs) if s[3] is not None),
+                None,
+            )
+            if b_i is not None:
+                n_bk, pv = specs[b_i][3]
+                rows = rows_for_bucket(b_i, n_bk, pv)
+            else:
+                rows = all_rows
+            if rows.size == 0:
+                continue
+            for i, (mn, mx, _bb, bk) in enumerate(specs):
+                if bk is not None and i != b_i:
+                    n2, pv2 = bk
+                    keep = (bucket_arr(i, n2)[rows] == pv2) | nulls_np[
+                        i
+                    ][rows]
+                    rows = rows[keep]
+                    if rows.size == 0:
+                        break
+                if mn is None or mx is None:
+                    continue
+                try:
+                    v = vals_np[i][rows]
+                    rng = (v >= mn) & (v <= mx)
+                except Exception:
+                    # numpy balks at some mixed/object comparisons
+                    # pandas handles; fall back before giving up
+                    try:
+                        rng = (
+                            cols[i].iloc[rows].between(mn, mx).to_numpy()
+                        )
+                    except TypeError:
+                        continue  # incomparable -> conservative
+                rows = rows[rng | nulls_np[i][rows]]
+                if rows.size == 0:
+                    break
+            if rows.size == 0:
+                continue
+            if all(bb is None for _mn, _mx, bb, _bk in specs):
+                admitted.add(j)
+                continue
+            for r in rows:
+                ok = True
+                for i, (_mn, _mx, bb, _bk) in enumerate(specs):
+                    if bb is None or bool(nulls_np[i][r]):
+                        continue
+                    if py_cols[i] is None:
+                        # numpy scalars repr differently than the
+                        # python natives the blooms were built from
+                        py_cols[i] = [
+                            v.item() if hasattr(v, "item") else v
+                            for v in cols[i]
+                        ]
+                    if not admits(bb, py_cols[i][r]):
+                        ok = False
+                        break
+                if ok:
+                    admitted.add(j)
+                    break
+        yield pd.DataFrame({"j": sorted(admitted)})
