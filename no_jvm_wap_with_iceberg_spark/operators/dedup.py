@@ -669,7 +669,12 @@ def dedup_simhash_agreement_gate(
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = d.count()
-    fp = simhash64(d, "doc_id", "text")
+    # cache the simhash fingerprints: they feed BOTH sides of BOTH
+    # cohort joins, and uncached the Arrow-UDF hashing pass over every
+    # document ran four times (guide §5 — reused and expensive to
+    # recompute; same internal-cache convention as
+    # minhash_candidate_pairs' signature table)
+    fp = simhash64(d, "doc_id", "text").cache()
     a = fp.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"))
     b = fp.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"))
 
@@ -762,10 +767,13 @@ def connected_components(
     prev_sig = None
     for _ in range(max_iters):
         rounds += 1
-        # large-star needs the symmetric view; small-star the directed
+        # large-star needs the symmetric view; small-star the directed.
+        # No distinct here: duplicate edges don't change the groupBy
+        # min, and each star pass already ends in .distinct() — the
+        # old one cost an extra full shuffle per round for nothing
         sym = adj if rounds == 1 else adj.unionByName(
             adj.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
         new = star(star(sym, large=True), large=False).localCheckpoint(
             eager=True
         )
