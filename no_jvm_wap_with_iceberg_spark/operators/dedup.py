@@ -768,12 +768,16 @@ def connected_components(
     for _ in range(max_iters):
         rounds += 1
         # large-star needs the symmetric view; small-star the directed.
-        # No distinct here: duplicate edges don't change the groupBy
-        # min, and each star pass already ends in .distinct() — the
-        # old one cost an extra full shuffle per round for nothing
+        # The distinct looks redundant (adj is directed child->parent,
+        # so the union carries no duplicate rows, and the groupBy-min
+        # ignores duplicates anyway) but REMOVING it measured ~0.5 s
+        # SLOWER at sf0.1 in paired A/B runs both orderings (medians
+        # 3.98 vs 4.93 and 3.47 vs 4.06): the materializing exchange
+        # is reused by both consumers of each star pass and feeds AQE
+        # accurate sizes. Kept on measurement (guide §1.1).
         sym = adj if rounds == 1 else adj.unionByName(
             adj.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        ).distinct()
         new = star(star(sym, large=True), large=False).localCheckpoint(
             eager=True
         )
