@@ -230,13 +230,19 @@ def test_publish_conflict_reruns_wap_on_fresh_branch(spark, warehouse):
 
 
 def test_blooms_built_by_executors_not_driver(spark, warehouse, monkeypatch):
-    """Bloom construction must not read column data on the driver."""
+    """ABOVE the small-write threshold, bloom construction must not
+    read column data on the driver — the 100 TB path. (Writes under
+    ``LOCAL_BLOOM_MAX_BYTES`` deliberately read the page-cache-hot
+    files back locally instead of paying a Spark job; forcing the
+    threshold to 0 makes this tiny append take the same distributed
+    path any real large append takes.)"""
     import pyarrow.parquet as pq
     import no_jvm_wap_with_iceberg_spark.catalog.table as table_mod
 
     def forbid_read(*a, **k):
         raise AssertionError("driver-side pq.read_table in bloom build")
 
+    monkeypatch.setattr(table_mod, "LOCAL_BLOOM_MAX_BYTES", 0)
     monkeypatch.setattr(table_mod.pq, "read_table", forbid_read)
     cat = Catalog(warehouse)
     cat.create_table("t", SCHEMA, bloom_cols=["name"])
@@ -252,6 +258,30 @@ def test_blooms_built_by_executors_not_driver(spark, warehouse, monkeypatch):
     assert all(
         not bloom_may_contain(f.blooms["name"], "nope_xyz") for f in files
     )
+
+
+def test_local_and_distributed_bloom_builds_are_bit_identical(
+    spark, warehouse, monkeypatch
+):
+    """The small-write local bloom path must be an OPTIMIZATION, not a
+    semantic fork: the filters it attaches are byte-identical to the
+    ones the distributed build produces for the same files."""
+    import no_jvm_wap_with_iceberg_spark.catalog.table as table_mod
+
+    rows = [(i, f"val_{i}" if i % 7 else None) for i in range(500)]
+
+    def build(th: int, name: str) -> list[str]:
+        monkeypatch.setattr(table_mod, "LOCAL_BLOOM_MAX_BYTES", th)
+        cat = Catalog(warehouse + f"/{name}")
+        cat.create_table("t", SCHEMA, bloom_cols=["name"])
+        cat.append(spark.createDataFrame(rows, SCHEMA), "t")
+        return sorted(
+            f.blooms["name"] for f in cat.load_table("t").files()
+        )
+
+    local = build(1 << 40, "local")  # everything under threshold
+    dist = build(0, "dist")  # everything above → executor build
+    assert local and local == dist
 
 
 def test_ivf_training_sample_is_bounded(spark):
