@@ -128,6 +128,47 @@ def _hint_small(df: DataFrame, n_rows: int | None) -> DataFrame:
     return df
 
 
+def _overlap(*thunks):
+    """Run independent cache-materializing actions in sibling driver
+    threads so Spark schedules their jobs concurrently and the shorter
+    job's wall hides inside the longer's (guide §2.6: actions are only
+    sequential because driver code calls them sequentially).
+    InheritableThread, not a plain pool thread, so a caller's
+    job-group / cancellation scope reaches the jobs — same rationale
+    as ``append_many``'s write threads. Returns the thunks' results in
+    order; on failure raises the lowest-index failure with the others
+    attached as notes (deterministic, information-preserving)."""
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    failures: dict[int, BaseException] = {}
+
+    def run(i: int, fn) -> None:
+        try:
+            results[i] = fn()
+        except BaseException as exc:  # surfaced after join
+            failures[i] = exc
+
+    threads = [
+        InheritableThread(target=run, args=(i, fn))
+        for i, fn in enumerate(thunks)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if failures:
+        order = sorted(failures)
+        primary = failures[order[0]]
+        for i in order[1:]:
+            primary.add_note(
+                f"also failed: overlapped action {i}: "
+                f"{type(failures[i]).__name__}: {failures[i]}"
+            )
+        raise primary
+    return results
+
+
 def _target_width(n_digests: int) -> int:
     for threshold, width in INDEX_WIDTH_SCHEDULE:
         if n_digests >= threshold:
@@ -329,15 +370,18 @@ def dedup_ingest(
     unique_batch = fp_batch.join(
         firsts, on=["_fp", key_col], how="left_semi"
     ).cache()
-    # both batch counts in ONE aggregation job (guide §1.2): the old
-    # shape paid a standalone source-scan count plus a second job that
-    # counted (and cache-filled) unique_batch; the distinct-digest
-    # count IS the keep-first survivor count (one min-key row per
-    # digest — ids are unique per the pipeline contract), and the
-    # probe's own first job fills unique_batch's cache instead
-    rows_in, n_unique = fp_batch.agg(
-        F.count(F.lit(1)), F.count_distinct("_fp")
-    ).first()
+    # the distinct-digest count IS the keep-first survivor count (one
+    # min-key row per digest — ids are unique per the pipeline
+    # contract), so counting the cached unique_batch both materializes
+    # the cache every later consumer reuses (probe sample, seen
+    # anti-join, both appends) AND replaces the former
+    # count_distinct("_fp") aggregation — whose full sha256 pass over
+    # the source was the one redundant digest scan in the cycle (guide
+    # §1.2). rows_in needs only a digest-free pruned source count; the
+    # two jobs are independent, so they run in sibling driver threads
+    # and the cheap count's wall hides inside the cache fill's
+    # (guide §2.6).
+    rows_in, n_unique = _overlap(batch.count, unique_batch.count)
 
     cat.create_table(docs_table, batch.schema, branch, if_not_exists=True)
     idx_schema = (
@@ -712,35 +756,59 @@ def near_dedup_ingest(
                     stacklevel=2,
                 )
 
+    # the probe key set is a property of the BATCH, not of the
+    # attempt: byte-identical copies carry byte-identical band hashes,
+    # so the distinct band set of `sigs` EQUALS `sigs_u`'s and is a
+    # SUPERSET of the survivors' — and a superset probe is
+    # conservative-correct, because exactness comes from the `cross`
+    # join on the survivors' ACTUAL bands below (an extra admitted
+    # index row simply finds no partner there). Deriving it from
+    # `sigs` instead of `surv` (a) decouples the probe from the
+    # in-batch self-join+verify pass, so the two heavy jobs run in
+    # sibling driver threads and the probe's wall hides inside the
+    # in-batch pass's (guide §2.6 — the threads contend only on the
+    # shared minhash cache fill, which Spark's block locks serialize
+    # without recomputation), and (b) makes the key set
+    # loop-invariant, so a CommitConflict retry re-checks file overlap
+    # against the fresh head without recomputing it. CAS pinning is
+    # unchanged: `head` is still captured before any file metadata is
+    # read, and the publish validates against it.
+    probe = (
+        sigs.select(F.explode("_bh").alias("band_hash"))
+        .distinct()
+        .cache()
+    )
+    # materialize the shared minhash pass BEFORE forking: overlapped
+    # cold, both jobs' tasks pile onto the same uncomputed `sigs`
+    # partitions and half the cores sit blocked on cache locks
+    # (measured slower than serial); warmed, the forked jobs touch
+    # disjoint subtrees and genuinely back-fill each other's tails
+    sigs.count()
+    n_probe, _ = _overlap(
+        probe.count, lambda: (surv.count(), no_sh_ids.count())
+    )
+
     last_err: Exception | None = None
     for attempt in range(1, max_retries + 2):
         # ---- cross-batch: probe the persisted band index ------------
-        # attempt-local caches: `probe` feeds several probe jobs and
-        # the idx_hits join; `fresh`/`fresh_ids` sit under the count
-        # AND all three appends — uncached, every append would re-run
-        # the whole band-probe + jaccard-verify subtree (reading both
-        # index tables again); cached, the verification executes once
-        # both index metas resolve AS OF one captured head, and the
-        # publish CAS validates against that same head: any commit
-        # landing after this line fails the publish and the loop
-        # re-probes — zero probe-to-publish race window
+        # attempt-local caches: `fresh`/`fresh_ids` sit under the
+        # count AND all three appends — uncached, every append would
+        # re-run the whole band-probe + jaccard-verify subtree
+        # (reading both index tables again); cached, the verification
+        # executes once both index metas resolve AS OF one captured
+        # head, and the publish CAS validates against that same head:
+        # any commit landing after this line fails the publish and the
+        # loop re-probes — zero probe-to-publish race window
         head = cat._read_refs()[branch]
         bmeta = cat._load_table_at(band_table, head, branch)
-        probe = (
-            surv.select(F.explode("_bh").alias("band_hash"))
-            .distinct()
-            .cache()
-        )
         hit_files = cat._files_overlapping_keys(bmeta, ["band_hash"], probe)
         fresh = surv
         if hit_files:
-            # exact probe cardinality, one trivial job: the probe's
-            # cache is warm (the overlap pass above materialized it),
-            # so this replaces the former rows_in*16 upper bound
-            # without the standalone batch.count() that fed it
+            # exact probe cardinality from the pre-loop count; the
+            # probe's cache is warm, so the join rereads no batch data
             idx_hits = (
                 cat._df_applying_deletes(spark, bmeta, hit_files)
-                .join(_hint_small(probe, probe.count()), "band_hash")
+                .join(_hint_small(probe, n_probe), "band_hash")
                 .select("band_hash", F.col(key_col).alias("_idx_id"))
             )
             cross = (
@@ -872,9 +940,10 @@ def near_dedup_ingest(
             )
         except CommitConflict as ex:
             last_err = ex  # racing ingest: re-probe the fresh indexes
-            probe.unpersist(); fresh_ids.unpersist()
+            fresh_ids.unpersist()
             if fresh is not surv:
                 fresh.unpersist()
+    probe.unpersist()
     sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
     raise last_err  # exhausted retries under concurrent ingests
 
