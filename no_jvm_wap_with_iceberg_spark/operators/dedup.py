@@ -738,6 +738,11 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # eager ON PURPOSE: making this lazy so the `nodes` job would
+        # materialize it measured ~3x SLOWER (13 s vs 4 s at sf0.1) —
+        # the nodes job's column-pruned scan does not populate the
+        # checkpoint blocks the rounds need, so every round recomputed
+        # the symmetric-edge subtree
         .localCheckpoint(eager=True)
     )
     nodes = adj.select(F.col("u").alias("node")).distinct().localCheckpoint(
@@ -778,8 +783,12 @@ def connected_components(
         sym = adj if rounds == 1 else adj.unionByName(
             adj.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
+        # lazy checkpoint: the signature aggregation just below is the
+        # round's first action, so it materializes the checkpoint
+        # blocks as a side effect — one Spark job per round instead of
+        # an eager-materialize job followed by a re-scan (guide §1.2)
         new = star(star(sym, large=True), large=False).localCheckpoint(
-            eager=True
+            eager=False
         )
         # convergence probe: (count, hash-sum) signature — one scan of
         # the checkpointed result instead of an exceptAll join shuffle
