@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from no_jvm_wap_with_iceberg_spark.functions.overlap import overlap_actions
 from no_jvm_wap_with_iceberg_spark.functions.textfn import fan_out
 from no_jvm_wap_with_iceberg_spark.functions.vector import cosine_similarity
 from no_jvm_wap_with_iceberg_spark.plans.registry import register
@@ -816,20 +817,30 @@ def similarity_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     total = exact.count()
 
-    def recall_ok(approx: DataFrame, method: str) -> DataFrame:
-        hit = exact.join(
-            approx.select("query_id", "neighbor_id"),
+    def hit_count(build) -> int:
+        return exact.join(
+            build().select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
             "left_semi",
         ).count()
+
+    # the two hit counts are independent once the exact cache is warm
+    # (the count above materialized it), so they run in sibling driver
+    # threads and the cheaper method's wall hides inside the other's
+    # (guide §2.6). Construction happens INSIDE each thunk so IVF's
+    # driver-side centroid training job overlaps the LSH count too.
+    n_lsh, n_ivf = overlap_actions(
+        lambda: hit_count(lambda: ann_lsh_topk(e, queries, k=5)),
+        lambda: hit_count(lambda: ann_ivf_topk(e, queries, k=5)),
+    )
+    # both rows are plain literals; the oracle cache is dead weight
+    # past this point
+    exact.unpersist()
+
+    def gate_row(method: str, hit: int) -> DataFrame:
         return spark.createDataFrame(
             [(method, bool(hit >= RECALL_BOUND * total))],
             "method string, recall_ok boolean"
         )
 
-    lsh = recall_ok(ann_lsh_topk(e, queries, k=5), "lsh")
-    ivf = recall_ok(ann_ivf_topk(e, queries, k=5), "ivf")
-    # both rows are already-materialized literals; the oracle cache
-    # is dead weight past this point
-    exact.unpersist()
-    return lsh.unionByName(ivf)
+    return gate_row("lsh", n_lsh).unionByName(gate_row("ivf", n_ivf))

@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 
 from no_jvm_wap_with_iceberg_spark.catalog import Catalog
 from no_jvm_wap_with_iceberg_spark.catalog.catalog import MAIN, CommitConflict
+from no_jvm_wap_with_iceberg_spark.functions.overlap import overlap_actions
 
 _LOG = logging.getLogger(__name__)
 
@@ -128,45 +129,9 @@ def _hint_small(df: DataFrame, n_rows: int | None) -> DataFrame:
     return df
 
 
-def _overlap(*thunks):
-    """Run independent cache-materializing actions in sibling driver
-    threads so Spark schedules their jobs concurrently and the shorter
-    job's wall hides inside the longer's (guide §2.6: actions are only
-    sequential because driver code calls them sequentially).
-    InheritableThread, not a plain pool thread, so a caller's
-    job-group / cancellation scope reaches the jobs — same rationale
-    as ``append_many``'s write threads. Returns the thunks' results in
-    order; on failure raises the lowest-index failure with the others
-    attached as notes (deterministic, information-preserving)."""
-    from pyspark import InheritableThread
-
-    results: list = [None] * len(thunks)
-    failures: dict[int, BaseException] = {}
-
-    def run(i: int, fn) -> None:
-        try:
-            results[i] = fn()
-        except BaseException as exc:  # surfaced after join
-            failures[i] = exc
-
-    threads = [
-        InheritableThread(target=run, args=(i, fn))
-        for i, fn in enumerate(thunks)
-    ]
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    if failures:
-        order = sorted(failures)
-        primary = failures[order[0]]
-        for i in order[1:]:
-            primary.add_note(
-                f"also failed: overlapped action {i}: "
-                f"{type(failures[i]).__name__}: {failures[i]}"
-            )
-        raise primary
-    return results
+# run independent cache-materializing actions in sibling driver
+# threads (guide §2.6) — shared helper, see functions/overlap.py
+_overlap = overlap_actions
 
 
 def _target_width(n_digests: int) -> int:
@@ -677,20 +642,16 @@ def near_dedup_ingest(
         .cache()
     )
 
-    # the reported batch counts derive from the cached intermediates
-    # AFTER the probe/publish actions have materialized them: rows_in
-    # = shingled docs + shingle-less passthroughs, and the in-batch
-    # survivors = band-pass survivors + passthroughs. Counting the
-    # warm caches costs three trivial jobs; the former standalone
+    # the reported batch counts are pure arithmetic over counts the
+    # cache-materializing actions below return anyway: rows_in =
+    # shingled docs + shingle-less passthroughs, and the in-batch
+    # survivors = band-pass survivors + passthroughs. Capturing those
+    # values (instead of re-counting the warm caches after the
+    # publish) costs ZERO extra jobs; the former standalone
     # ``batch.count()`` re-scanned the source and the former
     # ``n_unique`` anti-join job re-ran the whole collapse+verify
     # subtree — two of the three heavy jobs per ingest (guide §1.2:
     # don't recompute what an action already materialized)
-    def _batch_counts() -> tuple[int, int]:
-        n_sigs, n_surv, n_nosh = (
-            sigs.count(), surv.count(), no_sh_ids.count()
-        )
-        return n_sigs + n_nosh, n_surv + n_nosh  # rows_in, n_unique
 
     cat.create_table(docs_table, batch.schema, branch, if_not_exists=True)
     # both index tables hash-bucket on their probe key (Iceberg
@@ -783,10 +744,11 @@ def near_dedup_ingest(
     # partitions and half the cores sit blocked on cache locks
     # (measured slower than serial); warmed, the forked jobs touch
     # disjoint subtrees and genuinely back-fill each other's tails
-    sigs.count()
-    n_probe, _ = _overlap(
+    n_sigs = sigs.count()
+    n_probe, (n_surv, n_nosh) = _overlap(
         probe.count, lambda: (surv.count(), no_sh_ids.count())
     )
+    rows_in, n_unique = n_sigs + n_nosh, n_surv + n_nosh
 
     last_err: Exception | None = None
     for attempt in range(1, max_retries + 2):
@@ -863,7 +825,6 @@ def near_dedup_ingest(
         )
         n_fresh = fresh_ids.count()
         if n_fresh == 0:
-            rows_in, n_unique = _batch_counts()  # before the unpersists
             probe.unpersist(); fresh_ids.unpersist()
             if fresh is not surv:
                 fresh.unpersist()
@@ -915,7 +876,6 @@ def near_dedup_ingest(
                 branch,
                 expected_head=head,
             )
-            rows_in, n_unique = _batch_counts()  # before the unpersists
             probe.unpersist(); fresh_ids.unpersist()
             if fresh is not surv:
                 fresh.unpersist()
