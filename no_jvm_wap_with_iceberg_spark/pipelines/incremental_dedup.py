@@ -607,6 +607,14 @@ def near_dedup_ingest(
     # at O(batch). Shingle-less (<3-word) docs never reach this path.
     # cached: it feeds four subtrees of the pair pass (both band
     # self-join sides + both shingle lookups)
+    # NOTE (measured, r11): broadcast-hinting the provably-small join
+    # sides of this pass (bands right side, sh_a/sh_b, pair_dups, the
+    # no-shingle anti side) does NOT reduce the entry's Spark-job
+    # count — each removed shuffle exchange becomes a broadcast-build
+    # job one-for-one (299 jobs either way) — and the shingle-set
+    # frames measured SLOWER hinted (collect+rebroadcast of fat array
+    # payloads beats AQE's local shuffle read only for narrow rows).
+    # Leave strategy choice to AQE here.
     sigs_u = _collapse_identical(sigs).cache()
     bands = sigs_u.select("_id", F.explode("_bh").alias("_h"))
     cand = (
@@ -765,6 +773,7 @@ def near_dedup_ingest(
         bmeta = cat._load_table_at(band_table, head, branch)
         hit_files = cat._files_overlapping_keys(bmeta, ["band_hash"], probe)
         fresh = surv
+        cross = None
         if hit_files:
             # exact probe cardinality from the pre-loop count; the
             # probe's cache is warm, so the join rereads no batch data
@@ -773,11 +782,18 @@ def near_dedup_ingest(
                 .join(_hint_small(probe, n_probe), "band_hash")
                 .select("band_hash", F.col(key_col).alias("_idx_id"))
             )
+            # attempt-local cache: this subtree READS the bloom-hit
+            # band-index files, and it sits under the sig-probe's key
+            # sample below AND (twice — via idx_sh's idx_ids and the
+            # verify join) under the fresh count. Uncached, each
+            # evaluation re-reads those index files; cached, they are
+            # read once per attempt however large the corpus grows.
             cross = (
                 surv.select("_id", F.explode("_bh").alias("band_hash"))
                 .join(idx_hits, "band_hash")
                 .select("_id", "_idx_id")
                 .distinct()
+                .cache()
             )
             idx_ids = cross.select(F.col("_idx_id").alias(key_col)).distinct()
             smeta = cat._load_table_at(sig_table, head, branch)
@@ -826,6 +842,8 @@ def near_dedup_ingest(
         n_fresh = fresh_ids.count()
         if n_fresh == 0:
             probe.unpersist(); fresh_ids.unpersist()
+            if cross is not None:
+                cross.unpersist()
             if fresh is not surv:
                 fresh.unpersist()
             sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
@@ -877,6 +895,8 @@ def near_dedup_ingest(
                 expected_head=head,
             )
             probe.unpersist(); fresh_ids.unpersist()
+            if cross is not None:
+                cross.unpersist()
             if fresh is not surv:
                 fresh.unpersist()
             sigs.unpersist(); sigs_u.unpersist(); surv.unpersist(); no_sh_ids.unpersist()
@@ -901,6 +921,8 @@ def near_dedup_ingest(
         except CommitConflict as ex:
             last_err = ex  # racing ingest: re-probe the fresh indexes
             fresh_ids.unpersist()
+            if cross is not None:
+                cross.unpersist()
             if fresh is not surv:
                 fresh.unpersist()
     probe.unpersist()

@@ -956,11 +956,22 @@ def sketch_events_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same agg as the sketches: a mixed distinct/non-distinct agg
     # plans an Expand that re-feeds every row through the percentile
     # sketch twice (measured 15.6 s vs <2 s split at sf0.1)
+    # ONE KLL digest queried at both quantiles — two scalar
+    # percentile_approx calls would build two identical digests from
+    # the same rows (same data, same accuracy, same merge tree), i.e.
+    # pay the per-row sketch update twice for byte-identical estimates
     sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("_au"),
-        F.percentile_approx("value", 0.5, 10_000).alias("_ap50"),
-        F.percentile_approx("value", 0.99, 10_000).alias("_ap99"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.99)), 10_000
+        ).alias("_ap"),
         F.count("value").alias("_n"),
+    ).select(
+        "event_type",
+        "_au",
+        F.col("_ap")[0].alias("_ap50"),
+        F.col("_ap")[1].alias("_ap99"),
+        "_n",
     )
     exact = (
         ev.select("event_type", "user_id")
