@@ -80,6 +80,84 @@ def brute_force_topk(
     )
 
 
+def _exact_topk_batched(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via one numpy matmul per Arrow batch —
+    the recall gate's ground-truth oracle, vectorized (guide §4.2).
+
+    Same semantics as :func:`brute_force_topk` (every query scored
+    against the whole corpus, self excluded, float64 arithmetic) at a
+    fraction of its cost: the JVM-expression cosine evaluates the
+    dot/norm fold per PAIR (queries × corpus rows), where one
+    ``Q @ C.T`` per batch amortizes it to a BLAS call; per-batch
+    top-k bounds the shuffle to queries × k rows per batch, and one
+    tiny window picks the global top-k. Tie handling differs from the
+    decimal-quantized ranker only in float ulps — the gate's boolean
+    asserts recall >= 0.8 against a measured 0.93–0.98, so ulp-order
+    tie shifts can never flip it (and its oracle rows are literals).
+    The query side is the gate's fixed probe set (bounded by
+    construction), so collecting it to the driver is O(k·dim), never
+    O(corpus)."""
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Qn = np.where(qn > 0, Q / qn, 0.0)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cn = np.where(cn > 0, C / cn, 0.0)
+            S = Qn @ Cn.T  # (queries, batch)
+            # zero-norm rows score NULL in the expression form and
+            # sort last under DESC — exclude them outright here
+            S[:, (cn == 0).ravel()] = -np.inf
+            S[:, :][np.equal.outer(q_ids, ids)] = -np.inf  # self
+            kk = min(k, S.shape[1])
+            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(q_ids)):
+                cols = top[i]
+                keep = cols[np.isfinite(S[i, cols])]
+                out_q.extend([q_ids[i]] * len(keep))
+                out_n.extend(ids[keep])
+                out_s.extend(S[i, keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cosine": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    parts = fan_out(
+        corpus.select(
+            F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+        )
+    ).mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return parts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))
@@ -808,11 +886,13 @@ def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 20)
-    # the brute-force oracle is the expensive half (a broadcast cross
-    # join over the whole corpus + a window); cache its 20*k-row
-    # result ONCE — uncached it re-ran for every recall count (hit +
+    # the brute-force oracle is the expensive half; it runs as one
+    # numpy matmul per Arrow batch with per-batch top-k
+    # (_exact_topk_batched — guide §4.2) instead of the
+    # JVM-expression-per-pair cross join, and its 20*k-row result is
+    # cached ONCE — uncached it re-ran for every recall count (hit +
     # total per method = four full brute-force passes, guide §5)
-    exact = brute_force_topk(e, queries, k=5).select(
+    exact = _exact_topk_batched(e, queries, k=5).select(
         "query_id", "neighbor_id"
     ).cache()
     total = exact.count()
