@@ -1278,9 +1278,23 @@ class Catalog:
         meta: TableMetadata,
         table: str,
         layout_done: bool = False,
+        rows_hint: int | None = None,
     ) -> list[FileEntry]:
         from pyspark.sql import functions as F
+        from no_jvm_wap_with_iceberg_spark.catalog.table import (
+            SMALL_WRITE_ROWS_MAX,
+        )
 
+        # ``rows_hint`` is a caller-known UPPER BOUND on the batch's
+        # row count (the dedup pipelines know their publish counts
+        # before appending). At or below SMALL_WRITE_ROWS_MAX the
+        # partition-clustering shuffle degenerates to a narrow
+        # coalesce(1): one task holding the whole (tiny) batch writes
+        # exactly one sorted file per touched partition — the same
+        # layout the hash clustering guarantees — with no exchange.
+        # No hint (the default, and every big append) keeps the
+        # distributed clustering.
+        small = rows_hint is not None and rows_hint <= SMALL_WRITE_ROWS_MAX
         data_dir = new_data_dir(self.warehouse, table)
         writer = df
         pfields = meta.partition_fields
@@ -1335,7 +1349,7 @@ class Catalog:
                     *pcols, *[F.col(c) for c in meta.sort_by]
                 )
             elif mode != "none":
-                writer = writer.repartition(*pcols)
+                writer = writer.coalesce(1) if small else writer.repartition(*pcols)
             writer = writer.sortWithinPartitions(*sort_cols)
         elif meta.sort_by:
             # range-repartition THEN sort within partitions: files get
@@ -1400,7 +1414,11 @@ class Catalog:
             if mode == "range":
                 writer = writer.repartitionByRange(*pcols)
             elif mode != "none":
-                writer = writer.repartition(*pcols)
+                # small path: Spark's dynamic-partition writer locally
+                # sorts each task's rows by the partition expressions,
+                # so the single task still emits one file per touched
+                # partition
+                writer = writer.coalesce(1) if small else writer.repartition(*pcols)
         w = writer.write.mode("append")
         if pfields:
             w = w.partitionBy(*[f.name for f in pfields])
@@ -1497,6 +1515,7 @@ class Catalog:
         concurrent: bool = True,
         expected_head: str | None = None,
         merge_schema: bool = False,
+        rows_hint: "dict[str, int] | None" = None,
     ) -> dict[str, TableMetadata]:
         """Append N DataFrames to N tables in ONE atomic commit.
 
@@ -1537,6 +1556,15 @@ class Catalog:
         older files read the new columns as NULL, evolution re-derived
         from the fresh head on retry). A zero-row batch that evolves
         the schema still commits the evolution.
+
+        ``rows_hint`` maps table → a caller-known UPPER BOUND on that
+        entry's row count (applies to every entry for the table). At
+        or below ``SMALL_WRITE_ROWS_MAX`` the partition-clustering
+        shuffle is skipped for a narrow single-task write with the
+        identical one-sorted-file-per-touched-partition layout — the
+        dedup pipelines publish a few thousand index rows per batch
+        and know the count before appending (guide §2.4: remove
+        exchanges the data volume does not justify).
         """
         entries = (
             list(appends.items())
@@ -1573,7 +1601,8 @@ class Catalog:
                 else metas0[t]
             )
             return self._write_files(
-                self._align_schema(df, proto), proto, t
+                self._align_schema(df, proto), proto, t,
+                rows_hint=(rows_hint or {}).get(t),
             )
 
         if concurrent and len(entries) > 1:

@@ -581,6 +581,21 @@ LOCAL_BLOOM_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_LOCAL_BLOOM_MAX_BYTES", str(32 << 20))
 )
 
+# Below this many rows (a caller-supplied UPPER BOUND — writes with no
+# hint always take the distributed path), the partition-clustering
+# shuffle in Catalog._write_files is replaced by a narrow coalesce(1):
+# a single writer task holding the whole batch emits exactly one
+# sorted file per touched partition — the same layout invariant the
+# hash repartition exists to guarantee — without paying a shuffle
+# exchange for a few thousand rows. Scale-adaptive by construction:
+# a 100 TB cluster append exceeds the bound and keeps the distributed
+# clustering (write parallelism = touched partitions), so this is not
+# a local-mode-only shortcut. 100k rows of index entries is single-
+# digit MB in one task; set to 0 to force the distributed layout path.
+SMALL_WRITE_ROWS_MAX = int(
+    os.environ.get("SPARK_GRAFT_SMALL_WRITE_ROWS_MAX", str(100_000))
+)
+
 
 def collect_written_files(
     data_dir: str,

@@ -335,19 +335,6 @@ def dedup_ingest(
     unique_batch = fp_batch.join(
         firsts, on=["_fp", key_col], how="left_semi"
     ).cache()
-    # the distinct-digest count IS the keep-first survivor count (one
-    # min-key row per digest — ids are unique per the pipeline
-    # contract), so counting the cached unique_batch both materializes
-    # the cache every later consumer reuses (probe sample, seen
-    # anti-join, both appends) AND replaces the former
-    # count_distinct("_fp") aggregation — whose full sha256 pass over
-    # the source was the one redundant digest scan in the cycle (guide
-    # §1.2). rows_in needs only a digest-free pruned source count; the
-    # two jobs are independent, so they run in sibling driver threads
-    # and the cheap count's wall hides inside the cache fill's
-    # (guide §2.6).
-    rows_in, n_unique = _overlap(batch.count, unique_batch.count)
-
     cat.create_table(docs_table, batch.schema, branch, if_not_exists=True)
     idx_schema = (
         unique_batch.select(
@@ -378,17 +365,46 @@ def dedup_ingest(
                 stacklevel=2,
             )
 
+    # the distinct-digest count IS the keep-first survivor count (one
+    # min-key row per digest — ids are unique per the pipeline
+    # contract), so counting the cached unique_batch both materializes
+    # the cache every later consumer reuses (probe sample, seen
+    # anti-join, both appends) AND replaces the former
+    # count_distinct("_fp") aggregation — whose full sha256 pass over
+    # the source was the one redundant digest scan in the cycle (guide
+    # §1.2). rows_in needs only a digest-free pruned source count; the
+    # two jobs are independent, so they run in sibling driver threads
+    # and the cheap count's wall hides inside the cache fill's (guide
+    # §2.6). Attempt 1's index probe CHAINS behind the cache fill in
+    # the same thread (its sample collect needs the warm cache), so
+    # its metadata walk + collect also hide under the source count:
+    # the head is captured here — after the create_table commits,
+    # before any file metadata is read — and the publish CAS validates
+    # against exactly this head, so probe-to-publish atomicity is
+    # unchanged (a racing commit surfaces as the same CommitConflict).
+    probe = unique_batch.select(F.col("_fp").alias("fingerprint"))
+    head0 = cat._read_refs()[branch]
+
+    def _probe_at(h: str):
+        m = cat._load_table_at(index_table, h, branch)
+        return m, cat._files_overlapping_keys(m, ["fingerprint"], probe)
+
+    rows_in, (n_unique, (meta0, affected0)) = _overlap(
+        batch.count, lambda: (unique_batch.count(), _probe_at(head0))
+    )
+
     last_err: Exception | None = None
     for attempt in range(1, max_retries + 2):
-        # the head the PROBE runs against is the head the publish CAS
-        # validates: any commit landing after this line (even to an
-        # unrelated table — the ref CAS is commit-global) fails the
-        # publish and the loop re-probes, so the probe-to-publish race
-        # window is exactly zero
-        head = cat._read_refs()[branch]
-        meta = cat._load_table_at(index_table, head, branch)
-        probe = unique_batch.select(F.col("_fp").alias("fingerprint"))
-        affected = cat._files_overlapping_keys(meta, ["fingerprint"], probe)
+        # the head the PROBE ran against is the head the publish CAS
+        # validates: any commit landing after the head capture (even
+        # to an unrelated table — the ref CAS is commit-global) fails
+        # the publish and the loop re-probes, so the probe-to-publish
+        # race window is exactly zero
+        if attempt == 1:
+            head, meta, affected = head0, meta0, affected0
+        else:
+            head = cat._read_refs()[branch]
+            meta, affected = _probe_at(head)
         if affected:
             # probe has exactly n_unique rows (one per surviving digest)
             seen = (
@@ -449,6 +465,9 @@ def dedup_ingest(
                 ],
                 branch,
                 expected_head=head,
+                # known exact counts: below SMALL_WRITE_ROWS_MAX the
+                # index write takes the narrow no-shuffle layout path
+                rows_hint={docs_table: n_fresh, index_table: n_fresh},
             )
             if fresh is not unique_batch:
                 fresh.unpersist()
@@ -581,6 +600,8 @@ def near_dedup_ingest(
     from no_jvm_wap_with_iceberg_spark.operators.dedup import (
         _JT_P,
         _JT_Q,
+        MINHASH_K,
+        MINHASH_R,
         minhash_signatures,
     )
 
@@ -753,8 +774,27 @@ def near_dedup_ingest(
     # (measured slower than serial); warmed, the forked jobs touch
     # disjoint subtrees and genuinely back-fill each other's tails
     n_sigs = sigs.count()
-    n_probe, (n_surv, n_nosh) = _overlap(
-        probe.count, lambda: (surv.count(), no_sh_ids.count())
+    # attempt 1's band probe rides the SAME overlap as the in-batch
+    # counts (guide §2.6): the probe key set is loop-invariant (it
+    # derives from the batch, not the attempt), the head is captured
+    # here — after the create_table commits above, before any file
+    # metadata is read — and the publish CAS still validates against
+    # exactly this head, so the probe-to-publish race window is
+    # unchanged (a commit landing during the in-batch pass now
+    # surfaces as the same CommitConflict → re-probe, merely a little
+    # earlier). The probe's sample collect materializes the `probe`
+    # cache, so the count that used to be its own overlapped thunk is
+    # a warm-cache read afterwards.
+    head0 = cat._read_refs()[branch]
+
+    def _band_probe_at(h: str):
+        bm = cat._load_table_at(band_table, h, branch)
+        return bm, cat._files_overlapping_keys(bm, ["band_hash"], probe)
+
+    ((bmeta0, hit_files0), n_probe), n_surv, n_nosh = _overlap(
+        lambda: (_band_probe_at(head0), probe.count()),
+        surv.count,
+        no_sh_ids.count,
     )
     rows_in, n_unique = n_sigs + n_nosh, n_surv + n_nosh
 
@@ -767,11 +807,13 @@ def near_dedup_ingest(
         # (reading both index tables again); cached, the verification
         # executes once both index metas resolve AS OF one captured
         # head, and the publish CAS validates against that same head:
-        # any commit landing after this line fails the publish and the
-        # loop re-probes — zero probe-to-publish race window
-        head = cat._read_refs()[branch]
-        bmeta = cat._load_table_at(band_table, head, branch)
-        hit_files = cat._files_overlapping_keys(bmeta, ["band_hash"], probe)
+        # any commit landing after the head capture fails the publish
+        # and the loop re-probes — zero probe-to-publish race window
+        if attempt == 1:
+            head, bmeta, hit_files = head0, bmeta0, hit_files0
+        else:
+            head = cat._read_refs()[branch]
+            bmeta, hit_files = _band_probe_at(head)
         fresh = surv
         cross = None
         if hit_files:
@@ -893,6 +935,14 @@ def near_dedup_ingest(
                 ],
                 branch,
                 expected_head=head,
+                # known upper bounds (n_fresh counts fresh + shingle-
+                # less passthroughs): below SMALL_WRITE_ROWS_MAX the
+                # index writes take the narrow no-shuffle layout path
+                rows_hint={
+                    docs_table: n_fresh,
+                    sig_table: n_fresh,
+                    band_table: n_fresh * (MINHASH_K // MINHASH_R),
+                },
             )
             probe.unpersist(); fresh_ids.unpersist()
             if cross is not None:

@@ -535,10 +535,10 @@ def test_multi_failure_raises_lowest_index_with_notes(
     _setup(spark, cat, ("ta", "tb", "tc"))
     real = Catalog._write_files
 
-    def flaky(self, df, proto, table):
+    def flaky(self, df, proto, table, **kw):
         if table in ("tb", "tc"):
             raise ValueError(f"injected write failure on {table}")
-        return real(self, df, proto, table)
+        return real(self, df, proto, table, **kw)
 
     monkeypatch.setattr(Catalog, "_write_files", flaky)
     with pytest.raises(ValueError, match="on tb") as ei:
@@ -554,3 +554,62 @@ def test_multi_failure_raises_lowest_index_with_notes(
     assert "entry 2" in notes and "tc" in notes
     # nothing committed: the failed batch left no table moved
     assert cat.read(spark, "ta").count() == 0
+
+
+def test_small_write_narrow_layout_matches_distributed(
+    spark, warehouse, monkeypatch
+):
+    """``rows_hint`` at or below ``SMALL_WRITE_ROWS_MAX`` swaps the
+    partition-clustering shuffle for a narrow single-task write. That
+    must be an OPTIMIZATION, not a layout fork: same files-per-
+    partition (exactly one per touched partition per append), same
+    sorted row order within each file, bit-identical bloom filters —
+    so every downstream probe/pruning decision is unchanged."""
+    import pyarrow.parquet as pq
+    import os
+
+    import no_jvm_wap_with_iceberg_spark.catalog.table as table_mod
+
+    rows = [(i * 37 % 1000, f"doc_{i}") for i in range(500)]
+
+    def build(th: int, name: str):
+        monkeypatch.setattr(table_mod, "SMALL_WRITE_ROWS_MAX", th)
+        cat = Catalog(warehouse + f"/{name}")
+        schema = spark.createDataFrame(rows, ["id", "name"]).schema
+        cat.create_table(
+            "t",
+            schema,
+            partition_by=["bucket(8, id)"],
+            sort_by=["id"],
+            bloom_cols=["id"],
+        )
+        cat.append_many(
+            {"t": spark.createDataFrame(rows, schema)},
+            rows_hint={"t": len(rows)},
+        )
+        meta = cat.load_table("t")
+        per_part: dict = {}
+        for f in meta.files():
+            part = tuple(sorted(f.partition.items()))
+            per_part.setdefault(part, []).append(f)
+        # one file per touched partition, rows sorted by the sort key
+        contents = {}
+        for part, fs in per_part.items():
+            assert len(fs) == 1, f"{name}: {len(fs)} files in {part}"
+            tbl = pq.read_table(
+                os.path.join(cat.warehouse, fs[0].path)
+            )
+            ids = tbl["id"].to_pylist()
+            assert ids == sorted(ids)
+            contents[part] = (
+                sorted(zip(ids, tbl["name"].to_pylist())),
+                fs[0].blooms.get("id"),
+            )
+        return contents
+
+    narrow = build(1 << 30, "narrow")  # hint below threshold
+    dist = build(0, "dist")  # threshold 0 -> distributed clustering
+    assert narrow.keys() == dist.keys()
+    for part in narrow:
+        assert narrow[part][0] == dist[part][0]  # same rows per file
+        assert narrow[part][1] == dist[part][1]  # bit-identical blooms
