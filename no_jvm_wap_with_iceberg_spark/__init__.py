@@ -19,7 +19,17 @@ driver-side metadata (exactly like Iceberg/Nessie, where metadata is
 KBs while data is TBs).
 """
 
-from no_jvm_wap_with_iceberg_spark.session import get_spark
-
+# Lazy re-export (PEP 562): this package __init__ runs inside every
+# fresh Python worker that unpickles any of our classes; an eager
+# session import pulls the full pyspark.sql chain before the worker
+# has done any work. `get_spark` resolves on first access instead.
 __all__ = ["get_spark"]
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    if name == "get_spark":
+        from no_jvm_wap_with_iceberg_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

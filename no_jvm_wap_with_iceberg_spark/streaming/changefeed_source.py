@@ -197,8 +197,13 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def _dbg(self, msg: str) -> None:
         p = os.environ.get("WAP_CFS_DEBUG_LOG")
         if p:
+            import time
+
             with open(p, "a") as f:
-                f.write(f"pid={os.getpid()} inst={id(self)} {msg}\n")
+                f.write(
+                    f"t={time.time():.3f} pid={os.getpid()} "
+                    f"inst={id(self)} {msg}\n"
+                )
 
     # -- metadata helpers (driver-side) ---------------------------------
     def _meta(self):
